@@ -1,13 +1,263 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 has a `queries` entry; each entry
+  * has a DuckDB `oracleSql` twin unless it's rows-only (approximate /
+  * hash-family ops, which are spec-tested instead). Column aliases and
+  * ORDER BYs match the oracle exactly; double aggregates are rounded
+  * on both sides (2dp money, 6dp ratios) so summation-order noise
+  * can't flip the driver's hash compare.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TextMR.wordcount(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. MapReduce core
+    "mr_wordcount" -> (TextMR.wordcount _),
+    "mr_grep_count" -> (TextMR.grepCount _),
+    "mr_inverted_index" -> (TextMR.invertedIndex _),
+    // B. relational
+    "q1_agg" -> (Relational.q1Agg _),
+    "q3_join_topk" -> (Relational.q3JoinTopk _),
+    "q5_multijoin" -> (Relational.q5Multijoin _),
+    "q6_filter_agg" -> (Relational.q6FilterAgg _),
+    "q_topk_orders" -> (Relational.qTopkOrders _),
+    "q_group_having" -> (Relational.qGroupHaving _),
+    "q_distinct_agg" -> (Relational.qDistinctAgg _),
+    "q_window_rank" -> (Relational.qWindowRank _),
+    "q_window_running" -> (Relational.qWindowRunning _),
+    "q_semi_join" -> (Relational.qSemiJoin _),
+    "q_anti_join" -> (Relational.qAntiJoin _),
+    "q_union_agg" -> (Relational.qUnionAgg _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_pivot" -> (Relational.qPivot _),
+    "q_case_agg" -> (Relational.qCaseAgg _),
+    "q_month_revenue" -> (Relational.qMonthRevenue _),
+    "q_string_funcs" -> (Relational.qStringFuncs _),
+    "q_percentiles" -> (Relational.qPercentiles _),
+    // C. events / time-series
+    "q_event_window" -> (Events.qEventWindow _),
+    "q_event_topusers" -> (Events.qEventTopusers _),
+    "q_json_extract" -> (Events.qJsonExtract _),
+    "q_sessionize" -> (Events.qSessionize _),
+    "q_asof_join" -> (Events.qAsofJoin _),
+    // F. text analysis
+    "text_quality" -> (TextOps.textQuality _),
+    "text_tokens" -> (TextOps.textTokens _),
+    "text_fingerprint" -> (TextOps.textFingerprint _),
+    "text_langid" -> (TextOps.textLangid _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "mr_wordcount" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+               FROM documents)
+         WHERE word <> '' GROUP BY word ORDER BY word""",
+    "mr_grep_count" ->
+      """SELECT source, count(*) AS n_match FROM documents
+         WHERE text LIKE '%join%' GROUP BY source ORDER BY source""",
+    "mr_inverted_index" ->
+      """WITH wd AS (
+           SELECT DISTINCT word, doc_id
+           FROM (SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS word,
+                        doc_id FROM documents)
+           WHERE word <> '')
+         SELECT word, count(*) AS df,
+                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         FROM wd GROUP BY word ORDER BY word""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                round(avg(l_quantity), 6) AS avg_qty,
+                round(avg(l_extendedprice), 6) AS avg_price,
+                round(avg(l_discount), 6) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_join_topk" ->
+      """SELECT l_orderkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                o_orderdate, o_orderpriority
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+    "q5_multijoin" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= CAST(0.03 AS DOUBLE)
+           AND l_discount <= CAST(0.07 AS DOUBLE)
+           AND l_quantity < 24""",
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q_group_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS spend
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 5
+         ORDER BY o_custkey""",
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_union_agg" ->
+      """SELECT o_orderstatus, bucket, count(*) AS n FROM (
+           SELECT o_orderstatus, 'high' AS bucket FROM orders
+           WHERE o_totalprice > 400000
+           UNION ALL
+           SELECT o_orderstatus, 'low' AS bucket FROM orders
+           WHERE o_totalprice < 50000)
+         GROUP BY o_orderstatus, bucket ORDER BY o_orderstatus, bucket""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+                round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent,
+                round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0 END), 2) AS high,
+                round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END), 2) AS medium,
+                round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice ELSE 0 END), 2) AS notspec,
+                round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice ELSE 0 END), 2) AS low
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_case_agg" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                     WHEN o_totalprice < 300000 THEN 'medium'
+                     ELSE 'large' END AS size_bucket,
+                count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY size_bucket ORDER BY size_bucket""",
+    "q_month_revenue" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem GROUP BY month ORDER BY month""",
+    "q_string_funcs" ->
+      """SELECT p_brand, upper(p_type) AS type_u,
+                substring(p_name, 1, 8) AS name8, count(*) AS n
+         FROM part WHERE p_name LIKE '%a%'
+         GROUP BY p_brand, type_u, name8 ORDER BY p_brand, type_u, name8""",
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_event_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+                count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
+    "q_event_topusers" ->
+      """SELECT user_id, count(*) AS n_purchases,
+                round(sum(value), 2) AS spend
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 20""",
+    "q_json_extract" ->
+      """SELECT event_type,
+                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         y AS (
+           SELECT user_id, ts,
+                  CAST(sum(CASE WHEN prev_ts IS NULL
+                           OR epoch(ts) - epoch(prev_ts) > 1800
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+           FROM x)
+         SELECT user_id, session_id, count(*) AS n_events,
+                CAST(floor(min(epoch(ts))) AS BIGINT) AS start_s,
+                CAST(floor(max(epoch(ts))) AS BIGINT) AS end_s
+         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_asof_join" ->
+      """SELECT e.event_id AS error_id, e.user_id,
+                p.event_id AS last_purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY error_id""",
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+                      / len(string_split_regex(trim(text), '\s+')), 6) AS avg_tok_len,
+                round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                      / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
+                round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                      / len(string_split_regex(trim(text), '\s+')), 6) AS distinct_ratio,
+                round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                      / length(text), 6) AS punct_ratio
+         FROM documents ORDER BY doc_id""",
+    "text_tokens" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS re_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+  )
 }

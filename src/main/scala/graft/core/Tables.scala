@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Schema-typed readers over the driver-generated parquet tables.
+  *
+  * Each accessor is a plain `spark.read.parquet` — column pruning and
+  * predicate pushdown are left to Catalyst, so a caller that selects
+  * two columns scans two columns (verified in ExplainSpec).
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** `events.ts` is nanosecond-precision in parquet, which Spark 4
+    * rejects as a timestamp; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this reader
+    * truncates nanos → micros (identical to Spark's own ns handling)
+    * so downstream code always sees a TimestampType `ts`. */
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (SURVEY.md §2 F). All are built from
+  * codegen'd `org.apache.spark.sql.functions` — no UDFs — so they stay
+  * inside WholeStageCodegen and push down through Catalyst.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish tokenization: letter runs, single digits, or single
+    * non-alphanumeric marks — the usual pre-tokenizer regex shape. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+
+  private val StopWords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are stopwords, 6dp. */
+  def stopwordRatio(toks: Column): Column =
+    round(size(filter(toks, t => StopWords.map(t === _).reduce(_ || _)))
+      .cast("double") / size(toks), 6)
+
+  /** Fraction of distinct tokens (lexical diversity), 6dp. */
+  def distinctRatio(toks: Column): Column =
+    round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+
+  /** Fraction of non-alphanumeric, non-space characters, 6dp. */
+  def punctRatio(text: Column): Column =
+    round((length(text) -
+      length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double") /
+      length(text), 6)
+
+  /** Mean token length, 6dp. */
+  def avgTokenLen(toks: Column): Column =
+    round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / size(toks), 6)
+
+  /** Stable document fingerprint: md5 of whitespace-normalized,
+    * lowercased text. (A rolling polynomial hash variant is
+    * [[rollingFingerprint]] — spec-tested, not oracle-checked.) */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rolling polynomial hash (Rabin-Karp shape) over the normalized
+    * text, computed with a higher-order aggregate — deterministic and
+    * distributed, used for cheap shard-local dedup keys. */
+  def rollingFingerprint(text: Column): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    aggregate(split(norm, ""), lit(0L),
+      (acc, ch) => acc * lit(1000003L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+  }
+}

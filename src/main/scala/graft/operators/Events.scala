@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Events / time-series operator block (SURVEY.md §2 C).
+  *
+  * Timestamps: the parquet `ts` column is nanosecond precision; Spark
+  * truncates to microseconds while DuckDB keeps TIMESTAMP_NS, so no
+  * query here outputs a raw `ts` — everything goes through
+  * date_trunc / epoch-second casts that agree on both sides.
+  */
+object Events {
+
+  /** Hourly tumbling-window counts + sums per event type. Uses the
+    * streaming-compatible `window()` operator (its batch plan is the
+    * same groupBy a date_trunc would give). */
+  def qEventWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("hour", "event_type")
+
+  /** Top-k users by purchase spend. */
+  def qEventTopusers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("spend"))
+      .orderBy(col("spend").desc, col("user_id"))
+      .limit(20)
+
+  /** JSON field extraction from the props payload. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(round(avg("k"), 6).as("avg_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Gap-based sessionization: a >30 min silence starts a new session.
+    * Two stacked windows (lag → cumulative sum) — the classic
+    * shuffle-once formulation: both windows share the same
+    * partitioning (user_id) so Spark plans a single exchange. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSession =
+      when(col("prev_ts").isNull, 1)
+        .when(col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1)
+        .otherwise(0)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s", newSession)
+      .withColumn("session_id", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        floor(min(col("ts").cast("double"))).cast("long").as("start_s"),
+        floor(max(col("ts").cast("double"))).cast("long").as("end_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of join: for each error event, the most recent prior (or
+    * simultaneous) purchase by the same user. Composed as
+    * union + last_value-ignore-nulls over one user-partitioned window
+    * — a single shuffle, no range explosion, which is the formulation
+    * that survives 100 TB (a per-row range join would not).
+    * At equal ts the purchase sorts first (side=0), matching the
+    * usual ASOF `>=` semantics. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("purchase_id"), lit(null).cast("long").as("error_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("purchase_id"), col("event_id").as("error_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), coalesce(col("purchase_id"), col("error_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionAll(errors)
+      .withColumn("last_purchase_id",
+        last(col("purchase_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("error_id"), col("user_id"), col("last_purchase_id"))
+      .orderBy("error_id")
+  }
+}

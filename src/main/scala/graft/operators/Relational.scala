@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational / analytic operator block (SURVEY.md §2 B).
+  *
+  * Conventions shared with the DuckDB oracles in SparkEntry:
+  *  - every double aggregate is rounded (2dp money, 6dp ratios) so
+  *    parallel-vs-sequential double summation noise can't flip a hash;
+  *  - every result has a total deterministic ORDER BY;
+  *  - column aliases match the oracle SQL exactly.
+  *
+  * Scale notes: dimension sides of joins (region/nation/supplier/
+  * customer-filtered) are broadcast; fact-fact joins shuffle on their
+  * join key and rely on AQE for skew. Filters sit directly on the scan
+  * so parquet pushdown applies (see ExplainSpec).
+  */
+object Relational {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  /** TPC-H Q1-style pricing summary. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.filter(col("l_shipdate") <= ts("2000-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join + group + top-10. */
+  def q3JoinTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    t.lineitem.filter(col("l_shipdate") > ts("1998-01-01"))
+      .join(t.orders.filter(col("o_orderdate") < ts("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  /** TPC-H Q5-style: 6-way join through region→nation→supplier/customer. */
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nr = t.nation.join(
+      broadcast(t.region.filter(col("r_name") === "ASIA")),
+      col("n_regionkey") === col("r_regionkey"))
+    t.lineitem
+      .join(t.orders.filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style: selective filter + single global aggregate. */
+  def q6FilterAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+  }
+
+  /** Global order-by + limit (top-k pushes into TakeOrderedAndProject). */
+  def qTopkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** groupBy + HAVING. */
+  def qGroupHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("spend"))
+      .filter(col("n_orders") >= 5)
+      .orderBy("o_custkey")
+
+  /** count(distinct) per group. */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** row_number per partition, top-3 orders per customer. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running sum over an ordered window. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** EXISTS via left_semi: customers with at least one urgent order. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** NOT EXISTS via left_anti: customers with no orders at all. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Union of two filtered branches + aggregate. */
+  def qUnionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val hi = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderstatus"), lit("high").as("bucket"))
+    val lo = o.filter(col("o_totalprice") < 50000)
+      .select(col("o_orderstatus"), lit("low").as("bucket"))
+    hi.unionAll(lo)
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus", "bucket")
+  }
+
+  /** Hierarchical ROLLUP aggregate. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Pivot as conditional aggregation (one column per priority class). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    def bucket(p: String, as: String) =
+      round(sum(when(col("o_orderpriority") === p, col("o_totalprice"))
+        .otherwise(lit(0.0))), 2).as(as)
+    o.groupBy(col("o_orderstatus"))
+      .agg(bucket("1-URGENT", "urgent"), bucket("2-HIGH", "high"),
+        bucket("3-MEDIUM", "medium"), bucket("4-NOT SPECIFIED", "notspec"),
+        bucket("5-LOW", "low"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** CASE-expression bucketing + aggregate. */
+  def qCaseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(
+        when(col("o_totalprice") < 100000, "small")
+          .when(col("o_totalprice") < 300000, "medium")
+          .otherwise("large").as("size_bucket"),
+        col("o_totalprice"))
+      .groupBy(col("size_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("size_bucket")
+
+  /** Monthly revenue time series. */
+  def qMonthRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("month")
+
+  /** String function pipeline: LIKE + upper + substring. */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .filter(col("p_name").like("%a%"))
+      .groupBy(col("p_brand"), upper(col("p_type")).as("type_u"),
+        substring(col("p_name"), 1, 8).as("name8"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("p_brand", "type_u", "name8")
+
+  /** Exact percentiles per group (continuous interpolation). */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
+      .orderBy("o_orderstatus")
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The reference framework's own workload surface (SURVEY.md §2 A),
+  * re-expressed as declarative plans.
+  *
+  * The reference runs word count through `mr_create`/`mr_produce`/
+  * `mr_consume` (/root/reference/mapreduce.h:120-213, test.sh): N
+  * mappers split the input, emit (word, 1), one reducer merges and
+  * writes `word, count` sorted alphabetically. Here the same jobs are
+  * explode → groupBy → agg DataFrame plans: the mapper fan-out is
+  * input partitioning, the kv buffer hand-off is the shuffle (with
+  * map-side partial aggregation the reference lacks), and the sorted
+  * sink is an orderBy. A typed equivalent lives in
+  * [[graft.core.MapReduce]].
+  */
+object TextMR {
+
+  private def words(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        explode(split(col("text"), "[^A-Za-z]+")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** Word count over all documents — the reference's flagship job. */
+  def wordcount(spark: SparkSession, dir: String): DataFrame =
+    words(Tables(spark, dir).documents)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Grep-count: map = filter lines matching a pattern, reduce =
+    * count per source file (the per-input-file loop in test.sh). */
+  def grepCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .filter(col("text").contains("join"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_match"))
+      .orderBy("source")
+
+  /** Inverted index: word → document frequency + sorted posting list.
+    * Postings are emitted as a comma-joined string so the result is a
+    * flat, hash-comparable column. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    words(Tables(spark, dir).documents)
+      .distinct()
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+      .orderBy("word")
+}

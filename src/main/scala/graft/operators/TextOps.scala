@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextAnalysis._
+
+/** Text-analysis operator block over `documents` (SURVEY.md §2 F). */
+object TextOps {
+
+  /** Per-document quality metrics: length, token stats, stopword /
+    * punctuation / lexical-diversity ratios. Pure narrow ops — no
+    * shuffle at all; scales linearly with input splits. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(col("toks")).as("n_tokens"),
+        avgTokenLen(col("toks")).as("avg_tok_len"),
+        stopwordRatio(col("toks")).as("stopword_ratio"),
+        distinctRatio(col("toks")).as("distinct_ratio"),
+        punctRatio(col("text")).as("punct_ratio"))
+      .orderBy("doc_id")
+
+  /** Token counts: whitespace tokens vs BPE-ish pre-tokenizer runs. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        size(bpeTokens(col("text"))).as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Stable md5 fingerprint of normalized text. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // --- language ID -------------------------------------------------
+
+  /** Tiny per-language stopword profiles (public-knowledge function
+    * words). Deliberately small: langid here is the n-gram/stopword
+    * heuristic the pipeline needs, not a trained model. */
+  private val Profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "den", "im", "ein", "mit", "zu"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"))
+
+  /** Score = fraction of tokens found in each language profile;
+    * prediction = argmax (ties broken by language code). Built from
+    * array ops only, so it's one narrow codegen'd projection. */
+  def langidScores(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = Profiles.toSeq.sortBy(_._1).map { case (langCode, words) =>
+      val hits = size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+      struct((hits.cast("double") / size(toks)).as("score"),
+        lit(langCode).as("lang"))
+    }
+    // array_max on (score, lang) structs = argmax with lexicographic
+    // tie-break on the language code.
+    array_max(array(scored: _*))
+  }
+
+  /** Language-ID over documents (rows-only oracle: the synthetic
+    * corpus' lang labels are uncorrelated with its text, so accuracy
+    * is spec-tested on crafted samples instead — LangidSpec). */
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), langidScores(col("text")).as("pred"))
+      .select(col("doc_id"), col("pred.lang").as("pred_lang"),
+        round(col("pred.score"), 6).as("score"))
+      .orderBy("doc_id")
+}
