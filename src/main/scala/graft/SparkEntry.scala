@@ -50,6 +50,16 @@ object SparkEntry {
     "q_json_extract" -> (Events.qJsonExtract _),
     "q_sessionize" -> (Events.qSessionize _),
     "q_asof_join" -> (Events.qAsofJoin _),
+    // D. dedup
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
+    "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
+    // E. similarity search
+    "ann_bruteforce" -> (Ann.bruteforce _),
+    "ann_lsh" -> (Ann.lsh _),
+    "ann_ivf" -> (Ann.ivf _),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
@@ -237,6 +247,49 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY error_id""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY h""",
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS gs
+           FROM toks),
+         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           FROM posts a JOIN posts b
+             ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT d1, d2, inter,
+                round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+         FROM pairs
+         JOIN sizes s1 ON s1.doc_id = d1
+         JOIN sizes s2 ON s2.doc_id = d2
+         WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.1
+         ORDER BY d1, d2""",
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                    WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                        CAST(q.qe AS DOUBLE[])), 6) AS cosine
+           FROM embeddings e CROSS JOIN q),
+         ranked AS (
+           SELECT qid, vec_id, cosine,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+         SELECT qid, rank, vec_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_m,
                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,

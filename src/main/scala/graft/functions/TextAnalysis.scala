@@ -48,10 +48,13 @@ object TextAnalysis {
 
   /** Rolling polynomial hash (Rabin-Karp shape) over the normalized
     * text, computed with a higher-order aggregate — deterministic and
-    * distributed, used for cheap shard-local dedup keys. */
+    * distributed, used for cheap shard-local dedup keys. Kept inside
+    * a 1e9+7 modulus so ANSI mode (Spark 4 default) can't overflow:
+    * acc < 2³⁰ and base ≈ 2²⁰, so acc·base + c < 2⁶³. */
   def rollingFingerprint(text: Column): Column = {
     val norm = lower(regexp_replace(trim(text), "\\s+", " "))
     aggregate(split(norm, ""), lit(0L),
-      (acc, ch) => acc * lit(1000003L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+      (acc, ch) => pmod(acc * lit(1000003L) +
+        coalesce(ascii(ch).cast("long"), lit(0L)), lit(1000000007L)))
   }
 }

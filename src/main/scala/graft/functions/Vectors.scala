@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity of two float vectors as a native Catalyst
+  * expression with whole-stage codegen (`doGenCode`) — the hot scalar
+  * path of the ANN / embedding-dedup operators (SURVEY.md §2 D-E).
+  *
+  * A Scala UDF here would box every row and break the codegen span;
+  * the higher-order-function composition ([[Vectors.dotHof]]) stays
+  * declarative but walks three lambda evaluations per row. This
+  * expression is one tight fused loop.
+  *
+  * Null handling: any null input → null result (standard
+  * BinaryExpression nullable contract). Zero-norm vectors → 0.0.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val ys = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(xs.length, ys.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs(i).toDouble; val y = ys(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |float[] $xs = $a.toFloatArray();
+         |float[] $ys = $b.toFloatArray();
+         |int $n = Math.min($xs.length, $ys.length);
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $xs[$i];
+         |  double y = (double) $ys[$i];
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Vector math over `array<float>` embedding columns. */
+object Vectors {
+
+  /** Codegen'd cosine similarity (see [[CosineSimilarity]]). */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Built-in-composed dot product (zip_with + aggregate) — the
+    * "compose existing ops" baseline the custom expression is
+    * benchmarked against in VectorsSpec. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + coalesce(v, lit(0.0d)))
+
+  /** L2 norm via HOFs. */
+  def normHof(a: Column): Column = sqrt(dotHof(a, a))
+
+  /** Cosine via HOFs (reference semantics for the spec). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
+    val n = normHof(a) * normHof(b)
+    when(n === 0.0d, 0.0d).otherwise(d / n)
+  }
+}

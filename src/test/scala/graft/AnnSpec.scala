@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Ann
+
+/** ANN variants vs the exact brute-force baseline. The synthetic
+  * embeddings are near-uniform on the sphere (no cluster structure),
+  * which is the worst case for space-partitioning indexes — recall
+  * thresholds are set accordingly and the exact baseline is the
+  * correctness anchor (oracle-checked in the driver). */
+class AnnSpec extends SparkSpecBase {
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(_._3).toSeq }
+
+  private lazy val exact = topk(Ann.bruteforce(spark, Sf))
+
+  test("bruteforce rank-1 is the query itself at cosine 1") {
+    val self = Ann.bruteforce(spark, Sf).filter("rank = 1").collect()
+    assert(self.length == 10)
+    self.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2), "rank-1 must be the query vector")
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-6)
+    }
+  }
+
+  test("lsh recall@5 vs bruteforce") {
+    val approx = topk(Ann.lsh(spark, Sf))
+    val recall = exact.keys.map { q =>
+      val a = approx.getOrElse(q, Seq.empty).toSet
+      exact(q).count(a.contains).toDouble / exact(q).size
+    }.sum / exact.size
+    info(s"lsh recall@5 = $recall")
+    assert(recall >= 0.15, s"lsh recall $recall below floor")
+  }
+
+  test("ivf recall@5 vs bruteforce") {
+    val approx = topk(Ann.ivf(spark, Sf))
+    val recall = exact.keys.map { q =>
+      val a = approx.getOrElse(q, Seq.empty).toSet
+      exact(q).count(a.contains).toDouble / exact(q).size
+    }.sum / exact.size
+    info(s"ivf recall@5 = $recall")
+    assert(recall >= 0.2, s"ivf recall $recall below floor")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Approximate dedup (minhash LSH, simhash) against exact Jaccard
+  * ground truth — on a crafted corpus with planted near-dups and on
+  * the synthetic documents table (which also contains planted dups). */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while the sun sets slowly behind the tall green hills in the distance"
+    Seq(
+      (0L, base),
+      (1L, base.replace("quick", "swift")),                       // near-dup of 0
+      (2L, base),                                                 // exact dup of 0
+      (3L, "completely different content about spark catalyst optimizer rules " +
+        "and whole stage code generation for analytical query plans today"),
+      (4L, "yet another unrelated document discussing minhash banding theory " +
+        "locality sensitive hashing and jaccard similarity estimation methods"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups") {
+    val pairs = Dedup.minhashLshDf(corpus, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)), "exact dup must be found")
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)),
+      s"near-dups must be found, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash finds exact dups at hamming 0 and correlates with similarity") {
+    val pairs = Dedup.simhashDf(corpus, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 == 0),
+      s"exact dup must be found at hamming 0, got ${pairs.toSeq}")
+    // signature distance must track similarity: near-dup pair closer
+    // than any unrelated pair
+    import org.apache.spark.sql.functions._
+    import graft.functions.Shingles
+    val sigs = corpus
+      .select(col("doc_id"), Shingles.simhash64(Shingles.grams3(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0L, 1L) < ham(0L, 3L), "near-dup should be closer than unrelated")
+    assert(ham(0L, 1L) < ham(0L, 4L))
+  }
+
+  test("minhash LSH recall >= 0.9 vs exact ngram jaccard at tau=0.5 on documents") {
+    val docs = graft.core.Tables(spark, Sf).documents
+    val truth = Dedup.ngramJaccardDf(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.minhashLshDf(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test corpus should contain planted near-dups")
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall, truth=${truth.size} got=${got.size}")
+    // verification step makes precision exact: every reported pair is true
+    assert(got.subsetOf(Dedup.ngramJaccardDf(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("embedding dedup agrees with HOF cosine reference") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val e = graft.core.Tables(spark, Sf).embeddings.limit(50)
+    val diff = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(abs(Vectors.cosineSim(col("a.embedding"), col("b.embedding")) -
+        Vectors.cosineHof(col("a.embedding"), col("b.embedding"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff < 1e-9, s"custom expression deviates from HOF reference by $diff")
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextAnalysis, Vectors}
+
+class VectorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosineSim matches a hand-computed value and handles edge cases") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f), 0.0),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f), 1.0),
+      (Array(1f, 0f, 0f), Array(1f, 1f, 0f), 1.0 / math.sqrt(2)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 0f), 0.0), // zero-norm → 0
+    ).toDF("a", "b", "expected")
+    df.select(abs(Vectors.cosineSim($"a", $"b") - $"expected").as("d"))
+      .collect().foreach(r => assert(r.getDouble(0) < 1e-12))
+  }
+
+  test("cosineSim null propagation") {
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(Vectors.cosineSim($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("codegen and interpreted paths agree on real embeddings") {
+    val e = graft.core.Tables(spark, Sf).embeddings.limit(100)
+    val d = e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .limit(500)
+      .select(abs(Vectors.cosineSim(col("x.embedding"), col("y.embedding")) -
+        Vectors.cosineHof(col("x.embedding"), col("y.embedding"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(d < 1e-9)
+  }
+
+  test("rollingFingerprint is deterministic and content-sensitive") {
+    val df = Seq(("a b  c", 1), ("a b c", 2), ("a b d", 3)).toDF("t", "i")
+    val fps = df.select(TextAnalysis.rollingFingerprint(col("t"))).collect()
+      .map(_.getLong(0))
+    assert(fps(0) == fps(1), "whitespace-normalized texts must collide")
+    assert(fps(0) != fps(2), "different content must differ")
+  }
+}
