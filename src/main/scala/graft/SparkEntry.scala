@@ -60,6 +60,8 @@ object SparkEntry {
     "ann_bruteforce" -> (Ann.bruteforce _),
     "ann_lsh" -> (Ann.lsh _),
     "ann_ivf" -> (Ann.ivf _),
+    // G. multimodal plumbing
+    "mm_meta_stats" -> (Multimodal.metaStats _),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
@@ -290,6 +292,24 @@ object SparkEntry {
            FROM scored)
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // Mirrors Multimodal.decodeBatch's deterministic stub: payload is
+    // the utf-8 text (ASCII corpus → byte length = char length), fmt
+    // round-robins doc_id % 3, width/height/n_frames derive from
+    // payload length and first byte.
+    "mm_meta_stats" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+                  length(text) AS plen,
+                  ascii(substring(text, 1, 1)) % 64 AS first7
+           FROM documents)
+         SELECT fmt, count(*) AS n,
+                round(avg(64 + plen % 512), 6) AS avg_w,
+                round(avg(64 + first7), 6) AS avg_h,
+                max(CASE WHEN fmt = 'video' THEN 1 + plen % 100 ELSE 1 END) AS max_frames,
+                CAST(sum(plen) AS BIGINT) AS total_bytes
+         FROM m GROUP BY fmt ORDER BY fmt""",
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_m,
                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the events operators (SURVEY.md §2 C).
+  *
+  * The batch queries in [[graft.operators.Events]] and these streams
+  * share semantics: windowed aggregation over event time with
+  * watermarking, and gap-based sessions via `session_window`. Specs
+  * drive them from the same parquet through a memory sink and compare
+  * against the batch results (StreamingSpec).
+  *
+  * Scale: watermark + append mode bounds state; session_window state
+  * is per-open-session, evicted at watermark; shuffle partitioning is
+  * the same groupBy-key exchange as the batch plan.
+  */
+object Streams {
+
+  /** The on-disk events schema (`ts` is a nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events parquet path, nanos → micros
+    * timestamp normalization matching [[graft.core.Tables.events]]. */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+
+  /** Streaming twin of q_event_window: hourly tumbling windows with a
+    * 2-hour watermark. */
+  def windowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Streaming twin of q_sessionize: built-in session_window with a
+    * 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("n_events"))
+
+  /** Custom keyed state (the mapGroupsWithState surface): per-user
+    * running purchase count + spend, emitted per batch in update mode. */
+  final case class UserSpend(user_id: Long, n_purchases: Long, spend: Double)
+
+  def runningSpend(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    purchases
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], st: GroupState[UserSpend]) =>
+          val prev = st.getOption.getOrElse(UserSpend(uid, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserSpend(uid, prev.n_purchases + batch.size,
+            prev.spend + batch.map(_._2).sum)
+          st.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** Run any of the above to completion against a static input and
+    * return the final answer via a memory sink (the spec/demo driver:
+    * processAllAvailable drains the file source synchronously). */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.IO
+
+/** Round-trips through every supported sink/source preserve data. */
+class SourcesSpec extends SparkSpecBase {
+
+  private lazy val sample = graft.core.Tables(spark, Sf).orders
+    .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  private def roundtrip(write: String => Unit, read: String => org.apache.spark.sql.DataFrame): Unit = {
+    val dir = Files.createTempDirectory("graft_io").toString
+    write(dir)
+    val back = read(dir)
+    assert(back.count() == sample.count())
+    val a = sample.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("parquet round-trip") {
+    roundtrip(d => IO.writeParquet(sample, d), d => IO.readParquet(spark, d))
+  }
+
+  test("partitioned parquet round-trip") {
+    val dir = Files.createTempDirectory("graft_iop").toString
+    IO.writeParquet(sample, dir, partitionBy = Seq("o_orderstatus"))
+    val back = IO.readParquet(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    assert(back.count() == sample.count())
+    // partition pruning: filtering on the partition column scans a subset
+    val pruned = back.filter(col("o_orderstatus") === "F")
+    val planStr = { pruned.collect(); pruned.queryExecution.executedPlan.toString }
+    assert(planStr.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"expected partition pruning:\n$planStr")
+  }
+
+  test("csv round-trip") {
+    roundtrip(d => IO.writeCsv(sample, d),
+      d => IO.readCsv(spark, d, sample.schema))
+  }
+
+  test("json round-trip") {
+    roundtrip(d => IO.writeJson(sample, d),
+      d => IO.readJson(spark, d, sample.schema))
+  }
+}

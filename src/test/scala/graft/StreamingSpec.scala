@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Events
+import graft.streaming.Streams
+
+/** Streaming twins produce the same answers as their batch
+  * formulations when driven from the same static parquet. */
+class StreamingSpec extends SparkSpecBase {
+
+  // the file source requires a directory: stage the single parquet
+  // file into a temp dir
+  private lazy val path: String = {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_stream")
+    Files.copy(Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming hourly window counts match the batch q_event_window") {
+    val stream = Streams.runToMemory(
+      Streams.windowCounts(Streams.readEvents(spark, path)), "win_counts")
+    val got = stream.select("hour", "event_type", "n", "total")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = Events.qEventWindow(spark, Sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("streaming session_window counts match the batch sessionizer") {
+    val stream = Streams.runToMemory(
+      Streams.sessionCounts(Streams.readEvents(spark, path)), "sess_counts")
+    // compare the per-user multiset of session sizes
+    val got = stream.groupBy("user_id")
+      .agg(sort_array(collect_list("n_events")).as("sizes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = Events.qSessionize(spark, Sf).groupBy("user_id")
+      .agg(sort_array(collect_list("n_events")).as("sizes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+  }
+
+  test("mapGroupsWithState running spend matches a batch aggregate") {
+    val stream = Streams.runToMemory(
+      Streams.runningSpend(spark, Streams.readEvents(spark, path)),
+      "spend", OutputMode.Update())
+    val got = stream.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toSet
+    val want = graft.core.Tables(spark, Sf).events
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("spend"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toSet
+    assert(got == want)
+  }
+}
