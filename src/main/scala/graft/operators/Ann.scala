@@ -59,16 +59,17 @@ object Ann {
 
   /** Deterministic Gaussian-ish hyperplanes (fixed-seed PRNG — same
     * planes on every run and every executor; shipped as literals). */
-  private lazy val planes: Array[Array[Double]] = {
+  private lazy val planes: Array[Array[Float]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NTables * NBits, Dim)(rnd.nextGaussian())
+    Array.fill(NTables * NBits, Dim)(rnd.nextGaussian().toFloat)
   }
 
-  private def signBit(v: Column, w: Array[Double], bit: Int): Column = {
-    val dot = aggregate(zip_with(v, lit(w), (x, y) => x.cast("double") * y),
-      lit(0.0d), (acc, p) => acc + p)
-    when(dot > 0, lit(1 << bit)).otherwise(lit(0))
-  }
+  /** sign(v·w) via the codegen'd cosine expression (norms are
+    * positive, so the cosine's sign IS the dot's sign) — one fused
+    * loop per plane instead of an interpreted zip_with/aggregate
+    * lambda chain. */
+  private def signBit(v: Column, w: Array[Float], bit: Int): Column =
+    when(Vectors.cosineSim(v, typedlit(w)) > 0, lit(1 << bit)).otherwise(lit(0))
 
   /** Bucket key of table `t`: "t#" + 8 sign bits over that table's
     * hyperplanes. */

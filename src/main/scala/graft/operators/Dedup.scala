@@ -46,12 +46,24 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.1): DataFrame =
     ngramJaccardDf(Tables(spark, dir).documents, tau)
 
-  def ngramJaccardDf(docs: DataFrame, tau: Double): DataFrame = {
+  def ngramJaccardDf(docs: DataFrame, tau: Double,
+      pruneSingletons: Boolean = false): DataFrame = {
     val g = docGrams(docs).cache()
     val sizes = g.select(col("doc_id"), size(col("grams")).as("n"))
     // materialized before the self-join — otherwise the shingling
     // subtree executes once per join side
-    val posts = g.select(col("doc_id"), explode(col("grams")).as("gram")).cache()
+    val allPosts = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // Scale knob: on natural text most shingles are unique (df=1) and
+    // can't contribute a pair — pre-aggregating df and semi-joining
+    // shrinks the self-join input dramatically at 100 TB. Exact
+    // either way. Off by default: this synthetic corpus has a tiny
+    // vocabulary (avg df ≈ 16, no singletons), so the extra shuffle
+    // costs more than it saves at test scale.
+    val posts = (if (pruneSingletons) {
+      val dfs = allPosts.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > 1).select("gram")
+      allPosts.join(dfs, Seq("gram"), "left_semi")
+    } else allPosts).cache()
     val pairs = posts.as("a")
       .join(posts.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))

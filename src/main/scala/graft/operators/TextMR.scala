@@ -41,6 +41,25 @@ object TextMR {
       .agg(count(lit(1)).as("n_match"))
       .orderBy("source")
 
+  /** The reference's own wordcount job, byte-for-byte: tokens are
+    * `[A-Za-z0-9]+` runs (case-sensitive — `ta'en` → `ta`,`en`; digit
+    * runs like `000` are distinct words), one `word, count` line per
+    * word, sorted in byte order (C strcmp == Spark's UTF8String
+    * binary compare). ReferenceParitySpec diffs this against
+    * /root/reference/output_compare/mr-wordc/ for every shipped input
+    * file, including the empty and no-trailing-newline edge cases. */
+  def wordcountFile(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("line")
+      .select(explode(split(col("line"), "[^A-Za-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Render [[wordcountFile]] in the reference's output format. */
+  def referenceFormat(counts: DataFrame): DataFrame =
+    counts.select(concat(col("word"), lit(", "), col("cnt")).as("line"))
+
   /** Inverted index: word → document frequency + sorted posting list.
     * Postings are emitted as a comma-joined string so the result is a
     * flat, hash-comparable column. */

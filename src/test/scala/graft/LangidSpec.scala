@@ -24,6 +24,17 @@ class LangidSpec extends SparkSpecBase {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("join-based textLangid agrees with the column-expression scorer") {
+    val joined = TextOps.textLangid(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val hof = graft.core.Tables(spark, Sf).documents
+      .select(col("doc_id"), TextOps.langidScores(col("text")).as("p"))
+      .select(col("doc_id"), col("p.lang"),
+        org.apache.spark.sql.functions.round(col("p.score"), 6))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(joined == hof)
+  }
+
   test("langid over documents is deterministic and total") {
     val a = TextOps.textLangid(spark, Sf).collect()
     val b = TextOps.textLangid(spark, Sf).collect()
