@@ -35,6 +35,18 @@ object IO {
       .parquet(path)
   }
 
+  /** Bucketed write (hash-bucketed by join key, sorted within
+    * buckets): two tables bucketed the same way join with NO shuffle —
+    * the co-location contract a 100 TB star schema is laid out on.
+    * Bucketing metadata lives in the session catalog, so this writes
+    * a managed table (`saveAsTable`), not a bare path. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

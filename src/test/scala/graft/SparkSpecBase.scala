@@ -11,6 +11,8 @@ trait SparkSpecBase extends AnyFunSuite {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName(getClass.getSimpleName)
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
