@@ -66,6 +66,7 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    "pipeline_clean" -> (TextOps.pipelineClean _),
     "text_langid" -> (TextOps.textLangid _),
   )
 
@@ -332,5 +333,19 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+    "pipeline_clean" ->
+      """WITH q AS (
+           SELECT doc_id, text,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                  round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                        / len(string_split_regex(trim(text), '\s+')), 6) AS dr,
+                  round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                        / length(text), 6) AS pr
+           FROM documents)
+         SELECT min(doc_id) AS keep_id,
+                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                count(*) AS n_dups, min(n_tokens) AS n_tokens
+         FROM q WHERE n_tokens >= 20 AND dr >= 0.3 AND pr <= 0.3
+         GROUP BY fp ORDER BY keep_id""",
   )
 }

@@ -40,6 +40,26 @@ object TextOps {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Composite cleaning pipeline — the canonical training-data flow:
+    * quality gate (length / lexical-diversity / punctuation) then
+    * exact dedup by normalized fingerprint keeping the smallest
+    * doc_id. One narrow projection + one shuffle on the fingerprint;
+    * at 100 TB this is the shape of the first cleaning pass. */
+  def pipelineClean(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("distinct_ratio", distinctRatio(col("toks")))
+      .withColumn("punct_ratio", punctRatio(col("text")))
+      .filter(col("n_tokens") >= 20 &&
+        col("distinct_ratio") >= 0.3 && col("punct_ratio") <= 0.3)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"),
+        min("n_tokens").as("n_tokens"))
+      .select(col("keep_id"), col("fp"), col("n_dups"), col("n_tokens"))
+      .orderBy("keep_id")
+
   // --- language ID -------------------------------------------------
 
   /** Tiny per-language stopword profiles (public-knowledge function
