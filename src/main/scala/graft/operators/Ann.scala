@@ -148,4 +148,46 @@ object Ann {
       .distinct()
     topkPerQuery(scored)
   }
+
+  /** Write-time IVF index: the corpus laid out partitioned by cell.
+    * At 100 TB this is how ANN actually serves — cell assignment is
+    * paid once at ingest; a probe then reads only its cells' files
+    * (dynamic partition pruning through the broadcast probe join,
+    * asserted in AnnSpec). */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("csim", Vectors.cosineSim(col("embedding"), col("ce")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+  }
+
+  /** Probe a pre-built IVF index: identical results to the inline
+    * [[ivf]] (same codebook), but the corpus side is a
+    * partition-pruned read instead of a full scan + assignment. */
+  def ivfIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probes = queriesDf(spark, dir)
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", Vectors.cosineSim(col("qe"), col("ce")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= NProbe)
+      .select(col("qid"), col("qe"), col("cent_id").as("cell"))
+    val idx = spark.read.parquet(indexPath)
+    val scored = idx.join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
+      .distinct()
+    topkPerQuery(scored)
+  }
 }

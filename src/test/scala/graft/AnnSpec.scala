@@ -35,6 +35,21 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.15, s"lsh recall $recall below floor")
   }
 
+  test("pre-built IVF index returns identical results with partition pruning") {
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString
+    Ann.buildIvfIndex(spark, Sf, indexPath)
+    val indexed = Ann.ivfIndexed(spark, Sf, indexPath)
+    val got = indexed.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = Ann.ivf(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == want, "indexed IVF must equal inline IVF")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
+      s"expected a partition-pruned index read:\n$plan")
+  }
+
   test("ivf recall@5 vs bruteforce") {
     val approx = topk(Ann.ivf(spark, Sf))
     val recall = exact.keys.map { q =>

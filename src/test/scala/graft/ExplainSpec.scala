@@ -43,4 +43,19 @@ class ExplainSpec extends SparkSpecBase {
     val p = plan(Relational.qTopkOrders(spark, Sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
+
+  test("sessionize shares one hash exchange across both windows and the aggregate") {
+    val p = plan(graft.operators.Events.qSessionize(spark, Sf))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // lag-window, running-sum-window, and the (user_id, session_id)
+    // groupBy all cluster on user_id → a single exchange feeds all
+    // three (÷2: executedPlan string + formatted string both counted)
+    assert(hashExchanges <= 2, s"expected 1 hash exchange per plan text:\n$p")
+  }
+
+  test("q5 broadcasts every dimension side") {
+    val p = plan(Relational.q5Multijoin(spark, Sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected ≥3 broadcast joins, got $bhj:\n$p")
+  }
 }
