@@ -80,6 +80,24 @@ object Streams {
       .toDF()
   }
 
+  /** foreachBatch landing sink: each micro-batch appends to a
+    * partitioned parquet layout (hour-partitioned here — the usual
+    * time-bucketed lake landing zone). foreachBatch is the surface
+    * that lets a stream reuse every batch writer (idempotent-append
+    * by batchId at scale). Drains synchronously; returns the query's
+    * checkpoint-free demo run. */
+  def landToParquet(events: DataFrame, outPath: String): Unit = {
+    val q = events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("hour").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Run any of the above to completion against a static input and
     * return the final answer via a memory sink (the spec/demo driver:
     * processAllAvailable drains the file source synchronously). */

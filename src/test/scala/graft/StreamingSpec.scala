@@ -46,6 +46,17 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("foreachBatch lands the stream as hour-partitioned parquet") {
+    val out = java.nio.file.Files.createTempDirectory("graft_land").toString
+    Streams.landToParquet(Streams.readEvents(spark, path), out)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() ==
+      graft.core.Tables(spark, Sf).events.count())
+    assert(new java.io.File(out).listFiles
+      .count(_.getName.startsWith("hour=")) > 1,
+      "expected hour-partitioned layout")
+  }
+
   test("mapGroupsWithState running spend matches a batch aggregate") {
     val stream = Streams.runToMemory(
       Streams.runningSpend(spark, Streams.readEvents(spark, path)),
