@@ -44,6 +44,12 @@ object SparkEntry {
     "q_month_revenue" -> (Relational.qMonthRevenue _),
     "q_string_funcs" -> (Relational.qStringFuncs _),
     "q_percentiles" -> (Relational.qPercentiles _),
+    "q7_nation_volume" -> (Relational.q7NationVolume _),
+    "q10_returned" -> (Relational.q10Returned _),
+    "q_correlated_sub" -> (Relational.qCorrelatedSub _),
+    "q_in_sub" -> (Relational.qInSub _),
+    "q_cube" -> (Relational.qCube _),
+    "q_window_lead" -> (Relational.qWindowLead _),
     // C. events / time-series
     "q_event_window" -> (Events.qEventWindow _),
     "q_event_topusers" -> (Events.qEventTopusers _),
@@ -93,19 +99,19 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
-                round(sum(l_extendedprice), 2) AS sum_base_price,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                round(avg(l_quantity), 6) AS avg_qty,
-                round(avg(l_extendedprice), 6) AS avg_price,
-                round(avg(l_discount), 6) AS avg_disc,
+                sum(CAST(round((l_extendedprice) * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+                sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS sum_disc_price,
+                sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100, 0) AS BIGINT)) / 100.0 AS sum_charge,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                round(avg(l_discount), 4) AS avg_disc,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q3_join_topk" ->
       """SELECT l_orderkey,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
                 o_orderdate, o_orderpriority
          FROM customer, orders, lineitem
          WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -116,7 +122,7 @@ object SparkEntry {
          ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
     "q5_multijoin" ->
       """SELECT n_name,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue
          FROM customer, orders, lineitem, supplier, nation, region
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -126,7 +132,7 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q6_filter_agg" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT sum(CAST(round((l_extendedprice * l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -138,7 +144,7 @@ object SparkEntry {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q_group_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS spend
+                sum(CAST(round((o_totalprice) * 100, 0) AS BIGINT)) / 100.0 AS spend
          FROM orders GROUP BY o_custkey HAVING count(*) >= 5
          ORDER BY o_custkey""",
     "q_distinct_agg" ->
@@ -184,21 +190,21 @@ object SparkEntry {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_pivot" ->
       """SELECT o_orderstatus,
-                round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent,
-                round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0 END), 2) AS high,
-                round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END), 2) AS medium,
-                round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice ELSE 0 END), 2) AS notspec,
-                round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice ELSE 0 END), 2) AS low
+                sum(CAST(round((CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS urgent,
+                sum(CAST(round((CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS high,
+                sum(CAST(round((CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS medium,
+                sum(CAST(round((CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS notspec,
+                sum(CAST(round((CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS low
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_case_agg" ->
       """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
                      WHEN o_totalprice < 300000 THEN 'medium'
                      ELSE 'large' END AS size_bucket,
-                count(*) AS n, round(sum(o_totalprice), 2) AS total
+                count(*) AS n, sum(CAST(round((o_totalprice) * 100, 0) AS BIGINT)) / 100.0 AS total
          FROM orders GROUP BY size_bucket ORDER BY size_bucket""",
     "q_month_revenue" ->
       """SELECT date_trunc('month', l_shipdate) AS month,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue
          FROM lineitem GROUP BY month ORDER BY month""",
     "q_string_funcs" ->
       """SELECT p_brand, upper(p_type) AS type_u,
@@ -211,13 +217,56 @@ object SparkEntry {
                 round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
                 round(quantile_cont(o_totalprice, 0.75), 4) AS p75
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue
+         FROM lineitem, orders, supplier, customer, nation n1, nation n2
+         WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+           AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+           AND c_nationkey = n2.n_nationkey
+           AND n1.n_name <> n2.n_name
+           AND l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY supp_nation, cust_nation
+         ORDER BY supp_nation, cust_nation""",
+    "q10_returned" ->
+      """SELECT c_custkey, c_name,
+                sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue
+         FROM lineitem, orders, customer
+         WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+           AND o_custkey = c_custkey
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_correlated_sub" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice FROM part p
+         WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2
+                                WHERE p2.p_brand = p.p_brand)
+         ORDER BY p_brand, p_partkey""",
+    "q_in_sub" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_acctbal > 9000)
+         ORDER BY o_orderkey""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_window_lead" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(floor(epoch(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey))) AS BIGINT)
+                - CAST(floor(epoch(o_orderdate)) AS BIGINT) AS gap_s
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "q_event_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
-                count(*) AS n, round(sum(value), 2) AS total
+                count(*) AS n, sum(CAST(round((value) * 100, 0) AS BIGINT)) / 100.0 AS total
          FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
     "q_event_topusers" ->
       """SELECT user_id, count(*) AS n_purchases,
-                round(sum(value), 2) AS spend
+                sum(CAST(round((value) * 100, 0) AS BIGINT)) / 100.0 AS spend
          FROM events WHERE event_type = 'purchase'
          GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 20""",
     "q_json_extract" ->

@@ -22,7 +22,8 @@ object Events {
     Tables(spark, dir).events
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total"))
       .orderBy("hour", "event_type")
 
   /** Top-k users by purchase spend. */
@@ -30,7 +31,8 @@ object Events {
     Tables(spark, dir).events
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("spend"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("spend"))
       .orderBy(col("spend").desc, col("user_id"))
       .limit(20)
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,8 +9,9 @@ import graft.core.Tables
 /** Relational / analytic operator block (SURVEY.md §2 B).
   *
   * Conventions shared with the DuckDB oracles in SparkEntry:
-  *  - every double aggregate is rounded (2dp money, 6dp ratios) so
-  *    parallel-vs-sequential double summation noise can't flip a hash;
+  *  - money sums go through [[moneySum]] (exact integer cents) and
+  *    averages are rounded, so aggregation-order noise can't flip a
+  *    hash;
   *  - every result has a total deterministic ORDER BY;
   *  - column aliases match the oracle SQL exactly.
   *
@@ -23,6 +24,15 @@ object Relational {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** Order-independent money sum: per-row round to exact integer
+    * cents (deterministic — both engines see the same input double
+    * and round half-away-from-zero), sum as BIGINT (exact, any
+    * aggregation order), divide back at the end. A rounded double
+    * sum instead sits 1 ulp from a cent boundary often enough to
+    * flake the oracle hash (~0.3% of groups measured at sf0.01). */
+  private def moneySum(e: Column): Column =
+    sum(round(e * 100, 0).cast("long")) / 100.0
+
   /** TPC-H Q1-style pricing summary. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
@@ -30,14 +40,14 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
-        round(avg("l_extendedprice"), 6).as("avg_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -51,7 +61,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
@@ -73,7 +83,7 @@ object Relational {
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -85,8 +95,7 @@ object Relational {
         col("l_shipdate") < ts("1997-01-01") &&
         col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
-        .as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"))
   }
 
   /** Global order-by + limit (top-k pushes into TakeOrderedAndProject). */
@@ -101,7 +110,7 @@ object Relational {
     Tables(spark, dir).orders
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("spend"))
+        moneySum(col("o_totalprice")).as("spend"))
       .filter(col("n_orders") >= 5)
       .orderBy("o_custkey")
 
@@ -180,8 +189,8 @@ object Relational {
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
     def bucket(p: String, as: String) =
-      round(sum(when(col("o_orderpriority") === p, col("o_totalprice"))
-        .otherwise(lit(0.0))), 2).as(as)
+      moneySum(when(col("o_orderpriority") === p, col("o_totalprice"))
+        .otherwise(lit(0.0))).as(as)
     o.groupBy(col("o_orderstatus"))
       .agg(bucket("1-URGENT", "urgent"), bucket("2-HIGH", "high"),
         bucket("3-MEDIUM", "medium"), bucket("4-NOT SPECIFIED", "notspec"),
@@ -198,14 +207,14 @@ object Relational {
           .otherwise("large").as("size_bucket"),
         col("o_totalprice"))
       .groupBy(col("size_bucket"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
       .orderBy("size_bucket")
 
   /** Monthly revenue time series. */
   def qMonthRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
       .orderBy("month")
 
@@ -217,6 +226,86 @@ object Relational {
         substring(col("p_name"), 1, 8).as("name8"))
       .agg(count(lit(1)).as("n"))
       .orderBy("p_brand", "type_u", "name8")
+
+  /** TPC-H Q7-style: revenue volume between supplier/customer nation
+    * pairs (two broadcast dimension joins on the same fact row). */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n1 = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t.lineitem.filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation")
+  }
+
+  /** TPC-H Q10-style returned-item reporting. */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.filter(col("l_returnflag") === "R")
+      .join(t.orders.filter(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1997-07-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Correlated scalar subquery (SQL surface): priciest part(s) per
+    * brand. Catalyst rewrites the correlation into a join. */
+  def qCorrelatedSub(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).part.createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_brand, p_partkey, p_name, p_retailprice FROM part p
+         WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2
+                                WHERE p2.p_brand = p.p_brand)
+         ORDER BY p_brand, p_partkey""")
+  }
+
+  /** IN-subquery (SQL surface): orders from high-balance customers. */
+  def qInSub(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("orders")
+    t.customer.createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_acctbal > 9000)
+         ORDER BY o_orderkey""")
+  }
+
+  /** Full CUBE over two grouping columns. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** lead/lag windows: seconds between consecutive orders per
+    * customer. */
+  def qWindowLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        // o_orderdate reads as TIMESTAMP_NTZ (ms parquet) which can't
+        // cast straight to long — hop through TIMESTAMP (session UTC)
+        (lead(col("o_orderdate"), 1).over(w).cast("timestamp").cast("long") -
+          col("o_orderdate").cast("timestamp").cast("long")).as("gap_s"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
 
   /** Exact percentiles per group (continuous interpolation). */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame =
