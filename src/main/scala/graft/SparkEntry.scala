@@ -9,8 +9,9 @@ import graft.operators._
   * Every operator in SURVEY.md §2 has a `queries` entry; each entry
   * has a DuckDB `oracleSql` twin unless it's rows-only (approximate /
   * hash-family ops, which are spec-tested instead). Column aliases and
-  * ORDER BYs match the oracle exactly; double aggregates are rounded
-  * on both sides (2dp money, 6dp ratios) so summation-order noise
+  * ORDER BYs match the oracle exactly; money sums are exact
+  * integer-cents sums (order-independent) and averages/ratios are
+  * rounded identically on both sides, so aggregation-order noise
   * can't flip the driver's hash compare.
   */
 object SparkEntry {
@@ -73,6 +74,7 @@ object SparkEntry {
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "pipeline_clean" -> (TextOps.pipelineClean _),
+    "pipeline_split" -> (TextOps.pipelineSplit _),
     "text_langid" -> (TextOps.textLangid _),
   )
 
@@ -360,6 +362,16 @@ object SparkEntry {
                 max(CASE WHEN fmt = 'video' THEN 1 + plen % 100 ELSE 1 END) AS max_frames,
                 CAST(sum(plen) AS BIGINT) AS total_bytes
          FROM m GROUP BY fmt ORDER BY fmt""",
+    "pipeline_split" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+                       WHEN (doc_id * 2654435761) % 4294967296 < 3865470565 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents)
+         SELECT split, count(*) AS n, min(doc_id) AS min_id,
+                max(doc_id) AS max_id
+         FROM s GROUP BY split ORDER BY split""",
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_m,
                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,

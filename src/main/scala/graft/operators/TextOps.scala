@@ -60,6 +60,24 @@ object TextOps {
       .select(col("keep_id"), col("fp"), col("n_dups"), col("n_tokens"))
       .orderBy("keep_id")
 
+  /** Deterministic train/val/test split — the assignment must be a
+    * pure function of the stable id (multiplicative Knuth hash), so
+    * any executor, any retry, any engine derives the same split:
+    * 80/10/10 over the hash space. Returns per-split stats; the
+    * assignment column itself is what a pipeline would join on. */
+  def pipelineSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val split = when(bucket < lit(3435973836L), "train")   // 0.8 * 2^32
+      .when(bucket < lit(3865470565L), "val")              // 0.9 * 2^32
+      .otherwise("test")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split.as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("split")
+  }
+
   // --- language ID -------------------------------------------------
 
   /** Tiny per-language stopword profiles (public-knowledge function
