@@ -28,6 +28,28 @@ object IO {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** Safe JSON column parse with quarantine: rows whose payload
+    * doesn't match the schema keep a null struct and route their raw
+    * text to `quarantineCol` instead of failing the job — the
+    * only sane contract for dirty data at 100 TB. */
+  def parseJsonSafe(df: DataFrame, jsonCol: String, schema: StructType,
+      quarantineCol: String = "_corrupt"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StringType
+    // PERMISSIVE from_json yields an all-null-fields struct for bad
+    // input (not a null struct) — the corrupt-record column is the
+    // reliable malformed signal.
+    val cr = "__graft_corrupt"
+    val parsed = from_json(col(jsonCol), schema.add(cr, StringType),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> cr))
+    df.withColumn("__p", parsed)
+      .withColumn(quarantineCol, col(s"__p.$cr"))
+      .withColumn(s"${jsonCol}_parsed",
+        when(col(quarantineCol).isNull && col(jsonCol).isNotNull,
+          col("__p").dropFields(cr)))
+      .drop("__p")
+  }
+
   def writeParquet(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)

@@ -39,6 +39,22 @@ class SourcesSpec extends SparkSpecBase {
       s"expected partition pruning:\n$planStr")
   }
 
+  test("parseJsonSafe quarantines malformed payloads without failing") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val df = spark.range(4).toDF("id")
+      .withColumn("props", element_at(array(
+        lit("""{"k": 1}"""), lit("not json at all"),
+        lit("""{"k": 3}"""), lit(null)), (col("id") + 1).cast("int")))
+    val out = IO.parseJsonSafe(df, "props", schema)
+      .select("id", "props_parsed", "_corrupt")
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getStruct(1).getLong(0) == 1L && out(0).isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).getString(2) == "not json at all")
+    assert(out(2).getStruct(1).getLong(0) == 3L)
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2)) // null in, null out, no quarantine
+  }
+
   test("csv round-trip") {
     roundtrip(d => IO.writeCsv(sample, d),
       d => IO.readCsv(spark, d, sample.schema))

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKFreq
+import graft.operators.TextMR
+
+class TopKFreqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("topK aggregator matches the exact wordcount top-10 in the exact regime") {
+    val words = graft.core.Tables(spark, Sf).documents
+      .select(explode(split(col("text"), "[^A-Za-z]+")).as("w"))
+      .filter(col("w") =!= "").as[String]
+    val got = words.select(TopKFreq.topK(10, 4096).toColumn).head()
+    val want = TextMR.wordcount(spark, Sf)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("truncation keeps the heaviest items when capacity is exceeded") {
+    // 100 distinct items with distinct frequencies, capacity 20
+    val data = (1 to 100).flatMap(i => Seq.fill(i)(s"item_$i")).toDS()
+    val got = data.select(TopKFreq.topK(5, 20).toColumn).head()
+    assert(got == (100 to 96 by -1).map(i => (s"item_$i", i.toLong)))
+  }
+}
