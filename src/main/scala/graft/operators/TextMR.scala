@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.TokenCol
 
 /** The reference framework's own workload surface (SURVEY.md §2 A),
   * re-expressed as declarative plans.
@@ -22,8 +23,7 @@ object TextMR {
 
   private def words(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
-        explode(split(col("text"), "[^A-Za-z]+")).as("word"))
-      .filter(col("word") =!= "")
+      explode(TokenCol.letterTokens(col("text"))).as("word"))
 
   /** Word count over all documents — the reference's flagship job. */
   def wordcount(spark: SparkSession, dir: String): DataFrame =
@@ -50,8 +50,7 @@ object TextMR {
     * file, including the empty and no-trailing-newline edge cases. */
   def wordcountFile(spark: SparkSession, path: String): DataFrame =
     spark.read.textFile(path).toDF("line")
-      .select(explode(split(col("line"), "[^A-Za-z0-9]+")).as("word"))
-      .filter(col("word") =!= "")
+      .select(explode(TokenCol.alnumTokens(col("line"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
