@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.functions.{CosineSimilarity, NGramShingles}
+import graft.functions.{AsciiTokens, CosineSimilarity, NGramShingles}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -41,8 +41,23 @@ object GraftFunctions {
     NGramShingles(exprs(0), n)
   }
 
+  private def tokensBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.nonEmpty && exprs.length <= 2,
+      "ascii_tokens(text[, include_digits])")
+    val digits = exprs.lift(1) match {
+      case None => false
+      case Some(Literal(b: Boolean, BooleanType)) => b
+      case Some(other) => throw new IllegalArgumentException(
+        s"ascii_tokens: include_digits must be a boolean literal, got $other")
+    }
+    AsciiTokens(exprs.head, digits)
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("ascii_tokens"),
+      new ExpressionInfo(classOf[AsciiTokens].getName, "ascii_tokens"),
+      tokensBuilder _),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       cosineBuilder _),

@@ -16,6 +16,14 @@ class ExtensionsSpec extends SparkSpecBase {
       "SELECT ngram_shingles(split('a b c d', ' '), 3) AS g")
       .head().getSeq[String](0)
     assert(grams == Seq("a b c", "b c d"))
+
+    val toks = spark.sql(
+      "SELECT ascii_tokens('He said: ta''en 42 times!', true) AS t")
+      .head().getSeq[String](0)
+    assert(toks == Seq("He", "said", "ta", "en", "42", "times"))
+    val letters = spark.sql(
+      "SELECT ascii_tokens('He said: 42') AS t").head().getSeq[String](0)
+    assert(letters == Seq("He", "said"))
   }
 
   test("ngram_shingles rejects a non-literal n") {
