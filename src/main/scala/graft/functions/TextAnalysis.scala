@@ -17,8 +17,11 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
 
-  private val StopWords: Seq[String] =
+  /** Shared stopword lexicon (public so operator-level reformulations
+    * of the ratio metrics stay in sync). */
+  val StopWordList: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private def StopWords: Seq[String] = StopWordList
 
   /** Fraction of tokens that are stopwords, 6dp. */
   def stopwordRatio(toks: Column): Column =

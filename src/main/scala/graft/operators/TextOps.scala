@@ -10,21 +10,42 @@ import graft.functions.TextAnalysis._
 object TextOps {
 
   /** Per-document quality metrics: length, token stats, stopword /
-    * punctuation / lexical-diversity ratios. Pure narrow ops — no
-    * shuffle at all; scales linearly with input splits. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("doc_id"), col("text"))
-      .withColumn("toks", tokens(col("text")))
+    * punctuation / lexical-diversity ratios.
+    *
+    * Exploded-aggregate shape: one tokenization per row, then one
+    * partial-aggregating groupBy on doc_id. The naive column form
+    * (metrics as array HOFs over a shared `toks` column) looks like
+    * it tokenizes once, but Catalyst's projection collapse inlines
+    * the split into every metric — 5 regex walks per document. The
+    * column-level HOF metrics live on in [[graft.functions.TextAnalysis]]
+    * and TextAnalysisSpec pins the two formulations equal. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val stopHits = StopWordList.map(w => when(col("tok") === w, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val perTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("tok_chars"),
+        sum(stopHits).as("stop_hits"),
+        countDistinct(col("tok")).as("n_distinct"))
+    docs.select(col("doc_id"), length(col("text")).as("n_chars_m"),
+        punctRatio(col("text")).as("punct_ratio"))
+      .join(perTok, Seq("doc_id"))
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars_m"),
-        size(col("toks")).as("n_tokens"),
-        avgTokenLen(col("toks")).as("avg_tok_len"),
-        stopwordRatio(col("toks")).as("stopword_ratio"),
-        distinctRatio(col("toks")).as("distinct_ratio"),
-        punctRatio(col("text")).as("punct_ratio"))
+        col("n_chars_m"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        round(col("tok_chars").cast("double") / col("n_tokens"), 6)
+          .as("avg_tok_len"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 6)
+          .as("stopword_ratio"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("distinct_ratio"),
+        col("punct_ratio"))
       .orderBy("doc_id")
+  }
 
   /** Token counts: whitespace tokens vs BPE-ish pre-tokenizer runs. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
