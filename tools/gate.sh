@@ -1,0 +1,25 @@
+#!/bin/bash
+# One-command local gate: compile, specs, 3-SF oracle verify, bench.
+# Usage: tools/gate.sh [quick]   (quick = sf0.01 verify only, no bench)
+set -e
+cd "$(dirname "$0")/.."
+
+echo "=== sbt test ==="
+sbt -batch test 2>&1 | grep -E "Tests:|\*\*\*" | tail -2
+
+sfs="0.001 0.01 0.1"
+[ "$1" = "quick" ] && sfs="0.01"
+for sf in $sfs; do
+  out=/tmp/gate_v$sf
+  rm -rf "$out"
+  echo "=== verify sf$sf ==="
+  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf$sf $out" > /dev/null 2>&1
+  python3 tools/check.py "/root/testdata/sf$sf" "$out" | tail -1
+done
+
+if [ "$1" != "quick" ]; then
+  echo "=== bench sf0.1 ==="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '"metric.*' | head -c 200
+  echo
+fi
