@@ -329,6 +329,43 @@ object SparkEntry {
          JOIN sizes s2 ON s2.doc_id = d2
          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.1
          ORDER BY d1, d2""",
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+         ORDER BY v1, v2""",
+    "text_langid" -> {
+      val lexRows = graft.operators.TextOps.Profiles.toSeq.sortBy(_._1)
+        .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }
+        .mkString(", ")
+      s"""WITH lex(lang, word) AS (SELECT * FROM (VALUES $lexRows) AS v(lang, word)),
+         toks AS (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                  FROM documents),
+         n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+         hits AS (SELECT t.doc_id, l.lang, count(*) AS h
+                  FROM toks t JOIN lex l ON t.tok = l.word
+                  GROUP BY t.doc_id, l.lang),
+         langs AS (SELECT DISTINCT lang FROM lex),
+         scored AS (
+           SELECT d.doc_id, langs.lang,
+                  coalesce(h.h, 0) / CAST(n.n AS DOUBLE) AS score
+           FROM (SELECT doc_id FROM documents) d
+           CROSS JOIN langs
+           JOIN n ON n.doc_id = d.doc_id
+           LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = langs.lang),
+         ranked AS (
+           SELECT doc_id, lang, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, lang DESC) AS rn
+           FROM scored)
+         SELECT doc_id, lang AS pred_lang, round(score, 6) AS score
+         FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+    },
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                     WHERE vec_id < 10),

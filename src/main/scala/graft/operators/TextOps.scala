@@ -103,8 +103,9 @@ object TextOps {
 
   /** Tiny per-language stopword profiles (public-knowledge function
     * words). Deliberately small: langid here is the n-gram/stopword
-    * heuristic the pipeline needs, not a trained model. */
-  private val Profiles: Map[String, Seq[String]] = Map(
+    * heuristic the pipeline needs, not a trained model. Public so the
+    * DuckDB oracle SQL is generated from the same lexicon. */
+  val Profiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
