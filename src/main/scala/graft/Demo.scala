@@ -46,6 +46,19 @@ object Demo {
     println("== minhash near-dup pairs ==")
     operators.Dedup.minhashLsh(spark, dir).show(5)
 
+    println("== stateful streaming sessionizer (flatMapGroupsWithState) ==")
+    val stage = java.nio.file.Files.createTempDirectory("graft_demo_ev")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val sessions = streaming.Streams.runToMemory(
+      streaming.Streams.sessionizeWithState(spark,
+        streaming.Streams.readEvents(spark, stage.toString)),
+      "demo_sessions",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    println(s"closed sessions: ${sessions.count()}")
+    sessions.orderBy("user_id", "start_s").show(3)
+
     spark.stop()
   }
 }

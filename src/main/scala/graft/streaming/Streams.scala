@@ -80,6 +80,67 @@ object Streams {
       .toDF()
   }
 
+  /** A closed gap-session: same shape as the batch sessionizer's
+    * output rows. */
+  final case class ClosedSession(user_id: Long, n_events: Long,
+      start_s: Long, end_s: Long)
+
+  /** In-flight session state (public: the state encoder's generated
+    * code instantiates it reflectively). */
+  final case class OpenSession(startS: Double, endS: Double, n: Long)
+
+  /** Custom stateful sessionizer via flatMapGroupsWithState +
+    * event-time timeout: per-user open-session state, gap > 30 min
+    * closes and EMITS the session (append mode), watermark-driven
+    * timeout flushes sessions whose gap window has passed. This is
+    * the full-control alternative to [[sessionCounts]]'s built-in
+    * session_window — the API a pipeline needs when session logic
+    * outgrows a gap predicate (e.g. cart/checkout semantics).
+    * Gap arithmetic matches the batch sessionizer exactly (double
+    * seconds, strict > 1800). */
+  def sessionizeWithState(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val GapS = 1800.0
+    val typed = events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").cast("double").as("ts_s"),
+        col("ts"))
+      .as[(Long, Double, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+            st: GroupState[OpenSession]) =>
+          if (st.hasTimedOut) {
+            val s = st.get
+            st.remove()
+            Iterator(ClosedSession(uid, s.n, s.startS.toLong, s.endS.toLong))
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = st.getOption
+            ts.foreach { t =>
+              open match {
+                case Some(s) if t - s.endS > GapS =>
+                  closed += ClosedSession(uid, s.n, s.startS.toLong, s.endS.toLong)
+                  open = Some(OpenSession(t, t, 1L))
+                case Some(s) =>
+                  open = Some(OpenSession(s.startS, math.max(s.endS, t), s.n + 1L))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              st.update(s)
+              st.setTimeoutTimestamp(((s.endS + GapS) * 1000).toLong)
+            }
+            closed.iterator
+          }
+      }
+      .toDF()
+  }
+
   /** foreachBatch landing sink: each micro-batch appends to a
     * partitioned parquet layout (hour-partitioned here — the usual
     * time-bucketed lake landing zone). foreachBatch is the surface

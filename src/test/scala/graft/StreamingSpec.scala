@@ -46,6 +46,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("flatMapGroupsWithState sessionizer emits exactly the batch sessions minus each user's open tail") {
+    val stream = Streams.runToMemory(
+      Streams.sessionizeWithState(spark, Streams.readEvents(spark, path)),
+      "fmgws_sessions", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = stream.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Events.qSessionize(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val all = batch.map(s => (s._1, s._3, s._4, s._5)).toSet
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val gapClosed = batch.filter(s => s._2 != lastPerUser(s._1))
+      .map(s => (s._1, s._3, s._4, s._5)).toSet
+    // every emitted session is a true batch session, and every
+    // gap-closed session (non-tail) is emitted
+    assert(got.subsetOf(all), s"spurious sessions: ${(got -- all).take(3)}")
+    assert(gapClosed.subsetOf(got), s"missing: ${(gapClosed -- got).take(3)}")
+    // anything beyond the gap-closed set must be a user-tail session
+    // flushed by the event-time timeout once the watermark passed it
+    val maxTsS = graft.core.Tables(spark, Sf).events
+      .agg(org.apache.spark.sql.functions.max(col("ts").cast("double")))
+      .head().getDouble(0)
+    val tails = got -- gapClosed
+    tails.foreach { t =>
+      assert(t._4 + 1800.0 <= maxTsS - 7200.0 + 1.0,
+        s"tail session $t emitted before its timeout horizon")
+    }
+    assert(gapClosed.nonEmpty)
+  }
+
   test("foreachBatch lands the stream as hour-partitioned parquet") {
     val out = java.nio.file.Files.createTempDirectory("graft_land").toString
     Streams.landToParquet(Streams.readEvents(spark, path), out)
