@@ -75,6 +75,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(gapClosed.nonEmpty)
   }
 
+  test("sessionizer state survives a checkpointed restart (two-phase ingest)") {
+    import java.nio.file._
+    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType (nanosAsLong)
+    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val watch = Files.createTempDirectory("graft_ckpt_in")
+    val ckpt = Files.createTempDirectory("graft_ckpt_st").toString
+    val outDir = Files.createTempDirectory("graft_ckpt_out").toString
+
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, watch.resolve(name))
+    }
+
+    def runPhase(): Unit = {
+      val q = Streams.sessionizeWithState(spark,
+          Streams.readEvents(spark, watch.toString))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    runPhase()
+    stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+    runPhase() // restart from checkpoint: file-source offsets + session state recover
+
+    val twoPhase = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly-once: no session emitted twice, even those spanning the
+    // ingest boundary
+    assert(twoPhase.length == twoPhase.toSet.size, "duplicate sessions after restart")
+    // same final answer as a single-pass run over the full input
+    val single = Streams.runToMemory(
+      Streams.sessionizeWithState(spark, Streams.readEvents(spark, path)),
+      "ckpt_single", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(twoPhase.toSet == single,
+      s"two-phase=${twoPhase.length} single=${single.size}")
+  }
+
   test("foreachBatch lands the stream as hour-partitioned parquet") {
     val out = java.nio.file.Files.createTempDirectory("graft_land").toString
     Streams.landToParquet(Streams.readEvents(spark, path), out)
