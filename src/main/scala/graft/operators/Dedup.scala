@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.Shingles._
+import graft.functions.SketchAggs
 import graft.functions.Vectors
 
 /** Deduplication operator block (SURVEY.md §2 D).
@@ -92,22 +93,22 @@ object Dedup {
   def minhashLshDf(docs: DataFrame, tau: Double, k: Int = 32,
       bands: Int = 8): DataFrame = {
     val g = docGrams(docs).cache()
-    // Exploded-aggregate minhash: hash each shingle once, derive the
-    // k hash functions arithmetically (xxhash64 over the 8-byte base
-    // hash + salt), take per-doc mins in ONE codegen'd HashAggregate
-    // with map-side partial mins. The nested-HOF formulation
-    // (Shingles.minhashSignature) is interpreted per element and
-    // measured 20× slower; this shape also survives 100 TB (no wide
-    // per-row arrays, partial aggregation before the shuffle).
+    // Exploded-aggregate minhash: hash each shingle once, build the
+    // whole k-entry signature in ONE custom TypedImperativeAggregate
+    // column (long[k] buffer, map-side partial mins — see
+    // functions.MinHashAgg; bit-compatible with k separate
+    // min(xxhash64(i, h)) columns but one buffer instead of k agg
+    // slots). The nested-HOF formulation (Shingles.minhashSignature)
+    // is interpreted per element and measured 20× slower.
     val r = k / bands
     val base = g.select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("h"))
     val sig = base.groupBy(col("doc_id"))
-      .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
+      .agg(SketchAggs.minhashAgg(col("h"), k).as("sig"))
     val bandKeyCols = (0 until bands).map(b =>
       concat(lit(s"$b#"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"m$i")): _*).cast("string")))
+        xxhash64((b * r until (b + 1) * r).map(i =>
+          element_at(col("sig"), i + 1)): _*).cast("string")))
     val buckets = sig.select(col("doc_id"),
       explode(array(bandKeyCols: _*)).as("bk")).cache()
     val cands = buckets.as("a")
@@ -132,17 +133,15 @@ object Dedup {
 
   def simhashDf(docs: DataFrame, maxHamming: Int): DataFrame = {
     // Same exploded-aggregate shape as minhash: one xxhash64 per
-    // shingle, 64 codegen'd ±1 vote sums per doc, sign-pack to a long.
-    val votes = docGrams(docs)
+    // shingle, one custom SimHashAgg column (long[64] vote buffer,
+    // sign-packed on eval — bit-compatible with 64 sum-of-vote
+    // columns, see SketchAggsSpec).
+    val sigs = docGrams(docs)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(sum(bitVote(0)).as("b0"),
-        (1 until 64).map(j => sum(bitVote(j)).as(s"b$j")): _*)
-    val packed = (0 until 64).map(j =>
-      shiftleft(when(col(s"b$j") > 0, lit(1L)).otherwise(lit(0L)), j))
-      .reduce(_ bitwiseOR _)
-    val sigs = votes.select(col("doc_id"), packed.as("sim")).cache()
+      .agg(SketchAggs.simhashAgg(col("h")).as("sim"))
+      .cache()
     val chunks = sigs.select(col("doc_id"), col("sim"),
       explode(simhashChunks(col("sim"))).as("ck")).cache()
     chunks.as("a")
