@@ -31,11 +31,6 @@ object Dedup {
   private def docGrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), grams3(col("text")).as("grams"))
 
-  /** ±1 vote for bit j of the shingle hash column `h`. */
-  private def bitVote(j: Int) =
-    when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
-      .otherwise(lit(-1L))
-
   /** N-gram Jaccard near-dup pairs via inverted-index self-join:
     * explode distinct shingles, join docs sharing a shingle, count
     * shared shingles per pair, compute Jaccard from the per-doc set
