@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
+    "dedup_components" -> ((s: SparkSession, d: String) => Dedup.ngramComponents(s, d)),
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
     "ann_lsh" -> (Ann.lsh _),
@@ -329,6 +330,41 @@ object SparkEntry {
          JOIN sizes s2 ON s2.doc_id = d2
          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.1
          ORDER BY d1, d2""",
+    // Recursive-CTE transitive closure over the same pair set the
+    // Spark side derives (tiny clusters → closure stays small).
+    "dedup_components" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS gs
+           FROM toks),
+         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           FROM posts a JOIN posts b
+             ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         near AS (
+           SELECT d1, d2 FROM pairs
+           JOIN sizes s1 ON s1.doc_id = d1
+           JOIN sizes s2 ON s2.doc_id = d2
+           WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.1),
+         edges AS (SELECT d1 AS a, d2 AS b FROM near
+                   UNION SELECT d2, d1 FROM near),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (
+           SELECT a AS doc_id, least(a, min(b)) AS component
+           FROM reach GROUP BY a)
+         SELECT doc_id, component FROM comp ORDER BY doc_id""",
     "dedup_embedding" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

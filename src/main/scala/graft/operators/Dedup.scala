@@ -149,6 +149,50 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise similarity into dedup groups (keep the min doc_id per
+    * component, drop the rest). Distributed min-label propagation:
+    * each iteration joins labels across edges and keeps the minimum;
+    * converges in O(component diameter) rounds (typically ≤ 5 for
+    * near-dup clusters; 20-round safety cap). Each round is one
+    * shuffle; lineage is truncated per round (localCheckpoint) so the
+    * loop survives arbitrarily many iterations at scale. */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaNeighbors = edges
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(min("comp").as("ncomp"))
+      val next = labels
+        .join(viaNeighbors, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
+  /** Dedup groups from n-gram Jaccard pairs: every doc that has a
+    * near-dup, labeled with its component (= min doc_id in the
+    * cluster); `keep = doc_id == component`. */
+  def ngramComponents(spark: SparkSession, dir: String,
+      tau: Double = 0.1): DataFrame =
+    components(ngramJaccardDf(Tables(spark, dir).documents, tau))
+
   /** Embedding cosine near-dup pairs, blocked by the `label` column
     * (the pre-clustering blocking pattern: at 100 TB the block key is
     * a coarse quantizer cell; here the provided label plays that

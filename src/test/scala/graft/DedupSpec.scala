@@ -62,6 +62,30 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("components groups transitively (A~B, B~C, A!~C chain)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("d1", "d2")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("components of real near-dup pairs are consistent with the pair set") {
+    val pairs = Dedup.ngramJaccardDf(graft.core.Tables(spark, Sf).documents, 0.1)
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair's two docs share a component, and the component id
+    // is a member doc_id (the minimum one)
+    pairs.collect().foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      assert(comp(d1) == comp(d2), s"pair ($d1,$d2) split across components")
+    }
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"component $c is not its min member")
+    }
+  }
+
   test("embedding dedup agrees with HOF cosine reference") {
     import org.apache.spark.sql.functions._
     import graft.functions.Vectors
