@@ -68,6 +68,7 @@ object SparkEntry {
     "ann_bruteforce" -> (Ann.bruteforce _),
     "ann_lsh" -> (Ann.lsh _),
     "ann_ivf" -> (Ann.ivf _),
+    "ann_quantized" -> (Ann.quantized _),
     // G. multimodal plumbing
     "mm_meta_stats" -> (Multimodal.metaStats _),
     // F. text analysis

@@ -91,4 +91,25 @@ object Vectors {
     val n = normHof(a) * normHof(b)
     when(n === 0.0d, 0.0d).otherwise(d / n)
   }
+
+  // --- int8 scalar quantization ------------------------------------
+
+  /** Per-vector symmetric int8 quantization scale: max|x| / 127.
+    * Zero vectors quantize with scale 1 (all-zero codes). */
+  def quantScale(v: Column): Column = {
+    val m = array_max(transform(v, x => abs(x)))
+    when(m === 0.0f, lit(1.0d)).otherwise(m.cast("double") / 127.0d)
+  }
+
+  /** Quantize a float vector to int8 codes (array<tinyint>): 4× the
+    * storage density of float32 — the write-time representation for
+    * a 100 TB embedding corpus. Round-half-up, clamped to ±127. */
+  def quantize(v: Column, scale: Column): Column =
+    transform(v, x =>
+      greatest(lit(-127), least(lit(127),
+        round(x.cast("double") / scale, 0).cast("int"))).cast("byte"))
+
+  /** Dequantize int8 codes back to floats for scoring. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => (c.cast("double") * scale).cast("float"))
 }

@@ -149,6 +149,37 @@ object Ann {
     topkPerQuery(scored)
   }
 
+  /** Quantized search: int8-quantize the corpus (4× storage density —
+    * the write-time representation at 100 TB), score candidates on
+    * the dequantized codes, keep a 10× candidate margin, then rerank
+    * exactly on the original floats. Quantization noise (~1e-2 on
+    * cosine) only has to keep true neighbors inside the margin, not
+    * rank them — AnnSpec asserts recall vs [[bruteforce]]. */
+  def quantized(spark: SparkSession, dir: String): DataFrame = {
+    val rerankMargin = TopK * 10
+    val corpus = emb(spark, dir)
+      .withColumn("scale", Vectors.quantScale(col("embedding")))
+      .withColumn("codes", Vectors.quantize(col("embedding"), col("scale")))
+      // real deployments persist codes+scale and drop the floats;
+      // keep the floats here for the exact rerank join below
+      .cache()
+    val q = queriesDf(spark, dir)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val candidates = corpus
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("qe"), col("vec_id"),
+        Vectors.cosineSim(
+          Vectors.dequantize(col("codes"), col("scale")), col("qe")).as("qcos"))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= rerankMargin)
+    val exact = candidates
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
+    topkPerQuery(exact)
+  }
+
   /** Write-time IVF index: the corpus laid out partitioned by cell.
     * At 100 TB this is how ANN actually serves — cell assignment is
     * paid once at ingest; a probe then reads only its cells' files

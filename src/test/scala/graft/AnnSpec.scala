@@ -16,6 +16,15 @@ class AnnSpec extends SparkSpecBase {
 
   private lazy val exact = topk(Ann.bruteforce(spark, Sf))
 
+  /** Mean recall@5 across queries. (keys.toSeq matters: mapping over
+    * the key SET would dedup equal per-query recalls before summing —
+    * 10 perfect queries would "sum" to 1.0 and report 0.1.) */
+  private def recallOf(approx: Map[Long, Seq[Long]]): Double =
+    exact.keys.toSeq.map { q =>
+      val a = approx.getOrElse(q, Seq.empty).toSet
+      exact(q).count(a.contains).toDouble / exact(q).size
+    }.sum / exact.size
+
   test("bruteforce rank-1 is the query itself at cosine 1") {
     val self = Ann.bruteforce(spark, Sf).filter("rank = 1").collect()
     assert(self.length == 10)
@@ -25,14 +34,27 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("int8-quantized search with exact rerank recovers the exact top-5") {
+    val approx = topk(Ann.quantized(spark, Sf))
+    val recall = recallOf(approx)
+    info(s"quantized recall@5 = $recall")
+    // 10x rerank margin makes int8 noise irrelevant at top-5
+    assert(recall >= 0.95, s"quantized recall $recall")
+    // codes really are int8 (4x density vs float32)
+    val schema = graft.core.Tables(spark, Sf).embeddings
+      .withColumn("scale", graft.functions.Vectors.quantScale(org.apache.spark.sql.functions.col("embedding")))
+      .withColumn("codes", graft.functions.Vectors.quantize(
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("scale")))
+      .schema("codes").dataType
+    assert(schema.simpleString == "array<tinyint>")
+  }
+
   test("lsh recall@5 vs bruteforce") {
     val approx = topk(Ann.lsh(spark, Sf))
-    val recall = exact.keys.map { q =>
-      val a = approx.getOrElse(q, Seq.empty).toSet
-      exact(q).count(a.contains).toDouble / exact(q).size
-    }.sum / exact.size
+    val recall = recallOf(approx)
     info(s"lsh recall@5 = $recall")
-    assert(recall >= 0.15, s"lsh recall $recall below floor")
+    assert(recall >= 0.35, s"lsh recall $recall below floor")
   }
 
   test("pre-built IVF index returns identical results with partition pruning") {
@@ -52,11 +74,8 @@ class AnnSpec extends SparkSpecBase {
 
   test("ivf recall@5 vs bruteforce") {
     val approx = topk(Ann.ivf(spark, Sf))
-    val recall = exact.keys.map { q =>
-      val a = approx.getOrElse(q, Seq.empty).toSet
-      exact(q).count(a.contains).toDouble / exact(q).size
-    }.sum / exact.size
+    val recall = recallOf(approx)
     info(s"ivf recall@5 = $recall")
-    assert(recall >= 0.2, s"ivf recall $recall below floor")
+    assert(recall >= 0.4, s"ivf recall $recall below floor")
   }
 }
