@@ -57,6 +57,7 @@ object SparkEntry {
     "q_json_extract" -> (Events.qJsonExtract _),
     "q_sessionize" -> (Events.qSessionize _),
     "q_asof_join" -> (Events.qAsofJoin _),
+    "q_range_join" -> (Events.qRangeJoin _),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -303,6 +304,15 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY error_id""",
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+                p.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           ON p.user_id = e.user_id
+          AND e.ts >= p.ts
+          AND e.ts <= p.ts + INTERVAL 30 MINUTE
+         ORDER BY purchase_id, error_id""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY h""",

@@ -69,6 +69,26 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Interval (range) join: error events within 30 minutes AFTER a
+    * purchase by the same user. Planned as an equi-join on user_id
+    * with the range as residual condition — the shape that scales
+    * (the range never drives the shuffle). Streaming twin:
+    * [[graft.streaming.Streams.purchaseErrorJoin]]. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+    p.join(e, col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("interval 30 minutes"))
+      .select(col("purchase_id"), col("error_id"), col("p_user").as("user_id"))
+      .orderBy("purchase_id", "error_id")
+  }
+
   /** As-of join: for each error event, the most recent prior (or
     * simultaneous) purchase by the same user. Composed as
     * union + last_value-ignore-nulls over one user-partitioned window

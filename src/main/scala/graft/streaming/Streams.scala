@@ -80,6 +80,27 @@ object Streams {
       .toDF()
   }
 
+  /** Stream-stream interval join: errors within 30 minutes after a
+    * purchase by the same user. Both sides watermarked so Spark can
+    * bound the join state (purchase state is droppable once the
+    * watermark passes its 30-minute window). Twin of the batch
+    * [[graft.operators.Events.qRangeJoin]] — StreamingSpec asserts
+    * equality. */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    val e = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", "2 hours")
+    p.join(e, col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("interval 30 minutes"))
+      .select(col("purchase_id"), col("error_id"), col("p_user").as("user_id"))
+  }
+
   /** A closed gap-session: same shape as the batch sessionizer's
     * output rows. */
   final case class ClosedSession(user_id: Long, n_events: Long,

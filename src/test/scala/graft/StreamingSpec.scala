@@ -119,6 +119,18 @@ class StreamingSpec extends SparkSpecBase {
       s"two-phase=${twoPhase.length} single=${single.size}")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val stream = Streams.runToMemory(
+      Streams.purchaseErrorJoin(Streams.readEvents(spark, path)),
+      "ssj", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = stream.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Events.qRangeJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("foreachBatch lands the stream as hour-partitioned parquet") {
     val out = java.nio.file.Files.createTempDirectory("graft_land").toString
     Streams.landToParquet(Streams.readEvents(spark, path), out)
