@@ -158,8 +158,12 @@ object Dedup {
     * shuffle; lineage is truncated per round (localCheckpoint) so the
     * loop survives arbitrarily many iterations at scale. */
   def components(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // materialize the pair derivation once — the union below references
+    // it twice, and without this the whole upstream (shingling +
+    // self-join) executes per side
+    val p = pairs.cache()
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(p.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("node"))
       .distinct()
@@ -172,14 +176,18 @@ object Dedup {
         .join(labels, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(min("comp").as("ncomp"))
+      // the changed flag rides along into the checkpoint so the
+      // convergence check is a cheap scan, not another join job
       val next = labels
         .join(viaNeighbors, col("node") === col("dst"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("ncomp2"),
+          (least(col("comp"), coalesce(col("ncomp"), col("comp"))) =!= col("comp"))
+            .as("ch"))
+        .withColumnRenamed("ncomp2", "comp")
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
+      changed = next.filter(col("ch")).count()
+      labels = next.drop("ch")
       rounds += 1
     }
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
