@@ -20,6 +20,26 @@ class TopKFreqSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("per-group topK via groupByKey matches per-group wordcounts") {
+    val docWords = graft.core.Tables(spark, Sf).documents
+      .select(col("source"), explode(split(col("text"), "[^A-Za-z]+")).as("w"))
+      .filter(col("w") =!= "")
+    val grouped = docWords.as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKFreq.topK(3, 4096).toColumn)
+      .collect().toMap
+    val truth = docWords.groupBy("source", "w").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.map(t => (t._2, t._3)).sortBy { case (w, c) => (-c, w) }.take(3).toSeq
+      }
+    assert(grouped == truth)
+    assert(grouped.size > 1)
+  }
+
   test("truncation keeps the heaviest items when capacity is exceeded") {
     // 100 distinct items with distinct frequencies, capacity 20
     val data = (1 to 100).flatMap(i => Seq.fill(i)(s"item_$i")).toDS()
