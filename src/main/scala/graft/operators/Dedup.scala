@@ -204,7 +204,9 @@ object Dedup {
   /** Embedding cosine near-dup pairs, blocked by the `label` column
     * (the pre-clustering blocking pattern: at 100 TB the block key is
     * a coarse quantizer cell; here the provided label plays that
-    * role). Rows-only oracle — spec checks against the HOF cosine. */
+    * role). Oracle-checked via DuckDB list_cosine_similarity over
+    * DOUBLE[] casts; spec additionally pins the codegen expression to
+    * the HOF cosine. */
   def embedding(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame =
     embeddingDf(Tables(spark, dir).embeddings, tau)
 

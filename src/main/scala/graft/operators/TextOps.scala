@@ -127,9 +127,10 @@ object TextOps {
     array_max(array(scored: _*))
   }
 
-  /** Language-ID over documents (rows-only oracle: the synthetic
+  /** Language-ID over documents (oracle-checked: the DuckDB twin is
+    * generated from the same [[Profiles]] lexicon; the synthetic
     * corpus' lang labels are uncorrelated with its text, so accuracy
-    * is spec-tested on crafted samples instead — LangidSpec).
+    * is additionally spec-tested on crafted samples — LangidSpec).
     *
     * Join-based scoring — explode tokens, equi-join the broadcast
     * lexicon, count hits per (doc, lang) — instead of the per-row
