@@ -18,7 +18,7 @@ object TextOps {
     * it tokenizes once, but Catalyst's projection collapse inlines
     * the split into every metric — 5 regex walks per document. The
     * column-level HOF metrics live on in [[graft.functions.TextAnalysis]]
-    * and TextAnalysisSpec pins the two formulations equal. */
+    * and TextQualitySpec pins the two formulations equal. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val stopHits = StopWordList.map(w => when(col("tok") === w, 1L).otherwise(0L))
