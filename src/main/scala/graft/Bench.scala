@@ -46,8 +46,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures are excluded from the headline total (a -1 marker would
+    // make a broken run look FASTER) and reported explicitly
+    val ok = results.filter(_._2 >= 0)
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = ok.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    // machine-readable copy — sbt log noise around stdout made the
+    // driver's parse fall back to log-fishing in round 1
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(json)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

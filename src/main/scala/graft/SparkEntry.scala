@@ -81,8 +81,155 @@ object SparkEntry {
     "text_langid" -> (TextOps.textLangid _),
   )
 
+  /** Shared DuckDB CTE prefix: word-3-gram shingle sets per document —
+    * the exact twin of `Shingles.grams3` (proven by the
+    * dedup_ngram_jaccard hash match since round 1). */
+  private val ShingleCte =
+    """toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS gs
+           FROM toks),
+         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g)"""
+
+  private val BruteforceTopkSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                    WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                        CAST(q.qe AS DOUBLE[])), 6) AS cosine
+           FROM embeddings e CROSS JOIN q),
+         ranked AS (
+           SELECT qid, vec_id, cosine,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+         SELECT qid, rank, vec_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** ann_lsh oracle, generated from the same plane constants and probe
+    * masks the Spark operator uses. */
+  private lazy val annLshSql: String = {
+    def planeLit(p: Array[Float]): String =
+      p.map(_.toDouble.toString).mkString("[", ", ", "]")
+    def bucketExpr(t: Int): String =
+      (0 until 8).map { b =>
+        s"CASE WHEN list_cosine_similarity(emb, ${planeLit(operators.Ann.planes(t * 8 + b))}) > 0 THEN ${1 << b} ELSE 0 END"
+      }.mkString("\n                  + ")
+    val bucketCols = (0 until 4)
+      .map(t => s"${bucketExpr(t)} AS b$t").mkString(",\n                ")
+    val corpusKeys = (0 until 4)
+      .map(t => s"'$t#' || CAST(b$t AS VARCHAR)").mkString(", ")
+    val probeKeys = (0 until 4)
+      .map(t => s"'$t#' || CAST(xor(b$t, m) AS VARCHAR)").mkString(", ")
+    val masks = operators.Ann.probeMasks.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+         b AS (SELECT vec_id,
+                $bucketCols
+               FROM e),
+         ck AS (SELECT vec_id, unnest([$corpusKeys]) AS k FROM b),
+         pm AS (SELECT unnest($masks) AS m),
+         pk AS (SELECT qid, unnest([$probeKeys]) AS k
+                FROM (SELECT vec_id AS qid, b0, b1, b2, b3 FROM b
+                      WHERE vec_id < 10)
+                CROSS JOIN pm),
+         cand AS (SELECT DISTINCT pk.qid, ck.vec_id
+                  FROM ck JOIN pk ON ck.k = pk.k),
+         scored AS (
+           SELECT c.qid, c.vec_id,
+                  round(list_cosine_similarity(ec.emb, eq.emb), 6) AS cosine
+           FROM cand c
+           JOIN e ec ON ec.vec_id = c.vec_id
+           JOIN e eq ON eq.vec_id = c.qid),
+         ranked AS (
+           SELECT qid, vec_id, cosine,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+         SELECT qid, rank, vec_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  /** dedup_minhash_lsh oracle, generated from the same affine salt
+    * parameters as [[graft.functions.MinHashAgg]]. */
+  private lazy val minhashLshSql: String = {
+    val (as, bs) = graft.functions.PortableHash.affineParams(32)
+    val sigCols = (0 until 32).map(i =>
+      s"min((${as(i)} * hp + ${bs(i)}) % 2147483647) AS s$i")
+      .mkString(",\n                 ")
+    val bandKeys = (0 until 8).map { band =>
+      val parts = (band * 4 until (band + 1) * 4)
+        .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || '_' || ")
+      s"'$band#' || $parts"
+    }.mkString(",\n                 ")
+    s"""WITH $ShingleCte,
+         hp AS (SELECT doc_id,
+                       CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+                         % 2147483647 AS hp
+                FROM posts),
+         sig AS (SELECT doc_id,
+                 $sigCols
+                 FROM hp GROUP BY doc_id),
+         bk AS (SELECT doc_id, unnest([
+                 $bandKeys]) AS bk FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM bk a JOIN bk b
+                    ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+         inter AS (SELECT c.d1, c.d2, count(*) AS inter
+                   FROM cand c
+                   JOIN posts p1 ON p1.doc_id = c.d1
+                   JOIN posts p2 ON p2.doc_id = c.d2 AND p2.gram = p1.gram
+                   GROUP BY c.d1, c.d2)
+         SELECT i.d1, i.d2,
+                round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) AS jaccard
+         FROM inter i
+         JOIN sizes s1 ON s1.doc_id = i.d1
+         JOIN sizes s2 ON s2.doc_id = i.d2
+         WHERE round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) >= 0.5
+         ORDER BY d1, d2"""
+  }
+
+  /** dedup_simhash oracle: the portable 60-bit base hash makes the
+    * signature pure SQL (votes per bit position, sign-packed). */
+  private val simhashSql: String =
+    s"""WITH $ShingleCte,
+         h AS (SELECT doc_id,
+                      CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h
+               FROM posts),
+         votes AS (SELECT doc_id, j,
+                          sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                   FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+                   GROUP BY doc_id, j),
+         sig AS (SELECT doc_id,
+                        CAST(sum(CASE WHEN v > 0
+                                 THEN CAST(1 AS BIGINT) << j
+                                 ELSE 0 END) AS BIGINT) AS sim
+                 FROM votes GROUP BY doc_id),
+         chunks AS (SELECT doc_id, sim,
+                           CAST(c AS VARCHAR) || '#' ||
+                             CAST(((sim >> (16 * c)) & 65535) AS VARCHAR) AS ck
+                    FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+         pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                          bit_count(xor(a.sim, b.sim)) AS hamming
+                   FROM chunks a JOIN chunks b
+                     ON a.ck = b.ck AND a.doc_id < b.doc_id)
+         SELECT d1, d2, hamming FROM pairs
+         WHERE hamming <= 3 ORDER BY d1, d2"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Every query has one (50/50): the sketch
+    * ops use the engine-portable [[graft.functions.PortableHash]]
+    * family (md5-60bit + affine salts over 2³¹−1) and the LSH/IVF ops
+    * inline their plane/codebook constants, so DuckDB reproduces the
+    * identical signatures, buckets, and cells. */
   def oracleSql: Map[String, String] = Map(
     "mr_wordcount" ->
       """SELECT word, count(*) AS cnt
@@ -413,14 +560,40 @@ object SparkEntry {
          SELECT doc_id, lang AS pred_lang, round(score, 6) AS score
          FROM ranked WHERE rn = 1 ORDER BY doc_id"""
     },
-    "ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-                    WHERE vec_id < 10),
+    "ann_bruteforce" -> BruteforceTopkSql,
+    // int8 quantization + 10× margin + exact float rerank provably
+    // recovers the exact top-5 on this corpus (AnnSpec measures
+    // recall@5 = 1.0; the margin dwarfs the ~1e-2 quantization noise
+    // on cosine) — so the brute-force top-k IS its oracle.
+    "ann_quantized" -> BruteforceTopkSql,
+    // IVF is pure SQL end-to-end: deterministic codebook (every 29th
+    // vector), nearest-cell argmax (csim desc, cent_id asc — the same
+    // tie-break as the Spark argmax over the broadcast codebook),
+    // 4-cell probes, exact cosine top-5 over the probed cells.
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+         c AS (SELECT vec_id AS cent_id, emb AS ce FROM e
+               WHERE vec_id % 29 = 0),
+         cells AS (
+           SELECT vec_id, emb, cell FROM (
+             SELECT e.vec_id, e.emb, c.cent_id AS cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC,
+                               c.cent_id) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qe, cell FROM (
+             SELECT q.qid, q.qe, c.cent_id AS cell,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+                               c.cent_id) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 4),
          scored AS (
-           SELECT q.qid, e.vec_id,
-                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                        CAST(q.qe AS DOUBLE[])), 6) AS cosine
-           FROM embeddings e CROSS JOIN q),
+           SELECT DISTINCT p.qid, s.vec_id,
+                  round(list_cosine_similarity(s.emb, p.qe), 6) AS cosine
+           FROM cells s JOIN probes p ON p.cell = s.cell),
          ranked AS (
            SELECT qid, vec_id, cosine,
                   row_number() OVER (PARTITION BY qid
@@ -428,6 +601,20 @@ object SparkEntry {
            FROM scored)
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // Random-hyperplane LSH with the hyperplanes inlined as DOUBLE
+    // literals (the exact double values of Ann.planes' floats): same
+    // sign bits, same buckets, same Hamming-≤2 multiprobe ring, same
+    // candidate set, exact cosine top-5.
+    "ann_lsh" -> annLshSql,
+    // MinHash-LSH over the portable hash family: identical 32-entry
+    // signatures (md5-60bit base, affine salts over 2³¹−1, literal
+    // parameters below), identical "band#v_v_v_v" bucket keys, exact
+    // Jaccard verify on candidates.
+    "dedup_minhash_lsh" -> minhashLshSql,
+    // SimHash over the portable 60-bit base hash: bit-identical
+    // signatures (votes per bit, sign-packed), 4×16-bit chunk
+    // buckets, bit_count(xor) Hamming verify.
+    "dedup_simhash" -> simhashSql,
     // Mirrors Multimodal.decodeBatch's deterministic stub: payload is
     // the utf-8 text (ASCII corpus → byte length = char length), fmt
     // round-robins doc_id % 3, width/height/n_frames derive from
@@ -446,13 +633,22 @@ object SparkEntry {
                 max(CASE WHEN fmt = 'video' THEN 1 + plen % 100 ELSE 1 END) AS max_frames,
                 CAST(sum(plen) AS BIGINT) AS total_bytes
          FROM m GROUP BY fmt ORDER BY fmt""",
+    // Same 16-bit-limb bucket arithmetic as TextOps.splitAssignment —
+    // equal to (doc_id * 2654435761) % 2^32 but overflow-free for
+    // doc_id beyond ~3.5e9 on both engines.
     "pipeline_split" ->
-      """WITH s AS (
+      """WITH b AS (
            SELECT doc_id,
-                  CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
-                       WHEN (doc_id * 2654435761) % 4294967296 < 3865470565 THEN 'val'
+                  (2654435761 * ((doc_id % 4294967296) % 65536)
+                   + ((2654435761 * ((doc_id % 4294967296) // 65536)) % 65536)
+                     * 65536) % 4294967296 AS bucket
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN bucket < 3435973836 THEN 'train'
+                       WHEN bucket < 3865470565 THEN 'val'
                        ELSE 'test' END AS split
-           FROM documents)
+           FROM b)
          SELECT split, count(*) AS n, min(doc_id) AS min_id,
                 max(doc_id) AS max_id
          FROM s GROUP BY split ORDER BY split""",

@@ -31,27 +31,33 @@ object Shingles {
   }
 
   /** MinHash signature: k independent hash functions, each the min of
-    * a salted xxhash64 over the shingle set (seed fixed by Spark's
-    * xxhash64; independence from the per-function salt prefix). */
-  def minhashSignature(grams: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(grams,
-        g => xxhash64(concat(i.cast("string"), lit(":"), g)))))
+    * an affine-salted [[PortableHash.h60]] over the shingle set — the
+    * declarative cross-check reference for
+    * [[graft.functions.MinHashAgg]] (same salts, bit-identical;
+    * SketchAggsSpec asserts). */
+  def minhashSignature(grams: Column, k: Int): Column = {
+    val (as, bs) = PortableHash.affineParams(k)
+    array((0 until k).map(i =>
+      array_min(transform(grams,
+        g => PortableHash.salted(PortableHash.h60(g), as(i), bs(i))))): _*)
+  }
 
   /** Banded LSH keys from a minhash signature: `bands` substrings of
-    * `rowsPerBand` signature entries each, hashed to one bucket key
-    * per band. Two docs sharing any band key become a candidate pair. */
+    * `rowsPerBand` signature entries each, concatenated to one bucket
+    * key per band (entries are 31-bit, so plain decimal concat is a
+    * collision-free key — and portable to the SQL oracle). Two docs
+    * sharing any band key become a candidate pair. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => concat(b.cast("string"), lit("#"),
-        xxhash64(concat_ws(",",
-          slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))
-          .cast("string")))
+        array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))
+          .cast("array<string>"), "_")))
 
   /** 64-bit SimHash over the shingle set: per-bit signed counts of the
-    * shingles' xxhash64 bits, then the sign pattern packed to a long. */
+    * shingles' [[PortableHash.h60]] bits, then the sign pattern packed
+    * to a long (bits 60-63 are always 0 — the base hash is 60-bit). */
   def simhash64(grams: Column): Column =
-    simhashImpl(transform(grams, g => xxhash64(g)))
+    simhashImpl(transform(grams, g => PortableHash.h60(g)))
 
   private def simhashImpl(hashes: Column): Column =
     // Static 64-way expansion (shift amounts must be literals): bit j

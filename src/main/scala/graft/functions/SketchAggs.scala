@@ -6,23 +6,26 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** MinHash signature as a custom Catalyst aggregate
   * (`TypedImperativeAggregate`, SURVEY.md §4): one agg column with a
-  * `long[k]` buffer instead of k separate `min(xxhash64(i, h))`
+  * `long[k]` buffer instead of k separate `min((a_i·h + b_i) mod P)`
   * columns. Bit-compatible with that declarative formulation — the
-  * per-function salt chain replicates Spark's `xxhash64(lit(i), h)`
-  * exactly (seed 42 → hashInt(i) → hashLong(h)) — so band keys and
-  * candidate pairs are unchanged (SketchAggsSpec asserts). Update and
-  * merge are tight primitive loops; the serialized form is 8k bytes.
+  * salt family is [[PortableHash.affineParams]]'s fixed-seed affine
+  * functions over P = 2³¹−1 — so band keys and candidate pairs are
+  * unchanged (SketchAggsSpec asserts), and the identical arithmetic
+  * runs in the DuckDB oracle (value-checked, not rows-only). Update
+  * and merge are tight primitive loops; the serialized form is 8k
+  * bytes.
   */
 case class MinHashAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
+
+  @transient private lazy val (saltA, saltB) = PortableHash.affineParams(k)
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
@@ -30,10 +33,10 @@ case class MinHashAgg(child: Expression, k: Int,
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      val hp = java.lang.Math.floorMod(v.asInstanceOf[Long], PortableHash.P)
       var i = 0
       while (i < k) {
-        val salted = XXH64.hashLong(h, XXH64.hashInt(i, 42L))
+        val salted = (saltA(i) * hp + saltB(i)) % PortableHash.P
         if (salted < buf(i)) buf(i) = salted
         i += 1
       }

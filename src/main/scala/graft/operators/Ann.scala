@@ -1,22 +1,28 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.Vectors
+import graft.functions.{TopKScoreAgg, Vectors}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY.md §2 E). Query set = `vec_id < 10` (broadcast side).
   *
   * Scale shape: brute force is the correctness baseline — a broadcast
   * of the (small) query set against a full scan, no shuffle at all on
-  * the corpus side until the per-query top-k (one shuffle on qid).
-  * The LSH and IVF variants prune the scan to matching buckets/cells:
-  * at 100 TB the corpus side is bucketed-by-cell on disk, so a probe
-  * touches only its cells' files; here the cell assignment happens
-  * inline (same plan shape, no pre-materialized index).
+  * the corpus side except the per-qid top-k aggregate. The LSH and IVF
+  * variants prune the scan to matching buckets/cells: at 100 TB the
+  * corpus side is bucketed-by-cell on disk, so a probe touches only
+  * its cells' files; here the cell assignment happens inline (same
+  * plan shape, no pre-materialized index).
+  *
+  * Per-query top-k is a bounded-buffer [[graft.functions.TopKScoreAgg]]
+  * — map-side partials shrink every partition to ≤ k rows per query
+  * before the one shuffle on qid. The previous `row_number() OVER
+  * (PARTITION BY qid)` formulation moved the *entire* scored corpus
+  * through 10 reducer tasks: fine at sf0.1, a straggler at 100×, an
+  * OOM at 100 TB.
   */
 object Ann {
 
@@ -30,14 +36,17 @@ object Ann {
     emb(spark, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
 
-  private def topkPerQuery(scored: DataFrame, k: Int = TopK): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+  /** Top-k rows per query by (cosine desc, vec_id asc) — bounded-heap
+    * aggregate, then posexplode back to (qid, rank, vec_id, cosine).
+    * Duplicate candidates (same vector via several buckets) are
+    * dropped inside the aggregate, so callers need no `distinct()`. */
+  private def topkPerQuery(scored: DataFrame, k: Int = TopK): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(TopKScoreAgg.topk(col("cosine"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("cosine"))
       .orderBy("qid", "rank")
-  }
 
   /** Exact top-k cosine neighbors: broadcast queries × corpus scan.
     * (Self-match ranks first at cosine 1.0 — kept, it's the standard
@@ -58,11 +67,22 @@ object Ann {
   private val NTables = 4
 
   /** Deterministic Gaussian-ish hyperplanes (fixed-seed PRNG — same
-    * planes on every run and every executor; shipped as literals). */
-  private lazy val planes: Array[Array[Float]] = {
+    * planes on every run and every executor; shipped as literals).
+    * Package-visible so the DuckDB oracle SQL is generated from the
+    * identical constants. */
+  private[graft] lazy val planes: Array[Array[Float]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(NTables * NBits, Dim)(rnd.nextGaussian().toFloat)
   }
+
+  /** Per-table probe masks: the bucket itself, all Hamming-1 flips,
+    * and all Hamming-2 flips (sign-boundary flips dominate misses; the
+    * Hamming-2 ring roughly doubles recall on near-uniform vectors).
+    * Only the tiny broadcast query side fans out — corpus vectors
+    * still land in exactly one bucket per table. */
+  private[graft] lazy val probeMasks: Seq[Int] =
+    0 +: (0 until NBits).map(1 << _) ++:
+      (for { i <- 0 until NBits; j <- i + 1 until NBits } yield (1 << i) | (1 << j))
 
   /** sign(v·w) via the codegen'd cosine expression (norms are
     * positive, so the cosine's sign IS the dot's sign) — one fused
@@ -71,90 +91,114 @@ object Ann {
   private def signBit(v: Column, w: Array[Float], bit: Int): Column =
     when(Vectors.cosineSim(v, typedlit(w)) > 0, lit(1 << bit)).otherwise(lit(0))
 
-  /** Bucket key of table `t`: "t#" + 8 sign bits over that table's
-    * hyperplanes. */
-  private def lshKey(v: Column, t: Int): Column =
-    concat(lit(s"$t#"),
-      (0 until NBits).map(b => signBit(v, planes(t * NBits + b), b))
-        .reduce(_ + _).cast("string"))
+  private def tableBucket(v: Column, t: Int): Column =
+    (0 until NBits).map(b => signBit(v, planes(t * NBits + b), b)).reduce(_ + _)
 
-  private def corpusKeys(v: Column): Column =
-    array((0 until NTables).map(t => lshKey(v, t)): _*)
-
-  /** Per-table multiprobe: the bucket plus its 8 Hamming-1 neighbors
-    * (sign-boundary flips dominate misses), across all 4 tables. */
-  private def probeKeys(v: Column): Column = {
-    val keys = for {
-      t <- 0 until NTables
-      bucket = (0 until NBits).map(b => signBit(v, planes(t * NBits + b), b)).reduce(_ + _)
-      k <- bucket +: (0 until NBits).map(j => bucket.bitwiseXOR(lit(1 << j)))
-    } yield concat(lit(s"$t#"), k.cast("string"))
-    array(keys: _*)
-  }
+  /** Per-table bucket ints as named columns — one projection that
+    * evaluates each table's 8 sign-bit cosines exactly once. Key
+    * construction then references `b0..b3` as attributes; building
+    * the 148-element probe-key array directly over [[tableBucket]]
+    * expressions would inline the 8-cosine subtree into every key
+    * (~1200 expression nodes) and the plan spends more time in
+    * optimize/codegen than in execution. */
+  private def withBuckets(df: DataFrame, v: String): DataFrame =
+    df.select(col("*") +:
+      (0 until NTables).map(t => tableBucket(col(v), t).as(s"b$t")): _*)
 
   /** Multi-table random-hyperplane LSH top-k: 4 independent 8-bit
     * tables; a corpus vector lands in one bucket per table, a query
-    * probes its bucket + Hamming-1 neighbors in every table, and only
+    * probes its bucket + Hamming-≤2 neighbors in every table, and only
     * the union of candidates is scored. One shuffle on the bucket
     * key. Approximate — recall vs [[bruteforce]] asserted in AnnSpec
     * (the synthetic embeddings are near-uniform, the hardest case for
     * hyperplane LSH; clustered real embeddings fare far better). */
   def lsh(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(spark, dir)
+    val corpus = withBuckets(emb(spark, dir), "embedding")
       .select(col("vec_id"), col("embedding"),
-        explode(corpusKeys(col("embedding"))).as("bucket"))
-    val probes = queriesDf(spark, dir)
-      .select(col("qid"), col("qe"), explode(probeKeys(col("qe"))).as("bucket"))
+        explode(array((0 until NTables).map(t =>
+          concat(lit(s"$t#"), col(s"b$t").cast("string"))): _*)).as("bucket"))
+    val probeKeyCols = for {
+      t <- 0 until NTables
+      m <- probeMasks
+    } yield concat(lit(s"$t#"), col(s"b$t").bitwiseXOR(lit(m)).cast("string"))
+    val probes = withBuckets(queriesDf(spark, dir), "qe")
+      .select(col("qid"), col("qe"),
+        explode(array(probeKeyCols: _*)).as("bucket"))
     val scored = corpus.join(broadcast(probes), Seq("bucket"))
       .select(col("qid"), col("vec_id"),
         round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
-      .distinct()
     topkPerQuery(scored)
   }
 
   // --- IVF-style coarse quantizer ---------------------------------
 
-  private val CentroidStride = 29
-  private val NProbe = 4
+  private[graft] val CentroidStride = 29
+  private[graft] val NProbe = 4
+
+  /** The coarse codebook, collected to the driver (it is tiny by
+    * construction — at 100 TB a codebook is ~2¹⁴ cells, KBs–MBs — and
+    * shipping it as expression literals is the zero-shuffle broadcast).
+    * Sorted by cent_id so the generated plan is deterministic. */
+  private def codebook(spark: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    emb(spark, dir).filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  private def centroidEntries(v: Column,
+      cb: Array[(Long, Array[Float])]): Seq[Column] =
+    cb.toSeq.map { case (cid, ce) =>
+      // negated id: struct max/sort is (csim asc, field2 asc), so the
+      // max entry is (max csim, MIN cent_id) — the window's tie-break
+      struct(Vectors.cosineSim(v, typedlit(ce)).as("csim"),
+        lit(-cid).as("nc"))
+    }
+
+  /** Nearest-centroid cell id, computed per row against the broadcast
+    * codebook — no row inflation, no exchange: the previous
+    * `crossJoin(centroids)` + `row_number() OVER (PARTITION BY
+    * vec_id)` shuffled the full N×C blowup just to keep 1 row per
+    * vector. */
+  private def cellOf(v: Column, cb: Array[(Long, Array[Float])]): Column =
+    -array_max(array(centroidEntries(v, cb): _*)).getField("nc")
+
+  /** The `n` nearest centroid cells (csim desc, cent_id asc), for
+    * query-side probes. */
+  private def nearestCells(v: Column, cb: Array[(Long, Array[Float])],
+      n: Int): Column =
+    transform(slice(sort_array(array(centroidEntries(v, cb): _*), asc = false),
+      1, n), e => -e.getField("nc"))
 
   /** IVF top-k: a deterministic subsample of the corpus acts as the
     * coarse codebook (every 29th vector); each vector is assigned to
-    * its nearest centroid cell, queries probe their 4 nearest cells.
-    * At 100 TB the cell assignment is a write-time bucketing; the
-    * plan shape (broadcast codebook, argmax-by-window, cell-key join)
-    * is identical. Recall asserted in AnnSpec. */
+    * its nearest centroid cell by a per-row argmax over the broadcast
+    * codebook, queries probe their 4 nearest cells. At 100 TB the cell
+    * assignment is a write-time bucketing ([[buildIvfIndex]]); the
+    * plan shape (broadcast codebook, cell-key join) is identical.
+    * Recall asserted in AnnSpec; oracle-checked (the codebook, argmax
+    * and probe rules are pure SQL — see SparkEntry). */
   def ivf(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-
-    def assign(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("cent_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("csim", Vectors.cosineSim(col(vecCol), col("ce")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("ce", "csim", "crank")
-    }
-
-    val cells = assign(e, "vec_id", "embedding", 1)
-      .withColumnRenamed("cent_id", "cell")
-    val probes = assign(queriesDf(spark, dir), "qid", "qe", NProbe)
-      .withColumnRenamed("cent_id", "cell")
+    val cb = codebook(spark, dir)
+    val cells = emb(spark, dir)
+      .withColumn("cell", cellOf(col("embedding"), cb))
+    val probes = queriesDf(spark, dir)
+      .select(col("qid"), col("qe"),
+        explode(nearestCells(col("qe"), cb, NProbe)).as("cell"))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("vec_id"),
         round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
-      .distinct()
     topkPerQuery(scored)
   }
 
   /** Quantized search: int8-quantize the corpus (4× storage density —
     * the write-time representation at 100 TB), score candidates on
-    * the dequantized codes, keep a 10× candidate margin, then rerank
-    * exactly on the original floats. Quantization noise (~1e-2 on
-    * cosine) only has to keep true neighbors inside the margin, not
-    * rank them — AnnSpec asserts recall vs [[bruteforce]]. */
+    * the dequantized codes, keep a 10× candidate margin via the same
+    * bounded top-k aggregate (map-side, so the corpus×query score set
+    * never crosses an exchange), then rerank exactly on the original
+    * floats. Quantization noise (~1e-2 on cosine) only has to keep
+    * true neighbors inside the margin, not rank them — AnnSpec asserts
+    * recall vs [[bruteforce]]. */
   def quantized(spark: SparkSession, dir: String): DataFrame = {
     val rerankMargin = TopK * 10
     val corpus = emb(spark, dir)
@@ -164,17 +208,18 @@ object Ann {
       // keep the floats here for the exact rerank join below
       .cache()
     val q = queriesDf(spark, dir)
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("qcos").desc, col("vec_id"))
     val candidates = corpus
       .crossJoin(broadcast(q))
-      .select(col("qid"), col("qe"), col("vec_id"),
+      .select(col("qid"), col("vec_id"),
         Vectors.cosineSim(
           Vectors.dequantize(col("codes"), col("scale")), col("qe")).as("qcos"))
-      .withColumn("qrank", row_number().over(wq))
-      .filter(col("qrank") <= rerankMargin)
+      .groupBy(col("qid"))
+      .agg(TopKScoreAgg.topk(col("qcos"), col("vec_id"), rerankMargin).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("vec_id"))
     val exact = candidates
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
     topkPerQuery(exact)
@@ -182,20 +227,15 @@ object Ann {
 
   /** Write-time IVF index: the corpus laid out partitioned by cell.
     * At 100 TB this is how ANN actually serves — cell assignment is
-    * paid once at ingest; a probe then reads only its cells' files
-    * (dynamic partition pruning through the broadcast probe join,
-    * asserted in AnnSpec). */
+    * paid once at ingest (per-row broadcast-codebook argmax, no
+    * exchange); a probe then reads only its cells' files (dynamic
+    * partition pruning through the broadcast probe join, asserted in
+    * AnnSpec). */
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    e.crossJoin(broadcast(centroids))
-      .withColumn("csim", Vectors.cosineSim(col("embedding"), col("ce")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val cb = codebook(spark, dir)
+    emb(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        cellOf(col("embedding"), cb).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
   }
 
@@ -203,22 +243,14 @@ object Ann {
     * [[ivf]] (same codebook), but the corpus side is a
     * partition-pruned read instead of a full scan + assignment. */
   def ivfIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("csim").desc, col("cent_id"))
+    val cb = codebook(spark, dir)
     val probes = queriesDf(spark, dir)
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", Vectors.cosineSim(col("qe"), col("ce")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= NProbe)
-      .select(col("qid"), col("qe"), col("cent_id").as("cell"))
+      .select(col("qid"), col("qe"),
+        explode(nearestCells(col("qe"), cb, NProbe)).as("cell"))
     val idx = spark.read.parquet(indexPath)
     val scored = idx.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("vec_id"),
         round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
-      .distinct()
     topkPerQuery(scored)
   }
 }

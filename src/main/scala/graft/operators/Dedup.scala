@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.PortableHash
 import graft.functions.Shingles._
 import graft.functions.SketchAggs
 import graft.functions.Vectors
@@ -15,7 +16,7 @@ import graft.functions.Vectors
   * shared shingle, LSH band, simhash chunk, blocking label), never
   * from a cross join. At 100 TB the only shuffles are those bucket-key
   * exchanges, and frequent-bucket skew is bounded (AQE skew split +
-  * the shingle-df cap noted below).
+  * the shingle df cap in [[ngramJaccardDf]]).
   */
 object Dedup {
 
@@ -31,40 +32,81 @@ object Dedup {
   private def docGrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), grams3(col("text")).as("grams"))
 
-  /** N-gram Jaccard near-dup pairs via inverted-index self-join:
-    * explode distinct shingles, join docs sharing a shingle, count
-    * shared shingles per pair, compute Jaccard from the per-doc set
-    * sizes. Candidate generation is |postings|² per shingle — bounded
-    * at scale by dropping ubiquitous shingles (df cap), which cannot
-    * remove a pair above the threshold unless *all* its shared
-    * shingles are ubiquitous (τ·|union| > cap ⇒ safe). Kept uncapped
-    * here to stay bit-identical with the SQL oracle at test scale. */
-  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.1): DataFrame =
-    ngramJaccardDf(Tables(spark, dir).documents, tau)
+  /** N-gram Jaccard near-dup pairs via inverted-index self-join (see
+    * [[ngramJaccardDf]]). `maxDf` defaults ON here: 1000 is far above
+    * any shingle's df on this corpus (max 25 at sf0.1 — capped output
+    * is bit-identical to uncapped, DedupSpec proves it) while bounding
+    * the |postings|² blowup that boilerplate shingles cause on real
+    * 100 TB web text. */
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.1,
+      maxDf: Long = 1000): DataFrame =
+    ngramJaccardDf(Tables(spark, dir).documents, tau, maxDf = maxDf)
 
+  /** Presentation-sorted wrapper over [[ngramJaccardPairs]]. */
   def ngramJaccardDf(docs: DataFrame, tau: Double,
-      pruneSingletons: Boolean = false): DataFrame = {
+      pruneSingletons: Boolean = false, maxDf: Long = 0): DataFrame =
+    ngramJaccardPairs(docs, tau, pruneSingletons, maxDf).orderBy("d1", "d2")
+
+  /** N-gram Jaccard near-dup pairs, unsorted (iterative consumers —
+    * [[components]] — must not pay a global sort they immediately
+    * destroy): explode distinct shingles, join docs sharing a shingle,
+    * count shared shingles per pair, compute Jaccard from the per-doc
+    * set sizes.
+    *
+    * Scale knobs, both exact on this corpus (DedupSpec):
+    * - `pruneSingletons`: df=1 shingles can't contribute a pair;
+    *   dropping them shrinks the self-join input. Always exact.
+    * - `maxDf`: shingles in more than `maxDf` docs (boilerplate) are
+    *   excluded from *candidate generation* — the |postings|² term the
+    *   self-join pays per shingle — but still counted into `inter` for
+    *   surviving candidates via a narrow add-back join, so Jaccard
+    *   values are exact. A τ-pair can only be lost if ALL its shared
+    *   shingles are over-cap; since inter ≥ τ·|union| ≥ τ·|doc set|,
+    *   that is impossible whenever each doc has fewer than τ·|its
+    *   gram set| over-cap shingles — the regime any sane cap targets
+    *   (boilerplate ≪ content). */
+  private[graft] def ngramJaccardPairs(docs: DataFrame, tau: Double,
+      pruneSingletons: Boolean = false, maxDf: Long = 0): DataFrame = {
     val g = docGrams(docs).cache()
     val sizes = g.select(col("doc_id"), size(col("grams")).as("n"))
     // materialized before the self-join — otherwise the shingling
     // subtree executes once per join side
     val allPosts = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-    // Scale knob: on natural text most shingles are unique (df=1) and
-    // can't contribute a pair — pre-aggregating df and semi-joining
-    // shrinks the self-join input dramatically at 100 TB. Exact
-    // either way. Off by default: this synthetic corpus has a tiny
-    // vocabulary (avg df ≈ 16, no singletons), so the extra shuffle
-    // costs more than it saves at test scale.
-    val posts = (if (pruneSingletons) {
-      val dfs = allPosts.groupBy(col("gram"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > 1).select("gram")
-      allPosts.join(dfs, Seq("gram"), "left_semi")
+    val needDfs = pruneSingletons || maxDf > 0
+    val dfs = if (needDfs) {
+      allPosts.groupBy(col("gram")).agg(count(lit(1)).as("df")).cache()
+    } else null
+    val minDf = if (pruneSingletons) 1L else 0L
+    val posts = (if (needDfs) {
+      val kept = dfs
+        .filter(col("df") > minDf &&
+          (if (maxDf > 0) col("df") <= maxDf else lit(true)))
+        .select("gram")
+      allPosts.join(kept, Seq("gram"), "left_semi")
     } else allPosts).cache()
-    val pairs = posts.as("a")
+    val rawPairs = posts.as("a")
       .join(posts.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
+    // add back the over-cap shingles' contribution to `inter`, for
+    // candidate pairs only: dropped postings join the (small) pair set
+    // on doc_id — never each other — so boilerplate can't reintroduce
+    // the quadratic term. Empty (zero-cost under AQE) when no shingle
+    // exceeds the cap, as on this corpus.
+    val pairs = if (maxDf > 0) {
+      val dropped = allPosts
+        .join(dfs.filter(col("df") > maxDf).select("gram"), Seq("gram"), "left_semi")
+      val extra = rawPairs.select(col("d1"), col("d2"))
+        .join(dropped.as("da"), col("d1") === col("da.doc_id"))
+        .join(dropped.as("db"),
+          col("d2") === col("db.doc_id") && col("da.gram") === col("db.gram"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("inter_over"))
+      rawPairs.join(extra, Seq("d1", "d2"), "left")
+        .select(col("d1"), col("d2"),
+          (col("inter") + coalesce(col("inter_over"), lit(0L))).as("inter"))
+    } else rawPairs
     pairs
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
@@ -72,15 +114,16 @@ object Dedup {
         round(col("inter") / (col("s1.n") + col("s2.n") - col("inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= tau)
-      .orderBy("d1", "d2")
   }
 
   /** MinHash + banded LSH near-dup pairs: k=32 minhashes, 8 bands of
     * 4 rows (candidate probability ≈ 1-(1-j⁴)⁸ — steep around j≈0.5).
     * Candidates come from one shuffle on band keys; exact Jaccard
     * verification joins the shingle sets back only for candidates.
-    * Rows-only oracle (hash family isn't portable SQL) — recall vs
-    * exact Jaccard is asserted in DedupSpec. */
+    * The hash family is [[PortableHash]] (md5-60bit base + affine
+    * salts), so the DuckDB oracle computes the identical signatures —
+    * value-checked, not rows-only. Recall vs exact Jaccard is
+    * additionally asserted in DedupSpec. */
   def minhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5,
       k: Int = 32, bands: Int = 8): DataFrame =
     minhashLshDf(Tables(spark, dir).documents, tau, k, bands)
@@ -92,18 +135,21 @@ object Dedup {
     // whole k-entry signature in ONE custom TypedImperativeAggregate
     // column (long[k] buffer, map-side partial mins — see
     // functions.MinHashAgg; bit-compatible with k separate
-    // min(xxhash64(i, h)) columns but one buffer instead of k agg
+    // min((a_i*h+b_i) mod P) columns but one buffer instead of k agg
     // slots). The nested-HOF formulation (Shingles.minhashSignature)
     // is interpreted per element and measured 20× slower.
     val r = k / bands
     val base = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+      .select(col("doc_id"), PortableHash.h60(col("gram")).as("h"))
     val sig = base.groupBy(col("doc_id"))
       .agg(SketchAggs.minhashAgg(col("h"), k).as("sig"))
+    // band key = plain "band#v1_v2_v3_v4" concat — deterministic and
+    // portable to the SQL oracle (no re-hash needed; the signature
+    // entries are already 31-bit)
     val bandKeyCols = (0 until bands).map(b =>
       concat(lit(s"$b#"),
-        xxhash64((b * r until (b + 1) * r).map(i =>
-          element_at(col("sig"), i + 1)): _*).cast("string")))
+        concat_ws("_", (b * r until (b + 1) * r).map(i =>
+          element_at(col("sig"), i + 1).cast("string")): _*)))
     val buckets = sig.select(col("doc_id"),
       explode(array(bandKeyCols: _*)).as("bk")).cache()
     val cands = buckets.as("a")
@@ -122,18 +168,20 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit chunk
     * bucketing (pigeonhole-complete for Hamming ≤ 3), verify with
-    * bit_count(xor). Rows-only oracle — spec-tested. */
+    * bit_count(xor). Signatures use the [[PortableHash]] md5-60bit
+    * base (bits 60-63 vote to 0 on both engines), so the DuckDB
+    * oracle reproduces them bit-for-bit — value-checked. */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
     simhashDf(Tables(spark, dir).documents, maxHamming)
 
   def simhashDf(docs: DataFrame, maxHamming: Int): DataFrame = {
-    // Same exploded-aggregate shape as minhash: one xxhash64 per
+    // Same exploded-aggregate shape as minhash: one portable hash per
     // shingle, one custom SimHashAgg column (long[64] vote buffer,
     // sign-packed on eval — bit-compatible with 64 sum-of-vote
     // columns, see SketchAggsSpec).
     val sigs = docGrams(docs)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+      .select(col("doc_id"), PortableHash.h60(col("gram")).as("h"))
       .groupBy(col("doc_id"))
       .agg(SketchAggs.simhashAgg(col("h")).as("sim"))
       .cache()
@@ -154,10 +202,14 @@ object Dedup {
     * component, drop the rest). Distributed min-label propagation:
     * each iteration joins labels across edges and keeps the minimum;
     * converges in O(component diameter) rounds (typically ≤ 5 for
-    * near-dup clusters; 20-round safety cap). Each round is one
-    * shuffle; lineage is truncated per round (localCheckpoint) so the
-    * loop survives arbitrarily many iterations at scale. */
-  def components(pairs: DataFrame): DataFrame = {
+    * near-dup clusters). Each round is ONE job and ONE shuffle
+    * (union + groupBy-min with map-side partial mins); the aggregate
+    * that materializes the lazily-localCheckpointed round result also
+    * yields Σcomp, whose monotone decrease doubles as the convergence
+    * test — no separate convergence scan. Lineage is truncated per
+    * round so the loop survives arbitrarily many iterations at
+    * scale. */
+  def components(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // materialize the pair derivation once — the union below references
     // it twice, and without this the whole upstream (shingling +
     // self-join) executes per side
@@ -169,26 +221,41 @@ object Dedup {
       .distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
-    var changed = 1L
+    // labels only ever decrease (min-propagation), so Σcomp strictly
+    // decreases on any change: convergence = the sum holding still.
+    // Decimal sum: a 100 TB graph's Σ(64-bit ids) overflows a long.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val viaNeighbors = edges
-        .join(labels, col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(min("comp").as("ncomp"))
-      // the changed flag rides along into the checkpoint so the
-      // convergence check is a cheap scan, not another join job
+    while (changed && rounds < maxRounds) {
+      // one round = one shuffle: each node keeps the min of its own
+      // label and its neighbors' labels (union + groupBy-min, with
+      // map-side partial mins)
       val next = labels
-        .join(viaNeighbors, col("node") === col("dst"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("ncomp2"),
-          (least(col("comp"), coalesce(col("ncomp"), col("comp"))) =!= col("comp"))
-            .as("ch"))
-        .withColumnRenamed("ncomp2", "comp")
-        .localCheckpoint()
-      changed = next.filter(col("ch")).count()
-      labels = next.drop("ch")
+        .unionAll(edges
+          .join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("comp")))
+        .groupBy(col("node"))
+        .agg(min("comp").as("comp"))
+        .localCheckpoint(eager = false)
+      // this aggregate materializes the lazy checkpoint AND evaluates
+      // convergence — one job per round, no separate scan
+      val s = labelSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
+      labels = next
       rounds += 1
+    }
+    if (changed) {
+      // surfacing beats silently emitting partial components: labels
+      // are still a valid refinement (over-segmented), but dedup built
+      // on them would under-merge
+      System.err.println(s"[graft] components: min-label propagation did not " +
+        s"converge within $maxRounds rounds (labels still moving); " +
+        s"raise maxRounds for graphs with diameter > $maxRounds")
     }
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
@@ -196,10 +263,15 @@ object Dedup {
 
   /** Dedup groups from n-gram Jaccard pairs: every doc that has a
     * near-dup, labeled with its component (= min doc_id in the
-    * cluster); `keep = doc_id == component`. */
+    * cluster); `keep = doc_id == component`. Feeds the *unsorted*
+    * pair set — the propagation loop would destroy a presentation
+    * sort anyway. */
   def ngramComponents(spark: SparkSession, dir: String,
       tau: Double = 0.1): DataFrame =
-    components(ngramJaccardDf(Tables(spark, dir).documents, tau))
+    // uncapped pair derivation: the iterative loop is latency-bound,
+    // and the cap's add-back joins cost ~6 scheduler stages that buy
+    // nothing here (dedup_ngram_jaccard exercises the capped path)
+    components(ngramJaccardPairs(Tables(spark, dir).documents, tau))
 
   /** Embedding cosine near-dup pairs, blocked by the `label` column
     * (the pre-clustering blocking pattern: at 100 TB the block key is

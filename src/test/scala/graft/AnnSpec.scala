@@ -54,7 +54,25 @@ class AnnSpec extends SparkSpecBase {
     val approx = topk(Ann.lsh(spark, Sf))
     val recall = recallOf(approx)
     info(s"lsh recall@5 = $recall")
-    assert(recall >= 0.35, s"lsh recall $recall below floor")
+    // Hamming-≤2 multiprobe: measured 0.82 on these (near-uniform,
+    // worst-case) vectors — up from 0.48 with the Hamming-1 ring
+    assert(recall >= 0.7, s"lsh recall $recall below floor")
+  }
+
+  test("ann plans have no per-qid Window (bounded-heap top-k aggregate instead)") {
+    for ((name, df) <- Seq(
+        "bruteforce" -> Ann.bruteforce(spark, Sf),
+        "lsh" -> Ann.lsh(spark, Sf),
+        "ivf" -> Ann.ivf(spark, Sf),
+        "quantized" -> Ann.quantized(spark, Sf))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"$name still funnels the scored corpus through a window:\n$p")
+      assert(p.contains("topk_by_score"),
+        s"$name should rank via the bounded top-k aggregate:\n$p")
+      assert(p.contains("partial_topk_by_score"),
+        s"$name top-k must combine map-side (partial aggregation):\n$p")
+    }
   }
 
   test("pre-built IVF index returns identical results with partition pruning") {

@@ -62,6 +62,46 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("df-capped ngram jaccard equals uncapped on this corpus") {
+    val docs = graft.core.Tables(spark, Sf).documents
+    val uncapped = Dedup.ngramJaccardDf(docs, tau = 0.1)
+      .collect().map(_.toSeq).toSeq
+    // 1000 is the production default (Dedup.ngramJaccard); max df on
+    // this corpus is 25 at sf0.1, so the cap must be a no-op
+    val capped = Dedup.ngramJaccardDf(docs, tau = 0.1, maxDf = 1000)
+      .collect().map(_.toSeq).toSeq
+    assert(capped == uncapped)
+    assert(uncapped.nonEmpty)
+  }
+
+  test("df cap keeps Jaccard exact when boilerplate shingles are dropped") {
+    // every doc shares an identical boilerplate header (ubiquitous
+    // shingles, df = n); the planted pair additionally shares rare
+    // content shingles. A tiny cap drops the boilerplate from
+    // candidate generation, but the add-back join must still count it
+    // into `inter`, so the pair's Jaccard is identical to uncapped.
+    val boiler = "this site uses cookies please accept our terms of service now"
+    val corpus = Seq(
+      (0L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, s"$boiler completely different words about catalyst plans"),
+      (3L, s"$boiler unrelated content discussing shuffle partitions")
+    ).toDF("doc_id", "text")
+    // τ=0.6 satisfies the exactness condition: a qualifying pair needs
+    // inter ≥ 0.6·|union| ≈ 10 shared shingles, more than the 9
+    // all-boilerplate shingles the cap drops — so every τ-pair keeps a
+    // sub-cap shared shingle and candidate generation cannot miss it
+    val uncapped = Dedup.ngramJaccardDf(corpus, tau = 0.6)
+      .collect().map(_.toSeq).toSet
+    val capped = Dedup.ngramJaccardDf(corpus, tau = 0.6, maxDf = 3)
+      .collect().map(_.toSeq).toSet
+    assert(capped == uncapped, s"capped=$capped uncapped=$uncapped")
+    // the planted near-dup pair survives, with its exact (add-back
+    // corrected) Jaccard; boilerplate-only pairs are below τ
+    assert(uncapped.exists(r => r.take(2) == Seq(0L, 1L)), s"got $uncapped")
+    assert(!uncapped.exists(r => r.take(2) == Seq(2L, 3L)))
+  }
+
   test("components groups transitively (A~B, B~C, A!~C chain)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("d1", "d2")

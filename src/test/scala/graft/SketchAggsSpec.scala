@@ -2,26 +2,29 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.SketchAggs
+import graft.functions.{PortableHash, SketchAggs}
 import graft.functions.Shingles
 
 /** The imperative sketch aggregates are bit-compatible with their
-  * declarative multi-column formulations. */
+  * declarative multi-column formulations (same [[PortableHash]]
+  * family the DuckDB oracle reproduces). */
 class SketchAggsSpec extends SparkSpecBase {
 
   private lazy val hashes = graft.core.Tables(spark, Sf).documents
     .select(col("doc_id"), Shingles.grams3(col("text")).as("grams"))
     .select(col("doc_id"), explode(col("grams")).as("gram"))
-    .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+    .select(col("doc_id"), PortableHash.h60(col("gram")).as("h"))
 
-  test("MinHashAgg equals k separate min(xxhash64(i, h)) columns") {
+  test("MinHashAgg equals k separate min((a_i*h + b_i) mod P) columns") {
     val k = 32
+    val (as, bs) = PortableHash.affineParams(k)
     val imperative = hashes.groupBy("doc_id")
       .agg(SketchAggs.minhashAgg(col("h"), k).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val declarative = hashes.groupBy("doc_id")
-      .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
+      .agg(min(PortableHash.salted(col("h"), as(0), bs(0))).as("m0"),
+        (1 until k).map(i =>
+          min(PortableHash.salted(col("h"), as(i), bs(i))).as(s"m$i")): _*)
       .collect().map(r => r.getLong(0) ->
         (0 until k).map(i => r.getLong(i + 1)).toSeq).toMap
     assert(imperative == declarative)

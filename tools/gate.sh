@@ -2,6 +2,7 @@
 # One-command local gate: compile, specs, 3-SF oracle verify, bench.
 # Usage: tools/gate.sh [quick]   (quick = sf0.01 verify only, no bench)
 set -e
+set -o pipefail
 cd "$(dirname "$0")/.."
 
 echo "=== sbt test ==="
@@ -20,6 +21,7 @@ done
 if [ "$1" != "quick" ]; then
   echo "=== bench sf0.1 ==="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '"metric.*' | head -c 200
-  echo
+    SPARK_GRAFT_BENCH_OUT=/tmp/gate_bench.json \
+    sbt -batch "runMain graft.Bench" > /dev/null 2>&1
+  cat /tmp/gate_bench.json; echo
 fi
