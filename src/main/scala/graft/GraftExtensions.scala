@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{BooleanType, IntegerType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType}
 
-import graft.functions.{AsciiTokens, CosineSimilarity, NGramShingles}
+import graft.functions.{AsciiTokens, CosineSimilarity, MinHashAgg,
+  NGramShingles, SimHashAgg, TopKFreqAgg, TopKScoreAgg}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -14,8 +15,10 @@ import graft.functions.{AsciiTokens, CosineSimilarity, NGramShingles}
   * {{{ spark.sql.extensions=graft.GraftExtensions }}}
   * or runtime on an existing session:
   * {{{ GraftFunctions.register(spark) }}}
-  * after which `SELECT cosine_sim(a, b)` and
-  * `SELECT ngram_shingles(tokens, 3)` work from plain SQL.
+  * after which `SELECT cosine_sim(a, b)`,
+  * `SELECT ngram_shingles(tokens, 3)`, and the sketch/top-k
+  * aggregates (`minhash_agg`, `simhash_agg`, `topk_by_score`,
+  * `topk_freq`) work from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -53,8 +56,53 @@ object GraftFunctions {
     AsciiTokens(exprs.head, digits)
   }
 
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  // Aggregate builders return the bare AggregateFunction — the
+  // analyzer wraps it in an AggregateExpression, same as built-ins.
+  private def minhashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "minhash_agg(hash_col, k)")
+    MinHashAgg(exprs(0), intLit(exprs(1), "minhash_agg", "k"))
+  }
+
+  private def simhashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "simhash_agg(hash_col)")
+    SimHashAgg(exprs.head)
+  }
+
+  private def topkScoreBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "topk_by_score(score, id, k)")
+    TopKScoreAgg(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType),
+      intLit(exprs(2), "topk_by_score", "k"))
+  }
+
+  private def topkFreqBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2 || exprs.length == 3,
+      "topk_freq(item, k[, capacity])")
+    val k = intLit(exprs(1), "topk_freq", "k")
+    val cap = exprs.lift(2).map(intLit(_, "topk_freq", "capacity"))
+      .getOrElse(4096)
+    TopKFreqAgg(exprs(0), k, cap)
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      minhashBuilder _),
+    (FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      simhashBuilder _),
+    (FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKScoreAgg].getName, "topk_by_score"),
+      topkScoreBuilder _),
+    (FunctionIdentifier("topk_freq"),
+      new ExpressionInfo(classOf[TopKFreqAgg].getName, "topk_freq"),
+      topkFreqBuilder _),
     (FunctionIdentifier("ascii_tokens"),
       new ExpressionInfo(classOf[AsciiTokens].getName, "ascii_tokens"),
       tokensBuilder _),

@@ -56,3 +56,89 @@ class TopKFreq(k: Int, capacity: Int)
 object TopKFreq {
   def topK(k: Int, capacity: Int = 4096): TopKFreq = new TopKFreq(k, capacity)
 }
+
+/** [[TopKFreq]]'s semantics as a Catalyst `TypedImperativeAggregate`,
+  * so heavy-hitters are callable from plain SQL
+  * (`SELECT topk_freq(word, 10) FROM ...` after
+  * [[graft.GraftFunctions.register]]). Same bounded-state rule: the
+  * counting map truncates to `capacity` entries at update/merge
+  * boundaries, ordered (count desc, item asc), so results are
+  * deterministic and exact while `capacity ≥` the true distinct count
+  * (TopKFreqSpec pins this aggregate to the typed Aggregator). */
+case class TopKFreqAgg(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    k: Int, capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[mutable.Map[String, Long]] {
+
+  require(k <= capacity, "capacity must be at least k")
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def createAggregationBuffer(): mutable.Map[String, Long] =
+    mutable.Map.empty
+
+  private def truncate(m: mutable.Map[String, Long]): mutable.Map[String, Long] =
+    if (m.size <= capacity) m
+    else mutable.Map(m.toSeq.sortBy { case (w, c) => (-c, w) }.take(capacity): _*)
+
+  override def update(m: mutable.Map[String, Long],
+      input: InternalRow): mutable.Map[String, Long] = {
+    val v = child.eval(input)
+    if (v == null) m
+    else {
+      val s = v.toString
+      m.update(s, m.getOrElse(s, 0L) + 1L)
+      truncate(m)
+    }
+  }
+
+  override def merge(x: mutable.Map[String, Long],
+      y: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+    y.foreach { case (w, c) => x.update(w, x.getOrElse(w, 0L) + c) }
+    truncate(x)
+  }
+
+  override def eval(m: mutable.Map[String, Long]): Any =
+    new GenericArrayData(
+      m.toSeq.sortBy { case (w, c) => (-c, w) }.take(k).map { case (w, c) =>
+        InternalRow(UTF8String.fromString(w), c)
+      }.toArray[Any])
+
+  override def serialize(m: mutable.Map[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(m.size)
+    m.foreach { case (w, c) => out.writeUTF(w); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.Map[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = mutable.Map.empty[String, Long]
+    (0 until n).foreach { _ => val w = in.readUTF(); m.update(w, in.readLong()) }
+    m
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "topk_freq"
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKFreqAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKFreqAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = c.head)
+}

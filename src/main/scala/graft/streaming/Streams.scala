@@ -162,12 +162,11 @@ object Streams {
       .toDF()
   }
 
-  /** foreachBatch landing sink: each micro-batch appends to a
-    * partitioned parquet layout (hour-partitioned here — the usual
-    * time-bucketed lake landing zone). foreachBatch is the surface
-    * that lets a stream reuse every batch writer (idempotent-append
-    * by batchId at scale). Drains synchronously; returns the query's
-    * checkpoint-free demo run. */
+  /** foreachBatch landing sink, plain-append flavor: each micro-batch
+    * appends to an hour-partitioned parquet layout (the usual
+    * time-bucketed lake landing zone). At-least-once: a retried batch
+    * appends again — use [[landIdempotent]] when the landing zone must
+    * survive replays without duplicates. Drains synchronously. */
   def landToParquet(events: DataFrame, outPath: String): Unit = {
     val q = events
       .withColumn("hour", date_trunc("hour", col("ts")))
@@ -176,6 +175,53 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.write.mode("append").partitionBy("hour").parquet(outPath)
       }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** One micro-batch's exactly-once landing: the rows go under their
+    * `_batch_id=<id>` partition with *dynamic* partition overwrite, so
+    * a retried/replayed batch REPLACES its own previous (possibly
+    * partial) output instead of appending a duplicate — the
+    * kafka-offset-shaped idempotence contract, keyed by Structured
+    * Streaming's replay-stable batchId. Factored out of the stream so
+    * replay behavior is directly testable (StreamingSpec). */
+  def landBatch(batch: DataFrame, batchId: Long, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      batch
+        .withColumn("_batch_id", lit(batchId))
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .write.mode("overwrite")
+        .partitionBy("_batch_id", "hour")
+        .parquet(outPath)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** foreachBatch landing sink, exactly-once flavor: [[landBatch]] per
+    * micro-batch. With a checkpoint location, a crash between "batch
+    * written" and "offsets committed" replays the batch on restart —
+    * and the dynamic overwrite of its `_batch_id` partition makes the
+    * replay a no-op rather than a duplicate. Readers filter on data
+    * columns; `_batch_id` is layout, not payload. */
+  def landIdempotent(events: DataFrame, outPath: String,
+      checkpointPath: Option[String] = None): Unit = {
+    val writer = events
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        landBatch(batch, batchId, outPath)
+      }
+    val q = checkpointPath
+      .map(cp => writer.option("checkpointLocation", cp))
+      .getOrElse(writer)
       .start()
     try q.processAllAvailable() finally q.stop()
   }

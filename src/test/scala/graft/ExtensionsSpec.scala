@@ -26,6 +26,45 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(letters == Seq("He", "said"))
   }
 
+  test("sketch and top-k aggregates work from spark.sql") {
+    GraftFunctions.register(spark)
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (1, 'b'), (1, 'a'), (2, 'c') t(g, w)")
+      .createOrReplaceTempView("words")
+
+    // minhash_agg: same signature as the Column-level aggregate
+    import org.apache.spark.sql.functions.{col, expr}
+    val viaSql = spark.sql(
+      "SELECT minhash_agg(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT), 8) FROM words")
+      .head().getSeq[Long](0)
+    val viaCol = spark.table("words")
+      .select(graft.functions.PortableHash.h60(col("w")).as("h"))
+      .agg(graft.functions.SketchAggs.minhashAgg(col("h"), 8))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaCol)
+
+    // simhash_agg packs to one long
+    val sim = spark.sql(
+      "SELECT simhash_agg(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)) FROM words")
+      .head().getLong(0)
+    val simCol = spark.table("words")
+      .select(graft.functions.PortableHash.h60(col("w")).as("h"))
+      .agg(graft.functions.SketchAggs.simhashAgg(col("h"))).head().getLong(0)
+    assert(sim == simCol)
+
+    // topk_by_score: per-group top-2 by (score desc, id asc)
+    val topk = spark.sql(
+      """SELECT g, topk_by_score(s, id, 2) AS top FROM VALUES
+         (1, 10, 0.5), (1, 11, 0.9), (1, 12, 0.9), (1, 13, 0.1)
+         t(g, id, s) GROUP BY g""").selectExpr("top.id").head().getSeq[Long](0)
+    assert(topk == Seq(11L, 12L))
+
+    // topk_freq: heavy hitters with (count desc, item asc) order
+    val freq = spark.sql(
+      "SELECT topk_freq(w, 2) FROM words WHERE g = 1").head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+    assert(freq == Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("ngram_shingles rejects a non-literal n") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -142,6 +142,30 @@ class StreamingSpec extends SparkSpecBase {
       "expected hour-partitioned layout")
   }
 
+  test("idempotent sink: a replayed batch overwrites itself — no duplicates") {
+    val out = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val events = graft.core.Tables(spark, Sf).events
+    val b0 = events.filter(col("event_id") % 2 === 0)
+    val b1 = events.filter(col("event_id") % 2 === 1)
+    Streams.landBatch(b0, 0L, out)
+    Streams.landBatch(b1, 1L, out)
+    val full = spark.read.parquet(out).count()
+    assert(full == events.count())
+    // exactly-once under replay: re-landing batch 1 (e.g. restart after
+    // a crash between write and offset commit) must change nothing
+    Streams.landBatch(b1, 1L, out)
+    assert(spark.read.parquet(out).count() == full, "replay duplicated rows")
+    // ...even a PARTIAL earlier attempt is healed: the replay replaces
+    // the batch's partition wholesale
+    Streams.landBatch(b1.limit(3), 1L, out)
+    Streams.landBatch(b1, 1L, out)
+    assert(spark.read.parquet(out).count() == full, "partial attempt not healed")
+    // and the streaming wrapper lands everything through the same path
+    val out2 = java.nio.file.Files.createTempDirectory("graft_idem2").toString
+    Streams.landIdempotent(Streams.readEvents(spark, path), out2)
+    assert(spark.read.parquet(out2).drop("_batch_id").count() == events.count())
+  }
+
   test("mapGroupsWithState running spend matches a batch aggregate") {
     val stream = Streams.runToMemory(
       Streams.runningSpend(spark, Streams.readEvents(spark, path)),

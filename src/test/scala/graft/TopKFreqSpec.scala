@@ -40,6 +40,19 @@ class TopKFreqSpec extends SparkSpecBase {
     assert(grouped.size > 1)
   }
 
+  test("SQL-registrable TopKFreqAgg matches the typed Aggregator") {
+    GraftFunctions.register(spark)
+    val words = graft.core.Tables(spark, Sf).documents
+      .select(explode(split(col("text"), "[^A-Za-z]+")).as("w"))
+      .filter(col("w") =!= "")
+    words.createOrReplaceTempView("tkf_words")
+    val viaSql = spark.sql("SELECT topk_freq(w, 10) FROM tkf_words").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val viaTyped = words.as[String].select(TopKFreq.topK(10, 4096).toColumn).head()
+    assert(viaSql == viaTyped)
+  }
+
   test("truncation keeps the heaviest items when capacity is exceeded") {
     // 100 distinct items with distinct frequencies, capacity 20
     val data = (1 to 100).flatMap(i => Seq.fill(i)(s"item_$i")).toDS()
