@@ -68,10 +68,11 @@ object SparkEntry {
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
     "ann_lsh" -> (Ann.lsh _),
-    "ann_ivf" -> (Ann.ivf _),
+    "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "ann_quantized" -> (Ann.quantized _),
     // G. multimodal plumbing
     "mm_meta_stats" -> (Multimodal.metaStats _),
+    "mm_frame_sample" -> (Multimodal.frameSampleStats _),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
@@ -589,7 +590,7 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY q.qid
                       ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
                                c.cent_id) AS rn
-             FROM q CROSS JOIN c) WHERE rn <= 4),
+             FROM q CROSS JOIN c) WHERE rn <= 8),
          scored AS (
            SELECT DISTINCT p.qid, s.vec_id,
                   round(list_cosine_similarity(s.emb, p.qe), 6) AS cosine
@@ -633,6 +634,26 @@ object SparkEntry {
                 max(CASE WHEN fmt = 'video' THEN 1 + plen % 100 ELSE 1 END) AS max_frames,
                 CAST(sum(plen) AS BIGINT) AS total_bytes
          FROM m GROUP BY fmt ORDER BY fmt""",
+    // Mirrors Multimodal.sampleFramesBatch's deterministic stub:
+    // videos are doc_id % 3 = 2, frame count 1 + len % 100, uniform
+    // stride ceil(n/8), per-frame brightness = byte probe at
+    // (frame * 997) mod len (ASCII corpus: byte == char, so
+    // ascii % 128 == byte & 0x7f).
+    "mm_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id, text, length(text) AS len,
+                  1 + length(text) % 100 AS n_frames
+           FROM documents
+           WHERE CAST(doc_id % 3 AS INT) = 2 AND length(text) > 0),
+         f AS (
+           SELECT doc_id, text, len,
+                  unnest(range(0, n_frames,
+                    CAST(ceil(n_frames / 8.0) AS BIGINT))) AS fi
+           FROM v)
+         SELECT doc_id, count(*) AS n_sampled, max(fi) AS last_frame,
+                round(avg(ascii(substring(text, CAST((fi * 997) % len + 1 AS INT), 1)) % 128),
+                      6) AS avg_brightness
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
     // Same 16-bit-limb bucket arithmetic as TextOps.splitAssignment —
     // equal to (doc_id * 2654435761) % 2^32 but overflow-free for
     // doc_id beyond ~3.5e9 on both engines.

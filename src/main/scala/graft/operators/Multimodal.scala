@@ -67,6 +67,47 @@ object Multimodal {
     blobs.mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeBatch))
   }
 
+  /** One sampled video frame's extracted feature (brightness stands in
+    * for whatever a real decoder would emit per frame). */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, brightness: Int)
+
+  /** STUB frame decode, one batch (same integration contract as
+    * [[decodeBatch]]): uniform-stride sampling of ≤ k frames per video
+    * — the standard way a training pipeline thins video to frames —
+    * with a deterministic per-frame byte probe standing in for the
+    * pixel decode. Deterministic ⇒ oracle-mirrorable in SQL. */
+  private[graft] def sampleFramesBatch(batch: Seq[MediaBlob],
+      k: Int): Seq[FrameSample] =
+    batch.filter(b => b.fmt == "video" && b.payload.nonEmpty).flatMap { b =>
+      val len = b.payload.length
+      val n = 1 + len % 100                       // stub frame count (see decodeBatch)
+      val stride = math.ceil(n / k.toDouble).toInt
+      (0 until n by stride).map { fi =>
+        FrameSample(b.doc_id, fi,
+          b.payload(((fi.toLong * 997L) % len).toInt) & 0x7f)
+      }
+    }
+
+  /** Partition-wise batched frame sampling: map-side only, no shuffle;
+    * one blob fans out to ≤ k frame rows. At 100 TB this is the step
+    * that turns a video corpus into a frame-level training table. */
+  def sampleFrames(blobs: Dataset[MediaBlob], k: Int = 8): Dataset[FrameSample] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(
+      _.grouped(DecodeBatchSize).flatMap(b => sampleFramesBatch(b, k)))
+  }
+
+  /** Per-video stats over the sampled frames — frame extraction
+    * feeding straight back into declarative aggregation.
+    * Oracle-checked (deterministic stub). */
+  def frameSampleStats(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(blobs(spark, dir))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max("frame_idx").as("last_frame"),
+        round(avg("brightness"), 6).as("avg_brightness"))
+      .orderBy("doc_id")
+
   /** Per-format metadata stats — the downstream relational op that
     * proves decoded metadata joins back into the declarative world.
     * Oracle-checked: the stub is deterministic, so DuckDB mirrors it

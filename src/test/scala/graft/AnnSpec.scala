@@ -94,6 +94,7 @@ class AnnSpec extends SparkSpecBase {
     val approx = topk(Ann.ivf(spark, Sf))
     val recall = recallOf(approx)
     info(s"ivf recall@5 = $recall")
-    assert(recall >= 0.4, s"ivf recall $recall below floor")
+    // nprobe=8: measured 0.76 on these clusterless vectors
+    assert(recall >= 0.6, s"ivf recall $recall below floor")
   }
 }

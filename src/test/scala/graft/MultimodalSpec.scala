@@ -26,6 +26,31 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("frame sampling thins videos to <= k uniform-stride frames") {
+    val frames = Multimodal.sampleFrames(Multimodal.blobs(spark, Sf), k = 8)
+      .collect()
+    assert(frames.nonEmpty)
+    // only videos produce frames; every probe is a 7-bit value
+    frames.foreach { f =>
+      assert(f.doc_id % 3 == 2, s"non-video doc ${f.doc_id} sampled")
+      assert(f.brightness >= 0 && f.brightness < 128)
+    }
+    val perDoc = frames.groupBy(_.doc_id)
+    perDoc.foreach { case (id, fs) =>
+      assert(fs.length <= 8, s"doc $id sampled ${fs.length} frames")
+      // uniform stride: consecutive sampled indices are equally spaced
+      val idx = fs.map(_.frame_idx).sorted
+      if (idx.length > 2) {
+        val deltas = idx.sliding(2).map(p => p(1) - p(0)).toSet
+        assert(deltas.size == 1, s"doc $id non-uniform stride $idx")
+      }
+    }
+    // deterministic: a second run yields the identical frame set
+    val again = Multimodal.sampleFrames(Multimodal.blobs(spark, Sf), k = 8)
+      .collect()
+    assert(frames.toSet == again.toSet)
+  }
+
   test("decodeBatch is deterministic (stub contract for the oracle)") {
     val blob = Multimodal.MediaBlob(7L, "video", "hello world".getBytes("UTF-8"))
     val a = Multimodal.decodeBatch(Seq(blob))

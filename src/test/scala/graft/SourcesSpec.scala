@@ -64,4 +64,14 @@ class SourcesSpec extends SparkSpecBase {
     roundtrip(d => IO.writeJson(sample, d),
       d => IO.readJson(spark, d, sample.schema))
   }
+
+  test("orc round-trip with filter pushdown") {
+    roundtrip(d => IO.writeOrc(sample, d), d => IO.readOrc(spark, d))
+    val dir = Files.createTempDirectory("graft_orc").toString
+    IO.writeOrc(sample, dir)
+    val filtered = IO.readOrc(spark, dir).filter(col("o_totalprice") > 300000)
+    val planStr = { filtered.collect(); filtered.queryExecution.executedPlan.toString }
+    assert(planStr.contains("PushedFilters: [") &&
+      planStr.contains("o_totalprice"), s"expected ORC pushdown:\n$planStr")
+  }
 }
