@@ -70,6 +70,7 @@ object SparkEntry {
     "ann_lsh" -> (Ann.lsh _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "ann_quantized" -> (Ann.quantized _),
+    "emb_centroids" -> (Ann.centroidStats _),
     // G. multimodal plumbing
     "mm_meta_stats" -> (Multimodal.metaStats _),
     "mm_frame_sample" -> (Multimodal.frameSampleStats _),
@@ -602,6 +603,13 @@ object SparkEntry {
            FROM scored)
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // Per-(label, dim) means over the embedding corpus; DOUBLE[] cast
+    // on both sides so the accumulation arithmetic matches.
+    "emb_centroids" ->
+      """SELECT label, i - 1 AS dim, count(*) AS n,
+                round(avg(CAST(embedding AS DOUBLE[])[i]), 6) AS mean_v
+         FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+         GROUP BY label, dim ORDER BY label, dim""",
     // Random-hyperplane LSH with the hyperplanes inlined as DOUBLE
     // literals (the exact double values of Ann.planes' floats): same
     // sign bits, same buckets, same Hamming-≤2 multiprobe ring, same

@@ -229,6 +229,21 @@ object Ann {
     topkPerQuery(exact)
   }
 
+  /** Per-(label, dimension) embedding statistics — the input a coarse
+    * quantizer / codebook trainer consumes (and the standard sanity
+    * sweep over an embedding corpus: per-cluster means, coverage).
+    * Exploded-aggregate shape: posexplode to (label, dim, value),
+    * one partial-aggregating groupBy — no wide 64-column agg, and the
+    * same plan works for any dimensionality. Oracle-checked. */
+  def centroidStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        col("col").cast("double").as("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), round(avg("v"), 6).as("mean_v"))
+      .orderBy("label", "dim")
+
   /** Write-time IVF index: the corpus laid out partitioned by cell.
     * At 100 TB this is how ANN actually serves — cell assignment is
     * paid once at ingest (per-row broadcast-codebook argmax, no

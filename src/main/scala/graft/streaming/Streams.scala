@@ -162,6 +162,18 @@ object Streams {
       .toDF()
   }
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exact]]'s first pass: drop duplicate
+    * event_ids as they arrive, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`: a duplicate arriving within
+    * the watermark delay is dropped; state for older keys is evicted,
+    * which is the only state contract that survives an unbounded
+    * stream at 100 TB/day). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** foreachBatch landing sink, plain-append flavor: each micro-batch
     * appends to an hour-partitioned parquet layout (the usual
     * time-bucketed lake landing zone). At-least-once: a retried batch

@@ -126,6 +126,20 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("sketch signatures combine map-side (partial custom aggregates in plan)") {
+    val docs = graft.core.Tables(spark, Sf).documents
+    val mh = Dedup.minhashLshDf(docs, tau = 0.5)
+    mh.collect()
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    assert(mhPlan.contains("partial_minhash_agg"),
+      s"minhash signature must partial-aggregate before the shuffle:\n$mhPlan")
+    val sh = Dedup.simhashDf(docs, maxHamming = 3)
+    sh.collect()
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert(shPlan.contains("partial_simhash_agg"),
+      s"simhash signature must partial-aggregate before the shuffle:\n$shPlan")
+  }
+
   test("embedding dedup agrees with HOF cosine reference") {
     import org.apache.spark.sql.functions._
     import graft.functions.Vectors

@@ -142,6 +142,23 @@ class StreamingSpec extends SparkSpecBase {
       "expected hour-partitioned layout")
   }
 
+  test("streaming exact dedup drops within-watermark duplicates") {
+    import java.nio.file._
+    // stage the same events file TWICE — every event arrives twice
+    val dir = Files.createTempDirectory("graft_dedup_stream")
+    Files.copy(Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val deduped = Streams.runToMemory(
+      Streams.dedupEvents(Streams.readEvents(spark, dir.toString)),
+      "dedup_stream", OutputMode.Append())
+    val want = graft.core.Tables(spark, Sf).events.count()
+    assert(deduped.count() == want,
+      s"expected $want unique events, got ${deduped.count()}")
+    assert(deduped.select("event_id").distinct().count() == want)
+  }
+
   test("idempotent sink: a replayed batch overwrites itself — no duplicates") {
     val out = java.nio.file.Files.createTempDirectory("graft_idem").toString
     val events = graft.core.Tables(spark, Sf).events

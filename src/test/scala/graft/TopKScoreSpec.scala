@@ -39,6 +39,27 @@ class TopKScoreSpec extends SparkSpecBase {
     assert(got == Seq((1, 1, 10L, 0.9), (1, 2, 11L, 0.8)))
   }
 
+  test("randomized property: agrees with reference sort under ties, dups, partitioning") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 8) {
+      val n = 50 + rnd.nextInt(400)
+      // coarse score grid forces many exact ties; id range forces
+      // duplicate (score, id) pairs across partitions
+      val rows = (0 until n).map { _ =>
+        (rnd.nextInt(3), rnd.nextInt(40).toLong, rnd.nextInt(10) / 10.0)
+      }
+      val k = 1 + rnd.nextInt(7)
+      val parts = 1 + rnd.nextInt(16)
+      val got = topkVia(rows.toDF("g", "id", "s").repartition(parts), k)
+      val want = rows.distinct.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex.map {
+          case ((_, id, s), i) => (g, i + 1, id, s)
+        }
+      }.sortBy(t => (t._1, t._2))
+      assert(got == want, s"trial $trial (n=$n k=$k parts=$parts)")
+    }
+  }
+
   test("groups smaller than k emit all entries; merge across many partitions") {
     val n = 1000
     val rows = (0 until n).map(i => (i % 4, i.toLong, (i % 97).toDouble))
