@@ -71,6 +71,7 @@ object SparkEntry {
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "ann_quantized" -> (Ann.quantized _),
     "emb_centroids" -> (Ann.centroidStats _),
+    "ann_knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
     // G. multimodal plumbing
     "mm_meta_stats" -> (Multimodal.metaStats _),
     "mm_frame_sample" -> (Multimodal.frameSampleStats _),
@@ -115,9 +116,11 @@ object SparkEntry {
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank"""
 
-  /** ann_lsh oracle, generated from the same plane constants and probe
-    * masks the Spark operator uses. */
-  private lazy val annLshSql: String = {
+  /** Shared LSH-bucket CTE prefix (`e`/`b`/`ck`), generated from the
+    * same plane constants the Spark operators use: per-vector
+    * DOUBLE[] cast, the 4 per-table 8-sign-bit bucket ints, and the
+    * 4 "t#bucket" corpus keys. */
+  private lazy val lshBucketCte: String = {
     def planeLit(p: Array[Float]): String =
       p.map(_.toDouble.toString).mkString("[", ", ", "]")
     def bucketExpr(t: Int): String =
@@ -128,15 +131,21 @@ object SparkEntry {
       .map(t => s"${bucketExpr(t)} AS b$t").mkString(",\n                ")
     val corpusKeys = (0 until 4)
       .map(t => s"'$t#' || CAST(b$t AS VARCHAR)").mkString(", ")
-    val probeKeys = (0 until 4)
-      .map(t => s"'$t#' || CAST(xor(b$t, m) AS VARCHAR)").mkString(", ")
-    val masks = operators.Ann.probeMasks.mkString("[", ", ", "]")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                    FROM embeddings),
          b AS (SELECT vec_id,
                 $bucketCols
                FROM e),
-         ck AS (SELECT vec_id, unnest([$corpusKeys]) AS k FROM b),
+         ck AS (SELECT vec_id, unnest([$corpusKeys]) AS k FROM b)"""
+  }
+
+  /** ann_lsh oracle, generated from the same plane constants and probe
+    * masks the Spark operator uses. */
+  private lazy val annLshSql: String = {
+    val probeKeys = (0 until 4)
+      .map(t => s"'$t#' || CAST(xor(b$t, m) AS VARCHAR)").mkString(", ")
+    val masks = operators.Ann.probeMasks.mkString("[", ", ", "]")
+    s"""WITH $lshBucketCte,
          pm AS (SELECT unnest($masks) AS m),
          pk AS (SELECT qid, unnest([$probeKeys]) AS k
                 FROM (SELECT vec_id AS qid, b0, b1, b2, b3 FROM b
@@ -158,6 +167,26 @@ object SparkEntry {
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank"""
   }
+
+  /** ann_knn_join oracle: same bucket CTE, self-joined. */
+  private lazy val annKnnJoinSql: String =
+    s"""WITH $lshBucketCte,
+         cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
+                  FROM ck a JOIN ck b
+                    ON a.k = b.k AND a.vec_id <> b.vec_id),
+         scored AS (
+           SELECT c.qid, c.vid AS vec_id,
+                  round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+           FROM cand c
+           JOIN e ea ON ea.vec_id = c.qid
+           JOIN e eb ON eb.vec_id = c.vid),
+         ranked AS (
+           SELECT qid, vec_id, cosine,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+         SELECT qid, rank, vec_id, cosine FROM ranked
+         WHERE rank <= 3 ORDER BY qid, rank"""
 
   /** dedup_minhash_lsh oracle, generated from the same affine salt
     * parameters as [[graft.functions.MinHashAgg]]. */
@@ -615,6 +644,9 @@ object SparkEntry {
     // sign bits, same buckets, same Hamming-≤2 multiprobe ring, same
     // candidate set, exact cosine top-5.
     "ann_lsh" -> annLshSql,
+    // Bucketed KNN self-join: deterministic given the planes, so the
+    // bucket rule is the semantics and the oracle checks it exactly.
+    "ann_knn_join" -> annKnnJoinSql,
     // MinHash-LSH over the portable hash family: identical 32-entry
     // signatures (md5-60bit base, affine salts over 2³¹−1, literal
     // parameters below), identical "band#v_v_v_v" bucket keys, exact

@@ -130,6 +130,30 @@ object Ann {
     topkPerQuery(scored)
   }
 
+  /** LSH-bucketed KNN self-join: every corpus vector's top-k
+    * neighbors among its bucket-mates — the all-corpus
+    * neighbor-table build (embedding near-dup candidates, hard-negative
+    * mining) WITHOUT the N² cross join: candidates only from the 4
+    * per-table bucket equi-joins, ranked by the bounded top-k
+    * aggregate. Deterministic given the planes, so fully
+    * oracle-checked (unlike the query-set ops, no recall argument is
+    * needed — the bucket rule IS the semantics). */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val keyed = withBuckets(emb(spark, dir), "embedding")
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until NTables).map(t =>
+          concat(lit(s"$t#"), col(s"b$t").cast("string"))): _*)).as("bucket"))
+      .cache()
+    val scored = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        round(Vectors.cosineSim(col("a.embedding"), col("b.embedding")), 6)
+          .as("cosine"))
+    topkPerQuery(scored, k)
+  }
+
   // --- IVF-style coarse quantizer ---------------------------------
 
   private[graft] val CentroidStride = 29

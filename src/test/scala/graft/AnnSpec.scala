@@ -59,6 +59,30 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.7, s"lsh recall $recall below floor")
   }
 
+  test("bucketed knn join: no self-pairs, <= k neighbors, scores are true cosines") {
+    val knn = Ann.knnJoin(spark, Sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(knn.nonEmpty)
+    knn.foreach { case (q, _, v, _) => assert(q != v, s"self-pair $q") }
+    knn.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 3, s"vector $q has ${rs.length} neighbors")
+      // ranks are 1..n and scores non-increasing
+      assert(rs.sortBy(_._2).map(_._2).toSeq == (1 to rs.length))
+      val scores = rs.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // spot-check: a reported neighbor's cosine matches a direct compute
+    val (q, _, v, c) = knn.head
+    val e = graft.core.Tables(spark, Sf).embeddings
+      .filter(org.apache.spark.sql.functions.col("vec_id").isin(q, v))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val (a, b) = (e(q), e(v))
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val exact = dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+      math.sqrt(b.map(x => x.toDouble * x).sum))
+    assert(math.abs(exact - c) < 1e-5, s"cosine $c vs recomputed $exact")
+  }
+
   test("ann plans have no per-qid Window (bounded-heap top-k aggregate instead)") {
     for ((name, df) <- Seq(
         "bruteforce" -> Ann.bruteforce(spark, Sf),
