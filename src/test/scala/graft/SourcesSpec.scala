@@ -65,6 +65,28 @@ class SourcesSpec extends SparkSpecBase {
       d => IO.readJson(spark, d, sample.schema))
   }
 
+  test("DSv2 word-count source reads the reference's own outputs with pruning") {
+    val dir = "/root/reference/output_compare/mr-wordc"
+    val df = spark.read.format("graft.sources.WordCountSource").load(dir)
+    // totals agree with a plain-text parse of the same files
+    val viaText = spark.read.textFile(dir).filter(_.nonEmpty).collect()
+      .map { l => val i = l.lastIndexOf(", "); l.substring(i + 2).trim.toLong }
+      .sum
+    assert(df.agg(sum(col("cnt"))).head().getLong(0) == viaText)
+    // the reference's sorted-per-file invariant survives the read
+    val one = spark.read.format("graft.sources.WordCountSource")
+      .load(s"$dir/doc-0.txt").collect().map(_.getString(0))
+    assert(one.toSeq == one.sortBy(identity[String]).toSeq && one.nonEmpty)
+    // column pruning reaches the reader: a words-only projection's
+    // BatchScan outputs just the word attribute, cnt never leaves it
+    val words = df.select("word")
+    words.collect()
+    val scanLine = words.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("word#") && !scanLine.contains("cnt#"),
+      s"expected pruned scan output: $scanLine")
+  }
+
   test("orc round-trip with filter pushdown") {
     roundtrip(d => IO.writeOrc(sample, d), d => IO.readOrc(spark, d))
     val dir = Files.createTempDirectory("graft_orc").toString
