@@ -81,6 +81,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "pipeline_clean" -> (TextOps.pipelineClean _),
     "pipeline_split" -> (TextOps.pipelineSplit _),
+    "pipeline_pack" -> ((s: SparkSession, d: String) => TextOps.pipelinePack(s, d)),
     "text_langid" -> (TextOps.textLangid _),
   )
 
@@ -713,6 +714,27 @@ object SparkEntry {
          SELECT split, count(*) AS n, min(doc_id) AS min_id,
                 max(doc_id) AS max_id
          FROM s GROUP BY split ORDER BY split""",
+    // Running token total per source, pack = starting offset / budget.
+    "pipeline_pack" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, n_tok,
+                  CAST(sum(n_tok) OVER (PARTITION BY source
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+           FROM t),
+         p AS (
+           SELECT source, doc_id, n_tok,
+                  (cum - n_tok) // 2048 AS pack_id
+           FROM c)
+         SELECT source, pack_id, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM p GROUP BY source, pack_id ORDER BY source, pack_id""",
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_m,
                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,

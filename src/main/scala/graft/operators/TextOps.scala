@@ -112,6 +112,36 @@ object TextOps {
       .orderBy("split")
   }
 
+  /** Token-budget sequence packing — the step that turns a cleaned
+    * corpus into fixed-budget training shards: docs are laid out in
+    * stable (source, doc_id) order, a running token total assigns
+    * each doc to the pack its *starting* offset falls in, and packs
+    * report their doc count and token fill.
+    *
+    * Scale shape: the running sum windows by `source`, so shards pack
+    * in parallel across sources (the unit real pipelines pack within
+    * anyway — a global single-ordered window would serialize the
+    * corpus through one task). Deterministic: (source, doc_id) is a
+    * total order, so every engine and every retry derives identical
+    * packs. */
+  def pipelinePack(spark: SparkSession, dir: String,
+      budget: Long = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      // integer `div`, not floor(double /): a source's running token
+      // total can pass 2^53 at 100 TB and double division would
+      // misassign packs
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
   /** Overflow-safe split bucket + assignment (see [[pipelineSplit]]).
     * `(A·id) mod 2³² = (A·lo) mod 2³²` where `lo = id mod 2³²`; with
     * `lo = l1·2¹⁶ + l0`, that is
