@@ -40,6 +40,8 @@ object SparkEntry {
     "q_anti_join" -> (Relational.qAntiJoin _),
     "q_union_agg" -> (Relational.qUnionAgg _),
     "q_rollup" -> (Relational.qRollup _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "q_salted_join" -> (Relational.qSaltedJoin _),
     "q_pivot" -> (Relational.qPivot _),
     "q_case_agg" -> (Relational.qCaseAgg _),
     "q_month_revenue" -> (Relational.qMonthRevenue _),
@@ -372,6 +374,19 @@ object SparkEntry {
                 round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    // the PLAIN join: a hash match proves the salted join is
+    // value-invisible
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                sum(CAST(round((o_totalprice) * 100, 0) AS BIGINT)) / 100.0 AS spend
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_pivot" ->
       """SELECT o_orderstatus,
                 sum(CAST(round((CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS urgent,

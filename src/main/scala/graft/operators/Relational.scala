@@ -185,6 +185,37 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * here one aggregate pass produces BOTH per-returnflag and
+    * per-linestatus marginals (each row belongs to exactly the sets
+    * that mention its columns; Catalyst plans one Expand + one
+    * aggregate, not two scans). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** The salted join as checked surface: orders⋈customer through
+    * [[graft.functions.Skew.saltedJoin]] (hot keys spread over 8
+    * reducers), aggregated per market segment. The oracle is the
+    * PLAIN join's SQL — passing means salting is value-invisible,
+    * checked by the driver, not just by SkewSpec. */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables(spark, dir).customer
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.functions.Skew.saltedJoin(o, c, "o_custkey", saltFactor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("spend"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Pivot as conditional aggregation (one column per priority class). */
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
