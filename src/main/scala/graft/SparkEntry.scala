@@ -26,6 +26,7 @@ object SparkEntry {
     "mr_wordcount" -> (TextMR.wordcount _),
     "mr_grep_count" -> (TextMR.grepCount _),
     "mr_inverted_index" -> (TextMR.invertedIndex _),
+    "mr_topwords" -> ((s: SparkSession, d: String) => TextMR.topWords(s, d)),
     // B. relational
     "q1_agg" -> (Relational.q1Agg _),
     "q3_join_topk" -> (Relational.q3JoinTopk _),
@@ -282,6 +283,22 @@ object SparkEntry {
          SELECT word, count(*) AS df,
                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
          FROM wd GROUP BY word ORDER BY word""",
+    // full per-source wordcount + window: the heavy-hitters aggregate
+    // is exact while capacity >= per-source vocabulary, so the hash
+    // must match the exhaustive computation
+    "mr_topwords" ->
+      """WITH w AS (
+           SELECT source,
+                  unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+           FROM documents),
+         c AS (SELECT source, word, count(*) AS cnt FROM w
+               WHERE word <> '' GROUP BY source, word),
+         r AS (SELECT source, word, cnt,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY cnt DESC, word) AS rank
+               FROM c)
+         SELECT source, rank, word, cnt FROM r
+         WHERE rank <= 10 ORDER BY source, rank""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,

@@ -55,6 +55,15 @@ class TopKFreq(k: Int, capacity: Int)
 
 object TopKFreq {
   def topK(k: Int, capacity: Int = 4096): TopKFreq = new TopKFreq(k, capacity)
+
+  /** [[TopKFreqAgg]] as a Column aggregate (for DataFrame use without
+    * SQL registration). */
+  def topkFreqAgg(item: org.apache.spark.sql.Column, k: Int,
+      capacity: Int = 4096): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      TopKFreqAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(item),
+        k, capacity).toAggregateExpression())
 }
 
 /** [[TopKFreq]]'s semantics as a Catalyst `TypedImperativeAggregate`,

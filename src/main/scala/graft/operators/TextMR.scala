@@ -41,6 +41,25 @@ object TextMR {
       .agg(count(lit(1)).as("n_match"))
       .orderBy("source")
 
+  /** Top-k most frequent words per source through the bounded
+    * heavy-hitters aggregate ([[graft.functions.TopKFreqAgg]]):
+    * map-side truncated counting maps, ONE shuffle on source, ≤ k
+    * rows out per group — the per-group reduce the reference's
+    * single-thread reducer could never parallelize. Exact while
+    * `capacity` covers the per-source vocabulary (it does here by
+    * orders of magnitude; the driver's oracle hash-match against a
+    * full wordcount + window is the proof). */
+  def topWords(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"),
+        explode(TokenCol.letterTokens(col("text"))).as("w"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKFreq.topkFreqAgg(col("w"), k).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.item").as("word"), col("col.cnt").as("cnt"))
+      .orderBy("source", "rank")
+
   /** The reference's own wordcount job, byte-for-byte: tokens are
     * `[A-Za-z0-9]+` runs (case-sensitive — `ta'en` → `ta`,`en`; digit
     * runs like `000` are distinct words), one `word, count` line per

@@ -162,6 +162,29 @@ object Streams {
       .toDF()
   }
 
+  /** The on-disk documents schema. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a documents parquet path. */
+  def readDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(documentsSchema).parquet(path)
+
+  /** Streaming twin of the reference's flagship wordcount: running
+    * word counts over a document stream (complete-mode aggregation —
+    * the state is the count table itself, exactly the reducer's
+    * in-memory map in the reference, but partitioned and
+    * fault-tolerant). StreamingSpec pins it to the batch wordcount. */
+  def wordcountStream(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.functions.TokenCol.letterTokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.operators.Dedup.exact]]'s first pass: drop duplicate
     * event_ids as they arrive, with state bounded by the watermark

@@ -142,6 +142,22 @@ class StreamingSpec extends SparkSpecBase {
       "expected hour-partitioned layout")
   }
 
+  test("streaming wordcount matches the batch flagship job") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_wc_stream")
+    Files.copy(Paths.get(s"$Sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = Streams.runToMemory(
+      Streams.wordcountStream(Streams.readDocuments(spark, dir.toString)),
+      "wc_stream")
+    val got = stream.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.operators.TextMR.wordcount(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming exact dedup drops within-watermark duplicates") {
     import java.nio.file._
     // stage the same events file TWICE — every event arrives twice
