@@ -50,6 +50,7 @@ object SparkEntry {
     "q_percentiles" -> (Relational.qPercentiles _),
     "q7_nation_volume" -> (Relational.q7NationVolume _),
     "q10_returned" -> (Relational.q10Returned _),
+    "q18_big_orders" -> (Relational.q18BigOrders _),
     "q_correlated_sub" -> (Relational.qCorrelatedSub _),
     "q_in_sub" -> (Relational.qInSub _),
     "q_cube" -> (Relational.qCube _),
@@ -455,6 +456,16 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1997-07-01'
          GROUP BY c_custkey, c_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q18_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                round(sum(l_quantity), 2) AS total_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING sum(l_quantity) > 300)
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q_correlated_sub" ->
       """SELECT p_brand, p_partkey, p_name, p_retailprice FROM part p
          WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2

@@ -293,6 +293,30 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q18 shape (large-volume orders): a HAVING-filtered
+    * aggregate over the fact table acts as a semi-join filter on
+    * orders, then customer + lineitem join back for the report. The
+    * big-orders set is computed ONCE (one groupBy on l_orderkey with
+    * map-side partial sums) and semi-joined — at 100 TB that
+    * aggregate-then-semi-join is the only shape that doesn't
+    * re-aggregate inside a correlated subquery per row. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 300)
+      .select(col("l_orderkey").as("big_orderkey"))
+    t.orders
+      .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Correlated scalar subquery (SQL surface): priciest part(s) per
     * brand. Catalyst rewrites the correlation into a join. */
   def qCorrelatedSub(spark: SparkSession, dir: String): DataFrame = {
