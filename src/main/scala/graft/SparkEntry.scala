@@ -37,6 +37,8 @@ object SparkEntry {
     "q_distinct_agg" -> (Relational.qDistinctAgg _),
     "q_window_rank" -> (Relational.qWindowRank _),
     "q_window_running" -> (Relational.qWindowRunning _),
+    "q_window_range" -> (Relational.qWindowRange _),
+    "q_return_ratio" -> (Relational.qReturnRatio _),
     "q_semi_join" -> (Relational.qSemiJoin _),
     "q_anti_join" -> (Relational.qAntiJoin _),
     "q_union_agg" -> (Relational.qUnionAgg _),
@@ -369,6 +371,23 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                   AS running_spend
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+                  AS spend_30d
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_return_ratio" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+                round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                         AS DOUBLE), 6) AS return_share,
+                count(*) AS n
+         FROM lineitem GROUP BY month ORDER BY month""",
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders

@@ -144,6 +144,37 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** RANGE-frame window (vs [[qWindowRunning]]'s ROWS frame): rolling
+    * 30-day spend per customer — the frame is a VALUE interval over
+    * epoch seconds, so same-day orders are peers and contribute to
+    * each other's total, which a ROWS frame cannot express. */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_s"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"), col("epoch_s"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Conditional-ratio aggregate: returned-revenue share per month —
+    * both numerator and denominator as exact integer-cent sums (any
+    * aggregation order), one double division rounded at the end. */
+  def qReturnRatio(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    Tables(spark, dir).lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(
+        round(sum(when(col("l_returnflag") === "R", cents).otherwise(lit(0L)))
+            .cast("double") / sum(cents).cast("double"), 6)
+          .as("return_share"),
+        count(lit(1)).as("n"))
+      .orderBy("month")
+  }
+
   /** EXISTS via left_semi: customers with at least one urgent order. */
   def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
