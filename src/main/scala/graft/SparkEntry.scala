@@ -66,7 +66,9 @@ object SparkEntry {
     "q_range_join" -> (Events.qRangeJoin _),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
-    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    // maxDf passed explicitly: the 100 TB operating configuration of
+    // the capped candidate generation (public default is exact/uncapped)
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d, maxDf = 1000)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),

@@ -10,13 +10,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * `org.apache.spark.sql.expressions.Aggregator` — the user-facing
   * typed-aggregate extension point (SURVEY.md §4).
   *
-  * State is an exact counting map truncated to `capacity` entries at
-  * merge boundaries; with `capacity ≥` the true distinct count the
-  * result is exact and deterministic, beyond that it degrades to an
-  * approximation like any space-saving sketch (TopKFreqSpec pins the
-  * exact regime against a full wordcount). Truncation order is
-  * (count desc, item asc) so equal states truncate identically on
-  * every executor.
+  * State is an exact counting map truncated back to `capacity`
+  * entries whenever it grows past `2 × capacity`; with `capacity ≥`
+  * the true distinct count the result is exact and deterministic,
+  * beyond that it degrades to an approximation like any space-saving
+  * sketch (TopKFreqSpec pins the exact regime against a full
+  * wordcount). Truncation order is (count desc, item asc) so equal
+  * states truncate identically on every executor. The 2× high-water
+  * mark amortizes the O(n log n) trim over `capacity` inserts —
+  * trimming at exactly `capacity` would pay a full sort per input row
+  * once a group's distinct count crosses it.
   *
   * Usage: {{{ ds.select(TopKFreq.topK(10, 1000).toColumn) }}}
   */
@@ -27,8 +30,10 @@ class TopKFreq(k: Int, capacity: Int)
 
   override def zero: mutable.Map[String, Long] = mutable.Map.empty
 
+  // amortized: trim only past the 2× high-water mark (see class doc) —
+  // state stays bounded at 2×capacity, trims cost O(log) per insert
   private def truncate(m: mutable.Map[String, Long]): mutable.Map[String, Long] =
-    if (m.size <= capacity) m
+    if (m.size <= 2 * capacity) m
     else mutable.Map(m.toSeq.sortBy { case (w, c) => (-c, w) }.take(capacity): _*)
 
   override def reduce(b: mutable.Map[String, Long],
@@ -70,10 +75,13 @@ object TopKFreq {
   * so heavy-hitters are callable from plain SQL
   * (`SELECT topk_freq(word, 10) FROM ...` after
   * [[graft.GraftFunctions.register]]). Same bounded-state rule: the
-  * counting map truncates to `capacity` entries at update/merge
-  * boundaries, ordered (count desc, item asc), so results are
-  * deterministic and exact while `capacity ≥` the true distinct count
-  * (TopKFreqSpec pins this aggregate to the typed Aggregator). */
+  * counting map trims back to `capacity` entries when it grows past
+  * 2×capacity (amortizing the O(n log n) sort over `capacity`
+  * inserts) and at serialize boundaries (so shuffled buffers carry at
+  * most `capacity` entries), ordered (count desc, item asc), so
+  * results are deterministic and exact while `capacity ≥` the true
+  * distinct count (TopKFreqSpec pins this aggregate to the typed
+  * Aggregator). */
 case class TopKFreqAgg(child: org.apache.spark.sql.catalyst.expressions.Expression,
     k: Int, capacity: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -90,8 +98,11 @@ case class TopKFreqAgg(child: org.apache.spark.sql.catalyst.expressions.Expressi
   override def createAggregationBuffer(): mutable.Map[String, Long] =
     mutable.Map.empty
 
-  private def truncate(m: mutable.Map[String, Long]): mutable.Map[String, Long] =
-    if (m.size <= capacity) m
+  // amortized 2× high-water trim; `hard` (serialize) always trims to
+  // capacity so the shuffle never carries the slack
+  private def truncate(m: mutable.Map[String, Long],
+      hard: Boolean = false): mutable.Map[String, Long] =
+    if (m.size <= (if (hard) capacity else 2 * capacity)) m
     else mutable.Map(m.toSeq.sortBy { case (w, c) => (-c, w) }.take(capacity): _*)
 
   override def update(m: mutable.Map[String, Long],
@@ -118,10 +129,11 @@ case class TopKFreqAgg(child: org.apache.spark.sql.catalyst.expressions.Expressi
       }.toArray[Any])
 
   override def serialize(m: mutable.Map[String, Long]): Array[Byte] = {
+    val t = truncate(m, hard = true)
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(m.size)
-    m.foreach { case (w, c) => out.writeUTF(w); out.writeLong(c) }
+    out.writeInt(t.size)
+    t.foreach { case (w, c) => out.writeUTF(w); out.writeLong(c) }
     out.flush(); bos.toByteArray
   }
 

@@ -201,7 +201,7 @@ object Ann {
   /** IVF top-k: a deterministic subsample of the corpus acts as the
     * coarse codebook (every 29th vector); each vector is assigned to
     * its nearest centroid cell by a per-row argmax over the broadcast
-    * codebook, queries probe their 4 nearest cells. At 100 TB the cell
+    * codebook, queries probe their [[NProbe]] nearest cells. At 100 TB the cell
     * assignment is a write-time bucketing ([[buildIvfIndex]]); the
     * plan shape (broadcast codebook, cell-key join) is identical.
     * Recall asserted in AnnSpec; oracle-checked (the codebook, argmax

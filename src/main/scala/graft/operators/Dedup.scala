@@ -33,13 +33,19 @@ object Dedup {
     docs.select(col("doc_id"), grams3(col("text")).as("grams"))
 
   /** N-gram Jaccard near-dup pairs via inverted-index self-join (see
-    * [[ngramJaccardDf]]). `maxDf` defaults ON here: 1000 is far above
-    * any shingle's df on this corpus (max 25 at sf0.1 — capped output
-    * is bit-identical to uncapped, DedupSpec proves it) while bounding
-    * the |postings|² blowup that boilerplate shingles cause on real
-    * 100 TB web text. */
+    * [[ngramJaccardDf]]). `maxDf` is OPT-IN (0 = exact/uncapped): the
+    * cap bounds the |postings|² blowup boilerplate shingles cause on
+    * real 100 TB web text, and Jaccard values stay exact for every
+    * emitted pair, but a τ-pair whose shared shingles are ALL over-cap
+    * would be silently dropped — so exact-by-default, and the capped
+    * path logs when the precondition is actually being relied on
+    * (see [[ngramJaccardPairs]]). The driver's `dedup_ngram_jaccard`
+    * entry passes `maxDf = 1000` explicitly — the 100 TB operating
+    * configuration, bit-identical to uncapped on this corpus (max
+    * shingle df 25 at sf0.1; DedupSpec proves equality both here and
+    * on a crafted boilerplate corpus with real drops). */
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.1,
-      maxDf: Long = 1000): DataFrame =
+      maxDf: Long = 0): DataFrame =
     ngramJaccardDf(Tables(spark, dir).documents, tau, maxDf = maxDf)
 
   /** Presentation-sorted wrapper over [[ngramJaccardPairs]]. */
@@ -76,11 +82,26 @@ object Dedup {
     val dfs = if (needDfs) {
       allPosts.groupBy(col("gram")).agg(count(lit(1)).as("df")).cache()
     } else null
+    // One tiny job over the (cached, already-needed) df table decides
+    // whether the cap actually bites. When it doesn't — the common
+    // case on deduped shards — the capped plan collapses to the exact
+    // one: no candidate-gen filter, no add-back joins, identical
+    // results by construction. When it does, warn: callers are relying
+    // on the "boilerplate ≪ content" exactness precondition below.
+    val capBites = maxDf > 0 &&
+      !dfs.filter(col("df") > maxDf).isEmpty
+    if (capBites) {
+      System.err.println(s"[graft] ngramJaccard: shingles with df > $maxDf " +
+        "exist; capped candidate generation is exact only while no " +
+        "qualifying pair shares over-cap shingles EXCLUSIVELY " +
+        "(boilerplate ≪ content) — see Scaladoc")
+    }
     val minDf = if (pruneSingletons) 1L else 0L
-    val posts = (if (needDfs) {
+    val needFilter = pruneSingletons || capBites
+    val posts = (if (needFilter) {
       val kept = dfs
         .filter(col("df") > minDf &&
-          (if (maxDf > 0) col("df") <= maxDf else lit(true)))
+          (if (capBites) col("df") <= maxDf else lit(true)))
         .select("gram")
       allPosts.join(kept, Seq("gram"), "left_semi")
     } else allPosts).cache()
@@ -94,7 +115,7 @@ object Dedup {
     // on doc_id — never each other — so boilerplate can't reintroduce
     // the quadratic term. Empty (zero-cost under AQE) when no shingle
     // exceeds the cap, as on this corpus.
-    val pairs = if (maxDf > 0) {
+    val pairs = if (capBites) {
       val dropped = allPosts
         .join(dfs.filter(col("df") > maxDf).select("gram"), Seq("gram"), "left_semi")
       val extra = rawPairs.select(col("d1"), col("d2"))

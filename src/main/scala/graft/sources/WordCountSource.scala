@@ -2,8 +2,8 @@ package graft.sources
 
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSourceV2 reader for the reference framework's own output
   * format: `word, count` lines, one file per job (the `.txt` files
@@ -78,13 +79,20 @@ private class WordCountScanBuilder(path: String)
 private class WordCountScan(path: String, required: StructType)
     extends Scan with Batch {
 
+  // The SESSION's Hadoop conf, not `new Configuration()`: custom fs
+  // settings (credentials, fs.* options) must reach both the
+  // driver-side listing and the executor-side readers. Captured here
+  // (driver, at plan time) and shipped serializable to the factory.
+  private val hadoopConf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     // driver-side listing only — the file CONTENTS stay on executors
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, hadoopConf.value)
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
@@ -93,27 +101,28 @@ private class WordCountScan(path: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WordCountReaderFactory(required.fieldNames)
+    new WordCountReaderFactory(required.fieldNames, hadoopConf)
 }
 
 private case class WordCountPartition(file: String) extends InputPartition
 
-private class WordCountReaderFactory(columns: Array[String])
-    extends PartitionReaderFactory {
+private class WordCountReaderFactory(columns: Array[String],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WordCountReader(partition.asInstanceOf[WordCountPartition].file, columns)
+    new WordCountReader(partition.asInstanceOf[WordCountPartition].file, columns,
+      conf)
 }
 
 /** Streams one file's `word, count` lines as InternalRows holding
   * only the pruned columns. The split is on the LAST ", " so words
   * containing a comma (none in the reference corpus, but the format
   * doesn't forbid them) still parse. */
-private class WordCountReader(file: String, columns: Array[String])
-    extends PartitionReader[InternalRow] {
+private class WordCountReader(file: String, columns: Array[String],
+    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
 
   private val p = new Path(file)
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    FileSystem.get(p.toUri, new Configuration()).open(p), "UTF-8"))
+    FileSystem.get(p.toUri, conf.value).open(p), "UTF-8"))
   private var line: String = _
 
   override def next(): Boolean = {
