@@ -91,6 +91,11 @@ object SparkEntry {
     "pipeline_split" -> (TextOps.pipelineSplit _),
     "pipeline_pack" -> ((s: SparkSession, d: String) => TextOps.pipelinePack(s, d)),
     "text_langid" -> (TextOps.textLangid _),
+    // F'. corpus curation (training-data gates)
+    "text_repetition" -> (Curation.textRepetition _),
+    "text_gopher" -> (Curation.textGopher _),
+    "pipeline_decontam" -> ((s: SparkSession, d: String) => Curation.pipelineDecontam(s, d)),
+    "sample_stratified" -> (Curation.sampleStratified _),
   )
 
   /** Shared DuckDB CTE prefix: word-3-gram shingle sets per document —
@@ -835,5 +840,95 @@ object SparkEntry {
                 count(*) AS n_dups, min(n_tokens) AS n_tokens
          FROM q WHERE n_tokens >= 20 AND dr >= 0.3 AND pr <= 0.3
          GROUP BY fp ORDER BY keep_id""",
+    // Non-distinct bigram list (the duplicate count IS the signal);
+    // same degenerate len<2 rule as the shingle expression.
+    "text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])
+                  END AS bgs
+           FROM toks)
+         SELECT doc_id, len(bgs) AS n_bigrams,
+                len(list_distinct(bgs)) AS n_distinct,
+                round(1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs), 6)
+                  AS rep_ratio
+         FROM g ORDER BY doc_id""",
+    // Flags compare against the 6dp-rounded metrics on both engines,
+    // so gate decisions can't flip on accumulation order.
+    "text_gopher" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         per AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  sum(length(tok)) AS tok_chars,
+                  count(DISTINCT CASE WHEN tok IN
+                    ('the','a','of','and','to','in','is','on','for','with')
+                    THEN tok END) AS n_stop
+           FROM tk GROUP BY doc_id),
+         m AS (
+           SELECT d.doc_id, per.n_tokens,
+                  round(per.tok_chars * 1.0 / per.n_tokens, 6) AS avg_word_len,
+                  round(CAST(length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                        / length(d.text), 6) AS punct_ratio,
+                  per.n_stop
+           FROM documents d JOIN per ON per.doc_id = d.doc_id)
+         SELECT doc_id, n_tokens, avg_word_len, punct_ratio, n_stop,
+                n_tokens BETWEEN 20 AND 1000 AS ok_len,
+                avg_word_len BETWEEN 2.0 AND 10.0 AS ok_word_len,
+                punct_ratio <= 0.2 AS ok_symbol,
+                n_stop >= 2 AS ok_stop,
+                (n_tokens BETWEEN 20 AND 1000)
+                  AND (avg_word_len BETWEEN 2.0 AND 10.0)
+                  AND punct_ratio <= 0.2 AND n_stop >= 2 AS keep
+         FROM m ORDER BY doc_id""",
+    // Distinct 5-gram overlap vs the src0 "benchmark" documents —
+    // same shingle rule as the Spark expression (degenerate len<5 →
+    // one all-tokens shingle).
+    "pipeline_decontam" ->
+      """WITH toks AS (
+           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   || ' ' || t[i+3] || ' ' || t[i+4]))
+                  END AS gs
+           FROM toks),
+         bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+                   WHERE source = 'src0'),
+         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g
+                   WHERE source <> 'src0'),
+         hits AS (SELECT p.doc_id, count(*) AS n_hits
+                  FROM posts p JOIN bench b ON p.gram = b.gram
+                  GROUP BY p.doc_id)
+         SELECT d.doc_id, d.source,
+                coalesce(h.n_hits, 0) AS n_hits,
+                coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
+         LEFT JOIN hits h ON h.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // Integer thresholds (floor div) + the portable md5-60bit hash —
+    // the sample membership is bit-identical across engines.
+    "sample_stratified" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents
+                         GROUP BY lang),
+         m AS (SELECT min(n_lang) AS min_n FROM counts),
+         th AS (SELECT lang, (min_n * 1048576) // n_lang AS thresh
+                FROM counts CROSS JOIN m),
+         h AS (SELECT doc_id, lang,
+                      CAST(('0x' || substring(md5('smp#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1048576 AS b
+               FROM documents)
+         SELECT h.doc_id, h.lang FROM h JOIN th ON th.lang = h.lang
+         WHERE h.b < th.thresh ORDER BY h.doc_id""",
   )
 }

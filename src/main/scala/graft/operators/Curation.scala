@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.PortableHash
+import graft.functions.ShingleCol
+import graft.functions.TextAnalysis._
+
+/** Corpus-curation operators — the document-level gates and sweeps a
+  * large-scale training-data pipeline runs between raw ingest and
+  * packing (SURVEY.md §2 F): repetition metrics, rule-based quality
+  * gating, benchmark decontamination, stratified sampling.
+  *
+  * Scale shape: every operator is one codegen'd projection over the
+  * corpus plus at most one shuffle on doc_id (repetition/gopher) or a
+  * broadcast join against a small derived table (decontam's benchmark
+  * gram set, sampling's per-stratum thresholds). Nothing here windows
+  * over a global order or funnels the corpus through a driver.
+  */
+object Curation {
+
+  /** Within-document repetition (the Gopher-style duplicate-n-gram
+    * signal): fraction of a doc's word bigrams that are repeats —
+    * high values mark boilerplate/spam that perplexity filters miss.
+    *
+    * Shape: the non-distinct shingle expression (codegen'd) explodes
+    * to one row per bigram occurrence, then ONE partial-aggregating
+    * groupBy on doc_id computes total vs distinct — no per-row HOF
+    * interpretation and no per-doc window. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    textRepetitionDf(Tables(spark, dir).documents)
+
+  def textRepetitionDf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(ShingleCol.nGramShingles(tokens(col("text")), 2,
+          distinct = false)).as("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+
+  /** Rule-based quality gate (Gopher-rules shape): per-document
+    * pass/fail flags for token count, mean word length, symbol ratio,
+    * and stopword evidence, plus the conjunction `keep`. Emitting the
+    * per-rule flags (not just the verdict) is deliberate — rule drift
+    * at 100 TB is debugged by aggregating flags per source/shard.
+    *
+    * Flags compare against the 6dp-rounded metrics, so the gate is
+    * reproducible across engines (a boundary doc can't flip on
+    * accumulation order). */
+  def textGopher(spark: SparkSession, dir: String): DataFrame =
+    textGopherDf(Tables(spark, dir).documents)
+
+  def textGopherDf(docs: DataFrame): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("tok_chars"),
+        countDistinct(when(col("tok").isin(StopWordList: _*), col("tok")))
+          .as("n_stop"))
+    docs.select(col("doc_id"), punctRatio(col("text")).as("punct_ratio"))
+      .join(perTok, Seq("doc_id"))
+      .withColumn("avg_word_len",
+        round(col("tok_chars").cast("double") / col("n_tokens"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("avg_word_len"),
+        col("punct_ratio"), col("n_stop"),
+        col("n_tokens").between(20, 1000).as("ok_len"),
+        col("avg_word_len").between(2.0, 10.0).as("ok_word_len"),
+        (col("punct_ratio") <= 0.2).as("ok_symbol"),
+        (col("n_stop") >= 2).as("ok_stop"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_word_len") && col("ok_symbol") && col("ok_stop"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus documents that share any
+    * word 5-gram with a benchmark/eval set (here: the `benchSource`
+    * documents stand in for the eval suite). The n-gram-overlap rule
+    * is the published decontamination standard (GPT-3 appendix C /
+    * Gopher appendix): long-enough grams make coincidental overlap
+    * rare while catching verbatim leakage.
+    *
+    * Shape: the benchmark's distinct gram set is SMALL by construction
+    * (eval suites are MBs, not TBs) → broadcast; the corpus side is
+    * one explode + broadcast semi-join + groupBy(doc_id). Zero-hit
+    * docs are restored by a left join so the output is a per-doc
+    * verdict table, not just the contaminated list. */
+  def pipelineDecontam(spark: SparkSession, dir: String,
+      benchSource: String = "src0"): DataFrame =
+    pipelineDecontamDf(Tables(spark, dir).documents, benchSource)
+
+  def pipelineDecontamDf(docs: DataFrame, benchSource: String): DataFrame = {
+    val grams5 = ShingleCol.nGramShingles(tokens(col("text")), 5)
+    val bench = docs.filter(col("source") === benchSource)
+      .select(explode(grams5).as("gram")).distinct()
+    val corpus = docs.filter(col("source") =!= benchSource)
+    val hits = corpus
+      .select(col("doc_id"), explode(grams5).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: downsample every language
+    * stratum to the minority stratum's size (the language-rebalancing
+    * step of a multilingual pipeline). Membership is a pure integer
+    * function of doc_id — `portable_hash(doc_id) mod 2²⁰ <
+    * ⌊min_n·2²⁰/n_lang⌋` — so the sample is identical on every
+    * engine, every retry, and every partitioning; no rand(), no
+    * global sort, no sampleBy approximation.
+    *
+    * Shape: per-stratum counts (one tiny aggregate) → per-stratum
+    * integer thresholds broadcast back over the corpus; the corpus
+    * pass is one projection + filter. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    sampleStratifiedDf(Tables(spark, dir).documents)
+
+  def sampleStratifiedDf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("min_n"))
+    // integer threshold (floor div) — no float boundary to disagree on
+    val thresholds = counts.crossJoin(broadcast(minN))
+      .select(col("lang"), expr("(min_n * 1048576) div n_lang").as("thresh"))
+    val bucket = pmod(
+      PortableHash.h60(concat(lit("smp#"), col("doc_id").cast("string"))),
+      lit(1048576L))
+    d.join(broadcast(thresholds), Seq("lang"))
+      .filter(bucket < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+}

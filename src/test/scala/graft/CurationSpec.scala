@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Corpus-curation operators: repetition metric on crafted repeats,
+  * gopher gate rule-by-rule, decontamination on planted leakage,
+  * stratified sample determinism + balance. */
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("textRepetition: duplicate-bigram fraction on crafted docs") {
+    val docs = Seq(
+      // bigrams: "a b","b a","a b","b a","a b" → 5 total, 2 distinct
+      (0L, "a b a b a b"),
+      // all bigrams distinct
+      (1L, "one two three four five"),
+    ).toDF("doc_id", "text")
+    val rows = Curation.textRepetitionDf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows(0L) == ((5L, 2L, 0.6)), s"got ${rows(0L)}")
+    assert(rows(1L) == ((4L, 4L, 0.0)), s"got ${rows(1L)}")
+  }
+
+  test("textGopher: each rule trips on its crafted violator") {
+    val good = "the cat sat on the mat and then the dog came in to look " +
+      "for food while rain fell on the roof of the old red barn outside town"
+    val docs = Seq(
+      (0L, good),                                   // passes all rules
+      (1L, "too short for the gate"),               // ok_len fails (<20 tokens)
+      (2L, good.replace(" ", "!! ")),               // ok_symbol fails
+      (3L, ("internationalization " * 25).trim),    // ok_word_len + ok_stop fail
+    ).toDF("doc_id", "text")
+    val rows = Curation.textGopherDf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9)))
+      .toMap
+    assert(rows(0L) == ((true, true, true, true, true)), s"got ${rows(0L)}")
+    assert(!rows(1L)._1 && !rows(1L)._5)
+    assert(!rows(2L)._3 && !rows(2L)._5)
+    assert(!rows(3L)._2 && !rows(3L)._4 && !rows(3L)._5)
+  }
+
+  test("pipelineDecontam: flags only docs sharing a 5-gram with the benchmark") {
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, leaked, "src0"),                                       // benchmark
+      (1L, "prefix words then " + leaked + " trailing text here", "src1"), // leaked span
+      (2L, "alpha beta gamma unrelated tail words here now then again", "src1"), // only 3 shared
+      (3L, "completely disjoint vocabulary nothing shared at all today friends", "src2"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val rows = Curation.pipelineDecontamDf(docs, "src0").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows(1L)._2 && rows(1L)._1 >= 1, s"got ${rows(1L)}")
+    assert(rows(2L) == ((0L, false)), s"3-token overlap must not trip 5-grams: ${rows(2L)}")
+    assert(rows(3L) == ((0L, false)))
+    assert(!rows.contains(0L), "benchmark docs are not part of the verdict table")
+  }
+
+  test("sampleStratified: deterministic, subset, and balanced to the minority") {
+    val docs = graft.core.Tables(spark, Sf).documents
+    val a = Curation.sampleStratifiedDf(docs).collect().map(_.getLong(0)).toSeq
+    val b = Curation.sampleStratifiedDf(docs).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "sample must be identical across runs")
+    assert(a.nonEmpty)
+    val perLang = Curation.sampleStratifiedDf(docs)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minTotal = docs.groupBy("lang").count()
+      .agg(min("count")).head().getLong(0)
+    // every stratum lands within hash noise of the minority size:
+    // expected = min_n, binomial sd < sqrt(min_n)
+    perLang.foreach { case (lang, n) =>
+      val sd = math.sqrt(minTotal.toDouble)
+      assert(math.abs(n - minTotal) <= 4 * sd,
+        s"$lang sampled $n, expected ~$minTotal")
+    }
+  }
+
+  test("non-distinct shingles keep duplicates; distinct variant is the set") {
+    val df = Seq((0L, "x y x y")).toDF("doc_id", "text")
+    val all = df.select(graft.functions.ShingleCol.nGramShingles(
+        split(col("text"), " "), 2, distinct = false).as("g"))
+      .head().getSeq[String](0)
+    assert(all == Seq("x y", "y x", "x y"))
+    val dis = df.select(graft.functions.ShingleCol.nGramShingles(
+        split(col("text"), " "), 2).as("g"))
+      .head().getSeq[String](0)
+    assert(dis == Seq("x y", "y x"))
+  }
+}
