@@ -57,6 +57,9 @@ object SparkEntry {
     "q_in_sub" -> (Relational.qInSub _),
     "q_cube" -> (Relational.qCube _),
     "q_window_lead" -> (Relational.qWindowLead _),
+    "q14_promo" -> (Relational.q14Promo _),
+    "q_ntile" -> (Relational.qNtile _),
+    "q_minmax_by" -> (Relational.qMinmaxBy _),
     // C. events / time-series
     "q_event_window" -> (Events.qEventWindow _),
     "q_event_topusers" -> (Events.qEventTopusers _),
@@ -492,6 +495,39 @@ object SparkEntry {
            AND c_custkey = o_custkey AND o_orderkey = l_orderkey
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q14_promo" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+                sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)
+                    ELSE 0 END) / 100.0 AS promo_revenue,
+                sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS total_revenue,
+                round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT))
+                         AS DOUBLE), 6) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY month ORDER BY month""",
+    "q_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                ntile(4) OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice, o_orderkey) AS quartile,
+                round(percent_rank() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice, o_orderkey), 6) AS pr
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    // composite sort value packed into one BIGINT — see
+    // Relational.qMinmaxBy for the bounds argument
+    "q_minmax_by" ->
+      """SELECT o_orderstatus,
+                arg_max(o_orderkey,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2147483648 + o_orderkey)
+                  AS best_key,
+                round(max(o_totalprice), 2) AS best_price,
+                arg_min(o_orderkey,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2147483648 + o_orderkey)
+                  AS worst_key,
+                round(min(o_totalprice), 2) AS worst_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_correlated_sub" ->
       """SELECT p_brand, p_partkey, p_name, p_retailprice FROM part p
          WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2

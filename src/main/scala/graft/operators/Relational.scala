@@ -402,4 +402,56 @@ object Relational {
         round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
         round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
       .orderBy("o_orderstatus")
+
+  /** TPC-H Q14 shape (promotion effect): monthly revenue share of
+    * promo-type parts — fact⋈broadcast-dimension join feeding a
+    * conditional-ratio aggregate (numerator and denominator as exact
+    * integer-cent sums, one rounded division at the end, like
+    * [[qReturnRatio]]). */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+      .cast("long")
+    val promoCents = sum(when(col("p_type") === "PROMO", cents).otherwise(0L))
+    val totalCents = sum(cents)
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg((promoCents / 100.0).as("promo_revenue"),
+        (totalCents / 100.0).as("total_revenue"),
+        round(promoCents.cast("double") / totalCents.cast("double"), 6)
+          .as("promo_share"))
+      .orderBy("month")
+  }
+
+  /** ntile + percent_rank windows: per-customer spend quartiles. The
+    * window order is (o_totalprice, o_orderkey) — a total order, so
+    * both tile boundaries and ranks are engine-reproducible. */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** max_by/min_by aggregates: per order status, the order carrying
+    * the extreme price. Ties on price exist in the data, so the sort
+    * value is the composite `(price_cents · 2³¹ + orderkey)` packed
+    * into one BIGINT — a total order both engines agree on (DuckDB's
+    * arg_max can't take a struct sort value; price < ~9·10⁶ dollars
+    * and orderkey < 2³¹ keep the packing exact). */
+  def qMinmaxBy(spark: SparkSession, dir: String): DataFrame = {
+    val key = round(col("o_totalprice") * 100, 0).cast("long") *
+      lit(2147483648L) + col("o_orderkey")
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(max_by(col("o_orderkey"), key).as("best_key"),
+        round(max(col("o_totalprice")), 2).as("best_price"),
+        min_by(col("o_orderkey"), key).as("worst_key"),
+        round(min(col("o_totalprice")), 2).as("worst_price"))
+      .orderBy("o_orderstatus")
+  }
 }
