@@ -5,9 +5,10 @@ import java.util
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,16 +54,21 @@ object WordCountSource {
     StructField("cnt", LongType, nullable = false)))
 }
 
-private class WordCountTable(path: String) extends Table with SupportsRead {
+private class WordCountTable(path: String)
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "word-count source requires a path")
 
   override def name(): String = s"wordcount($path)"
   override def schema(): StructType = WordCountSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WordCountScanBuilder(path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WordCountWriteBuilder(path, info.schema())
 }
 
 private class WordCountScanBuilder(path: String)
@@ -95,7 +101,11 @@ private class WordCountScan(path: String, required: StructType)
     val fs = FileSystem.get(p.toUri, hadoopConf.value)
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
+        // skip hidden files: in-flight/crashed writers' `.tmp-*` spill
+        // must never be readable data
+        fs.listStatus(p).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString).sorted
       else Array(path)
     files.map(f => WordCountPartition(f): InputPartition)
   }
@@ -142,4 +152,111 @@ private class WordCountReader(file: String, columns: Array[String],
   }
 
   override def close(): Unit = in.close()
+}
+
+// --- write path ----------------------------------------------------
+
+/** Write side of the connector: emits the reference framework's own
+  * `word, count` line format, one file per task — the same
+  * file-per-reducer layout the C framework produces
+  * (/root/reference/mapreduce.h:155-167: the reducer owns the output
+  * fd). `overwrite` maps to TRUNCATE.
+  *
+  * Commit protocol (safe under task retries AND speculation): each
+  * task writes to a hidden `.tmp-<uuid>` file and reports it in its
+  * commit message; only the driver-side job commit renames committed
+  * tmp files to their final `part-NNNNN.txt` names (truncating the
+  * previous contents first when requested). Uncommitted/aborted tmp
+  * files are deleted, never renamed. */
+private class WordCountWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    require(schema.fieldNames.toSeq == Seq("word", "cnt"),
+      s"word-count sink expects (word, cnt), got ${schema.fieldNames.mkString(",")}")
+    new WordCountWrite(path, doTruncate)
+  }
+}
+
+private class WordCountWrite(path: String, doTruncate: Boolean)
+    extends Write with BatchWrite {
+
+  private val hadoopConf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  // one id per write job: final names are unique across jobs, so an
+  // append can never rename onto an existing file (Hadoop rename onto
+  // an existing destination fails — or on LocalFileSystem silently
+  // clobbers it)
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new WordCountWriterFactory(path, hadoopConf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, hadoopConf.value)
+    if (doTruncate && fs.exists(dir)) {
+      fs.listStatus(dir).filter(s => s.isFile &&
+          s.getPath.getName.endsWith(".txt"))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    fs.mkdirs(dir)
+    messages.foreach { case WordCountCommit(tmp, part) =>
+      val dst = new Path(dir, f"part-$part%05d-$jobId.txt")
+      require(fs.rename(new Path(tmp), dst),
+        s"word-count sink: failed to commit $tmp -> $dst")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new Path(path).toUri, hadoopConf.value)
+    messages.foreach {
+      case WordCountCommit(tmp, _) => fs.delete(new Path(tmp), false)
+      case _ =>
+    }
+  }
+}
+
+private case class WordCountCommit(tmpFile: String, partitionId: Int)
+  extends WriterCommitMessage
+
+private class WordCountWriterFactory(path: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WordCountWriter(path, partitionId, taskId, conf)
+}
+
+private class WordCountWriter(path: String, partitionId: Int, taskId: Long,
+    conf: SerializableConfiguration) extends DataWriter[InternalRow] {
+
+  private val tmp = new Path(path, f".tmp-$partitionId%05d-$taskId")
+  private val fs = FileSystem.get(tmp.toUri, conf.value)
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
+
+  override def write(row: InternalRow): Unit = {
+    out.write(row.getUTF8String(0).toString)
+    out.write(", ")
+    out.write(row.getLong(1).toString)
+    out.write("\n")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    WordCountCommit(tmp.toString, partitionId)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
 }

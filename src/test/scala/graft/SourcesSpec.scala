@@ -87,6 +87,40 @@ class SourcesSpec extends SparkSpecBase {
       s"expected pruned scan output: $scanLine")
   }
 
+  test("DSv2 word-count sink: byte-parity with the reference output, truncate, append") {
+    val out = Files.createTempDirectory("graft_wc_sink").toString
+    // single sorted partition = one reducer's file, like the C framework
+    val wc = graft.operators.TextMR
+      .wordcountFile(spark, "/root/reference/input/mr-wordc/doc-0.txt")
+      .repartition(1).sortWithinPartitions("word")
+    wc.write.format("graft.sources.WordCountSource").mode("overwrite").save(out)
+    val files = new java.io.File(out).listFiles.filter(_.getName.endsWith(".txt"))
+    assert(files.length == 1 &&
+      files.head.getName.matches("part-00000-[0-9a-f]{8}\\.txt"))
+    // the write path reproduces the reference's expected output byte-for-byte
+    val got = java.nio.file.Files.readAllBytes(files.head.toPath)
+    val want = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/output_compare/mr-wordc/doc-0.txt"))
+    assert(java.util.Arrays.equals(got, want),
+      s"sink output differs from reference (${got.length} vs ${want.length} bytes)")
+    // round-trip through the connector's own read side
+    val back = spark.read.format("graft.sources.WordCountSource").load(out)
+    assert(back.orderBy("word").collect().toSeq ==
+      wc.orderBy("word").collect().toSeq)
+    // overwrite truncates the previous contents
+    wc.limit(2).repartition(1)
+      .write.format("graft.sources.WordCountSource").mode("overwrite").save(out)
+    assert(spark.read.format("graft.sources.WordCountSource").load(out).count() == 2)
+    // append adds a second reducer file alongside — and leaves no
+    // readable tmp spill behind
+    wc.limit(3).repartition(1)
+      .write.format("graft.sources.WordCountSource").mode("append").save(out)
+    assert(spark.read.format("graft.sources.WordCountSource").load(out).count() == 5)
+    val names = new java.io.File(out).listFiles.map(_.getName)
+    assert(names.count(_.endsWith(".txt")) == 2, names.mkString(","))
+    assert(!names.exists(_.startsWith(".tmp")), names.mkString(","))
+  }
+
   test("orc round-trip with filter pushdown") {
     roundtrip(d => IO.writeOrc(sample, d), d => IO.readOrc(spark, d))
     val dir = Files.createTempDirectory("graft_orc").toString
