@@ -11,8 +11,7 @@ import org.apache.spark.sql.types.LongType
   * two columns scans two columns (verified in ExplainSpec).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(name: String): DataFrame = Tables.relation(spark, dir, name)
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -36,4 +35,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  // Resolved-relation reuse: `spark.read.parquet` re-lists the path
+  // and re-reads footers for the schema on EVERY call, which at ~60
+  // queries × 2-3 table reads each is pure driver-side latency. A
+  // DataFrame is an immutable logical plan, so handing the same one
+  // to every caller is safe — and each query still gets its own
+  // pruning/pushdown on top. Keyed by session so concurrent test
+  // sessions don't share analyzer state.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def relation(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 }

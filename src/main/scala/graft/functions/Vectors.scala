@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Cosine similarity of two float vectors as a native Catalyst
   * expression with whole-stage codegen (`doGenCode`) — the hot scalar
@@ -67,8 +67,76 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The `n` nearest codebook cells of a float vector, by (cosine desc,
+  * cent_id asc) — the IVF cell-assignment / probe-selection kernel as
+  * ONE fused expression over the driver-collected codebook.
+  *
+  * The composed formulation (an `array_max` / `sort_array` over C
+  * per-centroid `struct(cosine, -id)` nodes) is semantically identical
+  * (AnnSpec pins them equal) but materializes C struct entries per row
+  * and costs the optimizer/codegen a ~C·dim-literal expression tree.
+  * Here the codebook rides along as one reference object and the row
+  * pays a single C×dim loop.
+  *
+  * Arithmetic is bit-compatible with [[CosineSimilarity]] (same
+  * double accumulation order, zero-norm → 0.0), and the tie-break is
+  * the same primitive-compare-then-id rule as the struct ordering, so
+  * swapping formulations cannot move a single result. */
+case class NearestCells(child: Expression, ids: Array[Long],
+    cents: Array[Array[Float]], n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  def compute(input: ArrayData): ArrayData = {
+    val xs = input.toFloatArray()
+    val c = ids.length
+    val sims = new Array[Double](c)
+    var k = 0
+    while (k < c) {
+      val ys = cents(k)
+      val m = math.min(xs.length, ys.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = xs(i).toDouble; val y = ys(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      sims(k) =
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      k += 1
+    }
+    val order = Array.range(0, c).sortWith { (a, b) =>
+      if (sims(a) > sims(b)) true
+      else if (sims(a) < sims(b)) false
+      else ids(a) < ids(b)
+    }
+    new GenericArrayData(order.take(math.min(n, c)).map(ids(_)))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this,
+      classOf[NearestCells].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Vector math over `array<float>` embedding columns. */
 object Vectors {
+
+  /** Codegen'd nearest-codebook-cells (see [[NearestCells]]). */
+  def nearestCells(v: Column, codebook: Array[(Long, Array[Float])],
+      n: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(v),
+      codebook.map(_._1), codebook.map(_._2), n))
 
   /** Codegen'd cosine similarity (see [[CosineSimilarity]]). */
   def cosineSim(a: Column, b: Column): Column =

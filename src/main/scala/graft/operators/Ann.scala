@@ -184,19 +184,34 @@ object Ann {
     }
 
   /** Nearest-centroid cell id, computed per row against the broadcast
-    * codebook — no row inflation, no exchange: the previous
+    * codebook — no row inflation, no exchange: the original
     * `crossJoin(centroids)` + `row_number() OVER (PARTITION BY
     * vec_id)` shuffled the full N×C blowup just to keep 1 row per
-    * vector. */
+    * vector. Now the fused [[graft.functions.NearestCells]] kernel:
+    * the composed struct-array form it replaced (identical results —
+    * AnnSpec pins them) is kept below as the cross-check. */
   private def cellOf(v: Column, cb: Array[(Long, Array[Float])]): Column =
-    -array_max(array(centroidEntries(v, cb): _*)).getField("nc")
+    element_at(Vectors.nearestCells(v, cb, 1), 1)
 
   /** The `n` nearest centroid cells (csim desc, cent_id asc), for
     * query-side probes. */
   private def nearestCells(v: Column, cb: Array[(Long, Array[Float])],
-      n: Int): Column =
+      n: Int): Column = Vectors.nearestCells(v, cb, n)
+
+  /** Composed (built-ins only) formulations of [[cellOf]] /
+    * [[nearestCells]] — the "compose existing ops" baseline, kept as
+    * AnnSpec's semantic cross-check of the fused kernel. */
+  private[graft] def cellOfComposed(v: Column,
+      cb: Array[(Long, Array[Float])]): Column =
+    -array_max(array(centroidEntries(v, cb): _*)).getField("nc")
+
+  private[graft] def nearestCellsComposed(v: Column,
+      cb: Array[(Long, Array[Float])], n: Int): Column =
     transform(slice(sort_array(array(centroidEntries(v, cb): _*), asc = false),
       1, n), e => -e.getField("nc"))
+
+  private[graft] def codebookOf(spark: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    codebook(spark, dir)
 
   /** IVF top-k: a deterministic subsample of the corpus acts as the
     * coarse codebook (every 29th vector); each vector is assigned to

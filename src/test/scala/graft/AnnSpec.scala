@@ -121,4 +121,20 @@ class AnnSpec extends SparkSpecBase {
     // nprobe=8: measured 0.76 on these clusterless vectors
     assert(recall >= 0.6, s"ivf recall $recall below floor")
   }
+
+  test("fused NearestCells kernel equals the composed struct-array form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val cb = Ann.codebookOf(spark, Sf)
+    val both = graft.core.Tables(spark, Sf).embeddings
+      .select(col("vec_id"),
+        element_at(Vectors.nearestCells(col("embedding"), cb, 1), 1)
+          .as("fused_cell"),
+        Ann.cellOfComposed(col("embedding"), cb).as("composed_cell"),
+        Vectors.nearestCells(col("embedding"), cb, 8).as("fused_probes"),
+        Ann.nearestCellsComposed(col("embedding"), cb, 8).as("composed_probes"))
+    val bad = both.filter(col("fused_cell") =!= col("composed_cell") ||
+      col("fused_probes") =!= col("composed_probes"))
+    assert(bad.isEmpty, s"kernels diverge: ${bad.take(3).mkString(";")}")
+  }
 }
