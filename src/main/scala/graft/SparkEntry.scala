@@ -60,6 +60,11 @@ object SparkEntry {
     "q14_promo" -> (Relational.q14Promo _),
     "q_ntile" -> (Relational.qNtile _),
     "q_minmax_by" -> (Relational.qMinmaxBy _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q_unpivot" -> (Relational.qUnpivot _),
+    "q_first_last" -> (Relational.qFirstLast _),
+    "q_bloom_join" -> (Relational.qBloomJoin _),
+    "q_funnel" -> (Events.qFunnel _),
     // C. events / time-series
     "q_event_window" -> (Events.qEventWindow _),
     "q_event_topusers" -> (Events.qEventTopusers _),
@@ -515,6 +520,47 @@ object SparkEntry {
                 round(percent_rank() OVER (PARTITION BY o_custkey
                   ORDER BY o_totalprice, o_orderkey), 6) AS pr
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+         ORDER BY s_suppkey""",
+    // UNION ALL melt of the pivot — semantically UNPIVOT, spelled
+    // portably
+    "q_unpivot" ->
+      """WITH w AS (
+           SELECT o_orderstatus,
+                  sum(CAST(round((CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS urgent,
+                  sum(CAST(round((CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS high,
+                  sum(CAST(round((CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS medium,
+                  sum(CAST(round((CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS notspec,
+                  sum(CAST(round((CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice ELSE 0 END) * 100, 0) AS BIGINT)) / 100.0 AS low
+           FROM orders GROUP BY o_orderstatus)
+         SELECT o_orderstatus, priority, spend FROM (
+           SELECT o_orderstatus, 'urgent' AS priority, urgent AS spend FROM w
+           UNION ALL SELECT o_orderstatus, 'high', high FROM w
+           UNION ALL SELECT o_orderstatus, 'medium', medium FROM w
+           UNION ALL SELECT o_orderstatus, 'notspec', notspec FROM w
+           UNION ALL SELECT o_orderstatus, 'low', low FROM w)
+         ORDER BY o_orderstatus, priority""",
+    "q_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+                first_value(o_orderkey) OVER w AS cheapest_key,
+                last_value(o_orderkey) OVER w AS priciest_key,
+                nth_value(o_orderkey, 2) OVER w AS second_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
     // composite sort value packed into one BIGINT — see
     // Relational.qMinmaxBy for the bounds argument
     "q_minmax_by" ->
@@ -597,6 +643,37 @@ object SparkEntry {
           AND e.ts >= p.ts
           AND e.ts <= p.ts + INTERVAL 30 MINUTE
          ORDER BY purchase_id, error_id""",
+    // the PLAIN semi-join: a hash match proves the bloom prefilter is
+    // value-invisible (no false negatives; false positives removed by
+    // the exact join)
+    "q_bloom_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_acctbal > 9500)
+         ORDER BY o_orderkey""",
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         vc AS (SELECT v.user_id, v.event_id, min(c.ts) AS click_ts
+                FROM v JOIN c ON c.user_id = v.user_id
+                  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+                GROUP BY v.user_id, v.event_id),
+         vcp AS (SELECT vc.user_id, vc.event_id
+                 FROM vc JOIN p ON p.user_id = vc.user_id
+                   AND p.ts > vc.click_ts
+                   AND p.ts <= vc.click_ts + INTERVAL 30 MINUTE
+                 GROUP BY vc.user_id, vc.event_id),
+         nv AS (SELECT user_id, count(*) AS n_views FROM v GROUP BY user_id),
+         nc AS (SELECT user_id, count(*) AS n_clicked FROM vc GROUP BY user_id),
+         nf AS (SELECT user_id, count(*) AS n_full FROM vcp GROUP BY user_id)
+         SELECT nv.user_id, nv.n_views,
+                coalesce(nc.n_clicked, 0) AS n_clicked,
+                coalesce(nf.n_full, 0) AS n_full
+         FROM nv LEFT JOIN nc ON nc.user_id = nv.user_id
+                 LEFT JOIN nf ON nf.user_id = nv.user_id
+         ORDER BY nv.user_id""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY h""",

@@ -89,6 +89,46 @@ object Events {
       .orderBy("purchase_id", "error_id")
   }
 
+  /** Three-step conversion funnel (view → click → purchase, each step
+    * within 30 minutes of the previous): per user, how many views got
+    * a follow-up click, and how many of those chains completed with a
+    * purchase. Each step is an equi-join on user_id with the time
+    * bound as residual (like [[qRangeJoin]]) aggregated to the
+    * EARLIEST qualifying next event per funnel head — so a burst of
+    * clicks can't explode the row count, and the per-step output
+    * stays one row per funnel instance at any scale. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    def step(t: String, names: (String, String)) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id").as(names._1), col("ts").as(names._2))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = step("click", ("c_user", "c_ts"))
+    val purchases = step("purchase", ("p_user", "p_ts"))
+    val vc = views
+      .join(clicks, col("user_id") === col("c_user") &&
+        col("c_ts") > col("ts") &&
+        col("c_ts") <= col("ts") + expr("interval 30 minutes"))
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(min(col("c_ts")).as("click_ts"))
+    val vcp = vc
+      .join(purchases, col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(min(col("p_ts")).as("purch_ts"))
+    views.groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+      .join(vc.groupBy(col("user_id")).agg(count(lit(1)).as("n_clicked")),
+        Seq("user_id"), "left")
+      .join(vcp.groupBy(col("user_id")).agg(count(lit(1)).as("n_full")),
+        Seq("user_id"), "left")
+      .select(col("user_id"), col("n_views"),
+        coalesce(col("n_clicked"), lit(0L)).as("n_clicked"),
+        coalesce(col("n_full"), lit(0L)).as("n_full"))
+      .orderBy("user_id")
+  }
+
   /** As-of join: for each error event, the most recent prior (or
     * simultaneous) purchase by the same user. Composed as
     * union + last_value-ignore-nulls over one user-partitioned window

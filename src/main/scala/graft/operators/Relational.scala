@@ -437,6 +437,76 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Bloom-prefiltered semi-join — the explicit runtime-filter
+    * pattern: a 2¹⁶-bit portable Bloom filter built from the selective
+    * customer subset prunes the orders side BEFORE the exact
+    * semi-join's shuffle ([[graft.functions.Bloom]]). No false
+    * negatives, and false positives die in the exact join, so the
+    * composed operator is value-invisible: the driver's oracle is the
+    * PLAIN semi-join SQL — the hash match proves it (same argument as
+    * [[qSaltedJoin]]); BloomSpec additionally measures the pruning. */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val hot = t.customer.filter(col("c_acctbal") > 9500).select(col("c_custkey"))
+    val bloom = graft.functions.Bloom.build(hot, col("c_custkey"))
+    graft.functions.Bloom.prefilter(t.orders, col("o_custkey"), bloom)
+      .join(hot, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** TPC-H Q15 shape (top supplier): revenue per supplier over a
+    * quarter, then keep the max-revenue supplier(s) via a broadcast
+    * join against the 1-row max — the "view + WHERE total = (SELECT
+    * max)" pattern without recomputing the aggregate per row. Exact
+    * integer-cent revenue makes the max comparison engine-stable. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long")).as("rev_cents"))
+    val top = rev.agg(max("rev_cents").as("max_cents"))
+    rev.join(broadcast(top), col("rev_cents") === col("max_cents"))
+      .join(broadcast(Tables(spark, dir).supplier),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_cents") / 100.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** UNPIVOT (wide → long): the per-priority pivot columns melted
+    * back to (status, priority, spend) rows via `unpivot` — the
+    * inverse surface of [[qPivot]]. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = qPivot(spark, dir)
+    wide.unpivot(
+      Array(col("o_orderstatus")),
+      Array(col("urgent"), col("high"), col("medium"), col("notspec"), col("low")),
+      "priority", "spend")
+      .orderBy("o_orderstatus", "priority")
+  }
+
+  /** first_value / last_value / nth_value over a running frame: each
+    * order alongside its customer's cheapest, priciest, and
+    * second-cheapest orders. The frame is the WHOLE partition (ROWS
+    * UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) — last_value over
+    * the default running frame is the classic footgun this query
+    * pins. */
+  def qFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"),
+        last(col("o_orderkey")).over(w).as("priciest_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** max_by/min_by aggregates: per order status, the order carrying
     * the extreme price. Ties on price exist in the data, so the sort
     * value is the composite `(price_cents · 2³¹ + orderkey)` packed
