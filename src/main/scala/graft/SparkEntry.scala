@@ -61,6 +61,11 @@ object SparkEntry {
     "q_ntile" -> (Relational.qNtile _),
     "q_minmax_by" -> (Relational.qMinmaxBy _),
     "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q4_priority" -> (Relational.q4Priority _),
+    "q13_cust_dist" -> (Relational.q13CustDist _),
+    "q17_avg_qty" -> (Relational.q17AvgQty _),
+    "q19_or_pred" -> (Relational.q19OrPred _),
+    "q22_no_orders" -> (Relational.q22NoOrders _),
     "q_unpivot" -> (Relational.qUnpivot _),
     "q_first_last" -> (Relational.qFirstLast _),
     "q_bloom_join" -> (Relational.qBloomJoin _),
@@ -532,6 +537,57 @@ object SparkEntry {
          FROM rev JOIN supplier ON l_suppkey = s_suppkey
          WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
          ORDER BY s_suppkey""",
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q13_cust_dist" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist FROM per_cust
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q17_avg_qty" ->
+      """WITH li AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#5'),
+         aq AS (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+                FROM li GROUP BY l_partkey)
+         SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                      / 700.0, 4) AS avg_yearly
+         FROM li JOIN aq ON l_partkey = ap_partkey
+         WHERE l_quantity < 0.2 * avg_qty""",
+    "q19_or_pred" ->
+      """SELECT sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                AND l_quantity BETWEEN 20 AND 30)""",
+    // threshold as integer cross-multiplication (bal_cents·n >
+    // sum_cents) — the scalar average never becomes a float on either
+    // engine
+    "q22_no_orders" ->
+      """WITH avg_pos AS (
+           SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+                  count(*) AS n_pos
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, count(*) AS numcust,
+                sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0 AS totacctbal
+         FROM customer CROSS JOIN avg_pos
+         WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * n_pos > sum_cents
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-06-01')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     // UNION ALL melt of the pivot — semantically UNPIVOT, spelled
     // portably
     "q_unpivot" ->

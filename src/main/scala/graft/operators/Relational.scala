@@ -507,6 +507,111 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** TPC-H Q4 shape (order-priority checking): count orders per
+    * priority that have at least one returned lineitem in the window —
+    * EXISTS rewritten as a left-semi join, so the lineitem side is
+    * pre-filtered on the scan and only (orderkey) crosses the shuffle. */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val returned = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    t.orders
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1996-07-01"))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q13 shape (customer distribution): two-level aggregation —
+    * orders per customer including zero-order customers (left outer
+    * join with an ON-clause filter, count of the nullable key), then
+    * the histogram of those counts. The second aggregate's input is
+    * one row per customer, so the heavy shuffle is only the first. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perCust = t.customer
+      .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    * brand's parts whose quantity is below 20% of that part's average
+    * quantity. The correlated `avg per part` is computed once per part
+    * over the brand-restricted join (broadcast dimension), not per
+    * row; quantities are small integers in doubles, so the average is
+    * exact and the threshold compare is engine-stable. */
+  def q17AvgQty(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val brandParts = t.part.filter(col("p_brand") === "Brand#5")
+      .select(col("p_partkey"))
+    val li = t.lineitem
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        / 700.0, 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * three brand/size/quantity clauses OR-ed across a fact⋈broadcast-
+    * dimension join. The per-clause part predicates are pushed to the
+    * part scan as a single OR filter before the join, so the broadcast
+    * side carries only candidate parts. */
+  def q19OrPred(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val partPred =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 30))
+    val clause =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(20, 30))
+    t.lineitem
+      .join(broadcast(t.part.filter(partPred)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(clause)
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): LAPSED customers —
+    * above the mean positive account balance but no order since
+    * 2000-06-01 — grouped by nation. The scalar `avg` is kept EXACT:
+    * threshold as the integer cross-multiplication `bal_cents · n >
+    * sum_cents` (both BIGINT) instead of a floating average, so no
+    * boundary customer can flip on accumulation order; the recent-
+    * orders probe is an anti join whose right side is filtered on the
+    * scan (date pushdown) before its distinct-key shuffle. */
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val balCents = round(col("c_acctbal") * 100, 0).cast("long")
+    val avgPos = t.customer.filter(col("c_acctbal") > 0)
+      .agg(sum(balCents).as("sum_cents"), count(lit(1)).as("n_pos"))
+    t.customer
+      .crossJoin(broadcast(avgPos))
+      .filter(balCents * col("n_pos") > col("sum_cents"))
+      .join(t.orders.filter(col("o_orderdate") >= ts("2000-06-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** max_by/min_by aggregates: per order status, the order carrying
     * the extreme price. Ties on price exist in the data, so the sort
     * value is the composite `(price_cents · 2³¹ + orderkey)` packed
