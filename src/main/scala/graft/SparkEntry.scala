@@ -66,6 +66,14 @@ object SparkEntry {
     "q17_avg_qty" -> (Relational.q17AvgQty _),
     "q19_or_pred" -> (Relational.q19OrPred _),
     "q22_no_orders" -> (Relational.q22NoOrders _),
+    "q2_min_cost" -> (Relational.q2MinCost _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q9_profit" -> (Relational.q9Profit _),
+    "q11_important_parts" -> (Relational.q11ImportantParts _),
+    "q12_late_lines" -> (Relational.q12LateLines _),
+    "q16_supplier_cnt" -> (Relational.q16SupplierCnt _),
+    "q20_excess_suppliers" -> (Relational.q20ExcessSuppliers _),
+    "q21_waiting" -> (Relational.q21Waiting _),
     "q_unpivot" -> (Relational.qUnpivot _),
     "q_first_last" -> (Relational.qFirstLast _),
     "q_bloom_join" -> (Relational.qBloomJoin _),
@@ -588,6 +596,121 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '2000-06-01')
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // Q2 shape: supply cost = min observed unit price (no partsupp
+    // table); correlated min spelled as groupBy-min + join on both
+    // engines
+    "q2_min_cost" ->
+      """WITH supply AS (
+           SELECT l_partkey, l_suppkey,
+                  min(CAST(round(l_extendedprice / l_quantity * 100, 0) AS BIGINT)) AS cost_cents
+           FROM lineitem GROUP BY 1, 2),
+         eu AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                         JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         cand AS (
+           SELECT p_partkey, s_name, s_acctbal, n_name, cost_cents
+           FROM part JOIN supply ON p_partkey = l_partkey
+                     JOIN eu ON l_suppkey = s_suppkey
+           WHERE p_type = 'LARGE'),
+         best AS (SELECT p_partkey AS bp, min(cost_cents) AS best_cents
+                  FROM cand GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey,
+                round(cost_cents / 100.0, 2) AS supply_cost
+         FROM cand JOIN best ON p_partkey = bp AND cost_cents = best_cents
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q8_market_share" ->
+      """WITH an AS (
+           SELECT year(o_orderdate) AS yr,
+                  CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS vol_cents,
+                  n2.n_name AS supp_nation
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+             AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+         SELECT yr,
+                round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_cents ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(vol_cents) AS DOUBLE), 6) AS mkt_share
+         FROM an GROUP BY yr ORDER BY yr""",
+    // Q9 shape: supply cost stand-in = 50% of p_retailprice per unit
+    "q9_profit" ->
+      """SELECT nation, o_year,
+                round(CAST(sum(amount_cents) AS BIGINT) / 100.0, 2) AS sum_profit
+         FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                      CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                      - CAST(round(p_retailprice * l_quantity * 50, 0) AS BIGINT) AS amount_cents
+               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN part ON l_partkey = p_partkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN nation ON s_nationkey = n_nationkey
+               WHERE p_name LIKE '%red%') t
+         GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+    // Q11 shape: exact integer cross-multiplication threshold
+    "q11_important_parts" ->
+      """WITH v AS (
+           SELECT l_partkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS val_cents
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3' GROUP BY 1),
+         tot AS (SELECT CAST(sum(val_cents) AS BIGINT) AS tot_cents FROM v)
+         SELECT l_partkey AS p_partkey, round(val_cents / 100.0, 2) AS value
+         FROM v, tot WHERE val_cents * 1000 > tot_cents * 3
+         ORDER BY value DESC, p_partkey""",
+    // Q12 shape: late = shipped > 45 days after order date (no
+    // commit/receipt dates in the testdata)
+    "q12_late_lines" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // Q20 shape: excess share = more than half a part's 1998 volume
+    "q20_excess_suppliers" ->
+      """WITH sq AS (
+           SELECT l_suppkey, l_partkey, sum(l_quantity) AS sup_qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'SMALL'
+             AND l_shipdate >= TIMESTAMP '1998-01-01'
+             AND l_shipdate < TIMESTAMP '1999-01-01'
+           GROUP BY 1, 2),
+         pt AS (SELECT l_partkey AS pk, sum(sup_qty) AS part_qty FROM sq GROUP BY 1)
+         SELECT s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN (SELECT l_suppkey FROM sq JOIN pt ON l_partkey = pk
+                             WHERE sup_qty * 2 > part_qty)
+         ORDER BY s_name""",
+    // Q21 shape: lateness on l_shipdate (no receipt/commit dates)
+    "q21_waiting" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate
+                    FROM lineitem JOIN orders
+                      ON l_orderkey = o_orderkey AND o_orderstatus = 'F')
+         SELECT s_name, count(*) AS numwait
+         FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE EXISTS (SELECT 1 FROM l l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM l l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate >= l1.l_shipdate)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     // UNION ALL melt of the pivot — semantically UNPIVOT, spelled
     // portably
     "q_unpivot" ->

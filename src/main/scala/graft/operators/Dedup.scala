@@ -278,6 +278,12 @@ object Dedup {
         s"converge within $maxRounds rounds (labels still moving); " +
         s"raise maxRounds for graphs with diameter > $maxRounds")
     }
+    // the final labels are a materialized localCheckpoint — they no
+    // longer reference the pair/edge lineage, so the blocks cached for
+    // the loop can be released here instead of leaking until the
+    // session's LRU evicts them
+    edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }

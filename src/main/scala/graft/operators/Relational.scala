@@ -612,6 +612,239 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): for every LARGE part,
+    * the EUROPE suppliers matching the part's minimum observed unit
+    * price. The testdata has no `partsupp` table, so supply cost is
+    * derived from history: min unit price that (supplier, part) ever
+    * charged in lineitem, in exact cents. The correlated `= (SELECT
+    * min ...)` becomes a groupBy-min + equi-join on (part, cost) —
+    * aggregation-shaped, not window-shaped, so map-side partial mins
+    * apply and nothing funnels. Supplier⋈nation⋈region and the
+    * per-part minima are broadcast (both tiny at any SF — minima are
+    * one row per part). */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val supply = t.lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") / col("l_quantity") * 100, 0)
+        .cast("long")).as("cost_cents"))
+    val eu = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cand = supply
+      .join(broadcast(t.part.filter(col("p_type") === "LARGE")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"), col("cost_cents"))
+    val best = cand.groupBy(col("p_partkey").as("bp"))
+      .agg(min("cost_cents").as("best_cents"))
+    cand.join(broadcast(best),
+        col("p_partkey") === col("bp") && col("cost_cents") === col("best_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        round(col("cost_cents") / 100.0, 2).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8 shape (national market share): of AMERICA customers'
+    * STANDARD-part purchase volume in 1995–96, the share supplied by
+    * NATION_5, per year. One fact-fact shuffle (lineitem⋈orders);
+    * every dimension — customer, both nation sides, region, supplier,
+    * candidate parts — broadcasts. Volumes are exact cents; the final
+    * share is one double division per year-group. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val volCents =
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long")
+    t.lineitem
+      .join(t.orders.filter(
+          col("o_orderdate").between(ts("1995-01-01"), ts("1996-12-31"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.as("n1")),
+        col("c_nationkey") === col("n1.n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+        col("n1.n_regionkey") === col("r_regionkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.as("n2")),
+        col("s_nationkey") === col("n2.n_nationkey"))
+      .join(broadcast(t.part.filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(year(col("o_orderdate")).as("yr"), volCents.as("vol_cents"),
+        col("n2.n_name").as("supp_nation"))
+      .groupBy(col("yr"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_5", col("vol_cents"))
+          .otherwise(0L)).cast("double") /
+          sum(col("vol_cents")).cast("double"), 6).as("mkt_share"))
+      .orderBy("yr")
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit on parts named
+    * '%red%' by supplier nation and order year. No `partsupp` ⇒ the
+    * supply-cost term is the documented stand-in `50% of
+    * p_retailprice per unit`; the Q9 skeleton — 5-table join, profit
+    * expression per line, (nation, year) rollup — is unchanged.
+    * Amounts are exact signed cents so the sum is order-independent. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val amountCents =
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long") -
+      round(col("p_retailprice") * col("l_quantity") * 50, 0).cast("long")
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+        amountCents.as("amount_cents"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(round(sum("amount_cents") / 100.0, 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock value): parts whose lineitem
+    * value from NATION_3 suppliers exceeds 0.3% of that nation's
+    * total. The global scalar subquery is a broadcast cross join of a
+    * 1-row aggregate; the threshold compare is the exact integer
+    * cross-multiplication `val·1000 > tot·3` (no floating fraction).
+    * The per-part value aggregate's exchange is computed once and
+    * reused for the total (AQE exchange reuse). */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n3supp = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = t.lineitem
+      .join(broadcast(n3supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("val_cents"))
+    val tot = v.agg(sum("val_cents").as("tot_cents"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val_cents") * 1000 > col("tot_cents") * 3)
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("val_cents") / 100.0, 2).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 shape (shipping-delay priority accounting): lines
+    * shipped more than 45 days after their order date, split into
+    * high/low-priority counts per return flag. The testdata has no
+    * l_shipmode/commitdate/receiptdate, so "late" is
+    * ship − order > 45 days — the Q12 skeleton (fact-fact join,
+    * date-arithmetic filter, conditional counting) is unchanged. */
+  def q12LateLines(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q16 shape (supplier count by part attributes): distinct
+    * suppliers per (brand, type, size) over a part filter, excluding
+    * negative-balance suppliers (the `NOT IN` becomes a broadcast
+    * anti join — s_suppkey is non-null so the semantics coincide).
+    * Supplier history comes from lineitem (no `partsupp`); the
+    * distinct-count shuffles once on the 3-part group key. */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val parts = t.part.filter(col("p_brand") =!= "Brand#5" &&
+        col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = t.supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    t.lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (excess-share suppliers): suppliers who shipped
+    * more than half of some SMALL part's total 1998 volume. Q20's
+    * correlated `> 0.5·sum(...)` threshold becomes two stacked
+    * aggregates — (supplier, part) totals, re-aggregated per part —
+    * joined back on part; the exchange of the first feeds the second
+    * (same key prefix) and the qualifying-supplier set semi-joins
+    * supplier as a broadcast. Quantities are small integers, so the
+    * double sums and the `sup·2 > part` compare are exact. */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sq = t.lineitem
+      .filter(col("l_shipdate") >= ts("1998-01-01") &&
+        col("l_shipdate") < ts("1999-01-01"))
+      .join(broadcast(t.part.filter(col("p_type") === "SMALL")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum("l_quantity").as("sup_qty"))
+    val pt = sq.groupBy(col("l_partkey").as("pk"))
+      .agg(sum("sup_qty").as("part_qty"))
+    val excess = sq.join(pt, col("l_partkey") === col("pk"))
+      .filter(col("sup_qty") * 2 > col("part_qty"))
+      .select(col("l_suppkey"))
+    t.supplier
+      .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy("s_name")
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): per
+    * supplier, finished-order lines that shipped strictly later than
+    * every other supplier's line on the same order — EXISTS(another
+    * supplier on the order) ∧ NOT EXISTS(another supplier shipping
+    * no earlier). The testdata has no receipt/commit dates, so
+    * lateness is on l_shipdate; the semi + anti self-join pair IS the
+    * Q21 plan shape, and all three legs shuffle on the same
+    * l_orderkey key, so the exchanges line up (no re-partitioning
+    * between legs). */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val l = t.lineitem
+      .join(t.orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val withOther = l.as("l1")
+      .join(l.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+    val strictlyLatest = withOther.as("l1")
+      .join(l.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey") &&
+          col("l3.l_shipdate") >= col("l1.l_shipdate"), "left_anti")
+    strictlyLatest
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** max_by/min_by aggregates: per order status, the order carrying
     * the extreme price. Ties on price exist in the data, so the sort
     * value is the composite `(price_cents · 2³¹ + orderkey)` packed
