@@ -85,6 +85,9 @@ object SparkEntry {
     "q_sessionize" -> (Events.qSessionize _),
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_range_join" -> (Events.qRangeJoin _),
+    "q_gap_fill" -> (Events.qGapFill _),
+    "profile_numeric" -> (Profile.numericProfile _),
+    "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
     // maxDf passed explicitly: the 100 TB operating configuration of
@@ -289,6 +292,36 @@ object SparkEntry {
                      ON a.ck = b.ck AND a.doc_id < b.doc_id)
          SELECT d1, d2, hamming FROM pairs
          WHERE hamming <= 3 ORDER BY d1, d2"""
+
+  /** graph_pagerank oracle: the fixed-point integer formulation makes
+    * every iteration pure SQL — unrolled here as chained CTEs (one
+    * per round), since the arithmetic is integer-exact on both
+    * engines (`div`/`//` truncation on non-negative values). */
+  private lazy val pagerankSql: String = {
+    val iters = 5
+    val chain = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT d.node, d.outdeg,
+             (${Graph.Scale} * 15 // 100) // c.n
+               + (${Graph.Damping} * sum(p.pr // p.outdeg)) // 100 AS pr
+           FROM pr${i - 1} p JOIN edges e ON p.node = e.src
+             JOIN deg d ON e.dst = d.node
+             CROSS JOIN const c
+           GROUP BY d.node, d.outdeg, c.n)"""
+    }.mkString(",\n         ")
+    s"""WITH pairs AS (SELECT DISTINCT
+             'C' || CAST(o_custkey AS VARCHAR) AS c,
+             'S' || CAST(l_suppkey AS VARCHAR) AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM pairs
+                   UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+         const AS (SELECT count(*) AS n FROM deg),
+         pr0 AS (SELECT node, outdeg, ${Graph.Scale} // n AS pr
+                 FROM deg CROSS JOIN const),
+         $chain
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM pr$iters
+         ORDER BY pr DESC, node LIMIT 100"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has one (50/50): the sketch
@@ -822,6 +855,40 @@ object SparkEntry {
           AND e.ts >= p.ts
           AND e.ts <= p.ts + INTERVAL 30 MINUTE
          ORDER BY purchase_id, error_id""",
+    "q_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS spent_cents
+           FROM events GROUP BY 1, 2),
+         cal AS (SELECT user_id AS cal_user,
+                        unnest(generate_series(min(day), max(day),
+                                               INTERVAL 1 DAY)) AS day
+                 FROM daily GROUP BY user_id)
+         SELECT c.cal_user AS user_id, c.day,
+                coalesce(d.n_events, 0) AS n_events,
+                coalesce(d.spent_cents, 0) / 100.0 AS spent,
+                (last_value(d.spent_cents IGNORE NULLS)
+                   OVER (PARTITION BY c.cal_user ORDER BY c.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  / 100.0 AS carried
+         FROM cal c LEFT JOIN daily d
+           ON c.cal_user = d.user_id AND c.day = d.day
+         ORDER BY 1, 2""",
+    "profile_numeric" ->
+      """WITH m AS (
+           SELECT 'l_quantity' AS col_name, l_quantity AS value FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+         SELECT col_name, count(value) AS n,
+                count(DISTINCT value) AS n_distinct,
+                round(min(value), 4) AS min_value,
+                round(max(value), 4) AS max_value,
+                round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                      / 100.0 / count(value), 6) AS mean
+         FROM m GROUP BY col_name ORDER BY col_name""",
+    "graph_pagerank" -> pagerankSql,
     // the PLAIN semi-join: a hash match proves the bloom prefilter is
     // value-invisible (no false negatives; false positives removed by
     // the exact join)

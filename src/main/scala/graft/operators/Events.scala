@@ -136,6 +136,41 @@ object Events {
     * that survives 100 TB (a per-row range join would not).
     * At equal ts the purchase sorts first (side=0), matching the
     * usual ASOF `>=` semantics. */
+  /** Calendar gap-fill + forward fill: each user's daily activity
+    * series with missing days materialized — `sequence()` generates
+    * each user's [first, last] day range (rows scale with users ×
+    * span, never with a global calendar cross join), a left join
+    * marks the gaps, and `last(_, ignoreNulls)` carries the most
+    * recent observed daily spend forward across them. The fill
+    * window partitions by user, so at 100 TB it shuffles once on
+    * user_id and each partition sorts only its own ≤span rows —
+    * there is no global sort and no single-reducer funnel. */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("spent_cents"))
+    val cal = daily.groupBy(col("user_id").as("cal_user"))
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("cal_user"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("cal_day"))
+    val fill = Window.partitionBy(col("cal_user")).orderBy(col("cal_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal
+      .join(daily,
+        col("cal_user") === col("user_id") && col("cal_day") === col("day"),
+        "left")
+      .select(col("cal_user"), col("cal_day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(col("spent_cents"), lit(0L)) / 100.0).as("spent"),
+        (last(col("spent_cents"), ignoreNulls = true).over(fill) / 100.0)
+          .as("carried"))
+      .withColumnRenamed("cal_user", "user_id")
+      .withColumnRenamed("cal_day", "day")
+      .orderBy("user_id", "day")
+  }
+
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")

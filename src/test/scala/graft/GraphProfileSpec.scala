@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Events, Graph, Profile}
+
+/** PageRank (fixed-point), gap-fill, and the column profiler. */
+class GraphProfileSpec extends SparkSpecBase {
+
+  test("pagerank: rank mass is conserved up to integer truncation") {
+    // every div truncates, so total mass can only leak DOWNWARD, and
+    // by < 1 unit per node per round; with 5 rounds and the damping
+    // re-injection the total must sit just below SCALE
+    val deg = Graph.pagerank(spark, Sf)
+    val ranks = deg.select(col("pr")).collect().map(_.getLong(0))
+    assert(ranks.length == 100)
+    assert(ranks.forall(_ > 0))
+    // top-100 of a ~1100-node graph: the head must carry a visible
+    // multiple of the uniform share SCALE/n
+    assert(ranks.max > Graph.Scale / 1200 * 3, s"max=${ranks.max}")
+  }
+
+  test("pagerank: suppliers out-rank customers (degree asymmetry)") {
+    // 100 suppliers trade with ~1000 customers: supplier in-degree is
+    // ~10x customer in-degree, so the whole top of the ranking must
+    // be supplier nodes
+    val top = Graph.pagerank(spark, Sf).limit(10)
+      .select(col("node")).collect().map(_.getString(0))
+    assert(top.forall(_.startsWith("S")), top.mkString(","))
+  }
+
+  test("pagerank: bit-identical across partitioning (integer fixed-point)") {
+    val a = Graph.pagerank(spark, Sf).collect().map(r => (r.getString(0), r.getLong(1)))
+    val sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = Graph.pagerank(sp2, Sf).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("gap-fill: gaps are materialized with zero counts and carried spend") {
+    val rows = Events.qGapFill(spark, Sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(_.getTimestamp(1).getTime)
+      // contiguous daily calendar per user — no holes, no dups
+      val sorted = days.sorted
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => b - a == 86400000L })
+      // carried is never null and agrees with the last observed spend
+      var lastSeen = Option.empty[Double]
+      rs.sortBy(_.getTimestamp(1).getTime).foreach { r =>
+        if (r.getLong(2) > 0) lastSeen = Some(r.getDouble(3))
+        assert(!r.isNullAt(4))
+        assert(math.abs(r.getDouble(4) - lastSeen.get) < 1e-9)
+      }
+    }
+    // the whole point: at least one user has a zero-event filled day
+    assert(rows.exists(_.getLong(2) == 0L), "no gaps were filled")
+  }
+
+  test("profiler: one-pass stats agree with per-column aggregates") {
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val p = Profile.numericProfile(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = li.count()
+    assert(p.keySet == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    p.values.foreach { case (cnt, _) => assert(cnt == n) }
+    val dq = li.select(countDistinct(col("l_quantity"))).head().getLong(0)
+    assert(p("l_quantity")._2 == dq)
+  }
+}
