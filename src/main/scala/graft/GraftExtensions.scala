@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType}
 
-import graft.functions.{AsciiTokens, CosineSimilarity, MinHashAgg,
-  NGramShingles, SimHashAgg, TopKFreqAgg, TopKScoreAgg}
+import graft.functions.{AsciiTokens, CosineSimilarity, CountMinAgg,
+  MinHashAgg, NGramShingles, SimHashAgg, TopKFreqAgg, TopKScoreAgg}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -17,8 +17,8 @@ import graft.functions.{AsciiTokens, CosineSimilarity, MinHashAgg,
   * {{{ GraftFunctions.register(spark) }}}
   * after which `SELECT cosine_sim(a, b)`,
   * `SELECT ngram_shingles(tokens, 3)`, and the sketch/top-k
-  * aggregates (`minhash_agg`, `simhash_agg`, `topk_by_score`,
-  * `topk_freq`) work from plain SQL.
+  * aggregates (`minhash_agg`, `simhash_agg`, `countmin_agg`,
+  * `topk_by_score`, `topk_freq`) work from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -80,6 +80,12 @@ object GraftFunctions {
       intLit(exprs(2), "topk_by_score", "k"))
   }
 
+  private def countMinBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "countmin_agg(hash_col, depth, width)")
+    CountMinAgg(exprs(0), intLit(exprs(1), "countmin_agg", "depth"),
+      intLit(exprs(2), "countmin_agg", "width"))
+  }
+
   private def topkFreqBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2 || exprs.length == 3,
       "topk_freq(item, k[, capacity])")
@@ -103,6 +109,9 @@ object GraftFunctions {
     (FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[TopKFreqAgg].getName, "topk_freq"),
       topkFreqBuilder _),
+    (FunctionIdentifier("countmin_agg"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "countmin_agg"),
+      countMinBuilder _),
     (FunctionIdentifier("ascii_tokens"),
       new ExpressionInfo(classOf[AsciiTokens].getName, "ascii_tokens"),
       tokensBuilder _),

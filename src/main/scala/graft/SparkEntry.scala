@@ -27,6 +27,7 @@ object SparkEntry {
     "mr_grep_count" -> (TextMR.grepCount _),
     "mr_inverted_index" -> (TextMR.invertedIndex _),
     "mr_topwords" -> ((s: SparkSession, d: String) => TextMR.topWords(s, d)),
+    "mr_cms_freq" -> ((s: SparkSession, d: String) => TextMR.cmsFreq(s, d)),
     // B. relational
     "q1_agg" -> (Relational.q1Agg _),
     "q3_join_topk" -> (Relational.q3JoinTopk _),
@@ -323,6 +324,39 @@ object SparkEntry {
          ORDER BY pr DESC, node LIMIT 100"""
   }
 
+  /** mr_cms_freq oracle: a Count-Min counter's content is "sum of
+    * counts of every token in the bucket", so DuckDB rebuilds the
+    * d×w matrix with d group-bys over the same affine-salt
+    * arithmetic (literals below) and takes the same min. */
+  private lazy val cmsFreqSql: String = {
+    val depth = 4
+    val width = 64
+    val (a, b) = graft.functions.PortableHash.affineParams(depth)
+    val p = graft.functions.PortableHash.P
+    val bucketCols = (0 until depth).map(i =>
+      s"(((${a(i)} * hp + ${b(i)}) % $p) % $width) AS b$i").mkString(",\n                ")
+    val counterCtes = (0 until depth).map(i =>
+      s"c$i AS (SELECT b$i AS bk, CAST(sum(cnt) AS BIGINT) AS c FROM bkt GROUP BY b$i)")
+      .mkString(",\n         ")
+    val joins = (0 until depth).map(i => s"JOIN c$i ON bkt.b$i = c$i.bk")
+      .mkString("\n           ")
+    val least = (0 until depth).map(i => s"c$i.c").mkString(", ")
+    s"""WITH w AS (SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+                   FROM documents),
+         t AS (SELECT word, count(*) AS cnt FROM w
+               WHERE word <> '' GROUP BY word),
+         h AS (SELECT word, cnt,
+                      ('0x' || substring(md5(word), 1, 15))::BIGINT % $p AS hp
+               FROM t),
+         bkt AS (SELECT word, cnt,
+                $bucketCols
+                 FROM h),
+         $counterCtes
+         SELECT word, cnt, least($least) AS est
+         FROM bkt $joins
+         ORDER BY word"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has one (50/50): the sketch
     * ops use the engine-portable [[graft.functions.PortableHash]]
@@ -363,6 +397,7 @@ object SparkEntry {
                FROM c)
          SELECT source, rank, word, cnt FROM r
          WHERE rank <= 10 ORDER BY source, rank""",
+    "mr_cms_freq" -> cmsFreqSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,

@@ -135,6 +135,70 @@ case class SimHashAgg(child: Expression,
       c: IndexedSeq[Expression]): Expression = copy(child = c.head)
 }
 
+/** Count-Min sketch as a custom aggregate: `long[d·w]` counter
+  * matrix, row i bucketing by the i-th [[PortableHash]] affine salt.
+  * Update is d counter increments per input row; merge is an
+  * elementwise sum — map-side partials mean each partition ships one
+  * fixed-size matrix, never its token stream. The counter content is
+  * exactly "sum of counts of all tokens landing in the bucket", so
+  * the DuckDB oracle reproduces every counter with d group-bys over
+  * the same salt arithmetic — the sketch is value-checked, not
+  * rows-only (same portability trick as minhash/simhash). */
+case class CountMinAgg(child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  @transient private lazy val (saltA, saltB) = PortableHash.affineParams(depth)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val hp = java.lang.Math.floorMod(v.asInstanceOf[Long], PortableHash.P)
+      var i = 0
+      while (i < depth) {
+        val bucket = (((saltA(i) * hp + saltB(i)) % PortableHash.P) % width).toInt
+        buf(i * width + bucket) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(depth * width)(bb.getLong())
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "countmin_agg"
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
 object SketchAggs {
   /** k-entry minhash signature of a long-hash column. */
   def minhashAgg(hash: Column, k: Int): Column =
@@ -145,4 +209,11 @@ object SketchAggs {
   def simhashAgg(hash: Column): Column =
     ColumnBridge.column(
       SimHashAgg(ColumnBridge.expression(hash)).toAggregateExpression())
+
+  /** depth×width Count-Min counter matrix of a long-hash column,
+    * flattened row-major. */
+  def countMinAgg(hash: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CountMinAgg(ColumnBridge.expression(hash), depth, width)
+        .toAggregateExpression())
 }

@@ -78,6 +78,36 @@ object TextMR {
   def referenceFormat(counts: DataFrame): DataFrame =
     counts.select(concat(col("word"), lit(", "), col("cnt")).as("line"))
 
+  /** Count-Min frequency estimation over the corpus vocabulary: one
+    * [[graft.functions.CountMinAgg]] builds the d×w counter matrix in
+    * a single pass (map-side partial matrices, one fixed-size merge —
+    * at 100 TB the sketch costs d·w longs per partition no matter how
+    * many tokens stream through), then every word's estimate is the
+    * min of its d counters, read from the broadcast matrix. The
+    * exact count rides along: `est ≥ cnt` always (CMS never
+    * under-counts), with equality whenever the word's d buckets are
+    * collision-free — both facts spec-asserted, and the whole thing
+    * oracle-checked because the counters are pure [[graft.functions.
+    * PortableHash]] arithmetic a SQL engine can replay. */
+  def cmsFreq(spark: SparkSession, dir: String,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val (saltA, saltB) = graft.functions.PortableHash.affineParams(depth)
+    val w = words(Tables(spark, dir).documents)
+      .select(col("word"), graft.functions.PortableHash.h60(col("word")).as("h"))
+    val cms = w.agg(
+      graft.functions.SketchAggs.countMinAgg(col("h"), depth, width).as("cms"))
+    val exact = w.groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"), first(col("h")).as("h"))
+    val rowEsts = (0 until depth).map { i =>
+      val bucket = pmod(graft.functions.PortableHash
+        .salted(col("h"), saltA(i), saltB(i)), lit(width.toLong))
+      element_at(col("cms"), (lit(i * width) + bucket + 1).cast("int"))
+    }
+    exact.crossJoin(broadcast(cms))
+      .select(col("word"), col("cnt"), least(rowEsts: _*).as("est"))
+      .orderBy("word")
+  }
+
   /** Inverted index: word → document frequency + sorted posting list.
     * Postings are emitted as a comma-joined string so the result is a
     * flat, hash-comparable column. */

