@@ -47,6 +47,23 @@ object Streams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming Count-Min: a per-6-hour-window user-activity sketch,
+    * built by the same [[graft.functions.CountMinAgg]] the batch
+    * path uses — TypedImperativeAggregates merge partial buffers,
+    * which is exactly what incremental micro-batch state needs, so
+    * the streaming matrix is bit-identical to a batch sketch over
+    * the same rows (StreamingSpec asserts). This is the streaming
+    * sketch pattern for 100 TB/day telemetry: per-window state is a
+    * fixed d×w matrix however many events stream through. */
+  def cmsWindowSketch(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.SketchAggs.countMinAgg(
+        graft.functions.PortableHash.h60(col("user_id").cast("string")),
+        4, 64).as("cms"))
+      .select(col("window.start").as("win"), col("cms"))
+
   /** Streaming twin of q_sessionize: built-in session_window with a
     * 30-minute gap. */
   def sessionCounts(events: DataFrame): DataFrame =

@@ -20,6 +20,24 @@ class StreamingSpec extends SparkSpecBase {
     dir.toString
   }
 
+  test("streaming Count-Min sketch is bit-identical to the batch sketch") {
+    val stream = Streams.runToMemory(
+      Streams.cmsWindowSketch(Streams.readEvents(spark, path)), "cms_win")
+    val got = stream.collect()
+      .map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    val want = graft.core.Tables(spark, Sf).events
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.SketchAggs.countMinAgg(
+        graft.functions.PortableHash.h60(col("user_id").cast("string")),
+        4, 64).as("cms"))
+      .select(col("window.start"), col("cms"))
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    // sketch row mass per window = events in the window
+    want.foreach { case (_, m) => assert(m.slice(0, 64).sum == m.slice(64, 128).sum) }
+  }
+
   test("streaming hourly window counts match the batch q_event_window") {
     val stream = Streams.runToMemory(
       Streams.windowCounts(Streams.readEvents(spark, path)), "win_counts")
