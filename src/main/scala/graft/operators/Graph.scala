@@ -24,6 +24,20 @@ object Graph {
   private[graft] val Scale = 1000000000000L // 10^12 rank fixed-point
   private[graft] val Damping = 85 // ×10⁻² — classic 0.85
 
+  /** One PageRank round: contributions flow src → dst (the round's
+    * single real shuffle, map-side partial sums) after a SHUFFLE_HASH
+    * join of the rank vector against the pre-partitioned edge set
+    * (ExplainSpec pins the join choice — a sort-merge fallback would
+    * re-exchange and re-sort every edge every round). */
+  private[graft] def round(edges: DataFrame, pr: DataFrame,
+      base: Long): DataFrame =
+    edges
+      .join(pr.hint("shuffle_hash"), col("src") === col("node"))
+      .select(col("dst"), expr("pr div outdeg").as("contrib"))
+      .groupBy(col("dst"))
+      .agg((lit(base) + expr(s"($Damping * sum(contrib)) div 100")).as("pr"))
+      .select(col("dst").as("node"), col("pr"))
+
   /** Customer↔supplier trading edges: one edge per distinct
     * (customer, supplier) pair observed in orders⋈lineitem, in both
     * directions so the bipartite graph is walkable. One fact-fact
@@ -83,16 +97,10 @@ object Graph {
     val base = (Scale * 15 / 100) / n
     var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
     for (i <- 1 to iters) {
-      val contribs = edges
-        .join(pr.hint("shuffle_hash"), col("src") === col("node"))
-        .select(col("dst"), expr("pr div outdeg").as("contrib"))
       // intermediate rounds checkpoint lazily (they pipeline into the
       // final round's job); the LAST round is eager so the whole
       // chain materializes here, while the edge cache is still alive
-      pr = contribs.groupBy(col("dst"))
-        .agg((lit(base) + expr(s"($Damping * sum(contrib)) div 100")).as("pr"))
-        .select(col("dst").as("node"), col("pr"))
-        .localCheckpoint(eager = i == iters)
+      pr = round(edges, pr, base).localCheckpoint(eager = i == iters)
     }
     edges.unpersist(blocking = false)
     pr.select(col("node"), col("pr"))

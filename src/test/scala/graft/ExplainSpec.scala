@@ -58,4 +58,46 @@ class ExplainSpec extends SparkSpecBase {
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size
     assert(bhj >= 3, s"expected ≥3 broadcast joins, got $bhj:\n$p")
   }
+
+  test("q8 broadcasts all seven dimension joins around one fact shuffle") {
+    val p = plan(Relational.q8MarketShare(spark, Sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 6, s"expected ≥6 broadcast joins, got $bhj:\n$p")
+  }
+
+  test("q2 aggregates only candidate-part lines (part join feeds the agg)") {
+    // the (part, supplier) aggregate must CONSUME the broadcast join
+    // with the filtered part side — i.e. the full-lineitem aggregate
+    // formulation is gone. In tree-printed order the consumed join
+    // appears below (after) the partial agg.
+    val pre = Relational.q2MinCost(spark, Sf).queryExecution.sparkPlan.toString
+    val aggIdx = pre.indexOf("partial_min")
+    val partJoinIdx = pre.indexOf("BroadcastHashJoin [l_partkey")
+    assert(aggIdx >= 0 && partJoinIdx > aggIdx,
+      s"expected the part join below the partial agg:\n$pre")
+  }
+
+  test("pagerank rounds join the rank vector without re-exchanging edges") {
+    import org.apache.spark.sql.functions._
+    val g = graft.operators.Graph
+    val edges = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("l_orderkey")).as("dst"))
+      .repartition(col("src"))
+      .withColumn("outdeg", org.apache.spark.sql.functions.count(
+        lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    val pr = edges.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1000000L)).localCheckpoint()
+    val p = plan(g.round(edges, pr, 1000L))
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"rank-vector join must not sort-merge (edge re-sort per round):\n$p")
+  }
+
+  test("profiler is one scan: a single parquet read feeds the melt") {
+    val p = plan(graft.operators.Profile.numericProfile(spark, Sf))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    // ÷2: executedPlan + formatted both counted
+    assert(scans <= 2, s"expected one lineitem scan per plan text:\n$p")
+  }
 }
