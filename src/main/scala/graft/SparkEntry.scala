@@ -970,11 +970,17 @@ object SparkEntry {
                   END AS gs
            FROM toks),
          posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         -- postings join on the 60-bit portable hash, mirroring the
+         -- Spark side exactly (collisions, were any to exist, would
+         -- be identical on both engines)
+         hp AS (SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gid
+                FROM posts),
          sizes AS (SELECT doc_id, len(gs) AS n FROM g),
          pairs AS (
            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-           FROM posts a JOIN posts b
-             ON a.gram = b.gram AND a.doc_id < b.doc_id
+           FROM hp a JOIN hp b
+             ON a.gid = b.gid AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT d1, d2, inter,
                 round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
@@ -997,11 +1003,17 @@ object SparkEntry {
                   END AS gs
            FROM toks),
          posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         -- postings join on the 60-bit portable hash, mirroring the
+         -- Spark side exactly (collisions, were any to exist, would
+         -- be identical on both engines)
+         hp AS (SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gid
+                FROM posts),
          sizes AS (SELECT doc_id, len(gs) AS n FROM g),
          pairs AS (
            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-           FROM posts a JOIN posts b
-             ON a.gram = b.gram AND a.doc_id < b.doc_id
+           FROM hp a JOIN hp b
+             ON a.gid = b.gid AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id),
          near AS (
            SELECT d1, d2 FROM pairs
