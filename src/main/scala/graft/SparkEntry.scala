@@ -30,6 +30,7 @@ object SparkEntry {
     "mr_cms_freq" -> ((s: SparkSession, d: String) => TextMR.cmsFreq(s, d)),
     // B. relational
     "q1_agg" -> (Relational.q1Agg _),
+    "q1_sql" -> ((s: SparkSession, d: String) => runSql(s, d, Q1AggSql)),
     "q3_join_topk" -> (Relational.q3JoinTopk _),
     "q5_multijoin" -> (Relational.q5Multijoin _),
     "q6_filter_agg" -> (Relational.q6FilterAgg _),
@@ -357,6 +358,37 @@ object SparkEntry {
          ORDER BY word"""
   }
 
+  /** The Q1 oracle is written in the dialect-portable subset BOTH
+    * engines parse — `q1_sql` feeds this exact text to `spark.sql`
+    * (over registered views) while the driver runs it in DuckDB, so
+    * one string is simultaneously the query and its own oracle. */
+  private val Q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              sum(CAST(round((l_extendedprice) * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+              sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS sum_disc_price,
+              sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100, 0) AS BIGINT)) / 100.0 AS sum_charge,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(avg(l_discount), 4) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** SQL-first surface: register the tables as temp views and run a
+    * dialect-portable SQL text through `spark.sql` — the engine a
+    * SQL-only user gets, driven end-to-end by the same oracle gate
+    * as the DataFrame API. */
+  private def runSql(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    val t = graft.core.Tables(spark, dir)
+    Seq("region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+      "lineitem" -> t.lineitem)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    spark.sql(sql)
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has one (50/50): the sketch
     * ops use the engine-portable [[graft.functions.PortableHash]]
@@ -398,19 +430,8 @@ object SparkEntry {
          SELECT source, rank, word, cnt FROM r
          WHERE rank <= 10 ORDER BY source, rank""",
     "mr_cms_freq" -> cmsFreqSql,
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 2) AS sum_qty,
-                sum(CAST(round((l_extendedprice) * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
-                sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS sum_disc_price,
-                sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100, 0) AS BIGINT)) / 100.0 AS sum_charge,
-                round(avg(l_quantity), 4) AS avg_qty,
-                round(avg(l_extendedprice), 4) AS avg_price,
-                round(avg(l_discount), 4) AS avg_disc,
-                count(*) AS count_order
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
+    "q1_agg" -> Q1AggSql,
+    "q1_sql" -> Q1AggSql,
     "q3_join_topk" ->
       """SELECT l_orderkey,
                 sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
