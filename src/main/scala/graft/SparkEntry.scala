@@ -109,6 +109,8 @@ object SparkEntry {
     // G. multimodal plumbing
     "mm_meta_stats" -> (Multimodal.metaStats _),
     "mm_frame_sample" -> (Multimodal.frameSampleStats _),
+    "mm_resize" -> (Multimodal.resizeSpecs _),
+    "mm_features" -> (Multimodal.byteFeatures _),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
@@ -1191,6 +1193,34 @@ object SparkEntry {
                 round(avg(ascii(substring(text, CAST((fi * 997) % len + 1 AS INT), 1)) % 128),
                       6) AS avg_brightness
          FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // fit-224 aspect-preserving resize plan, integer div on the stub
+    // metadata (width = 64 + plen % 512, height = 64 + first7)
+    "mm_resize" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  64 + length(text) % 512 AS width,
+                  64 + ascii(substring(text, 1, 1)) % 64 AS height
+           FROM documents WHERE CAST(doc_id % 3 AS INT) = 0)
+         SELECT doc_id, width, height,
+                CASE WHEN width >= height THEN 224
+                     ELSE (width * 224) // height END AS new_w,
+                CASE WHEN width >= height THEN (height * 224) // width
+                     ELSE 224 END AS new_h
+         FROM m ORDER BY doc_id""",
+    // byte histogram per image: ASCII corpus ⇒ ascii(char) == byte;
+    // zero bins are materialized (the Spark side always emits 8)
+    "mm_features" ->
+      """WITH i AS (SELECT doc_id, text, length(text) AS len
+                    FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),
+         b AS (SELECT doc_id,
+                      (ascii(substring(text, CAST(p AS INT), 1)) % 128) // 16 AS bin
+               FROM i, unnest(range(1, len + 1)) AS t(p)),
+         g AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2)
+         SELECT d.doc_id, bn.bin, coalesce(g.cnt, 0) AS cnt
+         FROM (SELECT DISTINCT doc_id FROM i) d
+         CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) bn
+         LEFT JOIN g ON g.doc_id = d.doc_id AND g.bin = bn.bin
+         ORDER BY 1, 2""",
     // Same 16-bit-limb bucket arithmetic as TextOps.splitAssignment —
     // equal to (doc_id * 2654435761) % 2^32 but overflow-free for
     // doc_id beyond ~3.5e9 on both engines.

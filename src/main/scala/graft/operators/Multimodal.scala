@@ -121,4 +121,49 @@ object Multimodal {
         max("n_frames").as("max_frames"),
         sum("size_bytes").as("total_bytes"))
       .orderBy("fmt")
+
+  /** Resize planning for the image corpus: target dimensions that fit
+    * each image into 224×224 (the standard vision-model input)
+    * preserving aspect ratio — pure INTEGER arithmetic (`div`), so
+    * the plan is engine-exact and oracle-checked. The column-only
+    * pass runs map-side over the decoded metadata; the pixel
+    * resample itself belongs in the batched decode (stubbed here),
+    * which would consume these (new_w, new_h) pairs per batch. */
+  def resizeSpecs(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(blobs(spark, dir)).toDF()
+      .filter(col("fmt") === "image")
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("width") >= col("height"), lit(224))
+          .otherwise(expr("(width * 224) div height")).as("new_w"),
+        when(col("width") >= col("height"), expr("(height * 224) div width"))
+          .otherwise(lit(224)).as("new_h"))
+      .orderBy("doc_id")
+
+  /** One image's byte histogram — the feature-extraction stand-in
+    * (a real deployment swaps this for an embedding model call; the
+    * batch signature is the same integration point as
+    * [[decodeBatch]]). 8 bins over the 7-bit byte values. */
+  final case class ByteHist(doc_id: Long, bins: Array[Long])
+
+  private[graft] def featureBatch(batch: Seq[MediaBlob]): Seq[ByteHist] =
+    batch.filter(_.fmt == "image").map { b =>
+      val bins = new Array[Long](8)
+      b.payload.foreach(p => bins((p & 0x7f) / 16) += 1L)
+      ByteHist(b.doc_id, bins)
+    }
+
+  /** Feature extraction over the image corpus: partition-wise batched
+    * byte histograms (map-side, no shuffle — one fixed-size vector
+    * per image regardless of payload size), exploded to a relational
+    * (doc_id, bin, cnt) feature table. Deterministic ⇒ oracle-checked
+    * (DuckDB rebuilds the histogram from the character codes). */
+  def byteFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    blobs(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(featureBatch))
+      .select(col("doc_id"), posexplode(col("bins")))
+      .select(col("doc_id"), col("pos").cast("int").as("bin"),
+        col("col").as("cnt"))
+      .orderBy("doc_id", "bin")
+  }
 }

@@ -58,4 +58,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a == b)
     assert(a.head.width == 64 + 11 && a.head.size_bytes == 11L)
   }
+
+  test("resize plan fits 224 and preserves aspect within integer rounding") {
+    Multimodal.resizeSpecs(spark, Sf).collect().foreach { r =>
+      val (w, h) = (r.getInt(1).toLong, r.getInt(2).toLong)
+      val (nw, nh) = (r.getLong(3), r.getLong(4))
+      assert(math.max(nw, nh) == 224, s"$w x $h -> $nw x $nh")
+      assert(nw <= 224 && nh <= 224 && nw > 0 && nh > 0)
+      // integer-div aspect: the scaled short side is exactly
+      // (short * 224) div long
+      if (w >= h) assert(nh == h * 224 / w) else assert(nw == w * 224 / h)
+    }
+  }
+
+  test("byte-histogram features: bins sum to payload length, 8 per image") {
+    val hist = Multimodal.featureBatch(
+      Seq(Multimodal.MediaBlob(1L, "image", "abc abc".getBytes("UTF-8")),
+        Multimodal.MediaBlob(2L, "video", "skip me".getBytes("UTF-8"))))
+    assert(hist.map(_.doc_id) == Seq(1L)) // non-images are not decoded
+    assert(hist.head.bins.sum == 7L)
+    // 'a'..'c' land in bin 6 (97-99 / 16), space in bin 2 (32 / 16)
+    assert(hist.head.bins(6) == 6L && hist.head.bins(2) == 1L)
+    val rows = Multimodal.byteFeatures(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length % 8 == 0)
+  }
 }
