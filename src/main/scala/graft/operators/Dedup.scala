@@ -242,9 +242,14 @@ object Dedup {
     // it twice, and without this the whole upstream (shingling +
     // self-join) executes per side
     val p = pairs.cache()
+    // partitioned by src at cache time: every round's label join then
+    // reuses this layout via a SHUFFLE_HASH hint below — the
+    // checkpointed label vector has no stats, so an unhinted plan
+    // falls back to sort-merge and re-sorts the edge set every round
+    // (the same fix as Graph.pagerank)
     val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(p.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct().cache()
+      .distinct().repartition(col("src")).cache()
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("comp", col("node"))
@@ -264,7 +269,7 @@ object Dedup {
       // map-side partial mins)
       val next = labels
         .unionAll(edges
-          .join(labels, col("src") === col("node"))
+          .join(labels.hint("shuffle_hash"), col("src") === col("node"))
           .select(col("dst").as("node"), col("comp")))
         .groupBy(col("node"))
         .agg(min("comp").as("comp"))
