@@ -69,6 +69,25 @@ object IO {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Sort-on-write layout for range-filtered scans: rows sorted by
+    * the filter column cluster each value range into few row groups,
+    * so parquet's min/max row-group statistics skip everything else
+    * at read time. At 100 TB this is THE knob for time-range queries
+    * — the same pushed filter reads orders of magnitude fewer rows
+    * from a sorted layout than from an unsorted one (SourcesSpec
+    * measures the scan-output difference). `repartitionByRange` +
+    * `sortWithinPartitions` keeps the sort fully parallel — no
+    * single-task global sort. */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+      partitions: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, col(sortCol))
+      else df.repartitionByRange(col(sortCol))
+    ranged.sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
