@@ -64,6 +64,24 @@ object Streams {
         4, 64).as("cms"))
       .select(col("window.start").as("win"), col("cms"))
 
+  /** Streaming top-k: the k highest-value purchases per event-time
+    * window, via the same bounded-heap [[graft.functions.TopKScore]]
+    * aggregate the batch ANN/top-k paths use — per-window state is
+    * ≤ k entries however many events stream through (the
+    * watermark-bounded analogue of the batch no-window-funnel rule).
+    * StreamingSpec pins stream ≡ batch on the same rows. */
+  def topkWindowSpend(events: DataFrame, k: Int = 3): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.TopKScoreAgg.topk(
+        round(col("value") * 100, 0).cast("long").cast("double"),
+        col("event_id"), k).as("top"))
+      .select(col("window.start").as("win"), explode(col("top")).as("e"))
+      .select(col("win"), col("e.id").as("event_id"),
+        (col("e.score") / 100.0).as("value"))
+
   /** Streaming twin of q_sessionize: built-in session_window with a
     * 30-minute gap. */
   def sessionCounts(events: DataFrame): DataFrame =

@@ -38,6 +38,27 @@ class StreamingSpec extends SparkSpecBase {
     want.foreach { case (_, m) => assert(m.slice(0, 64).sum == m.slice(64, 128).sum) }
   }
 
+  test("streaming windowed top-k spend matches the batch aggregate") {
+    val stream = Streams.runToMemory(
+      Streams.topkWindowSpend(Streams.readEvents(spark, path)), "topk_win")
+    val got = stream.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.core.Tables(spark, Sf).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.TopKScoreAgg.topk(
+        round(col("value") * 100, 0).cast("long").cast("double"),
+        col("event_id"), 3).as("top"))
+      .select(col("window.start").as("win"), explode(col("top")).as("e"))
+      .select(col("win"), col("e.id"), col("e.score") / 100.0)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // bounded state: never more than k rows per window
+    assert(stream.groupBy("win").count().collect().forall(_.getLong(1) <= 3))
+  }
+
   test("streaming hourly window counts match the batch q_event_window") {
     val stream = Streams.runToMemory(
       Streams.windowCounts(Streams.readEvents(spark, path)), "win_counts")
