@@ -96,8 +96,11 @@ object TextMR {
       .select(col("word"), graft.functions.PortableHash.h60(col("word")).as("h"))
     val cms = w.agg(
       graft.functions.SketchAggs.countMinAgg(col("h"), depth, width).as("cms"))
+    // min, not first: h is functionally dependent on the group key
+    // (same value in every row), but min is order-deterministic by
+    // construction — no reliance on evaluation order
     val exact = w.groupBy(col("word"))
-      .agg(count(lit(1)).as("cnt"), first(col("h")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("h")).as("h"))
     val rowEsts = (0 until depth).map { i =>
       val bucket = pmod(graft.functions.PortableHash
         .salted(col("h"), saltA(i), saltB(i)), lit(width.toLong))
