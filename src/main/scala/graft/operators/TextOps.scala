@@ -211,7 +211,7 @@ object TextOps {
     val hits = docs
       .join(broadcast(lexicon), col("tok") === col("word"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg((count(lit(1)) / first(col("n"))).as("score"))
+      .agg((count(lit(1)) / min(col("n"))).as("score"))
     val langs = spark.createDataFrame(
       Profiles.keys.toSeq.sorted.map(Tuple1(_))).toDF("lang")
     Tables(spark, dir).documents.select(col("doc_id"))
