@@ -82,12 +82,18 @@ object Graph {
     * Every node has out-edges (both edge directions exist), so there
     * is no dangling-mass term; no node misses in-contributions for
     * the same reason, so the per-round join is inner. */
-  def pagerank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
+    pagerankOf(tradeEdges(spark, dir), iters)
+
+  /** PageRank over an arbitrary (src, dst) edge set — every node must
+    * have at least one out-edge (no dangling-mass term; the trading
+    * graph guarantees this by carrying both directions). */
+  def pagerankOf(edgeList: DataFrame, iters: Int = 5): DataFrame = {
     // one exchange builds the whole loop input: repartition by src,
     // then the out-degree rides the SAME partitioning as a window
     // count (the GraphX-style "edge carries source degree" layout) —
     // no degree join, no second cache
-    val edges = tradeEdges(spark, dir)
+    val edges = edgeList
       .repartition(col("src"))
       .withColumn("outdeg",
         count(lit(1)).over(Window.partitionBy(col("src"))))

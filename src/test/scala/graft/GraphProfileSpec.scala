@@ -37,6 +37,26 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("pagerank: closed forms on crafted graphs (cycle uniform, star head-heavy)") {
+    import spark.implicits._
+    // symmetric 4-cycle: perfect symmetry => identical ranks
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("b", "a"), ("c", "b"), ("d", "c"), ("a", "d"))
+      .toDF("src", "dst")
+    val cycleRanks = Graph.pagerankOf(cycle).collect().map(_.getLong(1)).toSet
+    assert(cycleRanks.size == 1, s"cycle ranks not uniform: $cycleRanks")
+    // undirected star (hub h, 4 leaves): the hub receives every
+    // leaf's full rank each round, leaves split the hub's — hub must
+    // dominate, leaves tie
+    val star = Seq("l1", "l2", "l3", "l4")
+      .flatMap(l => Seq(("h", l), (l, "h"))).toDF("src", "dst")
+    val ranks = Graph.pagerankOf(star).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ranks("h") > 2 * ranks("l1"), s"hub not dominant: $ranks")
+    assert(Seq("l1", "l2", "l3", "l4").map(ranks).toSet.size == 1,
+      s"leaves not tied: $ranks")
+  }
+
   test("gap-fill: gaps are materialized with zero counts and carried spend") {
     val rows = Events.qGapFill(spark, Sf).collect()
     val byUser = rows.groupBy(_.getLong(0))
