@@ -363,13 +363,19 @@ object SparkEntry {
   /** The Q1 oracle is written in the dialect-portable subset BOTH
     * engines parse — `q1_sql` feeds this exact text to `spark.sql`
     * (over registered views) while the driver runs it in DuckDB, so
-    * one string is simultaneously the query and its own oracle. */
+    * one string is simultaneously the query and its own oracle.
+    *
+    * Type portability constraint: the money sums CAST to DOUBLE
+    * *before* the `/ 100.0` — `BIGINT / 100.0` types DECIMAL(27,6)
+    * in Spark but DOUBLE in DuckDB, which serializes `x.600000` vs
+    * `x.6` and fails the driver's value-hash compare even though the
+    * numbers are equal. DOUBLE ÷ decimal-literal is DOUBLE in both. */
   private val Q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
               round(sum(l_quantity), 2) AS sum_qty,
-              sum(CAST(round((l_extendedprice) * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
-              sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS sum_disc_price,
-              sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100, 0) AS BIGINT)) / 100.0 AS sum_charge,
+              CAST(sum(CAST(round((l_extendedprice) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+              CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+              CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
               round(avg(l_quantity), 4) AS avg_qty,
               round(avg(l_extendedprice), 4) AS avg_price,
               round(avg(l_discount), 4) AS avg_disc,
@@ -499,7 +505,7 @@ object SparkEntry {
                   AS spend_30d
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "q_return_ratio" ->
-      """SELECT date_trunc('month', l_shipdate) AS month,
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
                 round(CAST(sum(CASE WHEN l_returnflag = 'R'
                          THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                          ELSE 0 END) AS DOUBLE)
@@ -558,7 +564,7 @@ object SparkEntry {
                 count(*) AS n, sum(CAST(round((o_totalprice) * 100, 0) AS BIGINT)) / 100.0 AS total
          FROM orders GROUP BY size_bucket ORDER BY size_bucket""",
     "q_month_revenue" ->
-      """SELECT date_trunc('month', l_shipdate) AS month,
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
                 sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue
          FROM lineitem GROUP BY month ORDER BY month""",
     "q_string_funcs" ->
@@ -605,7 +611,7 @@ object SparkEntry {
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q14_promo" ->
-      """SELECT date_trunc('month', l_shipdate) AS month,
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
                 sum(CASE WHEN p_type = 'PROMO'
                     THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)
                     ELSE 0 END) / 100.0 AS promo_revenue,
@@ -1345,19 +1351,18 @@ object SparkEntry {
                   AND (avg_word_len BETWEEN 2.0 AND 10.0)
                   AND punct_ratio <= 0.2 AND n_stop >= 2 AS keep
          FROM m ORDER BY doc_id""",
-    // Distinct 5-gram overlap vs the src0 "benchmark" documents —
-    // same shingle rule as the Spark expression (degenerate len<5 →
-    // one all-tokens shingle).
+    // Distinct 13-gram overlap vs the src0 "benchmark" documents (the
+    // GPT-3/Gopher decontamination window) — same shingle rule as the
+    // Spark expression (degenerate len<13 → one all-tokens shingle).
     "pipeline_decontam" ->
       """WITH toks AS (
            SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
            FROM documents),
          g AS (
            SELECT doc_id, source,
-                  CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
-                       ELSE list_distinct(list_transform(range(1, len(t) - 3),
-                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                   || ' ' || t[i+3] || ' ' || t[i+4]))
+                  CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 11),
+                              i -> array_to_string(t[i:i+12], ' ')))
                   END AS gs
            FROM toks),
          bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g

@@ -45,10 +45,35 @@ object Tables {
   // to every caller is safe — and each query still gets its own
   // pruning/pushdown on top. Keyed by session so concurrent test
   // sessions don't share analyzer state.
+  //
+  // BOUNDED (LRU): a resolved DataFrame strongly references its
+  // SparkSession, so an unbounded map would retain every session a
+  // long-lived process ever creates (tests spawn them via
+  // newSession()) — and weak keys can't work here, the VALUE pins the
+  // key. 64 entries covers many sessions × the 9 tables; evicted
+  // entries just re-resolve on next use. A cached plan also pins the
+  // parquet FILE LISTING as of resolve time — after rewriting a table
+  // path in place, call [[invalidate]] or reads fail/stale.
+  private val MaxEntries = 64
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > MaxEntries
+    }
 
   private def relation(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+    cache.synchronized {
+      cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+        { case (s, p) => s.read.parquet(p) })
+    }
+
+  /** Drop every cached relation (all sessions, all paths). */
+  def invalidate(): Unit = cache.synchronized(cache.clear())
+
+  /** Drop cached relations under `dir` — call after rewriting any of
+    * its parquet tables in place so the next read re-lists files. */
+  def invalidate(dir: String): Unit = cache.synchronized {
+    cache.keySet.removeIf(_._2.startsWith(dir + "/"))
+  }
 }

@@ -81,11 +81,12 @@ object Curation {
   }
 
   /** Benchmark decontamination: flag corpus documents that share any
-    * word 5-gram with a benchmark/eval set (here: the `benchSource`
-    * documents stand in for the eval suite). The n-gram-overlap rule
+    * word 13-gram with a benchmark/eval set (here: the `benchSource`
+    * documents stand in for the eval suite). The 13-gram-overlap rule
     * is the published decontamination standard (GPT-3 appendix C /
-    * Gopher appendix): long-enough grams make coincidental overlap
-    * rare while catching verbatim leakage.
+    * Gopher appendix): a window that long makes coincidental overlap
+    * rare while catching verbatim leakage. `n` is a parameter for
+    * pipelines that want a stricter/looser window.
     *
     * Shape: the benchmark's distinct gram set is SMALL by construction
     * (eval suites are MBs, not TBs) → broadcast; the corpus side is
@@ -93,16 +94,17 @@ object Curation {
     * docs are restored by a left join so the output is a per-doc
     * verdict table, not just the contaminated list. */
   def pipelineDecontam(spark: SparkSession, dir: String,
-      benchSource: String = "src0"): DataFrame =
-    pipelineDecontamDf(Tables(spark, dir).documents, benchSource)
+      benchSource: String = "src0", n: Int = 13): DataFrame =
+    pipelineDecontamDf(Tables(spark, dir).documents, benchSource, n)
 
-  def pipelineDecontamDf(docs: DataFrame, benchSource: String): DataFrame = {
-    val grams5 = ShingleCol.nGramShingles(tokens(col("text")), 5)
+  def pipelineDecontamDf(docs: DataFrame, benchSource: String,
+      n: Int = 13): DataFrame = {
+    val grams = ShingleCol.nGramShingles(tokens(col("text")), n)
     val bench = docs.filter(col("source") === benchSource)
-      .select(explode(grams5).as("gram")).distinct()
+      .select(explode(grams).as("gram")).distinct()
     val corpus = docs.filter(col("source") =!= benchSource)
     val hits = corpus
-      .select(col("doc_id"), explode(grams5).as("gram"))
+      .select(col("doc_id"), explode(grams).as("gram"))
       .join(broadcast(bench), Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))

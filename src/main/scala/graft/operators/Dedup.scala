@@ -264,6 +264,7 @@ object Dedup {
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
+      val t0 = System.nanoTime()
       // one round = one shuffle: each node keeps the min of its own
       // label and its neighbors' labels (union + groupBy-min, with
       // map-side partial mins)
@@ -281,6 +282,11 @@ object Dedup {
       prevSum = s
       labels = next
       rounds += 1
+      // per-round telemetry: when a bench number for this operator
+      // moves between runs, this line localizes it to round count vs
+      // per-round cost vs checkpoint materialization
+      System.err.println(f"[graft] components round $rounds%d: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s, sum=$s%s, changed=$changed%b")
     }
     if (changed) {
       // surfacing beats silently emitting partial components: labels

@@ -28,12 +28,22 @@ object Graph {
     * single real shuffle, map-side partial sums) after a SHUFFLE_HASH
     * join of the rank vector against the pre-partitioned edge set
     * (ExplainSpec pins the join choice — a sort-merge fallback would
-    * re-exchange and re-sort every edge every round). */
+    * re-exchange and re-sort every edge every round).
+    *
+    * `nodes` (the src-node set) is unioned in as zero contributions
+    * BEFORE the groupBy — without it, a node with out-edges but no
+    * in-edges would fall out of the rank vector after round 1 (the
+    * groupBy(dst) only keeps contribution *receivers*) and its
+    * outgoing mass would silently vanish from rounds 2+. The zero
+    * rows ride the round's existing shuffle (|nodes| ≪ |edges| extra
+    * rows, no extra join or stage) and are value-invisible wherever
+    * a node already receives contributions: they add 0 to the sum. */
   private[graft] def round(edges: DataFrame, pr: DataFrame,
-      base: Long): DataFrame =
+      base: Long, nodes: DataFrame): DataFrame =
     edges
       .join(pr.hint("shuffle_hash"), col("src") === col("node"))
       .select(col("dst"), expr("pr div outdeg").as("contrib"))
+      .unionAll(nodes.select(col("node").as("dst"), lit(0L).as("contrib")))
       .groupBy(col("dst"))
       .agg((lit(base) + expr(s"($Damping * sum(contrib)) div 100")).as("pr"))
       .select(col("dst").as("node"), col("pr"))
@@ -80,14 +90,18 @@ object Graph {
     * convergence action the rounds pipeline into one job — each
     * round's result still materializes exactly once).
     * Every node has out-edges (both edge directions exist), so there
-    * is no dangling-mass term; no node misses in-contributions for
-    * the same reason, so the per-round join is inner. */
+    * is no dangling-mass term. */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
     pagerankOf(tradeEdges(spark, dir), iters)
 
-  /** PageRank over an arbitrary (src, dst) edge set — every node must
-    * have at least one out-edge (no dangling-mass term; the trading
-    * graph guarantees this by carrying both directions). */
+  /** PageRank over an arbitrary (src, dst) edge set. The rank vector
+    * is seeded from — and each round restored over — the set of
+    * nodes WITH out-edges, so source-only nodes (no in-edges) keep
+    * their base rank and keep contributing every round instead of
+    * vanishing after round 1. Sink-only nodes (in-edges, no
+    * out-edges) accumulate rank but don't redistribute it — the
+    * classic dangling-mass term is out of scope and documented as
+    * such (the trading graph has none: both directions exist). */
   def pagerankOf(edgeList: DataFrame, iters: Int = 5): DataFrame = {
     // one exchange builds the whole loop input: repartition by src,
     // then the out-degree rides the SAME partitioning as a window
@@ -98,15 +112,19 @@ object Graph {
       .withColumn("outdeg",
         count(lit(1)).over(Window.partitionBy(col("src"))))
       .cache()
+    // checkpointed once: every round unions these zero-seed rows, and
+    // the distinct (shuffle-free — it rides the src partitioning)
+    // should not re-run per round
     val nodes = edges.select(col("src").as("node")).distinct()
-    val n = nodes.count() // materializes the edge cache
+      .localCheckpoint() // materializes the edge cache
+    val n = nodes.count()
     val base = (Scale * 15 / 100) / n
     var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
     for (i <- 1 to iters) {
       // intermediate rounds checkpoint lazily (they pipeline into the
       // final round's job); the LAST round is eager so the whole
       // chain materializes here, while the edge cache is still alive
-      pr = round(edges, pr, base).localCheckpoint(eager = i == iters)
+      pr = round(edges, pr, base, nodes).localCheckpoint(eager = i == iters)
     }
     edges.unpersist(blocking = false)
     pr.select(col("node"), col("pr"))

@@ -166,7 +166,7 @@ object Relational {
   def qReturnRatio(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("l_extendedprice") * 100, 0).cast("long")
     Tables(spark, dir).lineitem
-      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"))
       .agg(
         round(sum(when(col("l_returnflag") === "R", cents).otherwise(lit(0L)))
             .cast("double") / sum(cents).cast("double"), 6)
@@ -275,7 +275,7 @@ object Relational {
   /** Monthly revenue time series. */
   def qMonthRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
-      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
       .orderBy("month")
@@ -404,10 +404,15 @@ object Relational {
       .orderBy("o_orderstatus")
 
   /** TPC-H Q14 shape (promotion effect): monthly revenue share of
-    * promo-type parts — fact⋈broadcast-dimension join feeding a
+    * promo-type parts — fact⋈dimension join feeding a
     * conditional-ratio aggregate (numerator and denominator as exact
     * integer-cent sums, one rounded division at the end, like
-    * [[qReturnRatio]]). */
+    * [[qReturnRatio]]).
+    *
+    * `part` carries NO broadcast hint: it scales linearly with the
+    * corpus (multi-GB at 100 TB), so a forced broadcast would OOM
+    * there. AQE's size gate still picks broadcast-hash at test SFs
+    * and degrades to a shuffle join at scale. */
   def q14Promo(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     def cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
@@ -415,8 +420,8 @@ object Relational {
     val promoCents = sum(when(col("p_type") === "PROMO", cents).otherwise(0L))
     val totalCents = sum(cents)
     t.lineitem
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
-      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"))
       .agg((promoCents / 100.0).as("promo_revenue"),
         (totalCents / 100.0).as("total_revenue"),
         round(promoCents.cast("double") / totalCents.cast("double"), 6)
@@ -657,9 +662,13 @@ object Relational {
   /** TPC-H Q8 shape (national market share): of AMERICA customers'
     * STANDARD-part purchase volume in 1995–96, the share supplied by
     * NATION_5, per year. One fact-fact shuffle (lineitem⋈orders);
-    * every dimension — customer, both nation sides, region, supplier,
-    * candidate parts — broadcasts. Volumes are exact cents; the final
-    * share is one double division per year-group. */
+    * the FIXED-size dimensions (nation ×2, region) and supplier
+    * (~100s of MB even at 100 TB) carry broadcast hints. `customer`
+    * and the part subset do NOT — both scale linearly with the corpus
+    * (multi-GB at 100 TB), so those joins are left to AQE's size
+    * gate: broadcast-hash at test SFs, shuffle join at scale instead
+    * of an OOM. Volumes are exact cents; the final share is one
+    * double division per year-group. */
   def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val volCents =
@@ -669,7 +678,7 @@ object Relational {
       .join(t.orders.filter(
           col("o_orderdate").between(ts("1995-01-01"), ts("1996-12-31"))),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation.as("n1")),
         col("c_nationkey") === col("n1.n_nationkey"))
       .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
@@ -677,8 +686,8 @@ object Relational {
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation.as("n2")),
         col("s_nationkey") === col("n2.n_nationkey"))
-      .join(broadcast(t.part.filter(col("p_type") === "STANDARD")
-          .select(col("p_partkey"))),
+      .join(t.part.filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"))
       .select(year(col("o_orderdate")).as("yr"), volCents.as("vol_cents"),
         col("n2.n_name").as("supp_nation"))

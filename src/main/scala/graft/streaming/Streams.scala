@@ -197,6 +197,92 @@ object Streams {
       .toDF()
   }
 
+  /** One emitted calendar day of the streaming gap-fill — same shape
+    * as a batch [[graft.operators.Events.qGapFill]] row. */
+  final case class FilledDay(user_id: Long, day: java.sql.Timestamp,
+      n_events: Long, spent: Double, carried: Double)
+
+  /** Streaming gap-fill state (public: the state encoder's generated
+    * code instantiates it reflectively): the next calendar day to
+    * emit (-1 = nothing emitted yet), the carried-forward spend, and
+    * the not-yet-sealed per-day aggregates. `pending` is bounded by
+    * the watermark horizon (≲ delay + 1 day of days per user), so
+    * steady-state state is O(1) per user however long the stream. */
+  final case class GapFillState(nextDayMs: Long, carriedCents: Long,
+      pending: Map[Long, (Long, Long)])
+
+  /** Streaming twin of q_gap_fill: per-user daily activity with
+    * missing days materialized and spend carried forward. A day is
+    * SEALED once the watermark passes its end (no more late events
+    * can join it); sealed days emit in calendar order — including
+    * zero-event gap days between them — and the final drain's
+    * no-data batch fires the event-time timeout that flushes days
+    * sealed by the last watermark advance. Each user's still-open
+    * tail (days the watermark hasn't passed) stays in state, exactly
+    * like the stateful sessionizer's open tail.
+    *
+    * This is the full-control stateful shape because no built-in
+    * operator can EMIT rows for days that have no input rows — the
+    * batch twin's calendar `sequence()` has no streaming counterpart. */
+  def gapFillStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val DayMs = 86400000L
+    // the watermarked ts column must survive into the stateful
+    // operator's input or the event-time timeout is rejected (same
+    // discipline as sessionizeWithState)
+    val typed = events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"),
+        (unix_timestamp(date_trunc("day", col("ts"))) * 1000).as("day_ms"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            st: GroupState[GapFillState]) =>
+          var s = st.getOption.getOrElse(GapFillState(-1L, 0L, Map.empty))
+          if (!st.hasTimedOut) {
+            rows.foreach { case (_, dayMs, cents, _) =>
+              val (n, c) = s.pending.getOrElse(dayMs, (0L, 0L))
+              s = s.copy(pending = s.pending.updated(dayMs, (n + 1L, c + cents)))
+            }
+          }
+          val wm = st.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer.empty[FilledDay]
+          if (s.pending.nonEmpty) {
+            val maxDay = s.pending.keys.max
+            var d = if (s.nextDayMs < 0) s.pending.keys.min else s.nextDayMs
+            var carried = s.carriedCents
+            // gap days use the same sealing rule as observed days: the
+            // wm condition stops the loop before any unsealed day, so
+            // an unsealed pending day is never emitted early
+            while (d + DayMs <= wm && d <= maxDay) {
+              val (n, c) = s.pending.getOrElse(d, (0L, 0L))
+              if (n > 0L) carried = c
+              out += FilledDay(uid, new java.sql.Timestamp(d), n,
+                c / 100.0, carried / 100.0)
+              s = s.copy(pending = s.pending - d)
+              d += DayMs
+            }
+            s = s.copy(nextDayMs = d, carriedCents = carried)
+          }
+          st.update(s)
+          // re-arm on the EARLIEST unsealed day's end — the next
+          // moment any pending day seals. (The latest day's end would
+          // sit beyond the final watermark and never fire, leaving
+          // every sealed-but-unflushed day stuck in state.) An
+          // unsealed day's end is > the current watermark, which is
+          // exactly what setTimeoutTimestamp requires.
+          if (s.pending.nonEmpty)
+            st.setTimeoutTimestamp(s.pending.keys.min + DayMs)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** The on-disk documents schema. */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -44,21 +44,38 @@ class CurationSpec extends SparkSpecBase {
     assert(!rows(3L)._2 && !rows(3L)._4 && !rows(3L)._5)
   }
 
-  test("pipelineDecontam: flags only docs sharing a 5-gram with the benchmark") {
-    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  test("pipelineDecontam: flags only docs sharing a 13-gram with the benchmark") {
+    // 13 tokens — the full standard decontamination window
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val twelve = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(
       (0L, leaked, "src0"),                                       // benchmark
       (1L, "prefix words then " + leaked + " trailing text here", "src1"), // leaked span
-      (2L, "alpha beta gamma unrelated tail words here now then again", "src1"), // only 3 shared
+      (2L, twelve + " DIFFERENT tail words pad pad pad", "src1"), // 12-token overlap only
       (3L, "completely disjoint vocabulary nothing shared at all today friends", "src2"),
     ).toDF("doc_id", "text", "source")
       .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
     val rows = Curation.pipelineDecontamDf(docs, "src0").collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
     assert(rows(1L)._2 && rows(1L)._1 >= 1, s"got ${rows(1L)}")
-    assert(rows(2L) == ((0L, false)), s"3-token overlap must not trip 5-grams: ${rows(2L)}")
+    assert(rows(2L) == ((0L, false)), s"12-token overlap must not trip 13-grams: ${rows(2L)}")
     assert(rows(3L) == ((0L, false)))
     assert(!rows.contains(0L), "benchmark docs are not part of the verdict table")
+  }
+
+  test("pipelineDecontam: window length is a parameter (n=5 catches shorter leaks)") {
+    val leak5 = "omega psi chi phi upsilon"
+    val docs = Seq(
+      (0L, leak5, "src0"),
+      (1L, "some prefix " + leak5 + " and a tail", "src1"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val at13 = Curation.pipelineDecontamDf(docs, "src0").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val at5 = Curation.pipelineDecontamDf(docs, "src0", n = 5).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!at13(1L), "a 5-token leak is below the 13-gram window")
+    assert(at5(1L), "n=5 must flag the same leak")
   }
 
   test("sampleStratified: deterministic, subset, and balanced to the minority") {

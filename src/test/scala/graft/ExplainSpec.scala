@@ -60,6 +60,10 @@ class ExplainSpec extends SparkSpecBase {
   }
 
   test("q8 broadcasts all seven dimension joins around one fact shuffle") {
+    // customer and the part subset carry NO hint (they scale with the
+    // corpus — a forced broadcast OOMs at 100 TB); at test SF the size
+    // gate must still pick broadcast-hash for all seven, so the small-SF
+    // plan is unchanged from the hinted version.
     val p = plan(Relational.q8MarketShare(spark, Sf))
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size
     assert(bhj >= 6, s"expected ≥6 broadcast joins, got $bhj:\n$p")
@@ -88,7 +92,7 @@ class ExplainSpec extends SparkSpecBase {
         lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
     val pr = edges.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1000000L)).localCheckpoint()
-    val p = plan(g.round(edges, pr, 1000L))
+    val p = plan(g.round(edges, pr, 1000L, pr.select(col("node"))))
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"rank-vector join must not sort-merge (edge re-sort per round):\n$p")

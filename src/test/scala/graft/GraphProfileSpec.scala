@@ -57,6 +57,22 @@ class GraphProfileSpec extends SparkSpecBase {
       s"leaves not tied: $ranks")
   }
 
+  test("pagerank: source-only nodes keep base rank and keep contributing") {
+    import spark.implicits._
+    // s has out-edges but NO in-edges: before the zero-seed union it
+    // fell out of the rank vector after round 1 and its contributions
+    // vanished from rounds 2+
+    val g = Seq(("s", "a"), ("a", "b"), ("b", "a")).toDF("src", "dst")
+    val ranks = Graph.pagerankOf(g).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val base = (Graph.Scale * 15 / 100) / 3
+    assert(ranks.contains("s"), s"source-only node dropped: $ranks")
+    assert(ranks("s") == base, s"s receives nothing => exactly base: $ranks")
+    // a receives s's base-rank contribution every round, b only a's —
+    // if s's mass vanished after round 1 the a/b asymmetry would decay
+    assert(ranks("a") > ranks("b"), s"expected a > b: $ranks")
+  }
+
   test("gap-fill: gaps are materialized with zero counts and carried spend") {
     val rows = Events.qGapFill(spark, Sf).collect()
     val byUser = rows.groupBy(_.getLong(0))

@@ -158,6 +158,39 @@ class StreamingSpec extends SparkSpecBase {
       s"two-phase=${twoPhase.length} single=${single.size}")
   }
 
+  test("streaming gap-fill emits the batch rows for every watermark-sealed day") {
+    val stream = Streams.runToMemory(
+      Streams.gapFillStream(spark, Streams.readEvents(spark, path)),
+      "gap_fill", OutputMode.Append())
+    val got = stream.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val batch = Events.qGapFill(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // every emitted row is exactly a batch row (day value, zero-fill,
+    // and carried spend all agree)
+    val batchSet = batch.toSet
+    got.foreach(r => assert(batchSet.contains(r), s"not a batch row: $r"))
+    // per user the emitted days are a contiguous PREFIX of the batch
+    // calendar — only the open tail (watermark not yet past) is held
+    val batchByUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      assert(days.sameElements(batchByUser(u).take(days.length)),
+        s"user $u: emitted days are not the batch prefix")
+    }
+    // coverage: days sealed by the final watermark (max ts − 2 h,
+    // with a 1 s guard against the ms-floor boundary) must all emit
+    val maxTsMs = graft.core.Tables(spark, Sf).events
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val sealedBefore = maxTsMs - 2L * 3600 * 1000 - 1000 - 86400000L
+    val expectedSealed = batch.count(_._2.getTime <= sealedBefore)
+    assert(got.length >= expectedSealed,
+      s"emitted ${got.length} < sealed $expectedSealed")
+    assert(got.exists(_._3 == 0L), "no zero-event gap day was emitted")
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val stream = Streams.runToMemory(
       Streams.purchaseErrorJoin(Streams.readEvents(spark, path)),
