@@ -124,6 +124,8 @@ object SparkEntry {
     "text_gopher" -> (Curation.textGopher _),
     "pipeline_decontam" -> ((s: SparkSession, d: String) => Curation.pipelineDecontam(s, d)),
     "sample_stratified" -> (Curation.sampleStratified _),
+    "pipeline_pii" -> (Curation.pipelinePii _),
+    "text_lm_score" -> (TextOps.textLmScore _),
   )
 
   /** Shared DuckDB CTE prefix: word-3-gram shingle sets per document —
@@ -1392,5 +1394,55 @@ object SparkEntry {
                FROM documents)
          SELECT h.doc_id, h.lang FROM h JOIN th ON th.lang = h.lang
          WHERE h.b < th.thresh ORDER BY h.doc_id""",
+    // Generated from the same Curation.PiiPatterns strings, applied
+    // in the same order; DuckDB needs the explicit 'g' flag to match
+    // Spark's replace-all default.
+    "pipeline_pii" -> piiSql,
+    // Same micro-nat fixed-point model as the Spark side: the bigram
+    // model quantizes ln(c2/c1) ONCE per entry, per-doc sums are
+    // exact BIGINT arithmetic (order-independent on both engines).
+    "text_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+                FROM toks, unnest(range(1, len(t))) AS r(i)),
+         cnt2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+         cnt1 AS (SELECT bg, c2,
+                         sum(c2) OVER (PARTITION BY split_part(bg, ' ', 1)) AS c1
+                  FROM cnt2),
+         model AS (SELECT bg,
+                          CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lp_micro
+                   FROM cnt1),
+         scored AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                           CAST(sum(m.lp_micro) AS BIGINT) AS nat_micro
+                    FROM bg b JOIN model m ON m.bg = b.bg
+                    GROUP BY b.doc_id)
+         SELECT d.doc_id,
+                coalesce(s.n_bigrams, 0) AS n_bigrams,
+                coalesce(s.nat_micro, 0) AS nat_micro,
+                round(CAST(coalesce(s.nat_micro, 0) AS DOUBLE) / 1000000.0
+                      / greatest(coalesce(s.n_bigrams, 0), 1), 6) AS avg_logprob
+         FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
   )
+
+  /** pipeline_pii oracle, generated from [[Curation.PiiPatterns]] so
+    * the two sides can never drift. */
+  private def piiSql: String = {
+    val counts = Curation.PiiPatterns.map { case (n, p, _) =>
+      s"len(regexp_extract_all(text, '$p')) AS n_$n"
+    }.mkString(",\n                ")
+    val clean = Curation.PiiPatterns.foldLeft("text") {
+      case (acc, (_, p, repl)) => s"regexp_replace($acc, '$p', '$repl', 'g')"
+    }
+    val hasPii = Curation.PiiPatterns
+      .map { case (n, _, _) => s"n_$n > 0" }.mkString(" OR ")
+    s"""WITH c AS (SELECT doc_id,
+                $counts,
+                $clean AS clean
+         FROM documents)
+       SELECT doc_id, n_email, n_ip, n_phone, clean, ($hasPii) AS has_pii
+       FROM c ORDER BY doc_id"""
+  }
 }

@@ -116,6 +116,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** PII patterns shared by the Spark expressions and the generated
+    * DuckDB oracle — restricted to the regex subset Java and RE2
+    * interpret identically (no backrefs, no lookaround). Public so
+    * the oracle SQL is built from the same strings. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement) — applied in this order
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "[PHONE]"))
+
+  /** PII scrub — the redaction gate a training-data pipeline runs
+    * before anything ships: per-document match counts for email /
+    * IPv4 / phone patterns plus the redacted text. One codegen'd
+    * projection over the corpus (regexp_count + chained
+    * regexp_replace), no shuffle at all — the 100 TB cost is exactly
+    * one pass over the text bytes.
+    *
+    * The synthetic corpus contains no PII, so the oracle exercises
+    * the (dominant, at scale) no-match path over every document;
+    * CurationSpec carries the positive cases on crafted docs with
+    * planted emails/IPs/phones. */
+  def pipelinePii(spark: SparkSession, dir: String): DataFrame =
+    pipelinePiiDf(Tables(spark, dir).documents)
+
+  def pipelinePiiDf(docs: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (n, p, _) =>
+      regexp_count(col("text"), lit(p)).cast("long").as(s"n_$n")
+    }
+    val clean = PiiPatterns.foldLeft(col("text")) {
+      case (acc, (_, p, repl)) => regexp_replace(acc, p, repl)
+    }
+    docs.select(col("doc_id") +: counts :+ clean.as("clean"): _*)
+      .withColumn("has_pii",
+        PiiPatterns.map { case (n, _, _) => col(s"n_$n") > 0L }
+          .reduce(_ || _))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sampling: downsample every language
     * stratum to the minority stratum's size (the language-rebalancing
     * step of a multilingual pipeline). Membership is a pure integer

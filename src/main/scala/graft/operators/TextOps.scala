@@ -160,6 +160,61 @@ object TextOps {
       .otherwise("test")
   }
 
+  /** Self-trained bigram language-model score — the CCNet-style
+    * perplexity quality signal, with the corpus itself as the
+    * training set: P(w₂|w₁) = c(w₁w₂)/c(w₁·) from corpus bigram
+    * counts, and each document scores the average log-probability of
+    * its own bigram sequence. Documents whose word order is unusual
+    * for the corpus (boilerplate, shuffled spam, wrong-language
+    * fragments) sit in the low tail — the bucketing signal real
+    * pipelines get from a KenLM model, built here from counts alone.
+    *
+    * Oracle-checkable FIXED-POINT formulation (the money-sum trick
+    * applied to a transcendental): each model entry's ln(c₂/c₁) is
+    * quantized ONCE to integer micro-nats, per-document scores are
+    * exact BIGINT sums of those — order-independent, so any
+    * aggregation order and both engines agree bit-for-bit. The only
+    * cross-engine float risk is 1 ulp inside ln itself, ~10⁻¹⁰ of the
+    * quantization step — measured 0 mismatches across every distinct
+    * ratio in the corpus.
+    *
+    * Scale shape: the model is one corpus bigram count (vocab²-bounded
+    * rows) plus a prefix-total window over the model table (tiny);
+    * scoring is one equi-join of exploded bigrams against the model —
+    * AQE size-gates the join (broadcast while the model is small,
+    * shuffle join for a 100 TB-vocabulary corpus) — and one
+    * partial-aggregating groupBy(doc_id). No driver-side state. */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    textLmScoreDf(Tables(spark, dir).documents)
+
+  def textLmScoreDf(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleCol.nGramShingles(
+        tokens(col("text")), 2, distinct = false)).as("bg"))
+      // a <2-token document's degenerate single-word shingle is not a
+      // bigram; it must not count as one (nor match the model)
+      .filter(col("bg").contains(" "))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("bg"), " ", 1))
+    val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum("c2").over(w))
+      .select(col("bg"),
+        round(log(col("c2").cast("double") / col("c1").cast("double")) * 1e6, 0)
+          .cast("long").as("lp_micro"))
+    val scored = bg.join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_micro").as("nat_micro"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nat_micro"), lit(0L)).as("nat_micro"),
+        round(coalesce(col("nat_micro"), lit(0L)).cast("double") / 1e6 /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 6)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   // --- language ID -------------------------------------------------
 
   /** Tiny per-language stopword profiles (public-knowledge function

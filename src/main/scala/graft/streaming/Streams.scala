@@ -295,6 +295,35 @@ object Streams {
   def readDocuments(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(documentsSchema).parquet(path)
 
+  /** Streaming decontamination — the stream–static surface: a
+    * document stream is gated against a STATIC benchmark gram set
+    * (built once, batch-side, from the eval suite) as it lands. The
+    * static side collapses to ONE array row and broadcasts into every
+    * micro-batch, so the verdict is a stateless per-row projection
+    * (`array_intersect` against the doc's own distinct gram set) —
+    * zero streaming state, append mode, unbounded-stream-safe. This
+    * is the right shape for a gate table that is small and fixed
+    * while the stream is not.
+    *
+    * Exact twin of [[graft.operators.Curation.pipelineDecontamDf]]'s
+    * per-doc verdict: both count DISTINCT matching grams.
+    * StreamingSpec pins stream ≡ batch rows. */
+  def decontamStream(docs: DataFrame, benchDocs: DataFrame,
+      n: Int = 13): DataFrame = {
+    def grams(c: org.apache.spark.sql.Column) =
+      graft.functions.ShingleCol.nGramShingles(
+        graft.functions.TextAnalysis.tokens(c), n)
+    val benchSet = benchDocs
+      .select(explode(grams(col("text"))).as("gram"))
+      .agg(collect_set(col("gram")).as("bench_grams"))
+    docs
+      .crossJoin(broadcast(benchSet))
+      .select(col("doc_id"), col("source"),
+        size(array_intersect(grams(col("text")), col("bench_grams")))
+          .cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0L)
+  }
+
   /** Streaming twin of the reference's flagship wordcount: running
     * word counts over a document stream (complete-mode aggregation —
     * the state is the count table itself, exactly the reducer's

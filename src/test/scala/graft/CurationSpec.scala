@@ -78,6 +78,25 @@ class CurationSpec extends SparkSpecBase {
     assert(at5(1L), "n=5 must flag the same leak")
   }
 
+  test("pipelinePii: counts and redacts planted emails, IPs, and phones") {
+    val docs = Seq(
+      (0L, "contact alice.smith+spam@mail.example.org or bob@ex.io today", "s"),
+      (1L, "server 10.0.42.7 and 192.168.1.1 answered", "s"),
+      (2L, "call 555-123-4567 or 555.987.6543 now", "s"),
+      (3L, "nothing sensitive here at all", "s"),
+      (4L, "mixed: a@b.co from 8.8.8.8 dialed 123-456-7890", "s"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val rows = Curation.pipelinePiiDf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getBoolean(5))).toMap
+    assert(rows(0L) == ((2L, 0L, 0L, "contact [EMAIL] or [EMAIL] today", true)))
+    assert(rows(1L) == ((0L, 2L, 0L, "server [IP] and [IP] answered", true)))
+    assert(rows(2L) == ((0L, 0L, 2L, "call [PHONE] or [PHONE] now", true)))
+    assert(rows(3L) == ((0L, 0L, 0L, "nothing sensitive here at all", false)))
+    assert(rows(4L) == ((1L, 1L, 1L, "mixed: [EMAIL] from [IP] dialed [PHONE]", true)))
+  }
+
   test("sampleStratified: deterministic, subset, and balanced to the minority") {
     val docs = graft.core.Tables(spark, Sf).documents
     val a = Curation.sampleStratifiedDf(docs).collect().map(_.getLong(0)).toSeq

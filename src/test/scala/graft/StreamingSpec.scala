@@ -214,6 +214,29 @@ class StreamingSpec extends SparkSpecBase {
       "expected hour-partitioned layout")
   }
 
+  test("stream-static decontam gate matches the batch verdicts") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_decontam_stream")
+    Files.copy(Paths.get(s"$Sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // static side: the benchmark (src0) docs, batch-read
+    val bench = graft.core.Tables(spark, Sf).documents
+      .filter(col("source") === "src0")
+    val stream = Streams.runToMemory(
+      Streams.decontamStream(
+        Streams.readDocuments(spark, dir.toString)
+          .filter(col("source") =!= "src0"), bench),
+      "decontam_stream", OutputMode.Append())
+    val got = stream.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val want = graft.operators.Curation.pipelineDecontam(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming wordcount matches the batch flagship job") {
     import java.nio.file._
     val dir = Files.createTempDirectory("graft_wc_stream")

@@ -44,6 +44,34 @@ import graft.operators.TextOps
   * what the column-HOF metrics compute. */
 class TextQualitySpec extends SparkSpecBase {
 
+  test("textLmScore: closed-form micro-nat scores on a crafted corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // corpus bigrams: "a b"×2, "b a"×1, "a c"×1 → P(b|a)=2/3,
+    // P(c|a)=1/3, P(a|b)=1; micro-nats: -405465, -1098612, 0
+    val docs = Seq(
+      (0L, "a b a c", "s"), (1L, "a b", "s"), (2L, "z", "s"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val rows = TextOps.textLmScoreDf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows(0L) == ((3L, -405465L + 0L + -1098612L, -0.501359)))
+    assert(rows(1L) == ((1L, -405465L, -0.405465)))
+    assert(rows(2L) == ((0L, 0L, 0.0)), "a 1-token doc has no bigrams")
+  }
+
+  test("textLmScore: corpus scores are negative and boilerplate scores high") {
+    val scored = TextOps.textLmScore(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(scored.length == 500)
+    // every multi-token doc has some surprisal
+    assert(scored.filter(_._2 > 0).forall(_._3 < 0.0))
+    // self-trained LM: average per-bigram logprob is bounded below by
+    // ln(1/vocab²) — sanity that quantization didn't explode
+    assert(scored.forall(_._3 > -12.0))
+  }
+
   test("exploded-aggregate quality metrics equal the column-HOF formulation") {
     val docs = graft.core.Tables(spark, Sf).documents
     val hof = docs
