@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType}
 
 import graft.functions.{AsciiTokens, CosineSimilarity, CountMinAgg,
-  MinHashAgg, NGramShingles, SimHashAgg, TopKFreqAgg, TopKScoreAgg}
+  HllAgg, MinHashAgg, NGramShingles, SimHashAgg, TopKFreqAgg, TopKScoreAgg}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -18,7 +18,7 @@ import graft.functions.{AsciiTokens, CosineSimilarity, CountMinAgg,
   * after which `SELECT cosine_sim(a, b)`,
   * `SELECT ngram_shingles(tokens, 3)`, and the sketch/top-k
   * aggregates (`minhash_agg`, `simhash_agg`, `countmin_agg`,
-  * `topk_by_score`, `topk_freq`) work from plain SQL.
+  * `hll_agg`, `topk_by_score`, `topk_freq`) work from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -112,6 +112,12 @@ object GraftFunctions {
     (FunctionIdentifier("countmin_agg"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "countmin_agg"),
       countMinBuilder _),
+    (FunctionIdentifier("hll_agg"),
+      new ExpressionInfo(classOf[HllAgg].getName, "hll_agg"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "hll_agg(hash_col)")
+        HllAgg(exprs.head)
+      }),
     (FunctionIdentifier("ascii_tokens"),
       new ExpressionInfo(classOf[AsciiTokens].getName, "ascii_tokens"),
       tokensBuilder _),

@@ -89,6 +89,7 @@ object SparkEntry {
     "q_range_join" -> (Events.qRangeJoin _),
     "q_gap_fill" -> (Events.qGapFill _),
     "profile_numeric" -> (Profile.numericProfile _),
+    "profile_hll_users" -> (Profile.hllUsers _),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
@@ -1398,6 +1399,11 @@ object SparkEntry {
     // in the same order; DuckDB needs the explicit 'g' flag to match
     // Spark's replace-all default.
     "pipeline_pii" -> piiSql,
+    // HLL oracle: rebuilds every register with one group-by-max over
+    // the same portable hash, then derives the identical estimate —
+    // rank rule and estimate formula are generated from the SAME
+    // Hll.rankCaseSql/estimateSql strings the library uses.
+    "profile_hll_users" -> hllUsersSql,
     // Same micro-nat fixed-point model as the Spark side: the bigram
     // model quantizes ln(c2/c1) ONCE per entry, per-doc sums are
     // exact BIGINT arithmetic (order-independent on both engines).
@@ -1426,6 +1432,35 @@ object SparkEntry {
          FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
          ORDER BY d.doc_id""",
   )
+
+  /** profile_hll_users oracle: registers via group-by-max over the
+    * portable hash, estimate via the shared dialect-portable formula
+    * ([[graft.functions.Hll]]). */
+  private def hllUsersSql: String = {
+    import graft.functions.Hll
+    val rank = Hll.rankCaseSql("v")
+    val est = Hll.estimateSql("n_present", "z_present")
+    s"""WITH h AS (
+           SELECT event_type, user_id,
+                  CAST(('0x' || substring(md5('hll#' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+           FROM events),
+         b AS (SELECT event_type, user_id,
+                      hv % ${Hll.M} AS bucket, hv // ${Hll.M} AS v
+               FROM h),
+         r AS (SELECT event_type, bucket, max($rank) AS reg
+               FROM b GROUP BY event_type, bucket),
+         a AS (SELECT event_type, count(*) AS n_present,
+                      CAST(sum(CAST(1 AS BIGINT) << CAST(${Hll.W + 1} - reg AS INT)) AS BIGINT) AS z_present
+               FROM r GROUP BY event_type),
+         x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+               FROM events GROUP BY event_type)
+         SELECT a.event_type, x.n_exact,
+                round($est, 2) AS est_distinct,
+                round(abs(($est) - x.n_exact) / x.n_exact, 4) AS rel_err,
+                CAST(${Hll.M} - a.n_present AS BIGINT) AS v_zero
+         FROM a JOIN x ON x.event_type = a.event_type
+         ORDER BY a.event_type"""
+  }
 
   /** pipeline_pii oracle, generated from [[Curation.PiiPatterns]] so
     * the two sides can never drift. */

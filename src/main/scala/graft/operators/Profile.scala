@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.{Hll, PortableHash}
 
 /** Data-profiling operator block: the "what is in this table" sweep
   * every ingestion pipeline runs before trusting a new shard.
@@ -37,5 +38,40 @@ object Profile {
         round(sum(round(col("value") * 100, 0).cast("long")) / 100.0 /
           count(col("value")), 6).as("mean"))
       .orderBy("col_name")
+  }
+
+  /** Approximate distinct users per event type via the [[Hll]]
+    * sketch, reported against the exact count — the accuracy audit a
+    * pipeline runs once per new sketch deployment, and the oracle
+    * surface for the sketch itself (the DuckDB twin rebuilds the
+    * registers from the same portable hash and derives the identical
+    * estimate — an APPROXIMATE operator under an EXACT value gate).
+    *
+    * Scale: the HLL column aggregates map-side into 1 KiB registers
+    * per partition (vs `countDistinct`'s shuffle of every distinct
+    * key, kept here only as the audit reference); the estimate
+    * derivation is a per-group array fold over 1024 entries. */
+  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+    val h = PortableHash.h60(
+      concat(lit("hll#"), col("user_id").cast("string")))
+    val sketched = Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(Hll.hllAgg(h).as("regs"),
+        countDistinct(col("user_id")).as("n_exact"))
+    val twoW1 = 1L << (Hll.W + 1)
+    sketched
+      .withColumn("n_present",
+        expr("size(filter(regs, r -> r > 0))"))
+      .withColumn("z_present", expr(
+        s"aggregate(filter(regs, r -> r > 0), CAST(0 AS BIGINT), " +
+          s"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${Hll.W + 1} - r AS INT)))"))
+      .withColumn("est", expr(Hll.estimateSql("n_present", "z_present")))
+      .select(col("event_type"), col("n_exact"),
+        round(col("est"), 2).as("est_distinct"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 4)
+          .as("rel_err"),
+        (lit(Hll.M) - col("n_present")).cast("long").as("v_zero"))
+      .orderBy("event_type")
   }
 }

@@ -64,6 +64,20 @@ object Streams {
         4, 64).as("cms"))
       .select(col("window.start").as("win"), col("cms"))
 
+  /** Streaming HLL: per-6-hour-window approximate distinct users via
+    * the same [[graft.functions.HllAgg]] the batch profiler uses —
+    * per-window state is a fixed 1 KiB register array however many
+    * events stream through, and the registers are bit-identical to a
+    * batch sketch over the same rows (StreamingSpec asserts). The
+    * streaming cardinality pattern for 100 TB/day telemetry. */
+  def hllWindowSketch(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.Hll.hllAgg(graft.functions.PortableHash.h60(
+        concat(lit("hll#"), col("user_id").cast("string")))).as("regs"))
+      .select(col("window.start").as("win"), col("regs"))
+
   /** Streaming top-k: the k highest-value purchases per event-time
     * window, via the same bounded-heap [[graft.functions.TopKScore]]
     * aggregate the batch ANN/top-k paths use — per-window state is

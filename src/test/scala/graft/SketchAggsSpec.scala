@@ -76,6 +76,68 @@ class SketchAggsSpec extends SparkSpecBase {
       .count())
   }
 
+  test("HllAgg registers equal the declarative group-by-max formulation") {
+    import graft.functions.Hll
+    val ev = graft.core.Tables(spark, Sf).events
+      .select(col("event_type"), PortableHash.h60(
+        concat(lit("hll#"), col("user_id").cast("string"))).as("hv"))
+    val imperative = ev.groupBy("event_type")
+      .agg(Hll.hllAgg(col("hv")).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // declarative twin: bucket/rank in SQL text — the SAME generated
+    // CASE chain the DuckDB oracle runs
+    val declarative = ev
+      .select(col("event_type"), pmod(col("hv"), lit(Hll.M.toLong)).as("bucket"),
+        expr(s"hv div ${Hll.M}").as("v"))
+      .withColumn("rank", expr(Hll.rankCaseSql("v")))
+      .groupBy("event_type", "bucket").agg(max("rank").as("reg"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getInt(2))
+      .toMap
+    imperative.foreach { case (et, regs) =>
+      assert(regs.length == Hll.M)
+      regs.zipWithIndex.foreach { case (reg, b) =>
+        assert(reg == declarative.getOrElse((et, b), 0).toLong,
+          s"register mismatch at ($et, $b)")
+      }
+    }
+    assert(imperative.nonEmpty)
+  }
+
+  test("HLL estimate: accurate vs exact and invariant to partitioning") {
+    val a = graft.operators.Profile.hllUsers(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(a.nonEmpty)
+    a.foreach { case (et, exact, est, relErr) =>
+      assert(exact > 0 && est > 0)
+      assert(relErr <= 0.15, s"$et: est $est vs exact $exact (err $relErr)")
+    }
+    // merge-order / partitioning invariance: registers max-merge, so
+    // the estimate is bit-identical however the rows are distributed
+    val sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = graft.operators.Profile.hllUsers(sp2, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("HLL raw-harmonic branch: 50k distincts estimate within 10%") {
+    import graft.functions.Hll
+    // the events corpus sits in the linear-counting regime at every
+    // SF (n ≤ 2.5m); this pins the large-cardinality branch
+    val n = 50000L
+    val est = spark.range(n)
+      .select(PortableHash.h60(concat(lit("hll#"), col("id").cast("string"))).as("hv"))
+      .agg(Hll.hllAgg(col("hv")).as("regs"))
+      .withColumn("n_present", expr("size(filter(regs, r -> r > 0))"))
+      .withColumn("z_present", expr(
+        s"aggregate(filter(regs, r -> r > 0), CAST(0 AS BIGINT), " +
+          s"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), CAST(${Hll.W + 1} - r AS INT)))"))
+      .withColumn("est", expr(Hll.estimateSql("n_present", "z_present")))
+      .head().getAs[Double]("est")
+    assert(math.abs(est - n) / n < 0.10, s"est $est vs $n")
+    assert(est > 2.5 * Hll.M, "must exercise the raw branch")
+  }
+
   test("countmin_agg is callable from SQL") {
     GraftFunctions.register(spark)
     graft.core.Tables(spark, Sf).documents.createOrReplaceTempView("docs_cms")
@@ -84,5 +146,15 @@ class SketchAggsSpec extends SparkSpecBase {
          FROM (SELECT explode(ascii_tokens(text)) AS w FROM docs_cms)""")
       .head().getSeq[Long](0)
     assert(r.length == 256 && r.sum > 0)
+  }
+
+  test("hll_agg is callable from SQL") {
+    GraftFunctions.register(spark)
+    graft.core.Tables(spark, Sf).documents.createOrReplaceTempView("docs_hll")
+    val r = spark.sql(
+      """SELECT hll_agg(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)) AS regs
+         FROM (SELECT explode(ascii_tokens(text)) AS w FROM docs_hll)""")
+      .head().getSeq[Long](0)
+    assert(r.length == graft.functions.Hll.M && r.exists(_ > 0))
   }
 }

@@ -38,6 +38,21 @@ class StreamingSpec extends SparkSpecBase {
     want.foreach { case (_, m) => assert(m.slice(0, 64).sum == m.slice(64, 128).sum) }
   }
 
+  test("streaming HLL sketch is bit-identical to the batch sketch") {
+    val stream = Streams.runToMemory(
+      Streams.hllWindowSketch(Streams.readEvents(spark, path)), "hll_win")
+    val got = stream.collect()
+      .map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    val want = graft.core.Tables(spark, Sf).events
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.Hll.hllAgg(graft.functions.PortableHash.h60(
+        concat(lit("hll#"), col("user_id").cast("string")))).as("regs"))
+      .select(col("window.start"), col("regs"))
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming windowed top-k spend matches the batch aggregate") {
     val stream = Streams.runToMemory(
       Streams.topkWindowSpend(Streams.readEvents(spark, path)), "topk_win")
