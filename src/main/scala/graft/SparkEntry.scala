@@ -127,6 +127,8 @@ object SparkEntry {
     "sample_stratified" -> (Curation.sampleStratified _),
     "pipeline_pii" -> (Curation.pipelinePii _),
     "text_lm_score" -> (TextOps.textLmScore _),
+    "text_tfidf" -> ((s: SparkSession, d: String) => TextOps.textTfidf(s, d)),
+    "text_bm25" -> ((s: SparkSession, d: String) => TextOps.textBm25(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: word-3-gram shingle sets per document —
@@ -1404,6 +1406,33 @@ object SparkEntry {
     // rank rule and estimate formula are generated from the SAME
     // Hll.rankCaseSql/estimateSql strings the library uses.
     "profile_hll_users" -> hllUsersSql,
+    // Micro-nat idf quantized once per term; (doc, term) scores are
+    // exact tf·idf_micro BIGINTs, so the top-3 selection on
+    // (score, term) is engine-reproducible.
+    "text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                      t.tf * CAST(round(ln(CAST(n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) * 1000000, 0) AS BIGINT) AS score_scaled
+               FROM tf t JOIN dft d ON d.term = t.term CROSS JOIN n),
+         r AS (SELECT doc_id, term, tf, df, score_scaled,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_scaled DESC, term) AS rn
+               FROM s)
+         SELECT doc_id, term, tf, df,
+                round(CAST(score_scaled AS DOUBLE) / 1000000.0, 6) AS tfidf, rn
+         FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
+    // Okapi BM25 (k1=1.2, b=0.75, smooth idf) for the fixed query —
+    // every per-term score is deterministic IEEE arithmetic over
+    // exact integers (DOUBLE forced early: DuckDB's exact DECIMAL
+    // literals would otherwise diverge from Spark's double math),
+    // quantized to micro-units so the per-doc sum is exact BIGINT.
+    "text_bm25" -> bm25Sql,
     // Same micro-nat fixed-point model as the Spark side: the bigram
     // model quantizes ln(c2/c1) ONCE per entry, per-doc sums are
     // exact BIGINT arithmetic (order-independent on both engines).
@@ -1460,6 +1489,38 @@ object SparkEntry {
                 CAST(${Hll.M} - a.n_present AS BIGINT) AS v_zero
          FROM a JOIN x ON x.event_type = a.event_type
          ORDER BY a.event_type"""
+  }
+
+  /** text_bm25 oracle, generated from the same
+    * [[TextOps.Bm25Query]] term list; the arithmetic mirrors the
+    * Spark expression tree operation-for-operation. */
+  private def bm25Sql: String = {
+    val terms = TextOps.Bm25Query.map("'" + _ + "'").mkString(", ")
+    s"""WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+           FROM documents),
+         lens AS (SELECT doc_id,
+                         len(string_split_regex(trim(text), '\\s+')) AS dl
+                  FROM documents),
+         stats AS (SELECT count(*) AS n_docs,
+                          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                   FROM lens),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term IN ($terms) GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         s AS (SELECT t.doc_id,
+                      CAST(round(
+                        (CAST(CAST(round(ln(CAST(st.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0)
+                        * (CAST(t.tf AS DOUBLE) * 2.2)
+                        / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / st.avgdl)))
+                        * 1000000.0, 0) AS BIGINT) AS score_micro
+               FROM tf t JOIN dft d ON d.term = t.term
+               JOIN lens l ON l.doc_id = t.doc_id
+               CROSS JOIN stats st)
+         SELECT doc_id, count(*) AS n_hit_terms,
+                round(CAST(CAST(sum(score_micro) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS bm25
+         FROM s GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 20"""
   }
 
   /** pipeline_pii oracle, generated from [[Curation.PiiPatterns]] so

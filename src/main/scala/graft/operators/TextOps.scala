@@ -215,6 +215,88 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms per document — the classic retrieval weighting,
+    * shaped for the oracle gate: the smooth idf `ln((N+1)/(df+1))` is
+    * quantized ONCE per term to integer micro-nats, each (doc, term)
+    * score is the exact product `tf · idf_micro` (BIGINT), and the
+    * per-doc top-3 ranks on (score, term) — a total order, so the
+    * selection is engine-reproducible. The per-doc window partitions
+    * by doc_id: at 100 TB that is millions of tiny partitions, the
+    * one shape where a ranking window is scale-correct.
+    *
+    * The df join carries no broadcast hint (term table is
+    * vocabulary-sized — corpus-dependent); AQE size-gates it. */
+  def textTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    textTfidfDf(Tables(spark, dir).documents, k)
+
+  def textTfidfDf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idfMicro = round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) * 1e6, 0)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("term"))
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_scaled", col("tf") * idfMicro)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score_scaled").cast("double") / 1e6, 6).as("tfidf"),
+        col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** BM25 ranked retrieval for a fixed query — the search surface
+    * over the corpus: Okapi BM25 with k1=1.2, b=0.75, smooth idf.
+    * Every per-(doc, term) score is computed from exact integers
+    * (tf, dl) and the per-term micro-nat idf through deterministic
+    * IEEE arithmetic, then quantized to micro-units so the per-doc
+    * sum is exact BIGINT — aggregation-order-proof, hash-matching.
+    *
+    * Scale shape: the query-term tf table is a semi-filtered explode
+    * (terms not in the query drop before any shuffle), one
+    * groupBy(doc) sum, and a global top-20 that compiles to
+    * TakeOrderedAndProject. avgdl is one tiny aggregate broadcast
+    * back over the scoring join. */
+  val Bm25Query: Seq[String] = Seq("spark", "join", "window")
+
+  def textBm25(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    textBm25Df(Tables(spark, dir).documents, topK)
+
+  def textBm25Df(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfMicro = round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) * 1e6, 0)
+      .cast("long")
+    val termScore = (idfMicro.cast("double") / 1e6) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(dfT, Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", round(termScore * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(col("score_micro")).as("total_micro"))
+      .select(col("doc_id"), col("n_hit_terms"),
+        round(col("total_micro").cast("double") / 1e6, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   // --- language ID -------------------------------------------------
 
   /** Tiny per-language stopword profiles (public-knowledge function

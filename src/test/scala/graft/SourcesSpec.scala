@@ -39,6 +39,29 @@ class SourcesSpec extends SparkSpecBase {
       s"expected partition pruning:\n$planStr")
   }
 
+  test("binaryFile source ingests raw bytes with path/length metadata") {
+    // the multimodal ingest path: raw image/audio files land as
+    // opaque binary columns + metadata (SURVEY §2 G) — Spark's
+    // binaryFile source is the standard front door for that
+    val dir = Files.createTempDirectory("graft_bin")
+    val payloads = Map("a.bin" -> Array[Byte](1, 2, 3, 4),
+      "b.bin" -> Array[Byte](9, 8, 7, 6, 5))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(dir.resolve(name), bytes)
+    }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir.toString)
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+        col("length"), col("content"))
+    val rows = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .toMap
+    payloads.foreach { case (name, bytes) =>
+      assert(rows(name) == ((bytes.length.toLong, bytes.toSeq)), s"$name")
+    }
+  }
+
   test("parseJsonSafe quarantines malformed payloads without failing") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("k", LongType)))

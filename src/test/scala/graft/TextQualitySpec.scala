@@ -72,6 +72,37 @@ class TextQualitySpec extends SparkSpecBase {
     assert(scored.forall(_._3 > -12.0))
   }
 
+  test("textTfidf: rare terms out-rank common terms within a doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // 'rare' appears in 1 of 4 docs; 'common' in all 4 → within doc 0
+    // the rare term must rank first despite common's 3× tf
+    val docs = Seq(
+      (0L, "rare common common common", "s"), (1L, "common one", "s"),
+      (2L, "common two", "s"), (3L, "common three", "s"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val top = TextOps.textTfidfDf(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(0L) == "rare", s"got ${top(0L)}")
+  }
+
+  test("textBm25: more query-term mass ranks higher; non-matching docs absent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val docs = Seq(
+      (0L, "spark join window spark join", "s"), // all three terms, high tf
+      (1L, "spark filler filler filler filler", "s"), // one term
+      (2L, "nothing relevant here", "s"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val rows = TextOps.textBm25Df(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L), s"got ${rows.toSeq}")
+    assert(rows(0)._2 == 3L && rows(1)._2 == 1L)
+    assert(rows(0)._3 > rows(1)._3)
+  }
+
   test("exploded-aggregate quality metrics equal the column-HOF formulation") {
     val docs = graft.core.Tables(spark, Sf).documents
     val hof = docs
