@@ -90,6 +90,7 @@ object SparkEntry {
     "q_gap_fill" -> (Events.qGapFill _),
     "profile_numeric" -> (Profile.numericProfile _),
     "profile_hll_users" -> (Profile.hllUsers _),
+    "profile_strings" -> (Profile.stringProfile _),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
@@ -97,6 +98,7 @@ object SparkEntry {
     // the capped candidate generation (public default is exact/uncapped)
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d, maxDf = 1000)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.ngramComponents(s, d)),
@@ -273,6 +275,59 @@ object SparkEntry {
          JOIN sizes s2 ON s2.doc_id = i.d2
          WHERE round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) >= 0.5
          ORDER BY d1, d2"""
+  }
+
+  /** dedup_incremental oracle: same generated signature/band-key
+    * machinery as [[minhashLshSql]], with the asymmetric
+    * fresh-probes-existing candidate join and a per-fresh-doc
+    * best-match verdict. */
+  private lazy val dedupIncrementalSql: String = {
+    val (as, bs) = graft.functions.PortableHash.affineParams(32)
+    val sigCols = (0 until 32).map(i =>
+      s"min((${as(i)} * hp + ${bs(i)}) % 2147483647) AS s$i")
+      .mkString(",\n                 ")
+    val bandKeys = (0 until 8).map { band =>
+      val parts = (band * 4 until (band + 1) * 4)
+        .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || '_' || ")
+      s"'$band#' || $parts"
+    }.mkString(",\n                 ")
+    s"""WITH $ShingleCte,
+         hp AS (SELECT doc_id,
+                       CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+                         % 2147483647 AS hp
+                FROM posts),
+         sig AS (SELECT doc_id,
+                 $sigCols
+                 FROM hp GROUP BY doc_id),
+         bk AS (SELECT doc_id, unnest([
+                 $bandKeys]) AS bk FROM sig),
+         cand AS (SELECT DISTINCT f.doc_id AS dn, e.doc_id AS de
+                  FROM bk f JOIN bk e ON f.bk = e.bk
+                  WHERE f.doc_id % 10 = 0 AND e.doc_id % 10 <> 0),
+         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+         inter AS (SELECT c.dn, c.de, count(*) AS inter
+                   FROM cand c
+                   JOIN posts p1 ON p1.doc_id = c.dn
+                   JOIN posts p2 ON p2.doc_id = c.de AND p2.gram = p1.gram
+                   GROUP BY c.dn, c.de),
+         scored AS (SELECT i.dn, i.de,
+                           round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) AS j
+                    FROM inter i
+                    JOIN sizes s1 ON s1.doc_id = i.dn
+                    JOIN sizes s2 ON s2.doc_id = i.de
+                    WHERE round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) >= 0.5),
+         best AS (SELECT dn, de, j,
+                         row_number() OVER (PARTITION BY dn
+                           ORDER BY j DESC, de ASC) AS rn
+                  FROM scored)
+         SELECT d.doc_id,
+                b.de IS NOT NULL AS is_dup,
+                coalesce(b.de, -1) AS best_match,
+                coalesce(b.j, 0.0) AS best_jaccard
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         LEFT JOIN (SELECT dn, de, j FROM best WHERE rn = 1) b
+           ON b.dn = d.doc_id
+         ORDER BY d.doc_id"""
   }
 
   /** dedup_simhash oracle: the portable 60-bit base hash makes the
@@ -1162,6 +1217,7 @@ object SparkEntry {
     // parameters below), identical "band#v_v_v_v" bucket keys, exact
     // Jaccard verify on candidates.
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     // SimHash over the portable 60-bit base hash: bit-identical
     // signatures (votes per bit, sign-packed), 4×16-bit chunk
     // buckets, bit_count(xor) Hamming verify.
@@ -1406,6 +1462,34 @@ object SparkEntry {
     // rank rule and estimate formula are generated from the SAME
     // Hll.rankCaseSql/estimateSql strings the library uses.
     "profile_hll_users" -> hllUsersSql,
+    // Mode rule mirrored exactly: max(struct(cnt, value)) ≡
+    // ORDER BY cnt DESC, value DESC LIMIT 1 per column.
+    "profile_strings" ->
+      """WITH m AS (
+           SELECT 'p_name' AS col_name, p_name AS value FROM part
+           UNION ALL SELECT 'p_brand', p_brand FROM part
+           UNION ALL SELECT 'p_type', p_type FROM part),
+         base AS (
+           SELECT col_name,
+                  count(value) AS n,
+                  count(DISTINCT value) AS n_distinct,
+                  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  min(length(value)) AS min_len,
+                  max(length(value)) AS max_len,
+                  round(CAST(sum(length(value)) AS DOUBLE) / count(value), 4) AS avg_len
+           FROM m GROUP BY col_name),
+         cnts AS (
+           SELECT col_name, value, count(*) AS cnt
+           FROM m WHERE value IS NOT NULL GROUP BY col_name, value),
+         tops AS (
+           SELECT col_name, value AS top_value, cnt AS top_cnt,
+                  row_number() OVER (PARTITION BY col_name
+                    ORDER BY cnt DESC, value DESC) AS rn
+           FROM cnts)
+         SELECT b.col_name, b.n, b.n_distinct, b.n_null, b.min_len,
+                b.max_len, b.avg_len, t.top_value, t.top_cnt
+         FROM base b JOIN tops t ON t.col_name = b.col_name AND t.rn = 1
+         ORDER BY b.col_name""",
     // Micro-nat idf quantized once per term; (doc, term) scores are
     // exact tf·idf_micro BIGINTs, so the top-3 selection on
     // (score, term) is engine-reproducible.

@@ -156,30 +156,37 @@ object Dedup {
       k: Int = 32, bands: Int = 8): DataFrame =
     minhashLshDf(Tables(spark, dir).documents, tau, k, bands)
 
-  def minhashLshDf(docs: DataFrame, tau: Double, k: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val g = docGrams(docs).cache()
-    // Exploded-aggregate minhash: hash each shingle once, build the
-    // whole k-entry signature in ONE custom TypedImperativeAggregate
-    // column (long[k] buffer, map-side partial mins — see
-    // functions.MinHashAgg; bit-compatible with k separate
-    // min((a_i*h+b_i) mod P) columns but one buffer instead of k agg
-    // slots). The nested-HOF formulation (Shingles.minhashSignature)
-    // is interpreted per element and measured 20× slower.
+  /** MinHash band buckets (doc_id, bk) of a gram table — the
+    * signature + band-key derivation shared by the self-join dedup
+    * ([[minhashLshDf]]) and the incremental gate ([[incrementalDf]]).
+    *
+    * Exploded-aggregate minhash: hash each shingle once, build the
+    * whole k-entry signature in ONE custom TypedImperativeAggregate
+    * column (long[k] buffer, map-side partial mins — see
+    * functions.MinHashAgg; bit-compatible with k separate
+    * min((a_i*h+b_i) mod P) columns but one buffer instead of k agg
+    * slots). The nested-HOF formulation (Shingles.minhashSignature)
+    * is interpreted per element and measured 20× slower. Band key =
+    * plain "band#v1_v2_v3_v4" concat — deterministic and portable to
+    * the SQL oracle (no re-hash needed; the signature entries are
+    * already 31-bit). */
+  private def bandBuckets(g: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val base = g.select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), PortableHash.h60(col("gram")).as("h"))
     val sig = base.groupBy(col("doc_id"))
       .agg(SketchAggs.minhashAgg(col("h"), k).as("sig"))
-    // band key = plain "band#v1_v2_v3_v4" concat — deterministic and
-    // portable to the SQL oracle (no re-hash needed; the signature
-    // entries are already 31-bit)
     val bandKeyCols = (0 until bands).map(b =>
       concat(lit(s"$b#"),
         concat_ws("_", (b * r until (b + 1) * r).map(i =>
           element_at(col("sig"), i + 1).cast("string")): _*)))
-    val buckets = sig.select(col("doc_id"),
-      explode(array(bandKeyCols: _*)).as("bk")).cache()
+    sig.select(col("doc_id"), explode(array(bandKeyCols: _*)).as("bk"))
+  }
+
+  def minhashLshDf(docs: DataFrame, tau: Double, k: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val g = docGrams(docs).cache()
+    val buckets = bandBuckets(g, k, bands).cache()
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -192,6 +199,55 @@ object Dedup {
         round(jaccard(col("g1.grams"), col("g2.grams")), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
       .orderBy("d1", "d2")
+  }
+
+  /** Incremental dedup gate — the shape a 100 TB pipeline actually
+    * runs: a NEW shard is checked against the EXISTING corpus without
+    * ever re-pairing the corpus against itself. The existing side's
+    * band buckets are the standing index (in production: persisted,
+    * appended per shard); the fresh side probes it with an asymmetric
+    * bucket join (fresh × existing only — no fresh×fresh, no
+    * existing×existing), then exact Jaccard verifies candidates and
+    * each fresh doc gets a verdict + its best match.
+    *
+    * Deterministic best-match: highest ROUNDED jaccard, ties to the
+    * smallest existing doc_id (`max(struct(jaccard, -id))` ≡ ORDER BY
+    * jaccard DESC, id ASC LIMIT 1 — both engines agree). Zero-match
+    * docs are restored by a left join: verdict table, not match list. */
+  def incremental(spark: SparkSession, dir: String,
+      tau: Double = 0.5): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    // deterministic stand-in for the shard boundary: every 10th doc
+    // is "new", the rest are the standing corpus
+    incrementalDf(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0), tau)
+  }
+
+  def incrementalDf(existing: DataFrame, fresh: DataFrame,
+      tau: Double, k: Int = 32, bands: Int = 8): DataFrame = {
+    val ge = docGrams(existing).cache()
+    val gf = docGrams(fresh).cache()
+    val cands = bandBuckets(gf, k, bands).as("f")
+      .join(bandBuckets(ge, k, bands).as("e"), col("f.bk") === col("e.bk"))
+      .select(col("f.doc_id").as("dn"), col("e.doc_id").as("de"))
+      .distinct()
+    val scored = cands
+      .join(gf.as("g1"), col("dn") === col("g1.doc_id"))
+      .join(ge.as("g2"), col("de") === col("g2.doc_id"))
+      .select(col("dn"), col("de"),
+        round(jaccard(col("g1.grams"), col("g2.grams")), 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+    val best = scored.groupBy(col("dn"))
+      .agg(max(struct(col("jaccard"), (-col("de")).as("neg"))).as("m"))
+      .select(col("dn"), (-col("m.neg")).as("best_match"),
+        col("m.jaccard").as("best_jaccard"))
+    fresh.select(col("doc_id"))
+      .join(best, col("doc_id") === col("dn"), "left")
+      .select(col("doc_id"),
+        col("best_match").isNotNull.as("is_dup"),
+        coalesce(col("best_match"), lit(-1L)).as("best_match"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+      .orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit chunk

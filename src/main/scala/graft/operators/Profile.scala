@@ -40,6 +40,37 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** Per-column string profile over part's text columns: counts,
+    * distinct/null counts, length stats, and the modal value — same
+    * one-scan melt shape as [[numericProfile]]. The mode is
+    * deterministic: `max(struct(cnt, value))` ≡ highest count, ties
+    * to the lexicographically greatest value — the identical rule the
+    * oracle's `ORDER BY cnt DESC, value DESC LIMIT 1` window applies,
+    * so an otherwise engine-dependent pick hash-matches. */
+  def stringProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("p_name", "p_brand", "p_type")
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, value)"
+    val melted = Tables(spark, dir).part.selectExpr(stackExpr)
+    val base = melted.groupBy(col("col_name"))
+      .agg(
+        count(col("value")).as("n"),
+        countDistinct(col("value")).as("n_distinct"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(length(col("value"))).as("min_len"),
+        max(length(col("value"))).as("max_len"),
+        round(sum(length(col("value")).cast("long")).cast("double") /
+          count(col("value")), 4).as("avg_len"))
+    val mode = melted.filter(col("value").isNotNull)
+      .groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(max(struct(col("cnt"), col("value"))).as("m"))
+      .select(col("col_name"), col("m.value").as("top_value"),
+        col("m.cnt").as("top_cnt"))
+    base.join(mode, Seq("col_name")).orderBy("col_name")
+  }
+
   /** Approximate distinct users per event type via the [[Hll]]
     * sketch, reported against the exact count — the accuracy audit a
     * pipeline runs once per new sketch deployment, and the oracle

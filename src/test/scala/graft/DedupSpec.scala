@@ -31,6 +31,29 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental gate: fresh docs match the standing corpus, not each other") {
+    val existing = corpus.filter($"doc_id" <= 2L)
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank " +
+        "while the sun sets slowly behind the tall green hills in the evening"), // ~doc 0/2
+      (11L, "entirely novel text with no overlap whatsoever regarding graph " +
+        "partitioning strategies for distributed pagerank computation runs"),
+      (12L, "entirely novel text with no overlap whatsoever regarding graph " +
+        "partitioning strategies for distributed pagerank computation runs"), // dup of 11 — but 11 is NOT in the corpus
+    ).toDF("doc_id", "text")
+    val rows = Dedup.incrementalDf(existing, fresh, tau = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(10L)._1, s"near-dup of the corpus must flag: ${rows(10L)}")
+    // best match = smallest existing doc_id among the tied exact dups 0 and 2
+    assert(rows(10L)._2 == 0L, s"tie must break to smallest id: ${rows(10L)}")
+    assert(rows(10L)._3 > 0.8)
+    // fresh×fresh pairs are OUT of scope by design — 12 duplicates 11
+    // but neither is in the standing corpus, so both pass the gate
+    assert(rows(11L) == ((false, -1L, 0.0)))
+    assert(rows(12L) == ((false, -1L, 0.0)))
+  }
+
   test("simhash finds exact dups at hamming 0 and correlates with similarity") {
     val pairs = Dedup.simhashDf(corpus, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
