@@ -127,6 +127,7 @@ object SparkEntry {
     "text_gopher" -> (Curation.textGopher _),
     "pipeline_decontam" -> ((s: SparkSession, d: String) => Curation.pipelineDecontam(s, d)),
     "sample_stratified" -> (Curation.sampleStratified _),
+    "sample_weighted" -> (Curation.sampleWeighted _),
     "pipeline_pii" -> (Curation.pipelinePii _),
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextOps.textTfidf(s, d)),
@@ -1453,6 +1454,16 @@ object SparkEntry {
                FROM documents)
          SELECT h.doc_id, h.lang FROM h JOIN th ON th.lang = h.lang
          WHERE h.b < th.thresh ORDER BY h.doc_id""",
+    // Weight-proportional hash gate: keep iff hash mod 2^20 is below
+    // floor(w * 2^20) — DOUBLE forced before every division/floor so
+    // both engines derive the identical integer threshold.
+    "sample_weighted" ->
+      """SELECT doc_id,
+                round(least(CAST(1 AS DOUBLE), CAST(length(text) AS DOUBLE) / 500.0), 6) AS weight
+         FROM documents
+         WHERE CAST(('0x' || substring(md5('wsmp#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576
+               < CAST(floor(least(CAST(1 AS DOUBLE), CAST(length(text) AS DOUBLE) / 500.0) * 1048576) AS BIGINT)
+         ORDER BY doc_id""",
     // Generated from the same Curation.PiiPatterns strings, applied
     // in the same order; DuckDB needs the explicit 'g' flag to match
     // Spark's replace-all default.

@@ -168,6 +168,33 @@ object Curation {
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     sampleStratifiedDf(Tables(spark, dir).documents)
 
+  /** Weight-proportional deterministic sampling — the quality-aware
+    * mixing step (upsample good documents, downsample boilerplate)
+    * without `rand()`: doc d is kept iff
+    * `portable_hash(d) mod 2²⁰ < ⌊w(d)·2²⁰⌋`, so P(keep) ≈ w(d)
+    * exactly, per-doc, engine/retry/partitioning-invariant. The
+    * weight here is a simple length-based quality proxy
+    * (`min(1, n_chars/500)`); a real pipeline plugs in its quality
+    * model's score column — the gate is the pattern.
+    *
+    * Shape: one projection + filter over the corpus; no shuffle,
+    * no state, no coordination — the sampling decision is local to
+    * the row, which is what survives 100 TB. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    sampleWeightedDf(Tables(spark, dir).documents)
+
+  def sampleWeightedDf(docs: DataFrame): DataFrame = {
+    val w = least(lit(1.0), length(col("text")).cast("double") / 500.0)
+    val thresh = floor(w * 1048576).cast("long")
+    val bucket = pmod(
+      PortableHash.h60(concat(lit("wsmp#"), col("doc_id").cast("string"))),
+      lit(1048576L))
+    docs
+      .filter(bucket < thresh)
+      .select(col("doc_id"), round(w, 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
   def sampleStratifiedDf(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"))
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))

@@ -97,6 +97,21 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(4L) == ((1L, 1L, 1L, "mixed: [EMAIL] from [IP] dialed [PHONE]", true)))
   }
 
+  test("sampleWeighted: deterministic, and keep-rate tracks the weight") {
+    val docs = graft.core.Tables(spark, Sf).documents
+    val a = Curation.sampleWeightedDf(docs).collect().map(_.getLong(0)).toSeq
+    val b = Curation.sampleWeightedDf(docs).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "sample must be identical across runs")
+    assert(a.nonEmpty && a.length < docs.count())
+    // E[kept] = Σ w(d); the hash gate realizes each doc's own
+    // keep-probability, so the total concentrates near it
+    val expected = docs
+      .select(least(lit(1.0), length(col("text")).cast("double") / 500.0).as("w"))
+      .agg(sum(col("w"))).head().getDouble(0)
+    assert(math.abs(a.length - expected) / expected < 0.15,
+      s"kept ${a.length}, expected ≈ $expected")
+  }
+
   test("sampleStratified: deterministic, subset, and balanced to the minority") {
     val docs = graft.core.Tables(spark, Sf).documents
     val a = Curation.sampleStratifiedDf(docs).collect().map(_.getLong(0)).toSeq
