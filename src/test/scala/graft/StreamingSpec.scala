@@ -173,6 +173,54 @@ class StreamingSpec extends SparkSpecBase {
       s"two-phase=${twoPhase.length} single=${single.size}")
   }
 
+  test("gap-fill state survives a checkpointed restart (two-phase ingest)") {
+    import java.nio.file._
+    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType (nanosAsLong)
+    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val watch = Files.createTempDirectory("graft_gf_ckpt_in")
+    val ckpt = Files.createTempDirectory("graft_gf_ckpt_st").toString
+    val outDir = Files.createTempDirectory("graft_gf_ckpt_out").toString
+
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_gf_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, watch.resolve(name))
+    }
+
+    def runPhase(): Unit = {
+      val q = Streams.gapFillStream(spark,
+          Streams.readEvents(spark, watch.toString))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    runPhase()
+    stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+    runPhase() // restart: offsets + per-user day state recover
+
+    val twoPhase = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // exactly-once: phase 1 sealed early days, phase 2 must not
+    // re-emit them (nextDayMs/carried recover from the checkpoint)
+    assert(twoPhase.length == twoPhase.toSet.size,
+      "duplicate filled days after restart")
+    // same final answer as a single-pass run over the full input
+    val single = Streams.runToMemory(
+      Streams.gapFillStream(spark, Streams.readEvents(spark, path)),
+      "gf_ckpt_single", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(twoPhase.toSet == single,
+      s"two-phase=${twoPhase.length} single=${single.size}")
+    assert(single.nonEmpty)
+  }
+
   test("streaming gap-fill emits the batch rows for every watermark-sealed day") {
     val stream = Streams.runToMemory(
       Streams.gapFillStream(spark, Streams.readEvents(spark, path)),
