@@ -98,6 +98,31 @@ class ExplainSpec extends SparkSpecBase {
       s"rank-vector join must not sort-merge (edge re-sort per round):\n$p")
   }
 
+  test("pii scrub never shuffles: no hash exchange in the plan") {
+    val p = plan(graft.operators.Curation.pipelinePii(spark, Sf))
+    // the only exchange allowed is the presentation sort's range
+    // partitioning — the scrub itself is a pure projection
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pii scrub must not shuffle:\n$p")
+  }
+
+  test("bm25 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(graft.operators.TextOps.textBm25(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("weighted sampling is a single scan with no exchange before the filter") {
+    val df = graft.operators.Curation.sampleWeighted(spark, Sf)
+    val pre = df.queryExecution.sparkPlan.toString
+    // the keep decision is row-local: filter sits directly on the scan
+    val filterIdx = pre.indexOf("Filter")
+    val scanIdx = pre.indexOf("FileScan")
+    assert(filterIdx >= 0 && scanIdx > filterIdx,
+      s"expected filter directly over the scan:\n$pre")
+    assert(!pre.substring(filterIdx, scanIdx).contains("Exchange"),
+      s"no exchange may sit between scan and filter:\n$pre")
+  }
+
   test("profiler is one scan: a single parquet read feeds the melt") {
     val p = plan(graft.operators.Profile.numericProfile(spark, Sf))
     val scans = "FileScan parquet".r.findAllIn(p).size
