@@ -32,11 +32,16 @@ object TextAnalysis {
   def distinctRatio(toks: Column): Column =
     round(size(array_distinct(toks)).cast("double") / size(toks), 6)
 
-  /** Fraction of non-alphanumeric, non-space characters, 6dp. */
+  /** Fraction of non-alphanumeric, non-space characters, 6dp.
+    * Zero-length text reports 0.0 — without the guard the division
+    * throws under Spark 4's ANSI mode the first time a 100 TB crawl
+    * shard contains an empty document (the synthetic corpus never
+    * does, so the guard is value-invisible to every oracle). */
   def punctRatio(text: Column): Column =
-    round((length(text) -
-      length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double") /
-      length(text), 6)
+    when(length(text) === 0, lit(0.0)).otherwise(
+      round((length(text) -
+        length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double") /
+        length(text), 6))
 
   /** Mean token length, 6dp. */
   def avgTokenLen(toks: Column): Column =

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Curation, TextOps}
+
+/** Degenerate-input hardening: empty, whitespace-only, and
+  * single-token documents flow through every text/curation operator
+  * with DEFINED values — no crash, no dropped-row surprises. The
+  * synthetic corpus contains none of these; a 100 TB crawl contains
+  * millions. */
+class EdgeCaseSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "", "s"),
+    (1L, "   ", "s"),
+    (2L, "solo", "s"),
+    (3L, "alpha beta alpha beta", "s"),
+  ).toDF("doc_id", "text", "source")
+    .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+
+  test("tokens: degenerate text yields one empty token — the shared contract") {
+    // split(trim(''), '\s+') = [''] in Spark AND in DuckDB's
+    // string_split_regex — every oracle twin inherits exactly this, so
+    // the degenerate single-empty-token IS the cross-engine contract
+    // (changing one side alone would break every text oracle). The
+    // pipeline-relevant property: downstream gates fail such docs
+    // closed (see the gopher test below).
+    val t = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(t(0L) == Seq("") && t(1L) == Seq(""))
+    assert(t(2L) == Seq("solo"))
+    assert(t(3L) == Seq("alpha", "beta", "alpha", "beta"))
+  }
+
+  test("repetition: every doc keeps a row; degenerate docs score zero") {
+    val r = Curation.textRepetitionDf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(3))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L), "no doc may vanish")
+    // empty/1-token docs collapse to one degenerate shingle → ratio 0
+    assert(r(0L)._2 == 0.0 && r(1L)._2 == 0.0 && r(2L)._2 == 0.0)
+    // "alpha beta" repeats: 3 bigrams, 2 distinct → 1 - 2/3
+    assert(r(3L) == ((3L, 0.333333)))
+  }
+
+  test("lm score: docs without bigrams report zero, not null/missing") {
+    val r = TextOps.textLmScoreDf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L))
+    Seq(0L, 1L, 2L).foreach { d => assert(r(d) == ((0L, 0L, 0.0)), s"doc $d") }
+    assert(r(3L)._1 == 3L)
+  }
+
+  test("pii: verdict table covers degenerate docs with clean = original") {
+    val r = Curation.pipelinePiiDf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getString(4), x.getBoolean(5))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L))
+    assert(r(0L) == (("", false)))
+    assert(r(1L) == (("   ", false)))
+  }
+
+  test("weighted sampling: near-zero-weight docs drop, never crash") {
+    // w = len/500 → thresholds 0, 0, ~8, ~43 of 2^20: the gate runs
+    // and (almost surely) keeps nothing at these weights
+    val kept = Curation.sampleWeightedDf(docs).collect()
+    assert(kept.length <= docs.count())
+  }
+
+  test("tfidf: degenerate docs surface their empty token, values defined") {
+    val r = TextOps.textTfidfDf(docs).collect()
+    assert(r.forall(_.getString(1) != null))
+    assert(r.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    // the empty token is a real (low-idf) term under the shared
+    // tokenizer contract: df = 2 across the two degenerate docs
+    val empties = r.filter(_.getString(1) == "")
+    assert(empties.map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(empties.forall(_.getLong(3) == 2L))
+  }
+
+  test("gopher gate: degenerate docs fail closed (keep = false), not crash") {
+    val r = Curation.textGopherDf(docs).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(9)).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L), "every doc gets a verdict")
+    // ok_len requires ≥ 20 tokens — all four crafted docs fail closed
+    r.values.foreach(keep => assert(!keep))
+  }
+}
