@@ -91,6 +91,7 @@ object SparkEntry {
     "profile_numeric" -> (Profile.numericProfile _),
     "profile_hll_users" -> (Profile.hllUsers _),
     "profile_strings" -> (Profile.stringProfile _),
+    "profile_corr" -> (Profile.corrProfile _),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
@@ -1468,6 +1469,9 @@ object SparkEntry {
     // in the same order; DuckDB needs the explicit 'g' flag to match
     // Spark's replace-all default.
     "pipeline_pii" -> piiSql,
+    // Exact-integer co-moments (HUGEINT twin of DECIMAL(38,0)) make
+    // a normally order-dependent float statistic hash-matchable.
+    "profile_corr" -> corrSql,
     // HLL oracle: rebuilds every register with one group-by-max over
     // the same portable hash, then derives the identical estimate —
     // rank rule and estimate formula are generated from the SAME
@@ -1556,6 +1560,36 @@ object SparkEntry {
          FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
          ORDER BY d.doc_id""",
   )
+
+  /** profile_corr oracle: the same exact integer co-moments in
+    * HUGEINT (DuckDB's int128 twin of Spark's DECIMAL(38,0)), the
+    * same textbook formula, pair labels generated from one list. */
+  private def corrSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val centsCols = cols.map(c =>
+      s"CAST(round($c * 100, 0) AS BIGINT) AS c_$c").mkString(",\n                ")
+    val sums = (
+      cols.map(c => s"sum(CAST(c_$c AS HUGEINT)) AS s_$c") ++
+        cols.map(c => s"sum(CAST(c_$c AS HUGEINT) * CAST(c_$c AS HUGEINT)) AS ss_$c") ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          s"sum(CAST(c_$a AS HUGEINT) * CAST(c_$b AS HUGEINT)) AS sp_${a}_$b"
+        }).mkString(",\n                ")
+    val rows = cols.combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+              round(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+                / sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
+                       * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 6) AS corr
+         FROM a"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH c AS (SELECT
+                $centsCols
+           FROM lineitem),
+         a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                $sums
+               FROM c)
+         $rows
+         ORDER BY col_x, col_y"""
+  }
 
   /** profile_hll_users oracle: registers via group-by-max over the
     * portable hash, estimate via the shared dialect-portable formula

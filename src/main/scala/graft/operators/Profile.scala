@@ -40,6 +40,52 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** Pairwise Pearson correlation of lineitem's numeric measures —
+    * the dependence sweep of a profiling pass, made hash-matchable:
+    * `corr()` accumulates floating co-moments whose value depends on
+    * partition order, so instead every moment (Σx, Σx², Σxy) is an
+    * EXACT integer sum of cent-scaled values in DECIMAL(38,0)
+    * (products up to ~10¹⁴/row × 10⁶ rows stay far under 10³⁸; the
+    * DuckDB twin uses HUGEINT — both exact, so the doubles they
+    * convert to are identical) and the textbook formula runs once,
+    * per pair, on the driver-sized 1-row aggregate. sqrt is
+    * IEEE-754 correctly rounded — unlike ln it needs no
+    * quantization to be engine-identical.
+    *
+    * Scale: ONE pass over the fact table computing 14 exact sums
+    * with map-side partials; the 6-pair matrix is a projection of
+    * the single aggregate row. */
+  def corrProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def cents(name: String) =
+      round(col(name) * 100, 0).cast("long").cast("decimal(19,0)")
+    val sums =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+        cols.map(c => sum(cents(c)).as(s"s_$c")) ++
+        cols.map(c => sum(cents(c) * cents(c)).as(s"ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum(cents(a) * cents(b)).as(s"sp_${a}_$b")
+        }.toSeq
+    val agg = Tables(spark, dir).lineitem.agg(sums.head, sums.tail: _*)
+    def corrD(a: String, b: String) = {
+      val num = (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+        .cast("double")
+      val dx = (col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+        .cast("double")
+      val dy = (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+        .cast("double")
+      round(num / sqrt(dx * dy), 6)
+    }
+    val pairs = cols.combinations(2).toSeq
+    val stacked = pairs.map { case Seq(a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        corrD(a, b).as("corr"))
+    }
+    agg.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.corr"))
+      .orderBy("col_x", "col_y")
+  }
+
   /** Per-column string profile over part's text columns: counts,
     * distinct/null counts, length stats, and the modal value — same
     * one-scan melt shape as [[numericProfile]]. The mode is

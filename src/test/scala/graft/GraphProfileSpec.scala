@@ -93,6 +93,25 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(rows.exists(_.getLong(2) == 0L), "no gaps were filled")
   }
 
+  test("corr profiler: agrees with Spark's corr() and is partitioning-invariant") {
+    val rows = Profile.corrProfile(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == 6)
+    rows.values.foreach(v => assert(v >= -1.0 && v <= 1.0))
+    // the float co-moment corr() differs only by the cent quantization
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    rows.foreach { case ((a, b), v) =>
+      val ref = li.select(corr(col(a), col(b))).head().getDouble(0)
+      assert(math.abs(v - ref) < 1e-3, s"($a,$b): $v vs corr()=$ref")
+    }
+    // exact integer moments ⇒ bit-identical under any partitioning
+    val sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", "7")
+    val again = Profile.corrProfile(sp2, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(again == rows)
+  }
+
   test("profiler: one-pass stats agree with per-column aggregates") {
     val li = spark.read.parquet(s"$Sf/lineitem.parquet")
     val p = Profile.numericProfile(spark, Sf).collect()
