@@ -88,6 +88,7 @@ object SparkEntry {
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_range_join" -> (Events.qRangeJoin _),
     "q_gap_fill" -> (Events.qGapFill _),
+    "q_anomaly_days" -> (Events.qAnomalyDays _),
     "profile_numeric" -> (Profile.numericProfile _),
     "profile_hll_users" -> (Profile.hllUsers _),
     "profile_strings" -> (Profile.stringProfile _),
@@ -1472,6 +1473,28 @@ object SparkEntry {
     // Exact-integer co-moments (HUGEINT twin of DECIMAL(38,0)) make
     // a normally order-dependent float statistic hash-matchable.
     "profile_corr" -> corrSql,
+    // Same exact-moment z-score: (c·m − Σc) / √(m·Σc² − (Σc)²), all
+    // inputs exact HUGEINT/DECIMAL integers, σ=0 guarded to z=0.
+    "q_anomaly_days" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  count(*) AS cnt
+           FROM events GROUP BY user_id, day),
+         mo AS (SELECT user_id AS m_user,
+                       CAST(count(*) AS HUGEINT) AS m,
+                       sum(CAST(cnt AS HUGEINT)) AS sc,
+                       sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS scc
+                FROM daily GROUP BY user_id),
+         z AS (SELECT d.user_id, d.day, d.cnt,
+                      CASE WHEN mo.m * mo.scc - mo.sc * mo.sc = 0
+                           THEN CAST(0 AS DOUBLE)
+                           ELSE round(
+                             CAST(CAST(d.cnt AS HUGEINT) * mo.m - mo.sc AS DOUBLE)
+                             / sqrt(CAST(mo.m * mo.scc - mo.sc * mo.sc AS DOUBLE)), 4)
+                      END AS z
+               FROM daily d JOIN mo ON mo.m_user = d.user_id)
+         SELECT user_id, day, cnt, z, abs(z) > 3.0 AS is_anomaly
+         FROM z ORDER BY user_id, day""",
     // HLL oracle: rebuilds every register with one group-by-max over
     // the same portable hash, then derives the identical estimate —
     // rank rule and estimate formula are generated from the SAME

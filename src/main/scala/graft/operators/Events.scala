@@ -171,6 +171,41 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** Per-user daily-activity anomaly flags — the time-series outlier
+    * sweep over telemetry: a user's day is anomalous when its event
+    * count sits more than 3 population-σ above/below their own mean.
+    * The z-score is derived from EXACT integer moments
+    * (`z = (c·m − Σc) / √(m·Σc² − (Σc)²)` — the same
+    * exact-co-moment trick as the correlation profiler), so an
+    * order-dependent float statistic hash-matches across engines;
+    * sqrt is IEEE-exact, the σ=0 constant-user case is guarded to
+    * z=0. Shape: one groupBy to daily counts, one per-user moment
+    * aggregate joined back — two shuffles on user_id total, both
+    * partial-aggregating. */
+  def qAnomalyDays(spark: SparkSession, dir: String): DataFrame =
+    anomalyDaysDf(Tables(spark, dir).events)
+
+  def anomalyDaysDf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    // DECIMAL(38,0) moments: a decade × 10⁶-events-per-day user puts
+    // m·Σc² past 2⁶³ — same overflow discipline as profile_corr
+    val c19 = col("cnt").cast("decimal(19,0)")
+    val moments = daily.groupBy(col("user_id").as("m_user"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(c19).as("sc"),
+        sum(c19 * c19).as("scc"))
+    val denom2 = col("m") * col("scc") - col("sc") * col("sc")
+    val z = when(denom2 === 0, lit(0.0)).otherwise(
+      round((col("cnt").cast("decimal(19,0)") * col("m") - col("sc")).cast("double") /
+        sqrt(denom2.cast("double")), 4))
+    daily.join(moments, col("user_id") === col("m_user"))
+      .select(col("user_id"), col("day"), col("cnt"), z.as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 3.0)
+      .orderBy("user_id", "day")
+  }
+
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -73,6 +73,25 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(ranks("a") > ranks("b"), s"expected a > b: $ranks")
   }
 
+  test("anomaly days: closed-form z = √10 construction; constant users guarded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    // user 1: 10 days × 1 event + one 5-event day ⇒ for a single
+    // outlier among 11 days, z = √10 ≈ 3.1623 regardless of its size
+    val one = (1 to 10).map(d => (1L, f"2024-01-$d%02d 12:00:00")) ++
+      (1 to 5).map(_ => (1L, "2024-01-11 12:00:00"))
+    // user 2: identical count every day ⇒ σ = 0 ⇒ z must be 0, not a crash
+    val const = (1 to 4).map(d => (2L, f"2024-01-$d%02d 09:00:00"))
+    val ev = (one ++ const).toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val rows = Events.anomalyDaysDf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(rows((1L, 5L)) == ((3.1623, true)), s"got ${rows((1L, 5L))}")
+    assert(!rows((1L, 1L))._2)
+    assert(rows((2L, 1L)) == ((0.0, false)))
+  }
+
   test("gap-fill: gaps are materialized with zero counts and carried spend") {
     val rows = Events.qGapFill(spark, Sf).collect()
     val byUser = rows.groupBy(_.getLong(0))
