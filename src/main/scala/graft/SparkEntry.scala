@@ -1678,12 +1678,15 @@ object SparkEntry {
   /** pipeline_pii oracle, generated from [[Curation.PiiPatterns]] so
     * the two sides can never drift. */
   private def piiSql: String = {
-    val counts = Curation.PiiPatterns.map { case (n, p, _) =>
-      s"len(regexp_extract_all(text, '$p')) AS n_$n"
-    }.mkString(",\n                ")
-    val clean = Curation.PiiPatterns.foldLeft("text") {
+    // progressive counting mirror: pattern i counts on the text
+    // already redacted by patterns 0..i-1, exactly like the Spark side
+    val stages = Curation.PiiPatterns.scanLeft("text") {
       case (acc, (_, p, repl)) => s"regexp_replace($acc, '$p', '$repl', 'g')"
     }
+    val counts = Curation.PiiPatterns.zipWithIndex.map { case ((n, p, _), i) =>
+      s"len(regexp_extract_all(${stages(i)}, '$p')) AS n_$n"
+    }.mkString(",\n                ")
+    val clean = stages.last
     val hasPii = Curation.PiiPatterns
       .map { case (n, _, _) => s"n_$n > 0" }.mkString(" OR ")
     s"""WITH c AS (SELECT doc_id,

@@ -62,11 +62,23 @@ object Tables {
         size() > MaxEntries
     }
 
-  private def relation(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.synchronized {
-      cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-        { case (s, p) => s.read.parquet(p) })
+  private def relation(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (spark, s"$dir/$name.parquet")
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) hit
+    else {
+      // resolve OUTSIDE the monitor: file listing + footer reads are
+      // I/O, and holding the single lock across them would serialize
+      // every session's first resolution process-wide. A racing
+      // duplicate resolution is idempotent; first insert wins.
+      val resolved = spark.read.parquet(key._2)
+      cache.synchronized {
+        val raced = cache.get(key)
+        if (raced != null) raced
+        else { cache.put(key, resolved); resolved }
+      }
     }
+  }
 
   /** Drop every cached relation (all sessions, all paths). */
   def invalidate(): Unit = cache.synchronized(cache.clear())

@@ -106,18 +106,29 @@ object Hll {
     * aggregates `nPresentExpr` (hit buckets) and `zPresentExpr`
     * (Σ 2^(51−reg) over hit buckets). Empty buckets contribute
     * 2⁵¹ each; the small-range branch is standard linear counting
-    * `m·ln(m/V)`. All constants are exact doubles (powers of two /
-    * short literals), so both engines branch and divide
-    * identically. */
+    * `m·ln(m/V)`.
+    *
+    * EVERY fractional literal is CAST to DOUBLE: Spark's SQL parser
+    * types bare decimal literals as DECIMAL and then does exact
+    * decimal division (`1.079 / 1024.0` → scale-9 HALF_UP), while
+    * DuckDB promotes the same division to DOUBLE — a ~6e-11 relative
+    * divergence that survives into the estimate and would flip
+    * round(est, 2) once estimates reach the 10⁷+ regime HLL exists
+    * for (the q1_sql dialect-typing lesson, applied here BEFORE it
+    * ships). With the casts, both engines run identical IEEE double
+    * arithmetic on identical exact integers. */
   def estimateSql(nPresentExpr: String, zPresentExpr: String): String = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
     val twoW1 = 1L << (W + 1) // 2^51, exact in double
-    val alpha = s"(0.7213 / (1.0 + 1.079 / $M.0))"
+    val alpha =
+      s"(${d("0.7213")} / (${d("1.0")} + ${d("1.079")} / ${d(s"$M")}))"
     val zScaled =
       s"($zPresentExpr + CAST(($M - $nPresentExpr) AS BIGINT) * $twoW1)"
-    val raw = s"($alpha * ${M.toLong * M}.0 * $twoW1.0 / $zScaled)"
+    val raw =
+      s"($alpha * ${d(s"${M.toLong * M}")} * ${d(s"$twoW1")} / ${d(zScaled)})"
     val vZero = s"($M - $nPresentExpr)"
-    s"""CASE WHEN $raw <= ${5 * M / 2}.0 AND $vZero > 0
-        THEN $M.0 * ln($M.0 / $vZero)
+    s"""CASE WHEN $raw <= ${d(s"${5 * M / 2}")} AND $vZero > 0
+        THEN ${d(s"$M")} * ln(${d(s"$M")} / ${d(vZero)})
         ELSE $raw END"""
   }
 }

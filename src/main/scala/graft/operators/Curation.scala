@@ -141,12 +141,18 @@ object Curation {
     pipelinePiiDf(Tables(spark, dir).documents)
 
   def pipelinePiiDf(docs: DataFrame): DataFrame = {
-    val counts = PiiPatterns.map { case (n, p, _) =>
-      regexp_count(col("text"), lit(p)).cast("long").as(s"n_$n")
-    }
-    val clean = PiiPatterns.foldLeft(col("text")) {
+    // each pattern counts matches on the text AFTER the earlier
+    // patterns' redactions, so n_<kind> is exactly the number of
+    // [KIND] tokens in `clean` — on overlapping spans ("10.0.42.7@x
+    // .org" is both email- and ip-shaped) only the winning (earlier)
+    // pattern counts, matching what the redaction actually did
+    val stages = PiiPatterns.scanLeft(col("text")) {
       case (acc, (_, p, repl)) => regexp_replace(acc, p, repl)
     }
+    val counts = PiiPatterns.zipWithIndex.map { case ((n, p, _), i) =>
+      regexp_count(stages(i), lit(p)).cast("long").as(s"n_$n")
+    }
+    val clean = stages.last
     docs.select(col("doc_id") +: counts :+ clean.as("clean"): _*)
       .withColumn("has_pii",
         PiiPatterns.map { case (n, _, _) => col(s"n_$n") > 0L }

@@ -340,9 +340,12 @@ object Dedup {
       rounds += 1
       // per-round telemetry: when a bench number for this operator
       // moves between runs, this line localizes it to round count vs
-      // per-round cost vs checkpoint materialization
-      System.err.println(f"[graft] components round $rounds%d: " +
-        f"${(System.nanoTime() - t0) / 1e9}%.3f s, sum=$s%s, changed=$changed%b")
+      // per-round cost vs checkpoint materialization. Locale.ROOT: a
+      // comma decimal separator would break scripts parsing the line.
+      System.err.println("[graft] components round " + rounds + ": " +
+        String.format(java.util.Locale.ROOT, "%.3f",
+          (System.nanoTime() - t0) / 1e9) +
+        s" s, sum=$s, changed=$changed")
     }
     if (changed) {
       // surfacing beats silently emitting partial components: labels

@@ -243,11 +243,20 @@ object Streams {
     val DayMs = 86400000L
     // the watermarked ts column must survive into the stateful
     // operator's input or the event-time timeout is rejected (same
-    // discipline as sessionizeWithState)
+    // discipline as sessionizeWithState).
+    //
+    // Days are UTC fixed-24h buckets (`unix_millis div 86400000`),
+    // NOT session-timezone date_trunc: the state machine advances its
+    // cursor by a constant DayMs, and a DST-observing session
+    // timezone would produce 23h/25h calendar days that desync the
+    // cursor from the pending keys (an observed day would emit as a
+    // gap and its real key would strand in state until the timeout
+    // re-arm threw). Under a UTC session — the batch twin's tested
+    // configuration — the two bucketings coincide exactly.
     val typed = events
       .withWatermark("ts", "2 hours")
       .select(col("user_id"),
-        (unix_timestamp(date_trunc("day", col("ts"))) * 1000).as("day_ms"),
+        expr("(unix_millis(ts) div 86400000) * 86400000").as("day_ms"),
         round(col("value") * 100, 0).cast("long").as("cents"),
         col("ts"))
       .as[(Long, Long, Long, java.sql.Timestamp)]

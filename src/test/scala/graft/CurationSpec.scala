@@ -85,6 +85,9 @@ class CurationSpec extends SparkSpecBase {
       (2L, "call 555-123-4567 or 555.987.6543 now", "s"),
       (3L, "nothing sensitive here at all", "s"),
       (4L, "mixed: a@b.co from 8.8.8.8 dialed 123-456-7890", "s"),
+      // overlap: ip-shaped local part — email wins (applied first),
+      // so n_ip must be 0: counts describe what the redaction DID
+      (5L, "reach 10.0.42.7@mail.example.org today", "s"),
     ).toDF("doc_id", "text", "source")
       .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
     val rows = Curation.pipelinePiiDf(docs).collect()
@@ -95,6 +98,7 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(2L) == ((0L, 0L, 2L, "call [PHONE] or [PHONE] now", true)))
     assert(rows(3L) == ((0L, 0L, 0L, "nothing sensitive here at all", false)))
     assert(rows(4L) == ((1L, 1L, 1L, "mixed: [EMAIL] from [IP] dialed [PHONE]", true)))
+    assert(rows(5L) == ((1L, 0L, 0L, "reach [EMAIL] today", true)))
   }
 
   test("sampleWeighted: deterministic, and keep-rate tracks the weight") {
