@@ -101,4 +101,26 @@ object IO {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Avro — the row-oriented interchange format event streams land
+    * in (Kafka topics, log shippers). This Spark build bundles the
+    * Avro connector classes inside spark-sql but does NOT register
+    * the `avro` short name in its DataSourceRegister service file,
+    * so the fully-qualified provider class is used — same engine
+    * path, explicit resolution. Row-oriented means no column pruning
+    * at the storage layer — an Avro landing zone should be compacted
+    * to parquet (see [[writeSorted]]) before analytical reads; these
+    * entry points cover the ingest hop. */
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroProvider).load(path)
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(AvroProvider).save(path)
+  // NOTE: the per-column Kafka envelope (`from_avro`/`to_avro`) is NOT
+  // available in this build — the expression layer
+  // (CatalystDataToAvro/AvroDataToCatalyst) ships only in the external
+  // spark-avro module, absent from /opt/spark/jars. File-level Avro
+  // above is the full ingest surface until that jar exists.
 }

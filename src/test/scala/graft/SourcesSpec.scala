@@ -154,6 +154,23 @@ class SourcesSpec extends SparkSpecBase {
       planStr.contains("o_totalprice"), s"expected ORC pushdown:\n$planStr")
   }
 
+  test("avro round-trip") {
+    roundtrip(d => IO.writeAvro(sample, d), d => IO.readAvro(spark, d))
+  }
+
+  test("avro filter lands in the scan's data filters") {
+    val dir = Files.createTempDirectory("graft_avro").toString
+    IO.writeAvro(sample, dir)
+    val filtered = IO.readAvro(spark, dir).filter(col("o_totalprice") > 300000)
+    // row-oriented format: no storage-level stats pushdown, but the
+    // predicate must still evaluate inside the scan stage (no
+    // separate Filter-after-collect shape)
+    val planStr = { filtered.collect(); filtered.queryExecution.executedPlan.toString }
+    assert(planStr.contains("o_totalprice"), s"filter missing from plan:\n$planStr")
+    assert(filtered.count() ==
+      sample.filter(col("o_totalprice") > 300000).count())
+  }
+
   test("sorted layout skips row groups a range filter can't match") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // DateType sort/filter column: parquet row-group stats pushdown
