@@ -94,6 +94,7 @@ object SparkEntry {
     "profile_strings" -> (Profile.stringProfile _),
     "profile_corr" -> (Profile.corrProfile _),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    "graph_triangles" -> (Graph.supplierTriangles _),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
     // maxDf passed explicitly: the 100 TB operating configuration of
@@ -1016,6 +1017,21 @@ object SparkEntry {
                       / 100.0 / count(value), 6) AS mean
          FROM m GROUP BY col_name ORDER BY col_name""",
     "graph_pagerank" -> pagerankSql,
+    // id-ordered 3-way self-join: orientation in the Spark plan only
+    // changes where each triangle is FOUND, never the per-node census
+    "graph_triangles" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+               FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                AND a.l_suppkey < b.l_suppkey
+               GROUP BY 1, 2 HAVING count(*) >= 5),
+         t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM e e1 JOIN e e2 ON e1.v = e2.u
+               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         n AS (SELECT a AS suppkey FROM t UNION ALL
+               SELECT b FROM t UNION ALL SELECT c FROM t)
+         SELECT suppkey, count(*) AS n_tri FROM n
+         GROUP BY suppkey ORDER BY suppkey""",
     // the PLAIN semi-join: a hash match proves the bloom prefilter is
     // value-invisible (no false negatives; false positives removed by
     // the exact join)

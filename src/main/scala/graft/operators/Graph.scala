@@ -131,4 +131,73 @@ object Graph {
       .orderBy(col("pr").desc, col("node"))
       .limit(100)
   }
+
+  /** Strong-tie supplier graph: an edge between two suppliers that
+    * co-supplied at least `minOrders` distinct orders. Pair
+    * generation is the bounded per-order self-join (pairs per order ≤
+    * C(lines, 2), lines-per-order is schema-bounded ~7 — the same
+    * bounded-explode argument as the n-gram dedup pair join), and the
+    * co-occurrence threshold is what keeps the graph sparse as the
+    * corpus grows: raw co-occurrence saturates toward the complete
+    * graph (measured: 91% dense at sf0.1), while ≥5 shared orders
+    * keeps |E| ≈ 0.05 × C(n,2) there. At 100 TB the threshold is the
+    * operator's density knob, exactly like minhash band count. */
+  private[graft] def coSupplyEdges(spark: SparkSession, dir: String,
+      minOrders: Int = 5): DataFrame = {
+    val sl = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    sl.as("a").join(sl.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minOrders)
+      .select(col("u"), col("v"))
+  }
+
+  /** Per-node triangle counts via degree-ordered wedge closure — the
+    * compact-forward algorithm, the one that survives skew at scale:
+    * each undirected edge is oriented from its (degree, id)-smaller
+    * endpoint, so every wedge is generated at its lowest-ordered
+    * vertex exactly once and out-fan-out is bounded by O(√|E|) even
+    * at a hub node (a naive u-side self-join fans out quadratically
+    * in the hub degree instead). Three shuffles total: degree count,
+    * wedge self-join on src, closure semi-match against the
+    * canonical id-ordered edge set. Counting is exact — orientation
+    * changes WHERE a triangle is found, never whether — so the
+    * DuckDB oracle can use plain id-ordering (a < b < c) and
+    * hash-match.
+    *
+    * `edges` must be canonical: columns (u, v) with u < v, one row
+    * per undirected edge. */
+  def trianglesOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    val srcFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(srcFirst, col("u")).otherwise(col("v")).as("src"),
+      when(srcFirst, col("v")).otherwise(col("u")).as("dst"))
+    // wedge (x; n1, n2), n1 < n2 BY ID so the unordered pair appears
+    // once and the closure key aligns with the canonical edge layout
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("x"),
+        col("e1.dst").as("n1"), col("e2.dst").as("n2"))
+    val tri = wedges.join(edges,
+      wedges("n1") === edges("u") && wedges("n2") === edges("v"))
+    tri.select(explode(array(col("x"), col("n1"), col("n2"))).as("suppkey"))
+      .groupBy(col("suppkey")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("suppkey"))
+  }
+
+  /** Triangle census of the strong-tie supplier graph: how many
+    * supplier triples are pairwise strong trading partners, per
+    * supplier — the classic clustering/community signal. */
+  def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(coSupplyEdges(spark, dir))
 }

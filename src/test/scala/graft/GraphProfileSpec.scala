@@ -73,6 +73,49 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(ranks("a") > ranks("b"), s"expected a > b: $ranks")
   }
 
+  test("triangles: closed forms (K4, path, star, K4-plus-pendant)") {
+    import spark.implicits._
+    def tri(pairs: Seq[(Long, Long)]) =
+      Graph.trianglesOf(pairs.toDF("u", "v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // K4: 4 triangles, every node on 3 of them
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(k4) == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // path and star: triangle-free
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))).isEmpty)
+    // K4 with a pendant hanging off node 4: pendant is in no
+    // triangle and must not appear; K4 counts unchanged
+    assert(tri(k4 :+ (4L, 9L)) ==
+      Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("triangles: count invariant under partitioning and matches the id-ordered formula") {
+    // the sf graph through the real operator vs the naive id-ordered
+    // 3-way join — orientation must not change the census
+    val got = Graph.supplierTriangles(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val e = graft.operators.Graph.coSupplyEdges(spark, Sf)
+    e.createOrReplaceTempView("tri_e")
+    val naive = spark.sql(
+      """SELECT suppkey, count(*) AS n_tri FROM (
+           SELECT e1.u AS suppkey FROM tri_e e1
+             JOIN tri_e e2 ON e1.v = e2.u
+             JOIN tri_e e3 ON e3.u = e1.u AND e3.v = e2.v
+           UNION ALL
+           SELECT e1.v FROM tri_e e1
+             JOIN tri_e e2 ON e1.v = e2.u
+             JOIN tri_e e3 ON e3.u = e1.u AND e3.v = e2.v
+           UNION ALL
+           SELECT e2.v FROM tri_e e1
+             JOIN tri_e e2 ON e1.v = e2.u
+             JOIN tri_e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         GROUP BY suppkey ORDER BY suppkey""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
   test("anomaly days: closed-form z = √10 construction; constant users guarded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, to_timestamp}
