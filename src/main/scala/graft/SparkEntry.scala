@@ -93,6 +93,7 @@ object SparkEntry {
     "profile_hll_users" -> (Profile.hllUsers _),
     "profile_strings" -> (Profile.stringProfile _),
     "profile_corr" -> (Profile.corrProfile _),
+    "profile_quantiles" -> ((s, d) => Profile.quantileProfile(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "graph_triangles" -> (Graph.supplierTriangles _),
     // D. dedup
@@ -1489,6 +1490,39 @@ object SparkEntry {
     // Exact-integer co-moments (HUGEINT twin of DECIMAL(38,0)) make
     // a normally order-dependent float statistic hash-matchable.
     "profile_corr" -> corrSql,
+    // identical bottom-k sample: rank by the shared portable row hash
+    // (ties broken by value — value ties across the k boundary leave
+    // the sample MULTISET unchanged), then exact index picks from the
+    // value-sorted sample
+    "profile_quantiles" ->
+      """WITH m AS (
+           SELECT ('0x' || substring(md5(
+                    CAST(l_orderkey AS VARCHAR) || '|' ||
+                    CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h,
+                  col_name, value
+           FROM (SELECT l_orderkey, l_linenumber, 'l_quantity' AS col_name,
+                        l_quantity AS value FROM lineitem
+                 UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                        l_extendedprice FROM lineitem
+                 UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+                        l_discount FROM lineitem
+                 UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+                        l_tax FROM lineitem)),
+         r AS (SELECT col_name, value,
+                      row_number() OVER (PARTITION BY col_name
+                                         ORDER BY h, value) AS rn
+               FROM m),
+         s AS (SELECT col_name, value,
+                      row_number() OVER (PARTITION BY col_name
+                                         ORDER BY value) AS vr,
+                      count(*) OVER (PARTITION BY col_name) AS n
+               FROM r WHERE rn <= 1000),
+         p AS (SELECT * FROM (VALUES (1), (5), (25), (50), (75), (95), (99))
+               AS t(pct))
+         SELECT s.col_name, p.pct, s.value
+         FROM s JOIN p
+           ON s.vr = CAST(floor(p.pct / 100.0 * (s.n - 1)) AS BIGINT) + 1
+         ORDER BY col_name, pct""",
     // Same exact-moment z-score: (c·m − Σc) / √(m·Σc² − (Σc)²), all
     // inputs exact HUGEINT/DECIMAL integers, σ=0 guarded to z=0.
     "q_anomaly_days" ->

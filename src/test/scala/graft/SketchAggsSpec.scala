@@ -157,4 +157,32 @@ class SketchAggsSpec extends SparkSpecBase {
       .head().getSeq[Long](0)
     assert(r.length == graft.functions.Hll.M && r.exists(_ > 0))
   }
+
+  test("BottomKSampleAgg: k >= n returns all values sorted; k < n matches the window rank") {
+    import graft.functions.BottomKSampleAgg
+    val rows = spark.range(0, 500)
+      .select(col("id"), PortableHash.h60(col("id").cast("string")).as("h"),
+        (col("id") % 37).cast("double").as("v"))
+    // k >= n: the "sample" is the full value multiset, sorted
+    val all = rows.agg(BottomKSampleAgg.bottomk(col("h"), col("v"), 1000))
+      .head().getSeq[Double](0)
+    assert(all == rows.select("v").collect().map(_.getDouble(0)).sorted.toSeq)
+    // k < n: exactly the values of the k hash-smallest rows
+    val expected = rows.orderBy(col("h"), col("v")).limit(64)
+      .select("v").collect().map(_.getDouble(0)).sorted.toSeq
+    val got = rows.agg(BottomKSampleAgg.bottomk(col("h"), col("v"), 64))
+      .head().getSeq[Double](0)
+    assert(got == expected)
+  }
+
+  test("BottomKSampleAgg: merge-invariant across partitionings") {
+    import graft.functions.BottomKSampleAgg
+    def sample(parts: Int) = spark.range(0, 2000)
+      .repartition(parts)
+      .select(PortableHash.h60(col("id").cast("string")).as("h"),
+        (col("id") * col("id") % 101).cast("double").as("v"))
+      .agg(BottomKSampleAgg.bottomk(col("h"), col("v"), 100))
+      .head().getSeq[Double](0)
+    assert(sample(1) == sample(13))
+  }
 }
