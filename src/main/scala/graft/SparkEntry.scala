@@ -89,6 +89,7 @@ object SparkEntry {
     "q_range_join" -> (Events.qRangeJoin _),
     "q_gap_fill" -> (Events.qGapFill _),
     "q_anomaly_days" -> (Events.qAnomalyDays _),
+    "events_retention" -> (Events.qRetention _),
     "profile_numeric" -> (Profile.numericProfile _),
     "profile_hll_users" -> (Profile.hllUsers _),
     "profile_strings" -> (Profile.stringProfile _),
@@ -984,6 +985,18 @@ object SparkEntry {
           AND e.ts >= p.ts
           AND e.ts <= p.ts + INTERVAL 30 MINUTE
          ORDER BY purchase_id, error_id""",
+    // distinct (user, day) + min-day cohort join ≡ the collect_set
+    // formulation: exploded sets are distinct by construction
+    "events_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                     FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+         SELECT c.cohort_day,
+                CAST(date_diff('day', c.cohort_day, u.day) AS INT) AS day_offset,
+                count(*) AS n_users
+         FROM ud u JOIN c ON u.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

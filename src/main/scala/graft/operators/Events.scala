@@ -206,6 +206,34 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** Cohort retention — the product-analytics staple: users grouped
+    * by their first-active day, counted on each subsequent active
+    * day offset. Plan shape is ONE primary shuffle: the per-user
+    * active-day set aggregates with map-side partial `collect_set`
+    * whose state is bounded by the CALENDAR (≤ span days per user),
+    * not by event volume — a user with 10⁹ events still contributes
+    * ≤ span entries per partition. Cohort day is then a free
+    * `element_at(days, 1)` on the sorted set (no second pass, no
+    * self-join back), and the (cohort, offset) roll-up shuffles only
+    * |users| × ≤span rows. The exploded rows are distinct by
+    * construction, so the final count is a plain `count(*)`, not a
+    * `countDistinct` — no per-group distinct state. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame =
+    retentionDf(Tables(spark, dir).events)
+
+  def retentionDf(events: DataFrame): DataFrame = {
+    val days = events
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(date_trunc("day", col("ts")))).as("days"))
+    days
+      .select(col("user_id"), element_at(col("days"), 1).as("cohort_day"),
+        explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("int").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -135,6 +135,22 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(rows((2L, 1L)) == ((0.0, false)))
   }
 
+  test("retention: closed-form cohorts; multiple same-day events collapse") {
+    import spark.implicits._
+    // user 1 first active Jan 1, returns Jan 2 and Jan 4 (twice);
+    // user 2 first active Jan 2, returns Jan 3
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 11:00:00"),
+      (1L, "2024-01-04 09:00:00"), (1L, "2024-01-04 23:00:00"),
+      (2L, "2024-01-02 08:00:00"), (2L, "2024-01-03 08:00:00"))
+      .toDF("user_id", "s").select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val got = Events.retentionDf(ev).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-01", 3, 1L),
+      ("2024-01-02", 0, 1L), ("2024-01-02", 1, 1L)))
+  }
+
   test("gap-fill: gaps are materialized with zero counts and carried spend") {
     val rows = Events.qGapFill(spark, Sf).collect()
     val byUser = rows.groupBy(_.getLong(0))
