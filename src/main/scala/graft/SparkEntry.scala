@@ -119,6 +119,7 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.frameSampleStats _),
     "mm_resize" -> (Multimodal.resizeSpecs _),
     "mm_features" -> (Multimodal.byteFeatures _),
+    "mm_dedup" -> (Multimodal.nearDupMedia _),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
@@ -1309,6 +1310,24 @@ object SparkEntry {
          FROM m ORDER BY doc_id""",
     // byte histogram per image: ASCII corpus ⇒ ascii(char) == byte;
     // zero bins are materialized (the Spark side always emits 8)
+    // identical integer signature arithmetic: per-mille share // 25,
+    // absent bins skipped, '-'-joined in bin order
+    "mm_dedup" ->
+      """WITH i AS (SELECT doc_id, text, length(text) AS len
+                    FROM documents
+                    WHERE CAST(doc_id % 3 AS INT) = 0 AND length(text) > 0),
+         b AS (SELECT doc_id,
+                      (ascii(substring(text, CAST(p AS INT), 1)) % 128) // 16 AS bin
+               FROM i, unnest(range(1, len + 1)) AS t(p)),
+         h AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(cnt) AS n FROM h GROUP BY 1),
+         sg AS (SELECT h.doc_id,
+                       string_agg(CAST((cnt * 1000 // n) // 25 AS VARCHAR),
+                                  '-' ORDER BY bin) AS sig
+                FROM h JOIN tot ON h.doc_id = tot.doc_id
+                GROUP BY h.doc_id)
+         SELECT sig, count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM sg GROUP BY sig HAVING count(*) > 1 ORDER BY sig""",
     "mm_features" ->
       """WITH i AS (SELECT doc_id, text, length(text) AS len
                     FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),

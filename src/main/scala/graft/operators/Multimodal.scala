@@ -166,4 +166,38 @@ object Multimodal {
         col("col").as("cnt"))
       .orderBy("doc_id", "bin")
   }
+
+  /** Quantized-histogram signature for one image: per-mille bin
+    * shares floored to buckets of `q` per-mille, absent bins skipped,
+    * joined `-` in bin order. Pure integer arithmetic — the DuckDB
+    * oracle rebuilds the identical string. Two images whose byte
+    * distributions differ by less than the bucket width collide —
+    * that's the point: collision = near-duplicate. */
+  private[graft] def histSig(bins: Array[Long], q: Int): String = {
+    val n = bins.sum
+    bins.filter(_ > 0).map(c => (c * 1000 / n) / q).mkString("-")
+  }
+
+  /** Near-duplicate media detection — the multimodal twin of
+    * [[Dedup]]'s text operators: partition-wise batched feature
+    * extraction (the byte histogram standing in for a perceptual
+    * hash / embedding call), a per-image signature computed MAP-SIDE
+    * (fixed-size state per image regardless of payload bytes), and
+    * one groupBy on the short signature string. No pairwise compare
+    * anywhere: like SimHash bucketing, duplicate sets fall out of an
+    * exact group-by on the quantized signature, so the shuffle
+    * carries |images| signature rows, not payloads, and never N².
+    * Empty payloads are excluded (no distribution to compare). */
+  def nearDupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    blobs(spark, dir)
+      .filter(_.payload.nonEmpty)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(featureBatch))
+      .map(h => (h.doc_id, histSig(h.bins, 25)))
+      .toDF("doc_id", "sig")
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("sig")
+  }
 }

@@ -82,4 +82,23 @@ class MultimodalSpec extends SparkSpecBase {
     val rows = Multimodal.byteFeatures(spark, Sf).collect()
     assert(rows.nonEmpty && rows.length % 8 == 0)
   }
+
+  test("histSig: quantized per-mille shares, absent bins skipped; near-dup collides") {
+    // 4 of bin0 + 4 of bin6: shares 500/500 -> buckets 20-20
+    assert(Multimodal.histSig(Array(4L, 0, 0, 0, 0, 0, 4L, 0), 25) == "20-20")
+    // slightly perturbed distribution (3:5) collides within the bucket? 375//25=15, 625//25=25
+    assert(Multimodal.histSig(Array(3L, 0, 0, 0, 0, 0, 5L, 0), 25) == "15-25")
+    // 7:9 ~ 437/562 -> 17-22 vs 8:8 -> 20-20: beyond bucket width, separates
+    assert(Multimodal.histSig(Array(8L, 0, 0, 0, 0, 0, 8L, 0), 25) ==
+      Multimodal.histSig(Array(400L, 0, 0, 0, 0, 0, 400L, 0), 25))
+  }
+
+  test("mm_dedup groups only multi-member signatures; keep_id is the min member") {
+    val got = Multimodal.nearDupMedia(spark, Sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) > 1, "every reported group must have >1 member")
+      assert(r.getLong(2) % 3 == 0, "keep_id must be an image doc (doc_id % 3 == 0)")
+    }
+  }
 }
