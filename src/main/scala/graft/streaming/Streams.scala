@@ -96,6 +96,24 @@ object Streams {
       .select(col("win"), col("e.id").as("event_id"),
         (col("e.score") / 100.0).as("value"))
 
+  /** Streaming bottom-k sample: per-event-time-window deterministic
+    * uniform sample of event values via the same
+    * [[graft.functions.BottomKSampleAgg]] the batch quantile profiler
+    * uses — per-window state is ≤ k (hash, value) entries however
+    * many events stream through, and because bottom-k-by-hash is
+    * merge-exact, the streamed sample is IDENTICAL to a batch sample
+    * over the same rows (StreamingSpec pins it). The streaming
+    * quantile pattern for 100 TB/day telemetry: emit the sample, pick
+    * index quantiles downstream. */
+  def sampleWindowSketch(events: DataFrame, k: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.BottomKSampleAgg.bottomk(
+        graft.functions.PortableHash.h60(col("event_id").cast("string")),
+        col("value"), k).as("samp"))
+      .select(col("window.start").as("win"), col("samp"))
+
   /** Streaming twin of q_sessionize: built-in session_window with a
     * 30-minute gap. */
   def sessionCounts(events: DataFrame): DataFrame =

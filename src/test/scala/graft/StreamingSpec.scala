@@ -53,6 +53,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("streaming bottom-k sample is identical to the batch sample (merge-exact)") {
+    val stream = Streams.runToMemory(
+      Streams.sampleWindowSketch(Streams.readEvents(spark, path)), "samp_win")
+    val got = stream.collect()
+      .map(r => r.getTimestamp(0) -> r.getSeq[Double](1)).toMap
+    val want = graft.core.Tables(spark, Sf).events
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.BottomKSampleAgg.bottomk(
+        graft.functions.PortableHash.h60(col("event_id").cast("string")),
+        col("value"), 64).as("samp"))
+      .select(col("window.start"), col("samp"))
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[Double](1)).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    want.foreach { case (_, s) => assert(s.length <= 64 && s == s.sorted) }
+  }
+
   test("streaming windowed top-k spend matches the batch aggregate") {
     val stream = Streams.runToMemory(
       Streams.topkWindowSpend(Streams.readEvents(spark, path)), "topk_win")
