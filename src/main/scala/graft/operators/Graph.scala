@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,14 +142,30 @@ object Graph {
     * graph (measured: 91% dense at sf0.1), while ≥5 shared orders
     * keeps |E| ≈ 0.05 × C(n,2) there. At 100 TB the threshold is the
     * operator's density knob, exactly like minhash band count. */
+  /** All ordered pairs (i < j) from a SORTED array column, emitted as
+    * `struct(u, v)` with u < v — the map-side pair kernel shared by
+    * edge and wedge generation: C(|xs|, 2) pairs materialize AFTER
+    * the per-key shuffle, so the exchange carries one bounded array
+    * per key instead of the exploded pair set. */
+  private def arrayPairs(xs: Column): Column =
+    explode(expr(
+      s"""flatten(transform(${xs.toString}, (x, i) ->
+         |  transform(slice(${xs.toString}, i + 2, size(${xs.toString})),
+         |            y -> struct(x AS u, y AS v))))""".stripMargin))
+
   private[graft] def coSupplyEdges(spark: SparkSession, dir: String,
       minOrders: Int = 5): DataFrame = {
-    val sl = Tables(spark, dir).lineitem
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    sl.as("a").join(sl.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_suppkey") < col("b.l_suppkey"))
-      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+    // one shuffle to per-order supplier sets (collect_set partials are
+    // bounded by suppliers-per-order, a schema constant ~7 — NOT by
+    // line volume), pairs exploded map-side after it, one shuffle to
+    // pair counts: 2 exchanges where distinct + self-join + groupBy
+    // spent 4, and the wide pair set never crosses the wire unkeyed
+    val byOrder = Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    byOrder.select(arrayPairs(col("ss")).as("p"))
+      .select(col("p.u"), col("p.v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minOrders)
       .select(col("u"), col("v"))
@@ -183,11 +199,16 @@ object Graph {
       when(srcFirst, col("u")).otherwise(col("v")).as("src"),
       when(srcFirst, col("v")).otherwise(col("u")).as("dst"))
     // wedge (x; n1, n2), n1 < n2 BY ID so the unordered pair appears
-    // once and the closure key aligns with the canonical edge layout
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.src").as("x"),
-        col("e1.dst").as("n1"), col("e2.dst").as("n2"))
+    // once and the closure key aligns with the canonical edge layout.
+    // Same shape as edge generation: one shuffle to per-src neighbor
+    // arrays (bounded by the ORIENTED out-degree, which the (deg, id)
+    // ordering caps at O(√|E|) even for hubs), pairs map-side after it
+    // — not a self-join that re-exchanges the edge set twice
+    val byNode = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+    val wedges = byNode
+      .select(col("src").as("x"), arrayPairs(col("ns")).as("p"))
+      .select(col("x"), col("p.u").as("n1"), col("p.v").as("n2"))
     val tri = wedges.join(edges,
       wedges("n1") === edges("u") && wedges("n2") === edges("v"))
     tri.select(explode(array(col("x"), col("n1"), col("n2"))).as("suppkey"))
