@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
+    "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.ngramComponents(s, d)),
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
@@ -1153,6 +1154,19 @@ object SparkEntry {
            SELECT a AS doc_id, least(a, min(b)) AS component
            FROM reach GROUP BY a)
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    // same content-defined anchors (md5-60bit of the 4-gram at each
+    // position, mod 16 = 0) and the same 64-char window hash
+    "dedup_substring" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len
+                       FROM documents WHERE length(text) >= 64),
+         a AS (SELECT doc_id, CAST(p AS INT) AS p, text
+               FROM docs, unnest(range(1, len - 64 + 2)) AS t(p)
+               WHERE ('0x' || substring(md5(substring(text, CAST(p AS INT), 4)),
+                                        1, 15))::BIGINT % 16 = 0),
+         w AS (SELECT doc_id, md5(substring(text, p, 64)) AS h FROM a)
+         SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_id
+         FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1
+         ORDER BY h""",
     "dedup_embedding" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -383,6 +383,50 @@ object Dedup {
     * role). Oracle-checked via DuckDB list_cosine_similarity over
     * DOUBLE[] casts; spec additionally pins the codegen expression to
     * the HOF cosine. */
+  /** Exact duplicated-SPAN detection — the substring-level dedup pass
+    * (the operation "Deduplicating Training Data Makes Language
+    * Models Better" runs with suffix arrays): find fixed-width text
+    * windows that recur VERBATIM across documents, e.g. shared
+    * boilerplate, licenses, templated headers, without the documents
+    * being near-duplicates as wholes.
+    *
+    * Alignment is CONTENT-DEFINED, not stride-defined: a window
+    * starts wherever the rolling 4-gram hash at its first position
+    * ≡ 0 (mod 16) — so two copies of the same region pick the SAME
+    * anchor positions relative to the region's content regardless of
+    * where it sits in each document (a fixed stride would only match
+    * copies at equal offsets mod stride). Expected window density is
+    * one per 16 chars; `win` = 64 chars is the minimum span size
+    * detected.
+    *
+    * Scale shape: anchor selection and window hashing are MAP-SIDE
+    * over the text scan (the per-position 4-gram probe is the honest
+    * cost — the same full-text pass every shingling op makes); only
+    * 128-bit window hashes cross the wire, never span text; the
+    * group-by is exact, no pairwise compare anywhere. The distinct
+    * count per hash is bounded by the duplication factor, not corpus
+    * size. */
+  def substringSpans(spark: SparkSession, dir: String, win: Int = 64,
+      anchorMod: Int = 16): DataFrame =
+    substringSpansDf(Tables(spark, dir).documents, win, anchorMod)
+
+  def substringSpansDf(docs: DataFrame, win: Int = 64,
+      anchorMod: Int = 16): DataFrame =
+    docs
+      .filter(length(col("text")) >= win)
+      .select(col("doc_id"), col("text"), explode(expr(
+        s"""filter(sequence(1, length(text) - $win + 1),
+           |  p -> CAST(conv(substring(md5(substring(text, p, 4)), 1, 15),
+           |                 16, 10) AS BIGINT) % $anchorMod = 0)"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(text, p, $win)")).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("h")
+
   def embedding(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame =
     embeddingDf(Tables(spark, dir).embeddings, tau)
 

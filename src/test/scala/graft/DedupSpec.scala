@@ -173,4 +173,38 @@ class DedupSpec extends SparkSpecBase {
       .agg(max("d")).head().getDouble(0)
     assert(diff < 1e-9, s"custom expression deviates from HOF reference by $diff")
   }
+
+  test("substring spans: shared region found at DIFFERENT offsets (content-defined anchors)") {
+    val boiler = "This document is licensed under the standard corpus terms. " +
+      "Redistribution permitted with attribution. All rights reserved forever. " +
+      "Contact the data team for any questions about usage and provenance."
+    def noise(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to 120).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    // boilerplate embedded at offset 0, ~120, and ~57 — a fixed
+    // stride-32 scheme can only match copies at equal offsets mod 32;
+    // anchors travel with the content, so all three must group
+    val docs = Seq(
+      (10L, boiler + noise(1)),
+      (11L, noise(2) + boiler),
+      (12L, noise(3).take(57) + boiler + noise(4)),
+      (13L, noise(5) + noise(6))).toDF("doc_id", "text")
+    val groups = Dedup.substringSpansDf(docs).collect()
+    assert(groups.nonEmpty, "planted boilerplate must produce duplicated spans")
+    // every reported span involves only the three boilerplate carriers
+    val spanDocs = Dedup.substringSpansDf(docs)
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(spanDocs == Set(10L), s"keeper should be the smallest carrier: $spanDocs")
+    assert(groups.forall(_.getLong(1) == 3L),
+      "each boilerplate span recurs in exactly the 3 carrier docs")
+  }
+
+  test("substring spans: disjoint texts produce no groups") {
+    val docs = Seq(
+      (1L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4)),
+      (2L, ("one two three four five six seven eight nine ten eleven " * 4)))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringSpansDf(docs).collect().isEmpty)
+  }
 }
