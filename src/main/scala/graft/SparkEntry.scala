@@ -86,6 +86,7 @@ object SparkEntry {
     "q_json_extract" -> (Events.qJsonExtract _),
     "q_sessionize" -> (Events.qSessionize _),
     "q_asof_join" -> (Events.qAsofJoin _),
+    "events_attribution" -> (Events.qAttribution _),
     "q_range_join" -> (Events.qRangeJoin _),
     "q_gap_fill" -> (Events.qGapFill _),
     "q_anomaly_days" -> (Events.qAnomalyDays _),
@@ -971,6 +972,39 @@ object SparkEntry {
                 CAST(floor(min(epoch(ts))) AS BIGINT) AS start_s,
                 CAST(floor(max(epoch(ts))) AS BIGINT) AS end_s
          FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // the same union + last_value IGNORE NULLS formulation (not ASOF
+    // JOIN: its equal-timestamp pick is unspecified; the window's
+    // (ts, side, id) order is deterministic in both engines)
+    "events_attribution" ->
+      """WITH u AS (
+           SELECT user_id, ts, 0 AS side, event_id AS touch_id,
+                  event_type AS touch_type,
+                  NULL::BIGINT AS purchase_id, NULL::DOUBLE AS value
+           FROM events WHERE event_type IN ('click', 'view')
+           UNION ALL
+           SELECT user_id, ts, 1, NULL, NULL, event_id, value
+           FROM events WHERE event_type = 'purchase'),
+         x AS (
+           SELECT *,
+                  last_value(touch_id IGNORE NULLS) OVER w AS lt_id,
+                  last_value(touch_type IGNORE NULLS) OVER w AS lt_type,
+                  last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                    OVER w AS lt_ts
+           FROM u
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, side, coalesce(touch_id, purchase_id)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         y AS (SELECT *, lt_ts IS NOT NULL
+                          AND lt_ts >= ts - INTERVAL 24 HOUR AS fresh
+               FROM x WHERE side = 1)
+         SELECT purchase_id, user_id,
+                CASE WHEN fresh THEN lt_id END AS touch_id,
+                CASE WHEN fresh THEN lt_type ELSE 'direct' END AS channel,
+                CASE WHEN fresh THEN CAST(floor(epoch(ts)) AS BIGINT)
+                                     - CAST(floor(epoch(lt_ts)) AS BIGINT)
+                END AS secs_since_touch,
+                value
+         FROM y ORDER BY purchase_id""",
     "q_asof_join" ->
       """SELECT e.event_id AS error_id, e.user_id,
                 p.event_id AS last_purchase_id

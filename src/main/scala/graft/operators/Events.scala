@@ -234,6 +234,52 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Last-touch attribution — the marketing-analytics classic: each
+    * purchase is credited to the user's most recent click/view within
+    * a 24-hour lookback, or to "direct" if none. Same single-shuffle
+    * union + `last(_, ignoreNulls)` running-state shape as
+    * [[qAsofJoin]] (one exchange on user_id, per-user sort, no
+    * touch×purchase join): the horizon is applied AFTER the as-of
+    * resolution, so expired touches degrade to "direct" instead of
+    * re-scanning for older candidates. Tie rule: a touch at the
+    * purchase's exact timestamp counts (side ordering), later id wins
+    * among same-instant touches — deterministic both engines. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    attributionDf(Tables(spark, dir).events)
+
+  def attributionDf(ev: DataFrame): DataFrame = {
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("touch_id"), col("event_type").as("touch_type"),
+        lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("double").as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("touch_id"),
+        lit(null).cast("string").as("touch_type"),
+        col("event_id").as("purchase_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), coalesce(col("touch_id"), col("purchase_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionAll(purchases)
+      .withColumn("lt_id", last(col("touch_id"), ignoreNulls = true).over(w))
+      .withColumn("lt_type", last(col("touch_type"), ignoreNulls = true).over(w))
+      .withColumn("lt_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("fresh",
+        col("lt_ts").isNotNull &&
+          col("lt_ts") >= col("ts") - expr("INTERVAL 24 HOURS"))
+      .select(col("purchase_id"), col("user_id"),
+        when(col("fresh"), col("lt_id")).as("touch_id"),
+        when(col("fresh"), col("lt_type")).otherwise("direct").as("channel"),
+        when(col("fresh"),
+          unix_timestamp(col("ts")) - unix_timestamp(col("lt_ts")))
+          .as("secs_since_touch"),
+        col("value"))
+      .orderBy("purchase_id")
+  }
+
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")

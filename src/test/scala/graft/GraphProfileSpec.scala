@@ -151,6 +151,34 @@ class GraphProfileSpec extends SparkSpecBase {
       ("2024-01-02", 0, 1L), ("2024-01-02", 1, 1L)))
   }
 
+  test("attribution: fresh touch credited, stale and missing fall to direct") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click 2h before purchase -> credited, 7200 s
+      (101L, 1L, "click", "2024-01-05 10:00:00", 0.0),
+      (102L, 1L, "purchase", "2024-01-05 12:00:00", 9.99),
+      // user 2: view 25h before purchase -> stale -> direct
+      (201L, 2L, "view", "2024-01-04 11:00:00", 0.0),
+      (202L, 2L, "purchase", "2024-01-05 12:00:00", 5.0),
+      // user 3: no touches at all -> direct
+      (301L, 3L, "purchase", "2024-01-05 12:00:00", 1.0),
+      // user 4: same-instant touch counts; later of two same-ts touches wins
+      (401L, 4L, "click", "2024-01-05 12:00:00", 0.0),
+      (402L, 4L, "view", "2024-01-05 12:00:00", 0.0),
+      (403L, 4L, "purchase", "2024-01-05 12:00:00", 2.0))
+      .toDF("event_id", "user_id", "event_type", "s", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"), col("value"))
+    val got = Events.attributionDf(ev)
+      .select("purchase_id", "channel", "secs_since_touch")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (102L, "click", 7200L), (202L, "direct", -1L),
+      (301L, "direct", -1L), (403L, "view", 0L)))
+  }
+
   test("gap-fill: gaps are materialized with zero counts and carried spend") {
     val rows = Events.qGapFill(spark, Sf).collect()
     val byUser = rows.groupBy(_.getLong(0))
