@@ -108,6 +108,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
+    "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.ngramComponents(s, d)),
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "ann_quantized" -> (Ann.quantized _),
     "emb_centroids" -> (Ann.centroidStats _),
     "ann_knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
+    "ann_range" -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
     // G. multimodal plumbing
     "mm_meta_stats" -> (Multimodal.metaStats _),
     "mm_frame_sample" -> (Multimodal.frameSampleStats _),
@@ -1188,6 +1190,38 @@ object SparkEntry {
            SELECT a AS doc_id, least(a, min(b)) AS component
            FROM reach GROUP BY a)
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    // same postings-hash pair derivation as dedup_ngram_jaccard; only
+    // the scoring differs (both per-side containments, max-gated)
+    "dedup_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS gs
+           FROM toks),
+         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         hp AS (SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gid
+                FROM posts),
+         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           FROM hp a JOIN hp b
+             ON a.gid = b.gid AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT d1, d2, inter,
+                round(inter * 1.0 / s1.n, 6) AS cont_d1_in_d2,
+                round(inter * 1.0 / s2.n, 6) AS cont_d2_in_d1
+         FROM pairs
+         JOIN sizes s1 ON s1.doc_id = d1
+         JOIN sizes s2 ON s2.doc_id = d2
+         WHERE greatest(round(inter * 1.0 / s1.n, 6),
+                        round(inter * 1.0 / s2.n, 6)) >= 0.6
+         ORDER BY d1, d2""",
     // same content-defined anchors (md5-60bit of the 4-gram at each
     // position, mod 16 = 0) and the same 64-char window hash
     "dedup_substring" ->
@@ -1239,6 +1273,17 @@ object SparkEntry {
          FROM ranked WHERE rn = 1 ORDER BY doc_id"""
     },
     "ann_bruteforce" -> BruteforceTopkSql,
+    "ann_range" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                      WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                        CAST(q.qe AS DOUBLE[])), 6) AS cosine
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.qid)
+         SELECT qid, vec_id, cosine FROM scored
+         WHERE cosine >= 0.15 ORDER BY qid, vec_id""",
     // int8 quantization + 10× margin + exact float rerank provably
     // recovers the exact top-5 on this corpus (AnnSpec measures
     // recall@5 = 1.0; the margin dwarfs the ~1e-2 quantization noise

@@ -60,6 +60,25 @@ object Ann {
     topkPerQuery(scored)
   }
 
+  /** Range similarity search: ALL corpus vectors within cosine ≥ τ of
+    * each query (the "give me everything similar enough" contract —
+    * top-k's complement; self-matches excluded). Same broadcast-
+    * queries × corpus-scan shape as [[bruteforce]], but the threshold
+    * is a plain filter INSIDE the scan stage — no per-query aggregate
+    * at all, so the output is the only thing that scales with τ. At
+    * 100 TB the corpus side prunes through the same LSH/IVF bucketing
+    * as the top-k paths (a τ-range probe visits its buckets, not the
+    * corpus); the exact scan here is the correctness baseline. */
+  def rangeSearch(spark: SparkSession, dir: String,
+      tau: Double = 0.15): DataFrame =
+    emb(spark, dir)
+      .crossJoin(broadcast(queriesDf(spark, dir)))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy("qid", "vec_id")
+
   // --- random-hyperplane LSH --------------------------------------
 
   private val Dim = 64

@@ -383,6 +383,37 @@ object Dedup {
     * role). Oracle-checked via DuckDB list_cosine_similarity over
     * DOUBLE[] casts; spec additionally pins the codegen expression to
     * the HOF cosine. */
+  /** Asymmetric shingle-CONTAINMENT pairs — the measure Jaccard
+    * misses: a short document quoted wholesale inside a long one has
+    * C(A⊂B) = |A∩B|/|A| ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0, so a
+    * Jaccard gate never fires (DedupSpec plants exactly this case).
+    * Same inverted-index pair derivation as [[ngramJaccardPairs]]
+    * (postings on the 60-bit portable hash, one bucket self-join,
+    * never N²); only the final scoring differs — both directions'
+    * containment from the same `inter` count, gated on the max. */
+  def containment(spark: SparkSession, dir: String,
+      tau: Double = 0.6): DataFrame =
+    containmentDf(Tables(spark, dir).documents, tau)
+
+  def containmentDf(docs: DataFrame, tau: Double = 0.6): DataFrame = {
+    val g = docGrams(docs)
+    val sizes = g.select(col("doc_id"), size(col("grams")).as("n"))
+    val posts = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), PortableHash.h60(col("gram")).as("gid"))
+    posts.as("a")
+      .join(posts.as("b"),
+        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        round(col("inter") / col("s1.n"), 6).as("cont_d1_in_d2"),
+        round(col("inter") / col("s2.n"), 6).as("cont_d2_in_d1"))
+      .filter(greatest(col("cont_d1_in_d2"), col("cont_d2_in_d1")) >= tau)
+      .orderBy("d1", "d2")
+  }
+
   /** Exact duplicated-SPAN detection — the substring-level dedup pass
     * (the operation "Deduplicating Training Data Makes Language
     * Models Better" runs with suffix arrays): find fixed-width text

@@ -137,4 +137,22 @@ class AnnSpec extends SparkSpecBase {
       col("fused_probes") =!= col("composed_probes"))
     assert(bad.isEmpty, s"kernels diverge: ${bad.take(3).mkString(";")}")
   }
+
+  test("range search: threshold honored, no self-matches, consistent with brute-force top-k") {
+    val rs = Ann.rangeSearch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rs.nonEmpty)
+    rs.foreach { case (q, v, c) =>
+      assert(c >= 0.15, s"below-threshold row ($q,$v,$c)")
+      assert(q != v, "self-matches must be excluded")
+    }
+    // every non-self brute-force top-5 neighbor with cosine >= tau
+    // must appear in the range result (range ⊇ thresholded top-k)
+    val rsSet = rs.map(t => (t._1, t._2)).toSet
+    val missed = Ann.bruteforce(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter { case (q, v, c) => q != v && c >= 0.15 }
+      .filterNot { case (q, v, _) => rsSet.contains((q, v)) }
+    assert(missed.isEmpty, s"top-k rows missing from range result: $missed")
+  }
 }

@@ -200,6 +200,23 @@ class DedupSpec extends SparkSpecBase {
       "each boilerplate span recurs in exactly the 3 carrier docs")
   }
 
+  test("containment catches a quoted subset document that Jaccard misses") {
+    val short = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val long = "intro words before the quote begins here " + short +
+      " and then a very long tail " +
+      (1 to 40).map(i => s"unique$i filler$i token$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long),
+      (3L, "totally unrelated third document about catalyst plans and shuffles"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(cont.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)))
+    assert(cont.head._3 == 1.0, s"short doc fully contained: ${cont.head}")
+    // the same pair must NOT pass a jaccard 0.5 gate (sizes differ ~15x)
+    val jac = Dedup.ngramJaccardDf(docs, tau = 0.5).collect()
+    assert(jac.isEmpty, "jaccard gate must miss the subset pair")
+  }
+
   test("substring spans: disjoint texts produce no groups") {
     val docs = Seq(
       (1L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4)),
