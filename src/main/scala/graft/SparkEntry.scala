@@ -140,6 +140,7 @@ object SparkEntry {
     "sample_weighted" -> (Curation.sampleWeighted _),
     "pipeline_pii" -> (Curation.pipelinePii _),
     "text_lm_score" -> (TextOps.textLmScore _),
+    "text_entropy" -> (TextOps.textEntropy _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextOps.textTfidf(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TextOps.textBm25(s, d)),
   )
@@ -1733,6 +1734,26 @@ object SparkEntry {
     // Same micro-nat fixed-point model as the Spark side: the bigram
     // model quantizes ln(c2/c1) ONCE per entry, per-doc sums are
     // exact BIGINT arithmetic (order-independent on both engines).
+    // same micro-nat ln quantization: each ln computed once, rounded
+    // to an integer, exact integer sums after that
+    "text_entropy" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len
+                       FROM documents),
+         ch AS (SELECT doc_id, substring(text, CAST(p AS INT), 1) AS c
+                FROM docs, unnest(range(1, len + 1)) AS t(p)
+                WHERE len > 0),
+         cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+         agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                        CAST(sum(cnt * CAST(round(ln(cnt) * 1000000, 0)
+                                            AS BIGINT)) AS BIGINT) AS s_micro
+                 FROM cc GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n, 0) AS n_chars,
+                round(CASE WHEN coalesce(a.n, 0) = 0 THEN 0.0
+                      ELSE (CAST(round(ln(a.n) * 1000000, 0) AS BIGINT)
+                            - a.s_micro * 1.0 / a.n) / 1000000.0
+                      END, 6) AS entropy_nats
+         FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
     "text_lm_score" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -361,4 +361,41 @@ object TextOps {
         round(col("pred.score"), 6).as("score"))
       .orderBy("doc_id")
   }
+
+  /** Character-level Shannon entropy per document — the randomness
+    * quality signal (near-zero = repeated filler, high = encrypted /
+    * binary junk; both ends get filtered in a curation pass).
+    * `H = ln n − (Σ cᵢ·ln cᵢ)/n` over character counts, with each
+    * `ln` quantized ONCE to integer micro-nats (the [[textLmScore]]
+    * trick) so the per-doc sum is exact integer arithmetic and the
+    * order-dependent float total hash-matches across engines.
+    *
+    * Shape: the char explode is map-side; the (doc, char) partial
+    * aggregate collapses each partition to ≤ |alphabet| rows per doc
+    * before the shuffle, and the per-doc roll-up carries two longs.
+    * Empty documents keep entropy 0 via the left join back. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    textEntropyDf(Tables(spark, dir).documents)
+
+  def textEntropyDf(docs: DataFrame): DataFrame = {
+    val cc = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), p -> substring(text, p, 1))"))
+        .as("c"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val agg = cc.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n"),
+      sum(col("cnt") *
+        round(log(col("cnt").cast("double")) * 1e6, 0).cast("long"))
+        .as("s_micro"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_chars"),
+        round(when(coalesce(col("n"), lit(0L)) === 0, lit(0.0)).otherwise(
+          (round(log(col("n").cast("double")) * 1e6, 0).cast("long") -
+            col("s_micro").cast("double") / col("n")) / 1e6), 6)
+          .as("entropy_nats"))
+      .orderBy("doc_id")
+  }
 }

@@ -119,4 +119,37 @@ class TextQualitySpec extends SparkSpecBase {
     assert(hof.length == agg.length)
     hof.zip(agg).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
+
+  test("entropy: closed forms — constant 0, two-symbol ln 2, uniform ln 4, empty 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaa"),            // one symbol: H = 0
+      (2L, "abababab"),            // two equiprobable: H = ln 2
+      (3L, "abcdabcd"),            // four equiprobable: H = ln 4
+      (4L, ""))                    // empty: H = 0 by convention
+      .toDF("doc_id", "text")
+    val got = TextOps.textEntropyDf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // expectations run through the SAME micro-nat quantization as the
+    // operator (each ln rounded once; off-by-a-micro-nat vs ideal ln)
+    def h(n: Long, counts: Seq[Long]): Double = {
+      val s = counts.map(c => c * math.rint(math.log(c.toDouble) * 1e6).toLong).sum
+      math.rint((math.rint(math.log(n.toDouble) * 1e6).toLong - s.toDouble / n) / 1e6 * 1e6) / 1e6
+    }
+    assert(got == Seq(
+      (1L, 8L, 0.0),
+      (2L, 8L, h(8, Seq(4L, 4L))),
+      (3L, 8L, h(8, Seq(2L, 2L, 2L, 2L))),
+      (4L, 0L, 0.0)))
+    assert(math.abs(h(8, Seq(4L, 4L)) - math.log(2)) < 2e-6)
+    assert(math.abs(h(8, Seq(2L, 2L, 2L, 2L)) - math.log(4)) < 2e-6)
+  }
+
+  test("entropy: partitioning-invariant (integer micro-nat sums)") {
+    val a = TextOps.textEntropy(spark, Sf).collect().map(_.toSeq)
+    val sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = TextOps.textEntropy(sp2, Sf).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }
