@@ -87,4 +87,28 @@ class EdgeCaseSpec extends SparkSpecBase {
     // ok_len requires ≥ 20 tokens — all four crafted docs fail closed
     r.values.foreach(keep => assert(!keep))
   }
+
+  test("entropy: degenerate docs report defined values (empty = 0, constant = 0)") {
+    val r = TextOps.textEntropyDf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L), "every doc keeps a row")
+    assert(r(0L) == ((0L, 0.0)))
+    assert(r(1L) == ((3L, 0.0)), "whitespace-only: one symbol, zero entropy")
+    assert(r(2L)._2 > 0 && r(3L)._2 > 0)
+  }
+
+  test("substring spans: degenerate docs are excluded, never crash") {
+    // all four docs are shorter than the 64-char window — empty result
+    assert(graft.operators.Dedup.substringSpansDf(docs).collect().isEmpty)
+  }
+
+  test("containment: degenerate docs share only the empty-token shingle contract") {
+    // docs 0 and 1 both collapse to the single degenerate shingle '',
+    // so they are MUTUALLY contained (inter=1, size=1 both sides) —
+    // the documented fail-closed behavior a curation pass filters by
+    // n_chars first; no crash, defined values
+    val r = graft.operators.Dedup.containmentDf(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(3), x.getDouble(4)))
+    assert(r.toSeq == Seq((0L, 1L, 1.0, 1.0)))
+  }
 }
