@@ -96,6 +96,7 @@ object SparkEntry {
     "profile_strings" -> (Profile.stringProfile _),
     "profile_corr" -> (Profile.corrProfile _),
     "profile_quantiles" -> ((s, d) => Profile.quantileProfile(s, d)),
+    "profile_histogram" -> ((s, d) => Profile.histogramProfile(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "graph_triangles" -> (Graph.supplierTriangles _),
     // D. dedup
@@ -1616,6 +1617,23 @@ object SparkEntry {
     // Exact-integer co-moments (HUGEINT twin of DECIMAL(38,0)) make
     // a normally order-dependent float statistic hash-matchable.
     "profile_corr" -> corrSql,
+    // identical IEEE double bucket arithmetic; max clamps into the
+    // last bucket, constant columns collapse to bucket 0
+    "profile_histogram" ->
+      """WITH m AS (
+           SELECT 'l_quantity' AS col_name, l_quantity AS value FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT 'l_tax', l_tax FROM lineitem),
+         b AS (SELECT col_name, min(value) AS lo, max(value) AS hi
+               FROM m GROUP BY 1)
+         SELECT m.col_name,
+                CAST(CASE WHEN b.hi = b.lo THEN 0
+                     ELSE least(floor((m.value - b.lo) * 16 / (b.hi - b.lo)),
+                                15) END AS INT) AS bucket,
+                count(*) AS cnt
+         FROM m JOIN b ON m.col_name = b.col_name
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // identical bottom-k sample: rank by the shared portable row hash
     // (ties broken by value — value ties across the k boundary leave
     // the sample MULTISET unchanged), then exact index picks from the

@@ -165,6 +165,34 @@ object Profile {
     * 100 TB the sample error (k = 1000 ⇒ ±~1.6% rank error at 95%
     * confidence) is the documented trade; the cost stays ONE pass +
     * ≤ k rows per column on the wire regardless of corpus size. */
+  /** Equi-width histograms per numeric column — the distribution
+    * sketch a profiling sweep pairs with [[quantileProfile]]'s
+    * order statistics. Two aggregates over one melt: per-column
+    * min/max (4 rows, broadcast back by AQE), then the bucket
+    * roll-up; bucket arithmetic is shared double ops (IEEE-identical
+    * in both engines) with the max value clamped into the last
+    * bucket and constant columns collapsing to bucket 0 — exact,
+    * no sampling. Output is ≤ columns × buckets rows whatever the
+    * corpus size; both shuffles carry partially-aggregated rows. */
+  def histogramProfile(spark: SparkSession, dir: String,
+      buckets: Int = 16): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, value)"
+    val melted = Tables(spark, dir).lineitem.selectExpr(stackExpr)
+    val bounds = melted.groupBy(col("col_name"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    melted.join(bounds, Seq("col_name"))
+      .select(col("col_name"),
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(floor((col("value") - col("lo")) * buckets /
+            (col("hi") - col("lo"))), lit(buckets - 1)))
+          .cast("int").as("bucket"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("col_name", "bucket")
+  }
+
   def quantileProfile(spark: SparkSession, dir: String,
       k: Int = 1000): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

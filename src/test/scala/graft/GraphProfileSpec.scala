@@ -218,6 +218,22 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(again == rows)
   }
 
+  test("histogram: mass conserved, buckets bounded, extremes populated") {
+    val rows = Profile.histogramProfile(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val total = graft.core.Tables(spark, Sf).lineitem.count()
+    val byCol = rows.groupBy(_._1)
+    assert(byCol.keySet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    byCol.foreach { case (c, rs) =>
+      assert(rs.map(_._3).sum == total, s"$c histogram mass != row count")
+      assert(rs.forall(r => r._2 >= 0 && r._2 <= 15), s"$c bucket range")
+      // min lands in bucket 0 and max clamps into bucket 15 by
+      // construction, so both extremes must be populated
+      assert(rs.exists(_._2 == 0) && rs.exists(_._2 == 15), s"$c extremes")
+    }
+  }
+
   test("profiler: one-pass stats agree with per-column aggregates") {
     val li = spark.read.parquet(s"$Sf/lineitem.parquet")
     val p = Profile.numericProfile(spark, Sf).collect()
