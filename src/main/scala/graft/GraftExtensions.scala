@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType}
 
-import graft.functions.{AsciiTokens, CosineSimilarity, CountMinAgg,
-  HllAgg, MinHashAgg, NGramShingles, SimHashAgg, TopKFreqAgg, TopKScoreAgg}
+import graft.functions.{AsciiTokens, BottomKSampleAgg, CosineSimilarity,
+  CountMinAgg, HllAgg, MinHashAgg, NGramShingles, SimHashAgg, TopKFreqAgg,
+  TopKScoreAgg}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -117,6 +118,13 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "hll_agg(hash_col)")
         HllAgg(exprs.head)
+      }),
+    (FunctionIdentifier("bottomk_sample"),
+      new ExpressionInfo(classOf[BottomKSampleAgg].getName, "bottomk_sample"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "bottomk_sample(hash_col, value, k)")
+        BottomKSampleAgg(Cast(exprs(0), LongType), Cast(exprs(1), DoubleType),
+          intLit(exprs(2), "bottomk_sample", "k"))
       }),
     (FunctionIdentifier("ascii_tokens"),
       new ExpressionInfo(classOf[AsciiTokens].getName, "ascii_tokens"),

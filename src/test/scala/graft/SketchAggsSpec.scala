@@ -158,6 +158,16 @@ class SketchAggsSpec extends SparkSpecBase {
     assert(r.length == graft.functions.Hll.M && r.exists(_ > 0))
   }
 
+  test("bottomk_sample is callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT bottomk_sample(
+           CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT),
+           CAST(id % 7 AS DOUBLE), 16) AS samp
+         FROM range(200)""").head().getSeq[Double](0)
+    assert(r.length == 16 && r == r.sorted)
+  }
+
   test("BottomKSampleAgg: k >= n returns all values sorted; k < n matches the window rank") {
     import graft.functions.BottomKSampleAgg
     val rows = spark.range(0, 500)
