@@ -396,7 +396,10 @@ object Dedup {
     containmentDf(Tables(spark, dir).documents, tau)
 
   def containmentDf(docs: DataFrame, tau: Double = 0.6): DataFrame = {
-    val g = docGrams(docs)
+    // cached: consumed by both the size projection and the postings
+    // explode — without it the shingling subtree runs twice (same
+    // discipline as ngramJaccardPairs)
+    val g = docGrams(docs).cache()
     val sizes = g.select(col("doc_id"), size(col("grams")).as("n"))
     val posts = g.select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), PortableHash.h60(col("gram")).as("gid"))
