@@ -91,6 +91,7 @@ object SparkEntry {
     "q_gap_fill" -> (Events.qGapFill _),
     "q_anomaly_days" -> (Events.qAnomalyDays _),
     "events_retention" -> (Events.qRetention _),
+    "events_markov" -> (Events.qMarkov _),
     "profile_numeric" -> (Profile.numericProfile _),
     "profile_hll_users" -> (Profile.hllUsers _),
     "profile_strings" -> (Profile.stringProfile _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d, maxDf = 1000)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
+    "snapshot_diff" -> (Snapshot.snapshotDiff _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
@@ -127,6 +129,7 @@ object SparkEntry {
     "mm_dedup" -> (Multimodal.nearDupMedia _),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
+    "text_readability" -> (TextOps.textReadability _),
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "pipeline_clean" -> (TextOps.pipelineClean _),
@@ -1037,6 +1040,21 @@ object SparkEntry {
                 count(*) AS n_users
          FROM ud u JOIN c ON u.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // integer ppm division keeps the probability column
+    // hash-matchable (DuckDB `//` ≡ Spark `DIV` on non-negatives)
+    "events_markov" ->
+      """WITH x AS (
+           SELECT user_id, event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events),
+         t AS (SELECT from_type, to_type, count(*) AS n
+               FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         s AS (SELECT from_type AS t_from, sum(n) AS tot FROM t GROUP BY 1)
+         SELECT t.from_type, t.to_type, t.n,
+                CAST((t.n * 1000000) // s.tot AS BIGINT) AS p_ppm
+         FROM t JOIN s ON t.from_type = s.t_from
+         ORDER BY from_type, to_type""",
     "q_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1347,6 +1365,28 @@ object SparkEntry {
     // Jaccard verify on candidates.
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    // both snapshots rebuilt from the same portable-hash carve the
+    // Spark side uses, so the diff is value-identical
+    "snapshot_diff" ->
+      """WITH c AS (
+           SELECT c_custkey,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+                  ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 20 AS hv
+           FROM customer),
+         base AS (SELECT c_custkey AS b_key, cents AS old_cents
+                  FROM c WHERE hv != 0),
+         curr AS (SELECT c_custkey AS n_key,
+                         CASE WHEN hv % 7 = 3 THEN cents + 100
+                              ELSE cents END AS new_cents
+                  FROM c WHERE hv != 1)
+         SELECT coalesce(b_key, n_key) AS c_custkey,
+                CASE WHEN b_key IS NULL THEN 'insert'
+                     WHEN n_key IS NULL THEN 'delete'
+                     WHEN old_cents != new_cents THEN 'update' END AS change,
+                old_cents, new_cents
+         FROM base FULL OUTER JOIN curr ON b_key = n_key
+         WHERE (b_key IS NULL OR n_key IS NULL OR old_cents != new_cents)
+         ORDER BY c_custkey""",
     // SimHash over the portable 60-bit base hash: bit-identical
     // signatures (votes per bit, sign-packed), 4×16-bit chunk
     // buckets, bit_count(xor) Hamming verify.
@@ -1488,6 +1528,24 @@ object SparkEntry {
                 round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
                       / length(text), 6) AS punct_ratio
          FROM documents ORDER BY doc_id""",
+    // milli-unit integer Flesch: DuckDB // ≡ Spark DIV on the
+    // non-negative counts, so the score column hash-matches exactly
+    "text_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+                  len(string_split_regex(trim(text), '\s+')) AS n_words,
+                  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+           FROM documents)
+         SELECT doc_id,
+                CAST(n_sentences AS BIGINT) AS n_sentences,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_syllables AS BIGINT) AS n_syllables,
+                CAST((1000 * n_words) // n_sentences AS BIGINT) AS wps_milli,
+                CAST((1000 * n_syllables) // n_words AS BIGINT) AS spw_milli,
+                CAST(206835 - (1015 * n_words) // n_sentences
+                     - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_milli
+         FROM c ORDER BY doc_id""",
     "text_tokens" ->
       """SELECT doc_id,
                 len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

@@ -280,6 +280,40 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * stream: how often does event type A immediately precede event
+    * type B, and with what probability. One user-partitioned `lead`
+    * window (a single shuffle on user_id — each user's history sorts
+    * locally, so there's no global sort and per-partition work is
+    * bounded by that user's events) feeds a tiny
+    * (from_type, to_type) count aggregate; probabilities are exact
+    * parts-per-million via integer floor division on the counts, so
+    * the "float" ratio hash-matches across engines (same fixed-point
+    * discipline as PageRank / the correlation profiler). The
+    * transition matrix itself is |types|² rows — constant in the
+    * corpus size, so the final aggregate is map-side-combining into
+    * almost nothing at any scale. */
+  def qMarkov(spark: SparkSession, dir: String): DataFrame =
+    markovDf(Tables(spark, dir).events)
+
+  def markovDf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type").as("t_from"))
+      .agg(sum(col("n")).as("tot"))
+    pairs.join(totals, col("from_type") === col("t_from"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("CAST((n * 1000000) DIV tot AS BIGINT)").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")

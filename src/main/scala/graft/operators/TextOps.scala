@@ -55,6 +55,43 @@ object TextOps {
         size(bpeTokens(col("text"))).as("re_tokens"))
       .orderBy("doc_id")
 
+  /** Readability profile — Flesch-reading-ease-shaped scoring in
+    * exact fixed point. Sentences are `[.!?]+` runs, syllables the
+    * classic vowel-group approximation (`[aeiouy]+` on lowercased
+    * text), both counted with `regexp_count` (codegen'd, one pass
+    * each — no explode). The score is the standard
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`
+    * but computed in milli-units with integer floor division, so the
+    * order-independent integer result hash-matches across engines
+    * (the float form would differ in the last ulp). Map-only: zero
+    * shuffles before the presentation sort — at 100 TB this is a
+    * pure scan-side projection. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    textReadabilityDf(Tables(spark, dir).documents)
+
+  def textReadabilityDf(docs: DataFrame): DataFrame = {
+    val words = size(tokens(col("text")))
+    // degenerate docs (no terminator at all) count as one sentence,
+    // so the score is defined for every row
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val syllables = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    docs
+      .select(col("doc_id"),
+        sentences.cast("long").as("n_sentences"),
+        words.cast("long").as("n_words"),
+        syllables.cast("long").as("n_syllables"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"),
+        expr("CAST((1000 * n_words) DIV n_sentences AS BIGINT)")
+          .as("wps_milli"),
+        expr("CAST((1000 * n_syllables) DIV n_words AS BIGINT)")
+          .as("spw_milli"),
+        expr("""CAST(206835 - (1015 * n_words) DIV n_sentences
+                - (84600 * n_syllables) DIV n_words AS BIGINT)""")
+          .as("flesch_milli"))
+      .orderBy("doc_id")
+  }
+
   /** Stable md5 fingerprint of normalized text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents

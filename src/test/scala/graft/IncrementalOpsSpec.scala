@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Events, Snapshot, TextOps}
+
+/** Closed-form behavior of the incremental-pipeline wave:
+  * snapshot differencing, Markov transitions, readability scoring. */
+class IncrementalOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("snapshot_diff: changes partition cleanly and carry the right payload") {
+    val rows = Snapshot.snapshotDiff(spark, Sf).collect()
+    // the diff is keyed: a key can change at most one way
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val byChange = rows.groupBy(_.getString(1))
+    assert(byChange.keySet == Set("insert", "delete", "update"))
+    byChange("insert").foreach { r =>
+      assert(r.isNullAt(2) && !r.isNullAt(3), "insert = new side only")
+    }
+    byChange("delete").foreach { r =>
+      assert(!r.isNullAt(2) && r.isNullAt(3), "delete = old side only")
+    }
+    byChange("update").foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) == 100L,
+        "the carved update is exactly a +1.00 balance bump")
+    }
+    // churn stays a small fraction of the table — the point of a diff
+    val n = spark.read.parquet(s"$Sf/customer.parquet").count()
+    assert(rows.length < n / 2, s"diff ${rows.length} rows vs table $n")
+  }
+
+  test("markov: transitions conserve mass and probabilities are exact ppm") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: a->b->a->c   user 2: b->b
+    val ev = Seq(
+      (1L, ts(0), 10L, "a"), (1L, ts(1), 11L, "b"),
+      (1L, ts(2), 12L, "a"), (1L, ts(3), 13L, "c"),
+      (2L, ts(0), 20L, "b"), (2L, ts(5), 21L, "b"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.markovDf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 500000L)),  // a leaves twice: ->b, ->c
+      ("a", "c") -> ((1L, 500000L)),
+      ("b", "a") -> ((1L, 500000L)),  // b leaves twice: ->a, ->b
+      ("b", "b") -> ((1L, 500000L)),
+    ))
+    // total transitions = total events minus one per active user
+    val full = Events.qMarkov(spark, Sf)
+      .agg(sum("n")).as[Long].head()
+    val evs = spark.read.parquet(s"$Sf/events.parquet")
+    val expected = evs.count() -
+      evs.select(countDistinct("user_id")).as[Long].head()
+    assert(full == expected, "every adjacent pair is counted exactly once")
+  }
+
+  test("markov: per-state probabilities sum to 1e6 minus floor loss") {
+    val bad = Events.qMarkov(spark, Sf)
+      .groupBy("from_type")
+      .agg(sum("p_ppm").as("p"), count(lit(1)).as("k"))
+      // floor division loses < 1 ppm per outgoing edge
+      .filter(col("p") > 1000000L || col("p") <= lit(1000000L) - col("k"))
+    assert(bad.isEmpty, "ppm must sum to 1e6 within the floor-loss bound")
+  }
+
+  test("readability: closed-form Flesch fixed-point on a known sentence") {
+    val docs = Seq((1L, "Hello world. Go!"), (2L, ""), (3L, "pfft"))
+      .toDF("doc_id", "text")
+    val r = TextOps.textReadabilityDf(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(6))).toMap
+    // 2 sentence runs ('.' and '!'), 3 words, 4 vowel groups
+    // flesch_milli = 206835 - 1015*3/2 - 84600*4/3 = 206835 - 1522 - 112800
+    assert(r(1L) == ((2L, 3L, 4L, 92513L)))
+    // degenerate docs still score: 1 sentence floor, 1 empty token
+    assert(r(2L)._1 == 1L && r(2L)._2 == 1L && r(2L)._3 == 0L)
+    // no vowels: syllables 0, score = 206835 - 1015 - 0
+    assert(r(3L) == ((1L, 1L, 0L, 205820L)))
+  }
+}
