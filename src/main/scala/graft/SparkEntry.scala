@@ -108,6 +108,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "snapshot_diff" -> (Snapshot.snapshotDiff _),
+    "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
@@ -1344,6 +1345,9 @@ object SparkEntry {
            FROM scored)
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // generated unrolled-CTE Lloyd's rounds (the PageRank trick):
+    // same quantization, seeds, and truncating-integer updates
+    "emb_kmeans" -> graft.operators.Cluster.kmeansOracleSql(),
     // Per-(label, dim) means over the embedding corpus; DOUBLE[] cast
     // on both sides so the accumulation arithmetic matches.
     "emb_centroids" ->
