@@ -131,6 +131,7 @@ object SparkEntry {
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_readability" -> (TextOps.textReadability _),
+    "text_collocations" -> (TextOps.textCollocations _),
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "pipeline_clean" -> (TextOps.pipelineClean _),
@@ -1532,6 +1533,39 @@ object SparkEntry {
                 round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
                       / length(text), 6) AS punct_ratio
          FROM documents ORDER BY doc_id""",
+    // PMI decomposes into a linear combination of per-count logs;
+    // each ln quantizes once to micro-nats (counts ≥ 1 → ln ≥ 0, so
+    // half-up and half-away rounding agree), then exact BIGINT adds
+    "text_collocations" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         uni AS (SELECT w, count(*) AS c1
+                 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+         n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM uni),
+         g AS (SELECT CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                           ELSE list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i+1])
+                      END AS bgs
+               FROM toks),
+         b AS (SELECT bg, count(*) AS c2
+               FROM (SELECT unnest(bgs) AS bg FROM g)
+               WHERE bg LIKE '% %' GROUP BY bg),
+         n2 AS (SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM b),
+         sel AS (SELECT b.bg, b.c2, ua.c1 AS ca, ub.c1 AS cb
+                 FROM b
+                 JOIN uni ua ON ua.w = string_split(b.bg, ' ')[1]
+                 JOIN uni ub ON ub.w = string_split(b.bg, ' ')[2]
+                 WHERE b.c2 >= 5)
+         SELECT bg, c2,
+                CAST(round(ln(CAST(c2 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                - CAST(round(ln(CAST(n2 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                - CAST(round(ln(CAST(ca AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                - CAST(round(ln(CAST(cb AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                + 2 * CAST(round(ln(CAST(n1 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                  AS pmi_micro
+         FROM sel CROSS JOIN n1 CROSS JOIN n2
+         ORDER BY pmi_micro DESC, bg LIMIT 50""",
     // milli-unit integer Flesch: DuckDB // ≡ Spark DIV on the
     // non-negative counts, so the score column hash-matches exactly
     "text_readability" ->

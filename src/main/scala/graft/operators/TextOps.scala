@@ -252,6 +252,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus collocations — the top-k bigrams by pointwise mutual
+    * information, the classic "which word pairs belong together"
+    * sweep (phrase mining, tokenizer-merge candidates). PMI
+    * `ln(p(ab)/(p(a)p(b)))` decomposes into a LINEAR combination of
+    * per-count logs, so the micro-nat trick applies cleanly: each
+    * `ln(count)` quantizes once to an integer, the score is exact
+    * BIGINT addition from there, and the (pmi, bigram) ranking is a
+    * total order — engine-reproducible despite the transcendental.
+    * Shape: unigram + bigram count aggregates (map-side combining),
+    * two vocabulary-sized joins with NO broadcast hint (the
+    * vocabulary scales with the corpus — AQE size-gates), and a
+    * global top-k that plans as TakeOrdered, never a full sort. The
+    * `minCount` gate drops the hapax tail before the joins — at
+    * 100 TB that gate is what keeps the join input vocabulary-sized
+    * rather than corpus-sized. */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsDf(Tables(spark, dir).documents)
+
+  def collocationsDf(docs: DataFrame, minCount: Int = 5,
+      k: Int = 50): DataFrame = {
+    def lMicro(c: Column) =
+      round(log(c.cast("double")) * 1e6, 0).cast("long")
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n1df = uni.agg(sum("c1").as("n1"))
+    val big = docs.select(explode(graft.functions.ShingleCol.nGramShingles(
+        tokens(col("text")), 2, distinct = false)).as("bg"))
+      // the degenerate <2-token shingle is not a bigram (lm-score rule)
+      .filter(col("bg").contains(" "))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val n2df = big.agg(sum("c2").as("n2"))
+    big.filter(col("c2") >= minCount)
+      .withColumn("wa", substring_index(col("bg"), " ", 1))
+      .withColumn("wb", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("w").as("wa"), col("c1").as("ca")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("c1").as("cb")), Seq("wb"))
+      .crossJoin(broadcast(n1df))
+      .crossJoin(broadcast(n2df))
+      .select(col("bg"), col("c2"),
+        (lMicro(col("c2")) - lMicro(col("n2")) - lMicro(col("ca"))
+          - lMicro(col("cb")) + lit(2L) * lMicro(col("n1")))
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bg"))
+      .limit(k)
+  }
+
   /** TF-IDF top terms per document — the classic retrieval weighting,
     * shaped for the oracle gate: the smooth idf `ln((N+1)/(df+1))` is
     * quantized ONCE per term to integer micro-nats, each (doc, term)

@@ -67,6 +67,15 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(bad.isEmpty, "ppm must sum to 1e6 within the floor-loss bound")
   }
 
+  test("collocations: closed-form micro-nat PMI on a two-word corpus") {
+    val docs = Seq((1L, "x y x y x y x y x y")).toDF("doc_id", "text")
+    val rows = TextOps.collocationsDf(docs, minCount = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // unigrams x:5 y:5 (N1=10); bigrams "x y":5 "y x":4 (N2=9)
+    // pmi_micro = L(c2) - L(9) - L(5) - L(5) + 2 L(10), L = round(ln*1e6)
+    assert(rows.toSeq == Seq(("x y", 5L, 798507L), ("y x", 4L, 575363L)))
+  }
+
   test("readability: closed-form Flesch fixed-point on a known sentence") {
     val docs = Seq((1L, "Hello world. Go!"), (2L, ""), (3L, "pfft"))
       .toDF("doc_id", "text")
