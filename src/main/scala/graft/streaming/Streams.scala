@@ -452,6 +452,51 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** An emitted next-event transition (streaming Markov twin). */
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String)
+
+  /** The last event seen per user (streaming Markov state — O(1) per
+    * user forever, the smallest possible stateful footprint). */
+  final case class LastEvent(tsS: Double, eventId: Long, etype: String)
+
+  /** Streaming twin of events_markov's transition extraction: the
+    * per-user last event is the ONLY state, and each arriving event
+    * emits one (from_type, to_type) transition against it. Within a
+    * micro-batch rows sort by (ts, event_id) — the batch window's
+    * order — and across batches the state carries the boundary, so
+    * a drained stream's transition multiset equals the batch `lead`
+    * window's (StreamingSpec asserts, including across a two-batch
+    * split). Correctness premise, same as any per-key running-state
+    * stream: per-user in-order delivery across batches (the
+    * partition-by-key log guarantee); late cross-batch stragglers
+    * would pair against the newer state. Downstream, the ppm
+    * aggregation is the same groupBy the batch side runs. */
+  def markovStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts").cast("double").as("ts_s"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Double, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double, Long, String)],
+            st: GroupState[LastEvent]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          val out = Array.newBuilder[Transition]
+          var prev = st.getOption
+          sorted.foreach { r =>
+            prev.foreach(p => out += Transition(uid, p.etype, r._4))
+            prev = Some(LastEvent(r._2, r._3, r._4))
+          }
+          prev.foreach(st.update)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Run any of the above to completion against a static input and
     * return the final answer via a memory sink (the spec/demo driver:
     * processAllAvailable drains the file source synchronously). */

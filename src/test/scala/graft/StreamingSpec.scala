@@ -390,4 +390,38 @@ class StreamingSpec extends SparkSpecBase {
       .toSet
     assert(got == want)
   }
+
+  test("streaming markov transitions equal the batch lead window across a batch split") {
+    import java.nio.file._
+    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType
+    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val watch = Files.createTempDirectory("graft_mkv_in")
+
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_mkv_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, watch.resolve(name))
+    }
+
+    // two batches: the per-user LastEvent state must carry the
+    // boundary so cross-batch adjacencies still emit
+    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    val q = Streams.markovStream(spark,
+        Streams.readEvents(spark, watch.toString))
+      .writeStream.format("memory").queryName("mkv_split")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mkv_split")
+      .groupBy("from_type", "to_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Events.qMarkov(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, "drained transition multiset must equal batch lead window")
+  }
 }
