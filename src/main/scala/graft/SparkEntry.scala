@@ -109,6 +109,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "snapshot_diff" -> (Snapshot.snapshotDiff _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
+    "q_skyline" -> (Skyline.qSkyline _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
@@ -1346,6 +1347,21 @@ object SparkEntry {
            FROM scored)
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // quadratic NOT-EXISTS dominance is fine as an oracle at sf0.01;
+    // the Spark side is the two-phase local-prune skyline
+    "q_skyline" ->
+      """WITH agg AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       // count(*) AS BIGINT) AS avg_cents,
+                  count(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT o_custkey, avg_cents, n_orders FROM agg a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM agg b
+           WHERE b.avg_cents >= a.avg_cents AND b.n_orders >= a.n_orders
+             AND (b.avg_cents > a.avg_cents OR b.n_orders > a.n_orders))
+         ORDER BY avg_cents DESC, n_orders DESC, o_custkey""",
     // generated unrolled-CTE Lloyd's rounds (the PageRank trick):
     // same quantization, seeds, and truncating-integer updates
     "emb_kmeans" -> graft.operators.Cluster.kmeansOracleSql(),
