@@ -92,6 +92,8 @@ object SparkEntry {
     "q_anomaly_days" -> (Events.qAnomalyDays _),
     "events_retention" -> (Events.qRetention _),
     "events_markov" -> (Events.qMarkov _),
+    "events_changepoint" -> (Events.qChangepoint _),
+    "profile_fd" -> (Profile.fdProfile _),
     "profile_numeric" -> (Profile.numericProfile _),
     "profile_hll_users" -> (Profile.hllUsers _),
     "profile_strings" -> (Profile.stringProfile _),
@@ -1058,6 +1060,33 @@ object SparkEntry {
                 CAST((t.n * 1000000) // s.tot AS BIGINT) AS p_ppm
          FROM t JOIN s ON t.from_type = s.t_from
          ORDER BY from_type, to_type""",
+    // denominators cleared (D_i = n*S_i - i*S_n) so the CUSUM argmax
+    // and truncating milli-means are exact integers on both engines
+    "events_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2),
+         scored AS (
+           SELECT event_type, day, c,
+                  row_number() OVER w AS i,
+                  CAST(sum(c) OVER w AS BIGINT) AS s,
+                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         d AS (SELECT *, n * s - i * sn AS dd FROM scored)
+         SELECT event_type, day AS split_day, n AS n_days,
+                abs(dd) AS dmax,
+                CAST((1000 * s) // i AS BIGINT) AS mean_before_milli,
+                CASE WHEN i = n THEN NULL
+                     ELSE CAST((1000 * (sn - s)) // (n - i) AS BIGINT)
+                END AS mean_after_milli
+         FROM d
+         QUALIFY row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(dd) DESC, day) = 1
+         ORDER BY event_type""",
     "q_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1729,6 +1758,8 @@ object SparkEntry {
     // Exact-integer co-moments (HUGEINT twin of DECIMAL(38,0)) make
     // a normally order-dependent float statistic hash-matchable.
     "profile_corr" -> corrSql,
+    // generated from the same FdPairs list the Spark sweep uses
+    "profile_fd" -> graft.operators.Profile.fdOracleSql,
     // identical IEEE double bucket arithmetic; max clamps into the
     // last bucket, constant columns collapse to bucket 0
     "profile_histogram" ->

@@ -314,6 +314,46 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** CUSUM changepoint detection per event type — where did the
+    * daily-volume regime shift? The statistic is the classic maximum
+    * cumulative-sum deviation, made EXACT integer by clearing the
+    * denominators: `D_i = n·S_i − i·S_n` (instead of the float
+    * `S_i − (i/n)·S_n`), so the argmax day and the reported means
+    * (truncating milli-units) hash-match across engines. One shuffle
+    * total: daily counts groupBy, then every window — cumsum, row
+    * index, per-type totals, and the argmax rank — shares the same
+    * event_type partitioning, and a partition holds at most one row
+    * per calendar day regardless of event volume. */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointDf(Tables(spark, dir).events)
+
+  def changepointDf(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val full = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("i", row_number().over(byType))
+      .withColumn("s", sum(col("c")).over(run))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("sn", sum(col("c")).over(full))
+      .withColumn("d", col("n") * col("s") - col("i") * col("sn"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("d")).desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("n").as("n_days"), abs(col("d")).as("dmax"),
+        expr("CAST((1000 * s) DIV i AS BIGINT)").as("mean_before_milli"),
+        when(col("i") === col("n"), lit(null).cast("long"))
+          .otherwise(expr("CAST((1000 * (sn - s)) DIV (n - i) AS BIGINT)"))
+          .as("mean_after_milli"))
+      .orderBy("event_type")
+  }
+
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -217,4 +217,42 @@ object Profile {
       .select(col("col_name"), col("q.pct").as("pct"), col("q.value").as("value"))
       .orderBy("col_name", "pct")
   }
+
+  /** Candidate pairs for the functional-dependency sweep: a curated
+    * directed list, not the full column square — the profiling
+    * pattern where breadth is declared, cost is per-pair. */
+  private[graft] val FdPairs = Seq(
+    ("o_orderkey", "o_custkey"), ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderstatus"), ("o_custkey", "o_orderpriority"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"))
+
+  /** Functional-dependency discovery (key/constraint mining — the
+    * schema-profiling classic): does A → B hold? One groupBy(A) with
+    * a distinct-B count per pair answers all three stats at once —
+    * `holds` ⇔ every A maps to exactly one B, plus the |A| and
+    * |A,B| cardinalities that quantify HOW violated a failing
+    * dependency is. Each pair is one partial-aggregating shuffle on
+    * its LHS; pairs are independent jobs (a union of six small
+    * aggregates), so the sweep parallelizes trivially and any pair
+    * can be dropped/added without replanning the rest. */
+  def fdProfile(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir).orders
+    FdPairs.map { case (a, b) =>
+      orders.groupBy(col(a)).agg(countDistinct(col(b)).as("k"))
+        .agg(lit(a).as("lhs"), lit(b).as("rhs"),
+          count(lit(1)).as("n_lhs"), sum(col("k")).as("n_pairs"),
+          (max(col("k")) === 1).cast("int").as("holds"))
+    }.reduce(_ unionAll _)
+      .orderBy("lhs", "rhs")
+  }
+
+  /** Generated DuckDB oracle for [[fdProfile]] — built from the same
+    * [[FdPairs]] list so the sweep and its oracle cannot drift. */
+  def fdOracleSql: String = FdPairs.map { case (a, b) =>
+    s"""SELECT '$a' AS lhs, '$b' AS rhs, count(*) AS n_lhs,
+           CAST(sum(k) AS BIGINT) AS n_pairs,
+           CAST(max(k) = 1 AS INT) AS holds
+         FROM (SELECT $a, count(DISTINCT $b) AS k FROM orders GROUP BY $a)"""
+  }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY lhs, rhs")
 }

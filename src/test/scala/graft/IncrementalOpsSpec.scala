@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Events, Snapshot, TextOps}
+import graft.operators.{Events, Profile, Snapshot, TextOps}
 
 /** Closed-form behavior of the incremental-pipeline wave:
   * snapshot differencing, Markov transitions, readability scoring. */
@@ -65,6 +65,37 @@ class IncrementalOpsSpec extends SparkSpecBase {
       // floor division loses < 1 ppm per outgoing edge
       .filter(col("p") > 1000000L || col("p") <= lit(1000000L) - col("k"))
     assert(bad.isEmpty, "ppm must sum to 1e6 within the floor-loss bound")
+  }
+
+  test("changepoint: CUSUM argmax lands on the planted regime shift") {
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // type "a": daily counts 1,1,1,9,9,9 — the shift is after day 3
+    val counts = Seq(1, 1, 1, 9, 9, 9)
+    val rows = counts.zipWithIndex.flatMap { case (c, j) =>
+      (0 until c).map(k => ((j * 100 + k).toLong, ts(j + 1), 1L, "a"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val r = Events.changepointDf(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // D_3 = 6*3 - 3*30 = -72 is the max deviation
+    assert(row.getTimestamp(1) == ts(3) && row.getLong(2) == 6L
+      && row.getLong(3) == 72L)
+    assert(row.getLong(4) == 1000L, "mean before = 1.000 events/day")
+    assert(row.getLong(5) == 9000L, "mean after = 9.000 events/day")
+  }
+
+  test("fd profile: holds is exactly the n_pairs == n_lhs case") {
+    val rows = Profile.fdProfile(spark, Sf).collect()
+    assert(rows.length == Profile.FdPairs.length)
+    rows.foreach { r =>
+      val (nLhs, nPairs, holds) = (r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(nPairs >= nLhs, "each lhs value maps to at least one rhs")
+      assert((holds == 1) == (nPairs == nLhs), s"holds inconsistent: $r")
+    }
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r.getInt(4)).toMap
+    assert(byPair(("o_orderkey", "o_custkey")) == 1, "orderkey is a key")
+    assert(byPair(("o_orderstatus", "o_orderpriority")) == 0)
   }
 
   test("collocations: closed-form micro-nat PMI on a two-word corpus") {
