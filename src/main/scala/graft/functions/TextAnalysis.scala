@@ -1,13 +1,81 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document character-distribution moments as ONE fused map-side
+  * kernel: `struct(n, s_micro)` where n is the code-point count and
+  * `s_micro = Σ cnt·round(ln(cnt)·10⁶)` over the per-character
+  * counts — the exact integers the entropy operator needs, computed
+  * in a single O(len) pass per row. The composed formulation
+  * (explode one row PER CHARACTER → two groupBys) shuffles the
+  * whole corpus's characters to produce a per-doc scalar; this
+  * kernel keeps the entire distribution local to the row, so the
+  * operator is map-only at any corpus size. Arithmetic is
+  * bit-identical to the exploded form: same code-point iteration as
+  * Spark's `substring`/DuckDB's `substring` (surrogate pairs count
+  * once), and the micro-nat quantization replicates Spark's
+  * `round(log(cnt)·1e6, 0)` exactly (BigDecimal HALF_UP, memoized
+  * per distinct count). */
+case class CharMoments(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s_micro", LongType, nullable = false)))
+  override def prettyName: String = "char_moments"
+
+  def compute(input: UTF8String): InternalRow = {
+    val s = input.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, _ + _)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val lnCache = new java.util.HashMap[Long, Long]()
+    var sMicro = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val cnt = it.next()
+      val l = lnCache.computeIfAbsent(cnt, c =>
+        java.math.BigDecimal.valueOf(math.log(c.toDouble) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong)
+      sMicro += cnt * l
+    }
+    InternalRow(n, sMicro)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charMoments", this,
+      classOf[CharMoments].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
 
 /** Text-analysis column functions (SURVEY.md §2 F). All are built from
   * codegen'd `org.apache.spark.sql.functions` — no UDFs — so they stay
   * inside WholeStageCodegen and push down through Catalyst.
   */
 object TextAnalysis {
+
+  /** Fused per-doc character moments (see [[CharMoments]]). */
+  def charMoments(text: Column): Column =
+    ColumnBridge.column(CharMoments(ColumnBridge.expression(text)))
 
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")

