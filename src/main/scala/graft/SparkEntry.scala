@@ -112,6 +112,7 @@ object SparkEntry {
     "snapshot_diff" -> (Snapshot.snapshotDiff _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
     "q_skyline" -> (Skyline.qSkyline _),
+    "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
@@ -1376,6 +1377,8 @@ object SparkEntry {
            FROM scored)
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // generated unrolled synchronous peel (idempotent past stability)
+    "graph_kcore" -> graft.operators.Graph.kcoreOracleSql(),
     // quadratic NOT-EXISTS dominance is fine as an oracle at sf0.01;
     // the Spark side is the two-phase local-prune skyline
     "q_skyline" ->

@@ -221,4 +221,91 @@ object Graph {
     * supplier — the classic clustering/community signal. */
   def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOf(coSupplyEdges(spark, dir))
+
+  /** k-core of the customer–supplier trading graph: iteratively peel
+    * every node with (current) degree < k until the remaining
+    * subgraph is stable — the standard dense-nucleus extraction
+    * (spam rings, engaged-user cores, robust seed sets).
+    *
+    * Peeling is INCREMENTAL, which is what scales: each round
+    * derives the (typically tiny) set of nodes falling below k and
+    * anti-joins the symmetric edge list against it on both
+    * endpoints — AQE size-gates those anti-joins down to broadcasts
+    * as the peel set shrinks, and the untouched majority of the
+    * edge set never re-shuffles (a recompute-the-induced-subgraph
+    * formulation would semi-join the FULL edge set twice per round).
+    * One degree aggregate (map-side partials) + one emptiness check
+    * per round; lazy checkpoints truncate lineage exactly like the
+    * components loop. Synchronous-removal semantics match the
+    * unrolled-CTE DuckDB oracle round for round, and extra rounds
+    * after stability are idempotent — so the driver-side early exit
+    * can never diverge from the oracle's fixed unroll. */
+  def kcore(spark: SparkSession, dir: String, k: Int = 8,
+      maxRounds: Int = 4): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct()
+    val c = concat(lit("C"), col("o_custkey"))
+    val s = concat(lit("S"), col("l_suppkey"))
+    kcoreOf(base.select(c.as("a"), s.as("b")), k, maxRounds)
+  }
+
+  /** k-core over an arbitrary undirected (a, b) edge list. */
+  def kcoreOf(undirected: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    // symmetric edge list: degree(n) = count of rows with src = n
+    var live = undirected
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val deg = live.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val bad = deg.filter(col("d") < k).select(col("src").as("n"))
+        .localCheckpoint() // materialized by the emptiness check below
+      if (bad.isEmpty) stable = true
+      else live = live
+        .join(bad, col("src") === col("n"), "left_anti")
+        .join(bad.withColumnRenamed("n", "m"),
+          col("dst") === col("m"), "left_anti")
+        .localCheckpoint()
+      rounds += 1
+      System.err.println(s"[graft] kcore round $rounds: stable=$stable")
+    }
+    live.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
+  /** Generated DuckDB oracle for [[kcore]]: the same synchronous
+    * peel unrolled as chained CTEs (rounds past stability are
+    * idempotent, so a fixed unroll matches the early-exiting loop). */
+  def kcoreOracleSql(k: Int = 8, rounds: Int = 4): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS (SELECT a, b FROM ed
+             WHERE a IN (SELECT n FROM n${r - 1})
+               AND b IN (SELECT n FROM n${r - 1})),
+         d$r AS (SELECT n, count(*) AS d
+             FROM (SELECT a AS n FROM l$r UNION ALL SELECT b FROM l$r)
+             GROUP BY n),
+         n$r AS (SELECT n FROM d$r WHERE d >= $k)"""
+    }.mkString(",\n         ")
+    s"""WITH ed AS (SELECT DISTINCT
+             'C' || CAST(o_custkey AS VARCHAR) AS a,
+             'S' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         n0 AS (SELECT a AS n FROM ed UNION SELECT b FROM ed),
+         $steps,
+         lf AS (SELECT a, b FROM ed
+                WHERE a IN (SELECT n FROM n$rounds)
+                  AND b IN (SELECT n FROM n$rounds))
+         SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM (SELECT a AS n FROM lf UNION ALL SELECT b AS n FROM lf)
+         GROUP BY n ORDER BY node"""
+  }
 }

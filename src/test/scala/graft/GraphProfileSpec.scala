@@ -244,4 +244,32 @@ class GraphProfileSpec extends SparkSpecBase {
     val dq = li.select(countDistinct(col("l_quantity"))).head().getLong(0)
     assert(p("l_quantity")._2 == dq)
   }
+
+  test("kcore: cascade peel on a clique with a pendant chain") {
+    import spark.implicits._
+    // K4 (a,b,c,d) + chain d-e-f: 3-core = the clique alone — e and f
+    // peel in cascade (f first, then e loses its support)
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f"))
+    val got = graft.operators.Graph.kcoreOf(k4.toDF("a", "b"), 3, 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // k=5 exceeds every degree: the core is empty, not an error
+    assert(graft.operators.Graph.kcoreOf(k4.toDF("a", "b"), 5, 6).isEmpty)
+  }
+
+  test("kcore: result invariant under partitioning") {
+    import spark.implicits._
+    val edges = (0 until 40).flatMap { i =>
+      Seq((s"n$i", s"n${(i + 1) % 40}"), (s"n$i", s"n${(i + 2) % 40}"))
+    }
+    val expect = graft.operators.Graph
+      .kcoreOf(edges.toDF("a", "b").coalesce(1), 4, 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = graft.operators.Graph
+      .kcoreOf(edges.toDF("a", "b").repartition(7), 4, 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty) // the circulant graph is 4-regular: all survive
+  }
 }
