@@ -452,6 +452,101 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** A resolved funnel instance (streaming funnel twin): every view
+    * eventually resolves to exactly one stage — 'view' (no follow-up
+    * click before its window expired), 'clicked' (click arrived, but
+    * the purchase window expired), or 'full' (purchase completed the
+    * chain). */
+  final case class FunnelResolved(user_id: Long, view_id: Long,
+      stage: String)
+
+  /** Streaming funnel state: views awaiting a click and view→click
+    * chains awaiting a purchase. Both lists are bounded by the 30 min
+    * step window + watermark delay — entries past their deadline
+    * leave at the next timeout/batch, so steady-state size is the
+    * user's 30-minute activity, NOT their history. */
+  final case class FunnelState(views: Seq[(Double, Long)],
+      chains: Seq[(Long, Double)])
+
+  /** Streaming twin of the batch conversion funnel
+    * ([[graft.operators.Events.qFunnel]]): per-user state resolves
+    * each view instance exactly once, append-only. Completion
+    * ('full') emits the moment the qualifying purchase arrives — the
+    * same strict `(prev, prev+30 min]` step windows as the batch
+    * joins, applied to events processed in (ts, event_id) order, so
+    * the first qualifying follow-up IS the batch join's min().
+    * Expiry ('view' / 'clicked') emits once the event-time watermark
+    * passes the instance's step deadline — an event-time timeout
+    * rides the minimum open deadline, exactly the stateful
+    * sessionizer's discipline. StreamingSpec pins: completed
+    * instances equal the batch derivation EXACTLY; expired
+    * instances are sound (subset) and complete up to the final
+    * watermark horizon. */
+  def funnelStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val StepS = 1800.0
+    val typed = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", "2 hours")
+      // the watermark column itself must survive into the stateful
+      // operator's input (same as the stateful sessionizer)
+      .select(col("user_id"), col("ts").cast("double").as("ts_s"),
+        col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Double, Long, String, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long,
+            rows: Iterator[(Long, Double, Long, String, java.sql.Timestamp)],
+            st: GroupState[FunnelState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelResolved]
+          var s = st.getOption.getOrElse(FunnelState(Nil, Nil))
+          val wmS = st.getCurrentWatermarkMs() / 1000.0
+          if (!st.hasTimedOut) {
+            val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+            sorted.foreach { case (_, tsS, eid, etype, _) =>
+              etype match {
+                case "view" =>
+                  s = s.copy(views = s.views :+ ((tsS, eid)))
+                case "click" =>
+                  val (hit, miss) = s.views.partition { case (vTs, _) =>
+                    tsS > vTs && tsS <= vTs + StepS }
+                  s = FunnelState(miss,
+                    s.chains ++ hit.map { case (_, vid) => (vid, tsS) })
+                case "purchase" =>
+                  val (hit, miss) = s.chains.partition { case (_, cTs) =>
+                    tsS > cTs && tsS <= cTs + StepS }
+                  hit.foreach { case (vid, _) =>
+                    out += FunnelResolved(uid, vid, "full") }
+                  s = s.copy(chains = miss)
+              }
+            }
+          }
+          // expire everything whose step deadline the watermark passed
+          // (on timeout AND opportunistically on data batches)
+          val (deadViews, liveViews) =
+            s.views.partition { case (vTs, _) => vTs + StepS <= wmS }
+          val (deadChains, liveChains) =
+            s.chains.partition { case (_, cTs) => cTs + StepS <= wmS }
+          deadViews.foreach { case (_, vid) =>
+            out += FunnelResolved(uid, vid, "view") }
+          deadChains.foreach { case (vid, _) =>
+            out += FunnelResolved(uid, vid, "clicked") }
+          s = FunnelState(liveViews, liveChains)
+          if (s.views.isEmpty && s.chains.isEmpty) st.remove()
+          else {
+            st.update(s)
+            val next = (s.views.map { case (vTs, _) => vTs + StepS } ++
+              s.chains.map { case (_, cTs) => cTs + StepS }).min
+            // the timeout must sit strictly past the current watermark
+            st.setTimeoutTimestamp(math.max(next, wmS + 1.0).toLong * 1000L)
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** An emitted next-event transition (streaming Markov twin). */
   final case class Transition(user_id: Long, from_type: String,
       to_type: String)
