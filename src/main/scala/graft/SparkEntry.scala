@@ -93,7 +93,9 @@ object SparkEntry {
     "events_retention" -> (Events.qRetention _),
     "events_markov" -> (Events.qMarkov _),
     "events_changepoint" -> (Events.qChangepoint _),
+    "events_rfm" -> (Events.qRfm _),
     "profile_fd" -> (Profile.fdProfile _),
+    "profile_mad" -> ((s, d) => Profile.madProfile(s, d)),
     "profile_numeric" -> (Profile.numericProfile _),
     "profile_hll_users" -> (Profile.hllUsers _),
     "profile_strings" -> (Profile.stringProfile _),
@@ -1061,6 +1063,42 @@ object SparkEntry {
                 CAST((t.n * 1000000) // s.tot AS BIGINT) AS p_ppm
          FROM t JOIN s ON t.from_type = s.t_from
          ORDER BY from_type, to_type""",
+    // fixed scoring bands (not data-driven ntiles) keep the operator
+    // map-shaped; exact cents and whole-day diffs on both engines
+    "events_rfm" ->
+      """WITH mx AS (SELECT date_trunc('day', max(ts)) AS max_day FROM events),
+         p AS (SELECT user_id, date_trunc('day', max(ts)) AS last_day,
+                      count(*) AS f,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                           AS BIGINT) AS m_cents
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         s AS (SELECT user_id,
+                      CAST(date_diff('day', last_day, max_day) AS BIGINT)
+                        AS r_days,
+                      f, m_cents
+               FROM p CROSS JOIN mx)
+         SELECT user_id, r_days, f, m_cents,
+                CASE WHEN r_days <= 0 THEN 5 WHEN r_days <= 2 THEN 4
+                     WHEN r_days <= 5 THEN 3 WHEN r_days <= 10 THEN 2
+                     ELSE 1 END AS r_score,
+                CASE WHEN f >= 20 THEN 5 WHEN f >= 15 THEN 4
+                     WHEN f >= 10 THEN 3 WHEN f >= 5 THEN 2
+                     ELSE 1 END AS f_score,
+                CASE WHEN m_cents >= 100000 THEN 5 WHEN m_cents >= 75000 THEN 4
+                     WHEN m_cents >= 50000 THEN 3 WHEN m_cents >= 25000 THEN 2
+                     ELSE 1 END AS m_score,
+                CAST((CASE WHEN r_days <= 0 THEN 5 WHEN r_days <= 2 THEN 4
+                           WHEN r_days <= 5 THEN 3 WHEN r_days <= 10 THEN 2
+                           ELSE 1 END) * 100
+                     + (CASE WHEN f >= 20 THEN 5 WHEN f >= 15 THEN 4
+                             WHEN f >= 10 THEN 3 WHEN f >= 5 THEN 2
+                             ELSE 1 END) * 10
+                     + (CASE WHEN m_cents >= 100000 THEN 5
+                             WHEN m_cents >= 75000 THEN 4
+                             WHEN m_cents >= 50000 THEN 3
+                             WHEN m_cents >= 25000 THEN 2
+                             ELSE 1 END) AS INT) AS rfm
+         FROM s ORDER BY user_id""",
     // denominators cleared (D_i = n*S_i - i*S_n) so the CUSUM argmax
     // and truncating milli-means are exact integers on both engines
     "events_changepoint" ->
@@ -1813,6 +1851,44 @@ object SparkEntry {
          FROM s JOIN p
            ON s.vr = CAST(floor(p.pct / 100.0 * (s.n - 1)) AS BIGINT) + 1
          ORDER BY col_name, pct""",
+    // same bottom-k-by-hash sample as profile_quantiles; median and
+    // MAD are exact index-selects within it (|x−med| is IEEE-exact)
+    "profile_mad" ->
+      """WITH m AS (
+           SELECT ('0x' || substring(md5(
+                    CAST(l_orderkey AS VARCHAR) || '|' ||
+                    CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h,
+                  col_name, value
+           FROM (SELECT l_orderkey, l_linenumber, 'l_quantity' AS col_name,
+                        l_quantity AS value FROM lineitem
+                 UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                        l_extendedprice FROM lineitem
+                 UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+                        l_discount FROM lineitem
+                 UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+                        l_tax FROM lineitem)),
+         r AS (SELECT col_name, value,
+                      row_number() OVER (PARTITION BY col_name
+                                         ORDER BY h, value) AS rn
+               FROM m),
+         s AS (SELECT col_name, value,
+                      row_number() OVER (PARTITION BY col_name
+                                         ORDER BY value) AS vr,
+                      count(*) OVER (PARTITION BY col_name) AS n
+               FROM r WHERE rn <= 1000),
+         med AS (SELECT col_name, n, value AS median FROM s
+                 WHERE vr = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1),
+         d AS (SELECT s.col_name, med.n, med.median,
+                      abs(s.value - med.median) AS dev
+               FROM s JOIN med ON s.col_name = med.col_name),
+         dr AS (SELECT col_name, n, median, dev,
+                       row_number() OVER (PARTITION BY col_name
+                                          ORDER BY dev) AS dvr
+                FROM d)
+         SELECT col_name, CAST(n AS BIGINT) AS n_sample, median,
+                dev AS mad
+         FROM dr WHERE dvr = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+         ORDER BY col_name""",
     // Same exact-moment z-score: (c·m − Σc) / √(m·Σc² − (Σc)²), all
     // inputs exact HUGEINT/DECIMAL integers, σ=0 guarded to z=0.
     "q_anomaly_days" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -312,6 +312,47 @@ object Events {
       .select(col("from_type"), col("to_type"), col("n"),
         expr("CAST((n * 1000000) DIV tot AS BIGINT)").as("p_ppm"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** RFM segmentation (recency / frequency / monetary) of the
+    * purchasing users — the classic value-segmentation sweep, scored
+    * against FIXED business bands (not data-driven quantiles: a
+    * global ntile would funnel every user through one sort
+    * partition; fixed bands keep the whole operator map-shaped after
+    * one per-user aggregate, which is the formulation that holds at
+    * 100 TB — and band edges are what a real retention team pins
+    * down anyway). Money in exact cents, recency in whole days
+    * against the corpus's max activity day (one broadcast 1-row
+    * cross join). Output: per-user scores 1-5 each plus the
+    * composite RFM code. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val maxDay = ev.agg(date_trunc("day", max(col("ts"))).as("max_day"))
+    def band(c: Column, cuts: Seq[(Long, Int)], default: Int): Column =
+      cuts.foldRight(lit(default): Column) { case ((cut, score), acc) =>
+        when(c >= cut, score).otherwise(acc)
+      }
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("day", max(col("ts"))).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(round(col("value") * 100, 0).cast("long")).as("m_cents"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("max_day"), col("last_day")).cast("long").as("r_days"),
+        col("f"), col("m_cents"))
+      .withColumn("r_score",
+        when(col("r_days") <= 0, 5).when(col("r_days") <= 2, 4)
+          .when(col("r_days") <= 5, 3).when(col("r_days") <= 10, 2)
+          .otherwise(1))
+      .withColumn("f_score", band(col("f"),
+        Seq(20L -> 5, 15L -> 4, 10L -> 3, 5L -> 2), 1))
+      .withColumn("m_score", band(col("m_cents"),
+        Seq(100000L -> 5, 75000L -> 4, 50000L -> 3, 25000L -> 2), 1))
+      .withColumn("rfm",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast("int"))
+      .orderBy("user_id")
   }
 
   /** CUSUM changepoint detection per event type — where did the

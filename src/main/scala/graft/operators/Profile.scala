@@ -218,6 +218,40 @@ object Profile {
       .orderBy("col_name", "pct")
   }
 
+  /** Robust dispersion profile — median + median-absolute-deviation
+    * per column, the outlier-resistant twin of the mean/stddev
+    * profiler (one wild value moves a stddev arbitrarily; it moves
+    * the MAD not at all). Rides the SAME deterministic
+    * bottom-k-by-hash sample as `profile_quantiles` (merge-exact,
+    * engine-reproducible), so both medians are exact index-selects
+    * and the whole second pass — |x − median|, sort, index — happens
+    * INSIDE the sampled array per column: after the one sketch
+    * aggregate, no further shuffle touches data proportional to the
+    * corpus. */
+  def madProfile(spark: SparkSession, dir: String,
+      k: Int = 1000): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, value)"
+    val h = PortableHash.h60(concat_ws("|",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string")))
+    val medIdx = (floor(lit(0.5) * (size(col("samp")) - 1)) + 1).cast("int")
+    Tables(spark, dir).lineitem
+      .withColumn("rid_h", h)
+      .select(col("rid_h"), expr(stackExpr))
+      .groupBy(col("col_name"))
+      .agg(graft.functions.BottomKSampleAgg
+        .bottomk(col("rid_h"), col("value"), k).as("samp"))
+      .withColumn("median", element_at(col("samp"), medIdx))
+      .withColumn("devs", array_sort(
+        transform(col("samp"), v => abs(v - col("median")))))
+      .select(col("col_name"),
+        size(col("samp")).cast("long").as("n_sample"),
+        col("median"),
+        element_at(col("devs"), medIdx).as("mad"))
+      .orderBy("col_name")
+  }
+
   /** Candidate pairs for the functional-dependency sweep: a curated
     * directed list, not the full column square — the profiling
     * pattern where breadth is declared, cost is per-pair. */

@@ -78,9 +78,10 @@ class IncrementalOpsSpec extends SparkSpecBase {
     val r = Events.changepointDf(ev).collect()
     assert(r.length == 1)
     val row = r.head
-    // D_3 = 6*3 - 3*30 = -72 is the max deviation
-    assert(row.getTimestamp(1) == ts(3) && row.getLong(2) == 6L
-      && row.getLong(3) == 72L)
+    // D_3 = 6*3 - 3*30 = -72 is the max deviation; split_day is the
+    // calendar day (midnight truncation)
+    assert(row.getTimestamp(1) == Timestamp.valueOf("2024-01-03 00:00:00")
+      && row.getLong(2) == 6L && row.getLong(3) == 72L)
     assert(row.getLong(4) == 1000L, "mean before = 1.000 events/day")
     assert(row.getLong(5) == 9000L, "mean after = 9.000 events/day")
   }
@@ -96,6 +97,34 @@ class IncrementalOpsSpec extends SparkSpecBase {
     val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r.getInt(4)).toMap
     assert(byPair(("o_orderkey", "o_custkey")) == 1, "orderkey is a key")
     assert(byPair(("o_orderstatus", "o_orderpriority")) == 0)
+  }
+
+  test("rfm: composite code is exactly the three band scores") {
+    val rows = Events.qRfm(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rd, f, m) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (rs, fs, ms, rfm) =
+        (r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7))
+      assert(rd >= 0 && Seq(rs, fs, ms).forall(s => s >= 1 && s <= 5))
+      assert(rfm == rs * 100 + fs * 10 + ms)
+      if (rd == 0) assert(rs == 5)
+      if (f >= 20) assert(fs == 5)
+      if (m >= 100000) assert(ms == 5)
+    }
+  }
+
+  test("mad profile: dispersion is non-negative and median sits in range") {
+    val rows = Profile.madProfile(spark, Sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(3) >= 0.0, "MAD is a distance")
+    }
+    // discount values live in [0, 0.1]: its MAD must be tiny, while
+    // extendedprice disperses by hundreds — robust scale separation
+    val byCol = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byCol("l_discount") < 1.0 && byCol("l_extendedprice") > 100.0)
   }
 
   test("collocations: closed-form micro-nat PMI on a two-word corpus") {
