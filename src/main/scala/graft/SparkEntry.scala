@@ -94,6 +94,7 @@ object SparkEntry {
     "events_markov" -> (Events.qMarkov _),
     "events_changepoint" -> (Events.qChangepoint _),
     "events_rfm" -> (Events.qRfm _),
+    "events_paths" -> ((s, d) => Events.qPaths(s, d)),
     "profile_fd" -> (Profile.fdProfile _),
     "profile_mad" -> ((s, d) => Profile.madProfile(s, d)),
     "profile_numeric" -> (Profile.numericProfile _),
@@ -1063,6 +1064,20 @@ object SparkEntry {
                 CAST((t.n * 1000000) // s.tot AS BIGINT) AS p_ppm
          FROM t JOIN s ON t.from_type = s.t_from
          ORDER BY from_type, to_type""",
+    // ordered string_agg ≡ the sorted-struct collect: both assemble
+    // the first-3 path in (ts, event_id) order
+    "events_paths" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (SELECT user_id,
+                      string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 3 GROUP BY user_id)
+         SELECT path, count(*) AS n_users
+         FROM p GROUP BY path
+         ORDER BY n_users DESC, path LIMIT 20""",
     // fixed scoring bands (not data-driven ntiles) keep the operator
     // map-shaped; exact cents and whole-day diffs on both engines
     "events_rfm" ->

@@ -314,6 +314,32 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top user-journey openings: each user's first three events (by
+    * event time) joined into a path string, counted across the
+    * corpus — the Sankey/first-mile view that the Markov transition
+    * matrix can't give (it loses position). One user-partitioned
+    * ranking window (single shuffle; per-user work bounded by that
+    * user's events) keeps rows 1-3, then the per-user path assembles
+    * from a sorted struct collect — 3-element state per user, and
+    * the path-count aggregate output is bounded by |types|³, a
+    * constant in the corpus. Top-k plans as TakeOrdered. */
+  def qPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("event_type")))),
+        s => s.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
   /** RFM segmentation (recency / frequency / monetary) of the
     * purchasing users — the classic value-segmentation sweep, scored
     * against FIXED business bands (not data-driven quantiles: a

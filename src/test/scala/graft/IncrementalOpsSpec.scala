@@ -99,6 +99,23 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(byPair(("o_orderstatus", "o_orderpriority")) == 0)
   }
 
+  test("paths: first-3 journey openings count users, order-exact") {
+    val total = Events.qPaths(spark, Sf, k = 1000)
+      .agg(sum("n_users")).as[Long].head()
+    val users = spark.read.parquet(s"$Sf/events.parquet")
+      .select(countDistinct("user_id")).as[Long].head()
+    assert(total == users, "every user contributes exactly one path")
+    val top = Events.qPaths(spark, Sf).collect()
+    assert(top.length <= 20 && top.nonEmpty)
+    // descending counts with path tie-break — a total order
+    top.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) &&
+          a.getString(0) < b.getString(0)))
+    case _ => ()
+    }
+  }
+
   test("rfm: composite code is exactly the three band scores") {
     val rows = Events.qRfm(spark, Sf).collect()
     assert(rows.nonEmpty)
