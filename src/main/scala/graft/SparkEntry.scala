@@ -118,6 +118,7 @@ object SparkEntry {
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.ngramComponents(s, d)),
@@ -1341,6 +1342,22 @@ object SparkEntry {
          SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_id
          FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1
          ORDER BY h""",
+    // the k-means CTE chain is the SAME statement the emb_kmeans
+    // oracle uses — the clustering trajectory has one source of truth
+    "dedup_semantic" -> {
+      s"""WITH ${graft.operators.Cluster.kmeansAssignCtes()},
+         ec AS (SELECT em.vec_id, em.embedding, a.cid
+                FROM embeddings em JOIN a3 a ON em.vec_id = a.vec_id)
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+                CAST(a.cid AS BIGINT) AS cluster,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM ec a JOIN ec b
+           ON a.cid = b.cid AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+         ORDER BY v1, v2"""
+    },
     "dedup_embedding" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -106,7 +106,16 @@ object Cluster {
       k: Int = 8, iters: Int = 3): DataFrame =
     kmeansDf(Tables(spark, dir).embeddings, k, iters)
 
-  def kmeansDf(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansDf(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansAssign(embeddings, k, iters)
+      .groupBy(col("cid").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+      .orderBy("cluster_id")
+
+  /** The per-vector assignment after the Lloyd's rounds:
+    * (vec_id, cid, dist) — the blocking input for semantic dedup
+    * and any cluster-routed downstream. */
+  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = quantized(embeddings).cache()
     try {
       // deterministic seeds: k smallest portable hashes, cid in that order
@@ -137,15 +146,15 @@ object Cluster {
           cents = next
         }
       }
-      assigned.groupBy(col("cid").cast("long").as("cluster_id"))
-        .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
-        .orderBy("cluster_id")
+      assigned.select(col("vec_id"), col("cid"), col("dist"))
     } finally e.unpersist()
   }
 
-  /** The DuckDB oracle: the SAME quantization, seeding, and
-    * truncating-integer Lloyd's rounds unrolled as chained CTEs. */
-  def kmeansOracleSql(k: Int = 8, iters: Int = 3): String = {
+  /** The WITH-chain reproducing [[kmeansAssign]] in DuckDB, ending at
+    * CTE `a<iters>` = (vec_id, cid, dist). Shared by the k-means
+    * oracle and the semantic-dedup oracle so the clustering
+    * trajectory has exactly ONE SQL statement of truth. */
+  def kmeansAssignCtes(k: Int = 8, iters: Int = 3): String = {
     val rounds = (1 to iters).map { r =>
       val assign =
         s"""d$r AS (SELECT x.vec_id, c.cid,
@@ -165,7 +174,7 @@ object Cluster {
       else ""
       assign + update
     }.mkString(",\n         ")
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]),
                  x -> CAST(floor(x * $Scale) AS BIGINT)) AS q
              FROM embeddings),
@@ -177,9 +186,14 @@ object Cluster {
                    FROM e QUALIFY cid < $k),
          c0 AS (SELECT s.cid, x.d, x.v
                 FROM seeds s JOIN x ON s.vec_id = x.vec_id),
-         $rounds
+         $rounds"""
+  }
+
+  /** The DuckDB oracle: the SAME quantization, seeding, and
+    * truncating-integer Lloyd's rounds unrolled as chained CTEs. */
+  def kmeansOracleSql(k: Int = 8, iters: Int = 3): String =
+    s"""WITH ${kmeansAssignCtes(k, iters)}
          SELECT CAST(cid AS BIGINT) AS cluster_id, count(*) AS n,
                 CAST(sum(dist) AS BIGINT) AS inertia
          FROM a$iters GROUP BY 1 ORDER BY 1"""
-  }
 }

@@ -475,4 +475,32 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .orderBy("v1", "v2")
   }
+
+  /** SemDeDup-shaped semantic dedup: LEARNED blocking. Where
+    * [[embeddingDf]] blocks on a given label column, here the blocks
+    * are the integer-exact k-means clusters ([[Cluster.kmeansAssign]])
+    * — the public SemDeDup recipe (cluster the embedding corpus, then
+    * compare only within a cluster), which needs no labels and whose
+    * block count/size is a tuning knob instead of a schema accident.
+    * Pairing cost is Σ|cluster|², never corpus², and the pair join is
+    * an equi-join on cid — the shape AQE can split if one cluster
+    * runs hot. The deterministic clustering trajectory means even
+    * this two-stage composition hash-matches its single-SQL oracle. */
+  def semantic(spark: SparkSession, dir: String, tau: Double = 0.4,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val embs = Tables(spark, dir).embeddings
+    val assign = Cluster.kmeansAssign(embs, k, iters)
+      .select(col("vec_id"), col("cid"))
+    val ec = embs.select(col("vec_id"), col("embedding"))
+      .join(assign, Seq("vec_id"))
+    ec.as("a")
+      .join(ec.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.cid").cast("long").as("cluster"),
+        round(Vectors.cosineSim(col("a.embedding"), col("b.embedding")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy("v1", "v2")
+  }
 }

@@ -26,6 +26,34 @@ class ClusterSpec extends SparkSpecBase {
     assert(i3 <= i1, s"inertia after 3 rounds ($i3) vs 1 round ($i1)")
   }
 
+  test("semantic dedup equals brute-force pairs restricted to shared clusters") {
+    val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val cid = Cluster.kmeansAssign(embs, 8, 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { // same accumulation order as CosineSimilarity
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val ids = vecs.keys.toArray.sorted
+    val expect = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      v1 = ids(i); v2 = ids(j)
+      if cid(v1) == cid(v2) && r6(cos(vecs(v1), vecs(v2))) >= 0.4
+    } yield (v1, v2)).toSet
+    val got = graft.operators.Dedup.semantic(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "the planted near-dups should share clusters")
+  }
+
   test("kmeans: recovers well-separated planted clusters") {
     // two tight blobs far apart: one round should already split them
     // perfectly, whatever the hash-seeded initialization picked
