@@ -299,16 +299,18 @@ object Events {
   def markovDf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pairs = events
+    // the per-state total rides a window over the (tiny) transition
+    // matrix — same partitioning family as the groupBy, no self-join,
+    // no second evaluation of the pair aggregate
+    events
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("from_type"))
       .withColumn("to_type", lead(col("from_type"), 1).over(byUser))
       .filter(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("from_type").as("t_from"))
-      .agg(sum(col("n")).as("tot"))
-    pairs.join(totals, col("from_type") === col("t_from"))
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"), col("n"),
         expr("CAST((n * 1000000) DIV tot AS BIGINT)").as("p_ppm"))
       .orderBy("from_type", "to_type")

@@ -129,4 +129,44 @@ class ExplainSpec extends SparkSpecBase {
     // ÷2: executedPlan + formatted both counted
     assert(scans <= 2, s"expected one lineitem scan per plan text:\n$p")
   }
+
+  test("entropy kernel keeps the operator map-only (no hash exchange)") {
+    val p = plan(graft.operators.TextOps.textEntropy(spark, Sf))
+    // only the presentation sort's range partitioning may exchange
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"entropy must not shuffle:\n$p")
+    assert(p.contains("char_moments"), s"fused kernel missing:\n$p")
+  }
+
+  test("readability is map-only ahead of the presentation sort") {
+    val p = plan(graft.operators.TextOps.textReadability(spark, Sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"readability must not shuffle:\n$p")
+  }
+
+  test("markov shares one user exchange between window and count aggregate") {
+    val p = plan(graft.operators.Events.qMarkov(spark, Sf))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    // window on user_id, pair-count agg, from_type total window —
+    // three exchange points, each in executedPlan + formatted (÷2)
+    assert(n <= 6, s"too many hash exchanges ($n):\n$p")
+  }
+
+  test("skyline local phase is narrow: no exchange before the local sweep") {
+    val df = graft.operators.Skyline.qSkyline(spark, Sf)
+    val pre = df.queryExecution.sparkPlan.toString
+    // the per-partition sort must be SortExec without a shuffle under
+    // it feeding the sweep (coalesce(1) is narrow too)
+    assert(pre.contains("Coalesce 1"), s"expected narrow coalesce:\n$pre")
+  }
+
+  test("paths top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(graft.operators.Events.qPaths(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("collocations top-k compiles to TakeOrderedAndProject") {
+    val p = plan(graft.operators.TextOps.textCollocations(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
 }
