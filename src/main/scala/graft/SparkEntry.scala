@@ -115,6 +115,7 @@ object SparkEntry {
     "snapshot_diff" -> (Snapshot.snapshotDiff _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
     "q_skyline" -> (Skyline.qSkyline _),
+    "q_set_ops" -> (Relational.qSetOps _),
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
@@ -1449,6 +1450,21 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY qid, rank""",
     // generated unrolled synchronous peel (idempotent past stability)
     "graph_kcore" -> graft.operators.Graph.kcoreOracleSql(),
+    "q_set_ops" ->
+      """WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE year(o_orderdate) = 1997),
+         y98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1998)
+         SELECT o_custkey, 'retained' AS cohort
+         FROM (SELECT o_custkey FROM y97 INTERSECT
+               SELECT o_custkey FROM y98)
+         UNION ALL
+         SELECT o_custkey, 'churned'
+         FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+         UNION ALL
+         SELECT o_custkey, 'acquired'
+         FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97)
+         ORDER BY cohort, o_custkey""",
     // quadratic NOT-EXISTS dominance is fine as an oracle at sf0.01;
     // the Spark side is the two-phase local-prune skyline
     "q_skyline" ->

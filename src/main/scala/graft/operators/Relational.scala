@@ -207,6 +207,27 @@ object Relational {
       .orderBy("o_orderstatus", "bucket")
   }
 
+  /** INTERSECT / EXCEPT set operators — churn analysis between two
+    * customer cohorts (active 1997 vs active 1998): retained =
+    * intersect, churned = except, acquired = reverse except, each
+    * tagged and unioned. Catalyst plans set ops as aggregates/
+    * left-anti joins on the already-distinct key sets — no new
+    * machinery at scale, but the SQL surface deserves explicit
+    * coverage and an oracle. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    def cohort(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val y97 = cohort(1997)
+    val y98 = cohort(1998)
+    y97.intersect(y98).select(col("o_custkey"), lit("retained").as("cohort"))
+      .unionAll(y97.except(y98)
+        .select(col("o_custkey"), lit("churned").as("cohort")))
+      .unionAll(y98.except(y97)
+        .select(col("o_custkey"), lit("acquired").as("cohort")))
+      .orderBy("cohort", "o_custkey")
+  }
+
   /** Hierarchical ROLLUP aggregate. */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
