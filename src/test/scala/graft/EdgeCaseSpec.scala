@@ -102,6 +102,29 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(graft.operators.Dedup.substringSpansDf(docs).collect().isEmpty)
   }
 
+  test("collocations: degenerate corpus yields empty output, never crashes") {
+    // no doc has two tokens → no bigrams survive the LIKE '% %' gate
+    val deg = docs.filter(col("doc_id") < 3)
+    assert(TextOps.collocationsDf(deg, minCount = 1, k = 10)
+      .collect().isEmpty)
+    // the 4-token doc alone: three bigrams, each counted once
+    val one = TextOps.collocationsDf(
+      docs.filter(col("doc_id") === 3), minCount = 1, k = 10).collect()
+    assert(one.map(_.getString(0)).toSet ==
+      Set("alpha beta", "beta alpha"))
+  }
+
+  test("readability: degenerate docs score defined values") {
+    val r = TextOps.textReadabilityDf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L), "every doc keeps a row")
+    // empty / whitespace: 1 sentence floor, 1 degenerate token
+    assert(r(0L) == ((1L, 1L, 0L)))
+    assert(r(1L) == ((1L, 1L, 0L)))
+    assert(r(3L)._2 == 4L)
+  }
+
   test("containment: degenerate docs share only the empty-token shingle contract") {
     // docs 0 and 1 both collapse to the single degenerate shingle '',
     // so they are MUTUALLY contained (inter=1, size=1 both sides) —
