@@ -158,6 +158,7 @@ object SparkEntry {
     "text_entropy" -> (TextOps.textEntropy _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextOps.textTfidf(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TextOps.textBm25(s, d)),
+    "search_hybrid" -> ((s: SparkSession, d: String) => Search.hybrid(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: word-3-gram shingle sets per document —
@@ -2019,6 +2020,10 @@ object SparkEntry {
     // literals would otherwise diverge from Spark's double math),
     // quantized to micro-units so the per-doc sum is exact BIGINT.
     "text_bm25" -> bm25Sql,
+    // RRF fusion of the two rank lists above/below: ranks come from
+    // already-hash-proven score surfaces, the fused score is a
+    // two-term DOUBLE sum of exact-integer reciprocals.
+    "search_hybrid" -> searchHybridSql,
     // Same micro-nat fixed-point model as the Spark side: the bigram
     // model quantizes ln(c2/c1) ONCE per entry, per-doc sums are
     // exact BIGINT arithmetic (order-independent on both engines).
@@ -2127,12 +2132,15 @@ object SparkEntry {
          ORDER BY a.event_type"""
   }
 
-  /** text_bm25 oracle, generated from the same
+  /** Shared BM25 CTE chain (generated from the same
     * [[TextOps.Bm25Query]] term list; the arithmetic mirrors the
-    * Spark expression tree operation-for-operation. */
-  private def bm25Sql: String = {
+    * Spark expression tree operation-for-operation), ending at CTE
+    * `bm` = top-`limit` (doc_id, n_hit_terms, bm25). Shared by the
+    * text_bm25 oracle and the search_hybrid fusion oracle so the
+    * ranking has one SQL statement of truth. */
+  private def bm25Ctes(limit: Int): String = {
     val terms = TextOps.Bm25Query.map("'" + _ + "'").mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
            FROM documents),
          lens AS (SELECT doc_id,
@@ -2152,11 +2160,46 @@ object SparkEntry {
                         * 1000000.0, 0) AS BIGINT) AS score_micro
                FROM tf t JOIN dft d ON d.term = t.term
                JOIN lens l ON l.doc_id = t.doc_id
-               CROSS JOIN stats st)
-         SELECT doc_id, count(*) AS n_hit_terms,
+               CROSS JOIN stats st),
+         bm AS (SELECT doc_id, count(*) AS n_hit_terms,
                 round(CAST(CAST(sum(score_micro) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS bm25
          FROM s GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id LIMIT 20"""
+         ORDER BY bm25 DESC, doc_id LIMIT $limit)"""
+  }
+
+  private def bm25Sql: String =
+    s"""WITH ${bm25Ctes(20)}
+         SELECT doc_id, n_hit_terms, bm25 FROM bm
+         ORDER BY bm25 DESC, doc_id"""
+
+  /** search_hybrid oracle: RRF fusion of the BM25 CTE chain and the
+    * round-6 cosine ranking (the ann_bruteforce scoring surface) for
+    * the fixed dense query vec_id 0. The reciprocal terms are forced
+    * DOUBLE — a bare `1.0 / n` is DECIMAL division in DuckDB (the
+    * q1_sql lesson) — and ordering is on the unrounded fused sum with
+    * a doc_id tie-break, exactly like the Spark side. */
+  private def searchHybridSql: String = {
+    import graft.operators.Search.{NCand, QueryVecId, RrfK, TopK}
+    s"""WITH ${bm25Ctes(NCand)},
+         bmr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_text
+                 FROM bm),
+         qv AS (SELECT embedding AS qe FROM embeddings
+                WHERE vec_id = $QueryVecId),
+         sc AS (SELECT e.vec_id AS doc_id,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                        CAST(qv.qe AS DOUBLE[])), 6) AS cosine
+                FROM embeddings e CROSS JOIN qv),
+         vr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
+                FROM sc QUALIFY r_vec <= $NCand),
+         f AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+                      b.r_text, v.r_vec,
+                      coalesce(CAST(1 AS DOUBLE) / ($RrfK + b.r_text), 0)
+                    + coalesce(CAST(1 AS DOUBLE) / ($RrfK + v.r_vec), 0) AS rrf_raw
+               FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id)
+         SELECT doc_id, r_text, r_vec, round(rrf_raw, 6) AS rrf
+         FROM f ORDER BY rrf_raw DESC, doc_id LIMIT $TopK"""
   }
 
   /** pipeline_pii oracle, generated from [[Curation.PiiPatterns]] so
