@@ -114,6 +114,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "snapshot_diff" -> (Snapshot.snapshotDiff _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
+    "emb_coreset" -> ((s: SparkSession, d: String) => Cluster.embCoreset(s, d)),
     "q_skyline" -> (Skyline.qSkyline _),
     "q_set_ops" -> (Relational.qSetOps _),
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
@@ -1484,6 +1485,8 @@ object SparkEntry {
     // generated unrolled-CTE Lloyd's rounds (the PageRank trick):
     // same quantization, seeds, and truncating-integer updates
     "emb_kmeans" -> graft.operators.Cluster.kmeansOracleSql(),
+    // same CTE chain + DOUBLE quota arithmetic + bottom-m-by-hash
+    "emb_coreset" -> graft.operators.Cluster.coresetOracleSql(),
     // Per-(label, dim) means over the embedding corpus; DOUBLE[] cast
     // on both sides so the accumulation arithmetic matches.
     "emb_centroids" ->

@@ -196,4 +196,98 @@ object Cluster {
          SELECT CAST(cid AS BIGINT) AS cluster_id, count(*) AS n,
                 CAST(sum(dist) AS BIGINT) AS inertia
          FROM a$iters GROUP BY 1 ORDER BY 1"""
+
+  // --- coreset sampling --------------------------------------------
+
+  /** Sample rows kept across all clusters (quota floors can push the
+    * actual total a few rows either side — each cluster keeps ≥ 1). */
+  val CoresetBudget = 64
+
+  /** k-means coreset sampling (SURVEY §2 roadmap item): a small
+    * weighted sample whose per-cluster share follows the cluster's
+    * squared-distance mass — the sensitivity signal of lightweight
+    * coreset constructions (Bachem et al., 2018): high-inertia
+    * clusters are where a cluster-training pass needs resolution, so
+    * they get proportionally more of the budget (every cluster keeps
+    * at least one representative). Within a cluster the members are
+    * chosen uniformly and deterministically: bottom-m by the 60-bit
+    * portable hash — reproducible across engines, runs, partitionings
+    * (the [[graft.functions.BottomKSampleAgg]] argument), so the
+    * oracle can replay the exact sample. Each kept row carries weight
+    * `n_c / m_c`, making the sample an unbiased estimator of
+    * cluster-level totals: Σ weights ≡ N (before round-6).
+    *
+    * Scale shape: one assignment pass (fused codegen kernel against
+    * the collected codebook), one tiny per-cluster stats aggregate
+    * broadcast back, and per-cluster bottom-m selection through the
+    * bounded-heap top-k aggregate — map-side partials cap every
+    * partition's contribution at `budget` entries per cluster, so no
+    * Window funnels a 100 TB cluster through one task. The quota
+    * arithmetic runs in DOUBLE (not `budget·s_c` BIGINT, which
+    * overflows ~2^73 at billions of vectors).
+    *
+    * [[kmeansAssign]]'s returned frame embeds the final centroids as
+    * literals (the Lloyd's collects run once, at plan-build), so the
+    * two consumers below cost two cheap scans, not two re-clusterings. */
+  def embCoreset(spark: SparkSession, dir: String,
+      budget: Int = CoresetBudget, k: Int = 8, iters: Int = 3): DataFrame =
+    coresetDf(Tables(spark, dir).embeddings, budget, k, iters)
+
+  def coresetDf(embeddings: DataFrame, budget: Int, k: Int,
+      iters: Int): DataFrame = {
+    val assigned = kmeansAssign(embeddings, k, iters)
+    val st = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_c"), sum(col("dist")).as("s_c"))
+    val tot = st.agg(sum(col("s_c")).as("s_tot"))
+    val quota = st.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_c"),
+        least(
+          when(col("s_tot") === 0, lit(1L)).otherwise(
+            greatest(lit(1L),
+              floor(lit(budget.toDouble) * col("s_c").cast("double") /
+                col("s_tot").cast("double")).cast("long"))),
+          col("n_c")).as("m_c"))
+    val h = PortableHash.h60(concat(lit("cs#"), col("vec_id").cast("string")))
+    val picked = assigned
+      .withColumn("hneg", -h.cast("double"))
+      .groupBy(col("cid"))
+      .agg(graft.functions.TopKScoreAgg.topk(
+        col("hneg"), col("vec_id"), budget).as("a"))
+      .select(col("cid"), posexplode(col("a")).as(Seq("p", "e")))
+      .select(col("cid"), col("e.id").as("vec_id"), (col("p") + 1).as("rnk"))
+    picked.join(broadcast(quota), Seq("cid"))
+      .filter(col("rnk") <= col("m_c"))
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+        round(col("n_c").cast("double") / col("m_c").cast("double"), 6)
+          .as("weight"))
+      .orderBy("vec_id")
+  }
+
+  /** The DuckDB coreset oracle: the k-means CTE chain plus the same
+    * DOUBLE quota arithmetic and the same bottom-m-by-hash selection
+    * (rank order `CAST(h AS DOUBLE) ASC, vec_id` ≡ the Spark side's
+    * `(-h_double DESC, vec_id ASC)` heap order — IEEE negation is
+    * exact). */
+  def coresetOracleSql(budget: Int = CoresetBudget, k: Int = 8,
+      iters: Int = 3): String =
+    s"""WITH ${kmeansAssignCtes(k, iters)},
+         st AS (SELECT cid, count(*) AS n_c, CAST(sum(dist) AS BIGINT) AS s_c
+                FROM a$iters GROUP BY 1),
+         tot AS (SELECT CAST(sum(s_c) AS BIGINT) AS s_tot FROM st),
+         quota AS (SELECT cid, n_c,
+                     least(CASE WHEN s_tot = 0 THEN 1
+                           ELSE greatest(1, CAST(floor(
+                             CAST($budget AS DOUBLE) * CAST(s_c AS DOUBLE)
+                             / CAST(s_tot AS DOUBLE)) AS BIGINT)) END,
+                           n_c) AS m_c
+                   FROM st CROSS JOIN tot),
+         hr AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY cid ORDER BY
+                    CAST(('0x' || substring(md5('cs#' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE),
+                    vec_id) AS rnk
+                FROM a$iters)
+         SELECT h.vec_id, CAST(h.cid AS BIGINT) AS cluster,
+                round(CAST(q.n_c AS DOUBLE) / CAST(q.m_c AS DOUBLE), 6) AS weight
+         FROM hr h JOIN quota q ON h.cid = q.cid
+         WHERE h.rnk <= q.m_c ORDER BY vec_id"""
 }

@@ -68,4 +68,31 @@ class ClusterSpec extends SparkSpecBase {
     assert(out.values.toSeq.sorted == Seq(10L, 10L),
       s"two balanced clusters expected, got $out")
   }
+
+  test("coreset: weighted sample is unbiased for the corpus total") {
+    val rows = Cluster.embCoreset(spark, Sf).collect()
+    val n = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    assert(rows.nonEmpty && rows.length <= Cluster.CoresetBudget + 8,
+      s"${rows.length} rows vs budget ${Cluster.CoresetBudget} + 8 floors")
+    assert(rows.forall(_.getDouble(2) >= 1.0), "m_c is capped at n_c")
+    // Σ weights ≡ N exactly (each cluster keeps exactly m_c of its
+    // n_c members at weight n_c/m_c), modulo the round-6 on weights
+    val sumW = rows.map(_.getDouble(2)).sum
+    assert(math.abs(sumW - n) < 0.01 * n, s"Σweights $sumW vs N $n")
+  }
+
+  test("coreset: cluster labels agree with the assignment pass") {
+    val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val cid = Cluster.kmeansAssign(embs, 8, 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val rows = Cluster.embCoreset(spark, Sf).collect()
+    rows.foreach(r => assert(cid(r.getLong(0)) == r.getLong(1)))
+  }
+
+  test("coreset: deterministic across runs and independent of layout") {
+    val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val a = Cluster.coresetDf(embs, 64, 8, 3).collect().toSeq
+    val b = Cluster.coresetDf(embs.repartition(7), 64, 8, 3).collect().toSeq
+    assert(a == b, "sample must not depend on partitioning")
+  }
 }
