@@ -592,6 +592,109 @@ object Streams {
       .toDF()
   }
 
+  final case class ChangepointRow(event_type: String,
+      split_day: java.sql.Timestamp, n_days: Long, dmax: Long,
+      mean_before_milli: Long, mean_after_milli: Option[Long])
+
+  /** Streaming twin of q_changepoint (events_changepoint): per-type
+    * CUSUM changepoint, refreshed every micro-batch. State per
+    * event_type is the daily-count map seen so far — one entry per
+    * calendar day regardless of event volume, the same bounded-state
+    * argument as the batch plan's one-row-per-day partitions — and
+    * each batch that touches a type re-derives the exact-integer
+    * statistic `D_i = n·S_i − i·S_n` over the accumulated days and
+    * emits the refreshed verdict (Update mode: the answer for a type
+    * REPLACES its previous one; a drained stream's latest row per
+    * type equals the batch query — StreamingSpec asserts, including
+    * across a two-batch split).
+    *
+    * Days are UTC fixed-24h buckets (`unix_millis div 86400000`),
+    * the gapFillStream discipline — coincides with the batch
+    * `date_trunc("day")` under the UTC session the suite pins. All
+    * means use truncating division on non-negative sums, matching
+    * the batch `DIV`. */
+  def changepointStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("event_type"),
+        expr("(unix_millis(ts) div 86400000) * 86400000").as("day_ms"))
+      .as[(String, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[(String, Long)],
+            st: GroupState[Map[Long, Long]]) =>
+          var days = st.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, d) =>
+            days = days.updated(d, days.getOrElse(d, 0L) + 1L)
+          }
+          st.update(days)
+          val ds = days.toArray.sortBy(_._1)
+          val n = ds.length.toLong
+          val sn = ds.map(_._2).sum
+          var s = 0L
+          var best: ChangepointRow = null
+          var bestAbs = -1L
+          var i = 0L
+          ds.foreach { case (dayMs, c) =>
+            i += 1; s += c
+            val d = n * s - i * sn
+            val a = math.abs(d)
+            if (a > bestAbs) { // first-by-day wins ties = batch's
+              bestAbs = a     // (abs desc, day asc) rank order
+              best = ChangepointRow(etype, new java.sql.Timestamp(dayMs),
+                n, a, 1000L * s / i,
+                if (i == n) None else Some(1000L * (sn - s) / (n - i)))
+            }
+          }
+          Iterator.single(best)
+      }
+      .toDF()
+  }
+
+  final case class RfmState(lastDayMs: Long, f: Long, mCents: Long)
+  final case class RfmRow(user_id: Long, last_day: java.sql.Timestamp,
+      f: Long, m_cents: Long)
+
+  /** Streaming twin of events_rfm's stateful core: per-user running
+    * (recency, frequency, monetary) state — last purchase day, count,
+    * exact cents — refreshed on every micro-batch that sees the user
+    * (Update mode, the changepointStream contract: a user's row
+    * REPLACES the previous one). State is three numbers per user,
+    * the minimal-state argument at any event volume.
+    *
+    * The R/F/M band scores and the composite code are deliberately
+    * NOT computed here: recency is relative to the corpus' global
+    * max day — a cross-key quantity no per-key state can know — so
+    * the scoring stays the stateless decoration it is in the batch
+    * query, applied downstream of this state (StreamingSpec composes
+    * it over the drained states and matches qRfm exactly). */
+  def rfmStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("(unix_millis(ts) div 86400000) * 86400000").as("day_ms"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+            st: GroupState[RfmState]) =>
+          var s = st.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L))
+          rows.foreach { case (_, d, c) =>
+            s = RfmState(math.max(s.lastDayMs, d), s.f + 1L, s.mCents + c)
+          }
+          st.update(s)
+          Iterator.single(RfmRow(uid, new java.sql.Timestamp(s.lastDayMs),
+            s.f, s.mCents))
+      }
+      .toDF()
+  }
+
   /** Run any of the above to completion against a static input and
     * return the final answer via a memory sink (the spec/demo driver:
     * processAllAvailable drains the file source synchronously). */

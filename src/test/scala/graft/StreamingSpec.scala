@@ -500,4 +500,95 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == want, "drained transition multiset must equal batch lead window")
   }
+
+  test("streaming changepoint: latest per-type verdict equals batch across a batch split") {
+    import java.nio.file._
+    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType
+    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val watch = Files.createTempDirectory("graft_cp_in")
+
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_cp_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, watch.resolve(name))
+    }
+
+    // two batches: the per-type daily-count state must carry over so
+    // the second batch's verdict covers the whole series
+    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    val q = Streams.changepointStream(spark,
+        Streams.readEvents(spark, watch.toString))
+      .writeStream.format("memory").queryName("cp_split")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update mode: the LATEST emission per type (max n_days — the
+    // memory sink keeps every refresh) is the standing verdict
+    val got = spark.table("cp_split").collect()
+      .map(r => (r.getString(0),
+        (r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5))))
+      .groupBy(_._1).map { case (t, rows) => t -> rows.map(_._2).maxBy(_._2) }
+    val want = Events.qChangepoint(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5))).toMap
+    assert(got == want, s"streamed verdicts $got\nvs batch $want")
+  }
+
+  test("streaming rfm: scored drained states equal batch qRfm across a batch split") {
+    import java.nio.file._
+    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType
+    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val watch = Files.createTempDirectory("graft_rfm_in")
+
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_rfm_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, watch.resolve(name))
+    }
+
+    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    val q = Streams.rfmStream(spark,
+        Streams.readEvents(spark, watch.toString))
+      .writeStream.format("memory").queryName("rfm_split")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per user = max f (f strictly grows per refresh)
+    val state = spark.table("rfm_split").collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._2) }
+    // the stateless scoring decoration over the drained states:
+    // recency anchored on the global max day over ALL events
+    val DayMs = 86400000L
+    val maxDayMs = {
+      val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+      maxNs / 1000000L / DayMs * DayMs
+    }
+    def band(v: Long, cuts: Seq[(Long, Int)]): Int =
+      cuts.find(v >= _._1).map(_._2).getOrElse(1)
+    val got = state.map { case (u, (lastMs, f, m)) =>
+      val rDays = (maxDayMs - lastMs) / DayMs
+      val rs = if (rDays <= 0) 5 else if (rDays <= 2) 4
+        else if (rDays <= 5) 3 else if (rDays <= 10) 2 else 1
+      val fs = band(f, Seq(20L -> 5, 15L -> 4, 10L -> 3, 5L -> 2))
+      val ms = band(m, Seq(100000L -> 5, 75000L -> 4, 50000L -> 3, 25000L -> 2))
+      u -> (rDays, f, m, rs * 100 + fs * 10 + ms)
+    }
+    val want = Events.qRfm(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(7))).toMap
+    assert(got == want, "scored drained RFM states must equal the batch query")
+  }
 }
