@@ -91,15 +91,15 @@ case class NearestCentroidSq(child: Expression, cents: Array[Array[Long]])
   */
 object Cluster {
 
-  private val Scale = 1048576L // 2^20 quantization
+  private[graft] val Scale = 1048576L // 2^20 quantization
 
-  private def quantized(embeddings: DataFrame): DataFrame =
+  private[graft] def quantized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * Scale).cast("long")).as("q"))
 
-  private def assignCol(q: Column, cents: Array[Array[Long]]): Column =
+  private[graft] def assignCol(q: Column, cents: Array[Array[Long]]): Column =
     ColumnBridge.column(NearestCentroidSq(ColumnBridge.expression(q), cents))
 
   def embKmeans(spark: SparkSession, dir: String,

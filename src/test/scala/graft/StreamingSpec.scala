@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.operators.Events
-import graft.streaming.Streams
+import graft.streaming.{Streams, StreamingKmeans}
 
 /** Streaming twins produce the same answers as their batch
   * formulations when driven from the same static parquet. */
@@ -590,5 +590,85 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(7))).toMap
     assert(got == want, "scored drained RFM states must equal the batch query")
+  }
+
+  test("streaming kmeans: centroids equal a sequential reference fold across a batch split") {
+    import java.nio.file._
+    val raw = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val watch = Files.createTempDirectory("graft_skm_in")
+
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_skm_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, watch.resolve(name))
+    }
+
+    val model = new StreamingKmeans(8)
+    stage(raw.filter(col("vec_id") < 250), "half1.parquet")
+    val q = StreamingKmeans.fit(model,
+      StreamingKmeans.readEmbeddings(spark, watch.toString))
+    try {
+      q.processAllAvailable()
+      stage(raw.filter(col("vec_id") >= 250), "half2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // sequential reference: same quantization, seeds, frozen-at-batch-
+    // start assignment, cumulative truncating-mean update
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val vecs = raw.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1048576L).toLong).toArray)
+      .sortBy(_._1)
+    val halves = Seq(vecs.filter(_._1 < 250), vecs.filter(_._1 >= 250))
+    val k = 8
+    var cents = halves.head.sortBy { case (id, _) => (h60(id.toString), id) }
+      .take(k).map(_._2.map(identity))
+    val dim = cents.head.length
+    val sums = Array.fill(k)(new Array[Long](dim))
+    val counts = new Array[Long](k)
+    halves.foreach { half =>
+      half.foreach { case (_, qv) =>
+        var best = 0; var bestDist = Long.MaxValue
+        for (c <- 0 until k) {
+          var acc = 0L
+          for (d <- 0 until dim) { val df = qv(d) - cents(c)(d); acc += df * df }
+          if (acc < bestDist) { bestDist = acc; best = c }
+        }
+        for (d <- 0 until dim) sums(best)(d) += qv(d)
+        counts(best) += 1L
+      }
+      cents = Array.tabulate(k)(c => if (counts(c) > 0L)
+        Array.tabulate(dim)(d => sums(c)(d) / counts(c)) else cents(c))
+    }
+    assert(model.centroids.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq,
+      "streamed centroids must replay the sequential fold exactly")
+    assert(model.activeCenters > 0)
+  }
+
+  test("streaming kmeans: recovers planted blobs; serving assignment splits them") {
+    import java.nio.file._
+    import spark.implicits._
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 10.0f else -10.0f
+      val jitter = (i / 2) * 0.01f
+      (i.toLong, Array(base + jitter, base - jitter, base, base), 0)
+    }
+    val dir = Files.createTempDirectory("graft_skm_blob")
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val model = new StreamingKmeans(2)
+    val q = StreamingKmeans.fit(model,
+      StreamingKmeans.readEmbeddings(spark, dir.toString))
+    try q.processAllAvailable() finally q.stop()
+    val split = model.assign(rows.toDF("vec_id", "embedding", "label"))
+      .groupBy("cid").count().collect().map(_.getLong(1)).sorted
+    assert(split.toSeq == Seq(10L, 10L), s"got ${split.toSeq}")
   }
 }
