@@ -89,6 +89,14 @@ class ClusterSpec extends SparkSpecBase {
     rows.foreach(r => assert(cid(r.getLong(0)) == r.getLong(1)))
   }
 
+  test("coreset plan: selection rides the bounded heap, never a Window") {
+    val plan = Cluster.embCoreset(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_score"), "bounded-heap aggregate missing")
+    assert(!plan.contains("Window"), "per-cluster Window would funnel " +
+      "a 100 TB cluster through one task")
+  }
+
   test("coreset: deterministic across runs and independent of layout") {
     val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
     val a = Cluster.coresetDf(embs, 64, 8, 3).collect().toSeq
