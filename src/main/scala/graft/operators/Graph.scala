@@ -286,22 +286,29 @@ object Graph {
     * peel unrolled as chained CTEs (rounds past stability are
     * idempotent, so a fixed unroll matches the early-exiting loop). */
   def kcoreOracleSql(k: Int = 8, rounds: Int = 4): String = {
+    // every CTE is AS MATERIALIZED: each round references the
+    // previous round's node set twice (the a- and b-side IN filters),
+    // and DuckDB's default CTE INLINING re-expands the whole chain —
+    // including the base lineitem⋈orders dedup — exponentially in the
+    // round count; at sf0.1 the inlined plan spilled > 80 GB of temp
+    // before exhausting disk. Materialization makes the chain linear
+    // (one hash table per round), same results.
     val steps = (1 to rounds).map { r =>
-      s"""l$r AS (SELECT a, b FROM ed
+      s"""l$r AS MATERIALIZED (SELECT a, b FROM ed
              WHERE a IN (SELECT n FROM n${r - 1})
                AND b IN (SELECT n FROM n${r - 1})),
-         d$r AS (SELECT n, count(*) AS d
+         d$r AS MATERIALIZED (SELECT n, count(*) AS d
              FROM (SELECT a AS n FROM l$r UNION ALL SELECT b FROM l$r)
              GROUP BY n),
-         n$r AS (SELECT n FROM d$r WHERE d >= $k)"""
+         n$r AS MATERIALIZED (SELECT n FROM d$r WHERE d >= $k)"""
     }.mkString(",\n         ")
-    s"""WITH ed AS (SELECT DISTINCT
+    s"""WITH ed AS MATERIALIZED (SELECT DISTINCT
              'C' || CAST(o_custkey AS VARCHAR) AS a,
              'S' || CAST(l_suppkey AS VARCHAR) AS b
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         n0 AS (SELECT a AS n FROM ed UNION SELECT b FROM ed),
+         n0 AS MATERIALIZED (SELECT a AS n FROM ed UNION SELECT b FROM ed),
          $steps,
-         lf AS (SELECT a, b FROM ed
+         lf AS MATERIALIZED (SELECT a, b FROM ed
                 WHERE a IN (SELECT n FROM n$rounds)
                   AND b IN (SELECT n FROM n$rounds))
          SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
