@@ -36,32 +36,36 @@ object Bloom {
   private def bitOf(pos: Column): Column =
     pos.bitwiseAND(lit(63L)).cast("int")
 
-  /** Build the bit table from the (small) key set: one row per 64-bit
-    * word that has at least one bit set — `(word_idx, bits)`, ≤ 1024
-    * rows regardless of key count. */
+  /** Build the bit table from the (small) key set as ONE row holding
+    * the dense 1024-long word array — 8 KiB regardless of key count.
+    * The final ungrouped aggregate makes the bound structural: the
+    * frame is 1 row by construction at any corpus size, so the
+    * broadcast in [[prefilter]] passes PlanHygieneSpec's scaling-table
+    * hint ban without a whitelist. */
   def build(keys: DataFrame, key: Column): DataFrame =
     keys.select(explode(array(positions(key): _*)).as("pos"))
       .select(wordIdx(col("pos")).as("word_idx"), bitOf(col("pos")).as("bit"))
       .select(col("word_idx"), expr("shiftleft(CAST(1 AS BIGINT), bit)").as("b"))
       .groupBy(col("word_idx"))
       .agg(bit_or(col("b")).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("word_idx"), col("bits"))))
+        .as("m"))
+      .select(expr(
+        s"transform(sequence(0L, ${MBits / 64 - 1}L), i -> coalesce(m[i], 0L))")
+        .as("bf_words"))
 
   /** Keep only rows whose key MIGHT be in the built set: both hash
-    * positions' bits are set. Missing words (left-join miss) mean the
-    * bit is clear. The bloom table is broadcast — the fact side sees
-    * two broadcast probes and no shuffle. */
+    * positions' bits are set. The 1-row bloom array rides a broadcast
+    * nested-loop join (8 KiB), so the probe is a pure projection +
+    * filter on the fact side — no shuffle, no per-row join. */
   def prefilter(df: DataFrame, key: Column, bloom: DataFrame): DataFrame = {
     val Seq(p0, p1) = positions(key)
-    val b0 = bloom.select(col("word_idx").as("bf_w0"), col("bits").as("bf_bits0"))
-    val b1 = bloom.select(col("word_idx").as("bf_w1"), col("bits").as("bf_bits1"))
+    def bitSet(p: String): Column =
+      element_at(col("bf_words"), (wordIdx(col(p)) + 1).cast("int"))
+        .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))")) =!= 0L
     df.withColumn("bf_p0", p0).withColumn("bf_p1", p1)
-      .join(broadcast(b0), wordIdx(col("bf_p0")) === col("bf_w0"), "left")
-      .join(broadcast(b1), wordIdx(col("bf_p1")) === col("bf_w1"), "left")
-      .filter(
-        coalesce(col("bf_bits0"), lit(0L))
-          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(bf_p0 % 64 AS INT))")) =!= 0L &&
-        coalesce(col("bf_bits1"), lit(0L))
-          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(bf_p1 % 64 AS INT))")) =!= 0L)
-      .drop("bf_p0", "bf_p1", "bf_w0", "bf_bits0", "bf_w1", "bf_bits1")
+      .crossJoin(broadcast(bloom))
+      .filter(bitSet("bf_p0") && bitSet("bf_p1"))
+      .drop("bf_p0", "bf_p1", "bf_words")
   }
 }

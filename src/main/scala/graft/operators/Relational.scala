@@ -15,10 +15,17 @@ import graft.core.Tables
   *  - every result has a total deterministic ORDER BY;
   *  - column aliases match the oracle SQL exactly.
   *
-  * Scale notes: dimension sides of joins (region/nation/supplier/
-  * customer-filtered) are broadcast; fact-fact joins shuffle on their
-  * join key and rely on AQE for skew. Filters sit directly on the scan
-  * so parquet pushdown applies (see ExplainSpec).
+  * Scale notes: genuinely bounded dimension sides (region/nation/
+  * supplier — ~100s of MB even at 100 TB) carry broadcast hints.
+  * Frames derived from CORPUS-SCALING tables (`customer`, `part` —
+  * a constant-selectivity filter on a linearly-growing table still
+  * grows linearly) carry NO hint: AQE's size gate picks
+  * broadcast-hash at test SFs (asserted in ExplainSpec) and degrades
+  * to a shuffle join at scale instead of OOMing a forced broadcast.
+  * PlanHygieneSpec enforces the no-hint rule over all queries.
+  * Fact-fact joins shuffle on their join key and rely on AQE for
+  * skew. Filters sit directly on the scan so parquet pushdown
+  * applies (see ExplainSpec).
   */
 object Relational {
 
@@ -59,7 +66,7 @@ object Relational {
     t.lineitem.filter(col("l_shipdate") > ts("1998-01-01"))
       .join(t.orders.filter(col("o_orderdate") < ts("1998-01-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
@@ -570,28 +577,31 @@ object Relational {
   /** TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
     * brand's parts whose quantity is below 20% of that part's average
     * quantity. The correlated `avg per part` is computed once per part
-    * over the brand-restricted join (broadcast dimension), not per
-    * row; quantities are small integers in doubles, so the average is
-    * exact and the threshold compare is engine-stable. */
+    * over the brand-restricted join, not per row; both the filtered
+    * part slice and the per-part aggregate scale with the corpus, so
+    * neither is hinted — AQE size-gates the join strategy. Quantities
+    * are small integers in doubles, so the average is exact and the
+    * threshold compare is engine-stable. */
   def q17AvgQty(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val brandParts = t.part.filter(col("p_brand") === "Brand#5")
       .select(col("p_partkey"))
     val li = t.lineitem
-      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
     val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
-    li.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+    li.join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(round(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
         / 700.0, 4).as("avg_yearly"))
   }
 
   /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
-    * three brand/size/quantity clauses OR-ed across a fact⋈broadcast-
-    * dimension join. The per-clause part predicates are pushed to the
-    * part scan as a single OR filter before the join, so the broadcast
-    * side carries only candidate parts. */
+    * three brand/size/quantity clauses OR-ed across a fact⋈dimension
+    * join. The per-clause part predicates are pushed to the part scan
+    * as a single OR filter before the join, so the build side carries
+    * only candidate parts; the slice still scales with the corpus, so
+    * no hint — AQE size-gates the strategy. */
   def q19OrPred(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val partPred =
@@ -606,7 +616,7 @@ object Relational {
       (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
         col("l_quantity").between(20, 30))
     t.lineitem
-      .join(broadcast(t.part.filter(partPred)),
+      .join(t.part.filter(partPred),
         col("l_partkey") === col("p_partkey"))
       .filter(clause)
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -645,17 +655,17 @@ object Relational {
     * charged in lineitem, in exact cents. The correlated `= (SELECT
     * min ...)` becomes a groupBy-min + equi-join on (part, cost) —
     * aggregation-shaped, not window-shaped, so map-side partial mins
-    * apply and nothing funnels. Supplier⋈nation⋈region and the
-    * per-part minima are broadcast (both tiny at any SF — minima are
-    * one row per part). */
+    * apply and nothing funnels. Supplier⋈nation⋈region is broadcast
+    * (bounded); the part slice and the per-part minima scale with the
+    * corpus, so they carry no hint — AQE size-gates those joins. */
   def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     // the candidate-part semi-join runs BEFORE the (part, supplier)
     // aggregate — only LARGE parts' lines pay the agg shuffle (~1/6
     // of lineitem here, the same reduction at any SF)
     val supply = t.lineitem
-      .join(broadcast(t.part.filter(col("p_type") === "LARGE")
-          .select(col("p_partkey"))),
+      .join(t.part.filter(col("p_type") === "LARGE")
+          .select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"), col("l_suppkey"))
       .agg(min(round(col("l_extendedprice") / col("l_quantity") * 100, 0)
@@ -671,7 +681,7 @@ object Relational {
         col("n_name"), col("cost_cents"))
     val best = cand.groupBy(col("p_partkey").as("bp"))
       .agg(min("cost_cents").as("best_cents"))
-    cand.join(broadcast(best),
+    cand.join(best,
         col("p_partkey") === col("bp") && col("cost_cents") === col("best_cents"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
         round(col("cost_cents") / 100.0, 2).as("supply_cost"))
@@ -733,8 +743,8 @@ object Relational {
         .cast("long") -
       round(col("p_retailprice") * col("l_quantity") * 50, 0).cast("long")
     t.lineitem
-      .join(broadcast(t.part.filter(col("p_name").contains("red"))
-          .select(col("p_partkey"), col("p_retailprice"))),
+      .join(t.part.filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice")),
         col("l_partkey") === col("p_partkey"))
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
@@ -805,7 +815,7 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     val badSupp = t.supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     t.lineitem
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
         "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
@@ -820,15 +830,16 @@ object Relational {
     * aggregates — (supplier, part) totals, re-aggregated per part —
     * joined back on part; the exchange of the first feeds the second
     * (same key prefix) and the qualifying-supplier set semi-joins
-    * supplier as a broadcast. Quantities are small integers, so the
-    * double sums and the `sup·2 > part` compare are exact. */
+    * supplier (no hint — the set scales with part; AQE size-gates).
+    * Quantities are small integers, so the double sums and the
+    * `sup·2 > part` compare are exact. */
   def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val sq = t.lineitem
       .filter(col("l_shipdate") >= ts("1998-01-01") &&
         col("l_shipdate") < ts("1999-01-01"))
-      .join(broadcast(t.part.filter(col("p_type") === "SMALL")
-          .select(col("p_partkey"))),
+      .join(t.part.filter(col("p_type") === "SMALL")
+          .select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum("l_quantity").as("sup_qty"))
@@ -838,7 +849,7 @@ object Relational {
       .filter(col("sup_qty") * 2 > col("part_qty"))
       .select(col("l_suppkey"))
     t.supplier
-      .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+      .join(excess, col("s_suppkey") === col("l_suppkey"),
         "left_semi")
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_name"), col("n_name"))

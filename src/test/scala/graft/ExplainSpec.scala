@@ -24,8 +24,31 @@ class ExplainSpec extends SparkSpecBase {
   }
 
   test("q3 broadcasts the filtered dimension side") {
+    // customer carries NO hint (scales with the corpus); the size
+    // gate must still pick broadcast-hash at test SF.
     val p = plan(Relational.q3JoinTopk(spark, Sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("de-hinted part/customer joins still plan broadcast-hash at test SF") {
+    // q2/q9/q16/q17/q19/q20 dropped their broadcast() hints on
+    // filtered slices of `part` (corpus-scaling — a forced broadcast
+    // OOMs at 100 TB). AQE's size gate must keep the small-SF plan
+    // broadcast-shaped, so correctness AND local perf are unchanged;
+    // at scale the same plan degrades to a shuffle join instead of
+    // dying. PlanHygieneSpec bans re-introducing the hints.
+    val checks = Seq(
+      "q2" -> Relational.q2MinCost(spark, Sf),
+      "q9" -> Relational.q9Profit(spark, Sf),
+      "q16" -> Relational.q16SupplierCnt(spark, Sf),
+      "q17" -> Relational.q17AvgQty(spark, Sf),
+      "q19" -> Relational.q19OrPred(spark, Sf),
+      "q20" -> Relational.q20ExcessSuppliers(spark, Sf))
+    for ((name, df) <- checks) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: expected AQE to size-gate into broadcast-hash:\n$p")
+    }
   }
 
   test("q1 keeps partial (map-side) aggregation before the shuffle") {

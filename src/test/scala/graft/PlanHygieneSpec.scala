@@ -26,4 +26,37 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(offenders.isEmpty,
       s"cartesian joins in: ${offenders.mkString(", ")}")
   }
+
+  test("no query broadcast-hints a frame derived from a corpus-scaling table") {
+    // `customer` and `part` grow linearly with the corpus; a
+    // constant-selectivity filter on them still grows linearly, so a
+    // forced broadcast() of such a slice OOMs at 100 TB no matter how
+    // small it looks at test SF. This class of defect shipped twice
+    // (q8/q14 in r3, q2/q3/q9/q17/q19/q20 in r4) — this rule makes a
+    // third impossible. The one legitimate shape is a GLOBAL
+    // (ungrouped) aggregate of such a table: that is 1 row by
+    // construction at any scale (e.g. q22's avg-balance threshold),
+    // so subtrees containing an ungrouped Aggregate are exempt.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}
+    val scalingLeafCols = Set("c_custkey", "p_partkey")
+    def leavesScale(p: LogicalPlan): Boolean = p.collectLeaves().exists(
+      l => l.output.map(_.name).toSet.intersect(scalingLeafCols).nonEmpty)
+    def boundedByConstruction(p: LogicalPlan): Boolean = p.collect {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+      case g: GlobalLimit => g
+    }.nonEmpty
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val analyzed = fn(spark, Sf).queryExecution.analyzed
+        spark.catalog.clearCache()
+        val bad = analyzed.collect {
+          case h: ResolvedHint
+              if leavesScale(h.child) && !boundedByConstruction(h.child) => h
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"broadcast() on customer/part-derived frames in: ${offenders.mkString(", ")}")
+  }
 }
