@@ -7,11 +7,33 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query executes through the `noop` sink — a plain count()
   * would let Catalyst prune the aggregate/projection work and
-  * under-report. Caches are cleared between queries so operators that
-  * legitimately self-cache (dedup signature indexes) pay their own
-  * materialization cost rather than a predecessor's.
+  * under-report. For the per-query medians, caches are cleared
+  * between reps so operators that legitimately self-cache (dedup
+  * signature indexes, shared profiler samples) pay their own
+  * materialization cost rather than a predecessor's — every timed
+  * rep is a full cold execution of that operator.
+  *
+  * Two honesty signals ride along:
+  * - `loadavg_start`/`loadavg_end` (1-min /proc/loadavg) and a
+  *   per-query `queries_min` map next to the medians: a
+  *   driver-side run on a contended box then shows load ≫ cpus
+  *   and min ≪ median, making an inflated total attributable in
+  *   one read instead of triggering a regression hunt (rounds 3
+  *   and 4 each burned one on phantom regressions).
+  * - `suite_sec`: ONE sequential pass over the whole suite with
+  *   caches retained — the pipeline-shaped total where shared
+  *   derived frames ([[graft.core.PlanCache]]: dedup's postings
+  *   pair set, the profiler's bottom-k sample) are paid once and
+  *   reused. This is how the engine actually runs a query batch;
+  *   the per-query-median `value` deliberately excludes that
+  *   sharing, so the pair is the measured cost/benefit of reuse.
   */
 object Bench {
+  private def loadavg1(): String =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
+    catch { case _: Throwable => "-1" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,6 +51,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val loadStart = loadavg1()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Median-of-N steady-state timing: first execution pays one-time
       // codegen compilation (amortized to ~0 on a real cluster run), so
@@ -36,6 +59,8 @@ object Bench {
       // dropped and take the median — single-shot timings on this box
       // swing up to 3× run-to-run (GC, JIT recompiles, noisy neighbors),
       // which made round-over-round per-query comparison unattributable.
+      // min rides along: median ≫ min across many queries = a loaded
+      // box, not a regression.
       try {
         spark.catalog.clearCache()
         run(fn)
@@ -45,33 +70,59 @@ object Bench {
           run(fn)
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        name -> times(times.length / 2)
+        name -> (times(times.length / 2), times.head)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
+        name -> (-1.0, -1.0)
       }
     }
+    // pipeline-shaped suite pass: cold caches at the start, retained
+    // across queries so PlanCache-shared frames are built once
+    spark.catalog.clearCache()
+    val suiteT0 = System.nanoTime()
+    val suiteTimes = results.map { case (name, (med, _)) =>
+      if (med >= 0) {
+        val t0 = System.nanoTime()
+        try run(SparkEntry.queries(name))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] suite $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      } else name -> -1.0
+    }
+    val suiteSec = (System.nanoTime() - suiteT0) / 1e9
+    val loadEnd = loadavg1()
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + r3(med) }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + r3(mn) }
+      .mkString("{", ",", "}")
+    val qsSuite = suiteTimes.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // failures are excluded from the headline total (a -1 marker would
     // make a broken run look FASTER) and reported explicitly
-    val ok = results.filter(_._2 >= 0)
-    val failed = results.filter(_._2 < 0).map(_._1)
+    val ok = results.filter(_._2._1 >= 0)
+    val failed = results.filter(_._2._1 < 0).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = r3(ok.map(_._2).sum)
+    val total = r3(ok.map(_._2._1).sum)
+    val totalMin = r3(ok.map(_._2._2).sum)
+    val honesty =
+      s""""total_min":$totalMin,"suite_sec":${r3(suiteSec)},""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_min":$qsMin,"queries_suite":$qsSuite,""" +
         s""""sf":"$sfDir","reps":$reps,"n_ok":${ok.size},"n_failed":${failed.size},""" +
-        s""""failed":$failedJson}"""
-    // Compact summary WITHOUT the per-query map, printed LAST: the full
+        s""""failed":$failedJson,$honesty}"""
+    // Compact summary WITHOUT the per-query maps, printed LAST: the full
     // line grew to ~4.6 KB at 92 queries and the driver's bounded tail
     // capture truncated its head (BENCH_r03 parsed:null). The last line
     // always fits the tail window and is self-sufficient to parse.
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-        s""""reps":$reps,"n_ok":${ok.size},"n_failed":${failed.size},"failed":$failedJson}"""
+        s""""reps":$reps,"n_ok":${ok.size},"n_failed":${failed.size},""" +
+        s""""failed":$failedJson,$honesty}"""
     // machine-readable copy — sbt log noise around stdout made the
     // driver's parse fall back to log-fishing in round 1
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -193,26 +193,40 @@ object Profile {
       .orderBy("col_name", "bucket")
   }
 
+  /** The one bottom-k-by-hash sampled frame BOTH [[quantileProfile]]
+    * and [[madProfile]] consume: same portable row hash, same melt,
+    * same k — so computing it per caller doubles the dominant cost
+    * (a full lineitem scan + a per-row md5 pass each). Memoized per
+    * (session, dir, k) and Spark-cached: the payload is ≤ columns ×
+    * k doubles (~32 KiB), so the second consumer in a run pays an
+    * in-memory read instead of a second scan. */
+  private val sampleCache = new graft.core.PlanCache(16)
+
+  private def sampledMelt(spark: SparkSession, dir: String,
+      k: Int): DataFrame =
+    sampleCache.getOrBuild(spark, s"$dir#sample$k") {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val stackExpr = s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, value)"
+      val h = PortableHash.h60(concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string")))
+      Tables(spark, dir).lineitem
+        .withColumn("rid_h", h)
+        .select(col("rid_h"), expr(stackExpr))
+        .groupBy(col("col_name"))
+        .agg(graft.functions.BottomKSampleAgg
+          .bottomk(col("rid_h"), col("value"), k).as("samp"))
+    }
+
   def quantileProfile(spark: SparkSession, dir: String,
       k: Int = 1000): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val pcts = Seq(1, 5, 25, 50, 75, 95, 99)
-    val stackExpr = s"stack(${cols.length}, " +
-      cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, value)"
-    val h = PortableHash.h60(concat_ws("|",
-      col("l_orderkey").cast("string"), col("l_linenumber").cast("string")))
-    val sampled = Tables(spark, dir).lineitem
-      .withColumn("rid_h", h)
-      .select(col("rid_h"), expr(stackExpr))
-      .groupBy(col("col_name"))
-      .agg(graft.functions.BottomKSampleAgg
-        .bottomk(col("rid_h"), col("value"), k).as("samp"))
     val picks = pcts.map { p =>
       val idx = (floor(lit(p) / 100.0 * (size(col("samp")) - 1)) + 1)
         .cast("int")
       struct(lit(p).as("pct"), element_at(col("samp"), idx).as("value"))
     }
-    sampled
+    sampledMelt(spark, dir, k)
       .select(col("col_name"), explode(array(picks: _*)).as("q"))
       .select(col("col_name"), col("q.pct").as("pct"), col("q.value").as("value"))
       .orderBy("col_name", "pct")
@@ -230,18 +244,8 @@ object Profile {
     * corpus. */
   def madProfile(spark: SparkSession, dir: String,
       k: Int = 1000): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val stackExpr = s"stack(${cols.length}, " +
-      cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, value)"
-    val h = PortableHash.h60(concat_ws("|",
-      col("l_orderkey").cast("string"), col("l_linenumber").cast("string")))
     val medIdx = (floor(lit(0.5) * (size(col("samp")) - 1)) + 1).cast("int")
-    Tables(spark, dir).lineitem
-      .withColumn("rid_h", h)
-      .select(col("rid_h"), expr(stackExpr))
-      .groupBy(col("col_name"))
-      .agg(graft.functions.BottomKSampleAgg
-        .bottomk(col("rid_h"), col("value"), k).as("samp"))
+    sampledMelt(spark, dir, k)
       .withColumn("median", element_at(col("samp"), medIdx))
       .withColumn("devs", array_sort(
         transform(col("samp"), v => abs(v - col("median")))))
