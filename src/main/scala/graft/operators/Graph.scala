@@ -48,6 +48,32 @@ object Graph {
       .agg((lit(base) + expr(s"($Damping * sum(contrib)) div 100")).as("pr"))
       .select(col("dst").as("node"), col("pr"))
 
+  /** [[round]] plus the dangling-mass term: sink-only nodes (in-edges
+    * but no out-edges) hold rank they can't redistribute through
+    * edges; real PageRank returns that mass uniformly to every node.
+    * The per-round addition is ONE tiny job shape: a semi-join of the
+    * rank vector against the (static, checkpointed) dangling-node
+    * set feeding an ungrouped sum — a 1-row frame that rides a
+    * broadcast cross join into the per-node formula. Same integer
+    * fixed-point discipline (`div` truncation, deterministic at any
+    * partitioning): pr' = base + d·(Σcontrib + dangSum div n). */
+  private[graft] def roundDangling(edges: DataFrame, pr: DataFrame,
+      base: Long, nodes: DataFrame, dangling: DataFrame,
+      n: Long): DataFrame = {
+    val dang = pr.join(dangling, Seq("node"), "left_semi")
+      .agg(coalesce(sum(col("pr")), lit(0L)).as("dang_sum"))
+    edges
+      .join(pr.hint("shuffle_hash"), col("src") === col("node"))
+      .select(col("dst"), expr("pr div outdeg").as("contrib"))
+      .unionAll(nodes.select(col("node").as("dst"), lit(0L).as("contrib")))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("c"))
+      .crossJoin(broadcast(dang))
+      .select(col("dst").as("node"),
+        (lit(base) +
+          expr(s"($Damping * (c + (dang_sum div $n))) div 100")).as("pr"))
+  }
+
   /** Customer↔supplier trading edges: one edge per distinct
     * (customer, supplier) pair observed in orders⋈lineitem, in both
     * directions so the bipartite graph is walkable. One fact-fact
@@ -95,13 +121,15 @@ object Graph {
     pagerankOf(tradeEdges(spark, dir), iters)
 
   /** PageRank over an arbitrary (src, dst) edge set. The rank vector
-    * is seeded from — and each round restored over — the set of
-    * nodes WITH out-edges, so source-only nodes (no in-edges) keep
-    * their base rank and keep contributing every round instead of
-    * vanishing after round 1. Sink-only nodes (in-edges, no
-    * out-edges) accumulate rank but don't redistribute it — the
-    * classic dangling-mass term is out of scope and documented as
-    * such (the trading graph has none: both directions exist). */
+    * is seeded over ALL nodes (src ∪ dst) and each round restored
+    * over them via zero-contribution union rows, so source-only
+    * nodes keep contributing instead of vanishing after round 1 and
+    * sink-only nodes hold rank from the seed on. Sink-held rank is
+    * returned to the graph by the dangling-mass term
+    * ([[roundDangling]]); the dangling set is derived ONCE, and a
+    * graph without sinks (the trading graph: both edge directions
+    * exist) takes the plain [[round]] plan — no per-round dangling
+    * job, byte-identical output to the pre-dangling formulation. */
   def pagerankOf(edgeList: DataFrame, iters: Int = 5): DataFrame = {
     // one exchange builds the whole loop input: repartition by src,
     // then the out-degree rides the SAME partitioning as a window
@@ -112,11 +140,20 @@ object Graph {
       .withColumn("outdeg",
         count(lit(1)).over(Window.partitionBy(col("src"))))
       .cache()
-    // checkpointed once: every round unions these zero-seed rows, and
-    // the distinct (shuffle-free — it rides the src partitioning)
-    // should not re-run per round
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // node set = src ∪ dst, built as src-distinct (exchange-FREE — it
+    // rides the edge partitioning) + the sink-only remainder, so the
+    // only new shuffle is the dst-side distinct. Checkpointed once:
+    // every round unions the zero-seed rows.
+    val srcNodes = edges.select(col("src").as("node")).distinct()
+    // sink-only nodes: a dst but never a src. Static over the loop;
+    // empty ⇒ the dangling term is identically 0, so the plain round
+    // is VALUE-identical and cheaper (one emptiness probe here beats
+    // a no-op semi-join + broadcast in every round).
+    val dangling = edges.select(col("dst").as("node")).distinct()
+      .join(srcNodes, Seq("node"), "left_anti")
       .localCheckpoint() // materializes the edge cache
+    val nodes = srcNodes.unionAll(dangling).localCheckpoint()
+    val hasDangling = !dangling.isEmpty
     val n = nodes.count()
     val base = (Scale * 15 / 100) / n
     var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
@@ -124,7 +161,9 @@ object Graph {
       // intermediate rounds checkpoint lazily (they pipeline into the
       // final round's job); the LAST round is eager so the whole
       // chain materializes here, while the edge cache is still alive
-      pr = round(edges, pr, base, nodes).localCheckpoint(eager = i == iters)
+      pr = (if (hasDangling) roundDangling(edges, pr, base, nodes, dangling, n)
+            else round(edges, pr, base, nodes))
+        .localCheckpoint(eager = i == iters)
     }
     edges.unpersist(blocking = false)
     pr.select(col("node"), col("pr"))

@@ -73,6 +73,39 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(ranks("a") > ranks("b"), s"expected a > b: $ranks")
   }
 
+  test("pagerank: sink-only nodes redistribute dangling mass (exact mirror)") {
+    import spark.implicits._
+    // c is a pure sink (in-edges, no out-edges): without the dangling
+    // term its rank is trapped and every other node decays to base.
+    // The fixed-point arithmetic is mirrored exactly in plain Longs —
+    // same truncating `div` order — so the distributed loop must
+    // match the scalar reference bit for bit.
+    val g = Seq(("a", "c"), ("b", "c"), ("a", "b")).toDF("src", "dst")
+    val got = Graph.pagerankOf(g).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = 3L
+    val base = (Graph.Scale * 15 / 100) / n
+    var pr = Map("a" -> Graph.Scale / n, "b" -> Graph.Scale / n,
+      "c" -> Graph.Scale / n)
+    for (_ <- 1 to 5) {
+      val dangShare = pr("c") / n // c is the only dangling node
+      val contrib = Map( // a: outdeg 2, b: outdeg 1
+        "b" -> pr("a") / 2,
+        "c" -> (pr("a") / 2 + pr("b")))
+      pr = pr.keys.map(k => k ->
+        (base + (Graph.Damping * (contrib.getOrElse(k, 0L) + dangShare)) / 100))
+        .toMap
+    }
+    assert(got == pr, s"distributed $got != scalar mirror $pr")
+    // the redistribution is visible: a has NO in-edges, so anything
+    // above base can only be returned dangling mass
+    assert(got("a") > base, s"a saw no dangling mass: $got")
+    // and mass stays ≈ conserved (truncation only loses ulps)
+    val total = got.values.sum
+    assert(total > Graph.Scale * 97 / 100 && total <= Graph.Scale,
+      s"mass not conserved: $total vs ${Graph.Scale}")
+  }
+
   test("triangles: closed forms (K4, path, star, K4-plus-pendant)") {
     import spark.implicits._
     def tri(pairs: Seq[(Long, Long)]) =
