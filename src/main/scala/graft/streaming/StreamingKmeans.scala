@@ -43,6 +43,7 @@ final class StreamingKmeans(val k: Int) extends Serializable {
   private var sums: Array[Array[Long]] = _
   private var counts: Array[Long] = _
   private var cents: Array[Array[Long]] = _
+  private var lastBatchId: Long = -1L
 
   /** Quantized (2^20 fixed-point) centroids; defined after the first
     * non-empty batch. */
@@ -61,22 +62,44 @@ final class StreamingKmeans(val k: Int) extends Serializable {
       .select(col("vec_id"), col("a.cid").as("cid"), col("a.dist").as("dist"))
   }
 
-  /** One mini-batch step. Called by the foreachBatch sink; also the
-    * unit the spec's reference fold replays. */
+  /** Replay-guarded mini-batch step for the foreachBatch sink: Spark
+    * re-executes a micro-batch after a failure, and without the guard
+    * its partial sums would be credited into the cumulative state
+    * TWICE, silently corrupting every centroid (the same defect the
+    * exactly-once landing sink dedups by batchId). Monotonic ids only
+    * — a replayed or out-of-order id is a no-op. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= lastBatchId) return
+    lastBatchId = batchId
+    processBatch(batch)
+  }
+
+  /** Deterministic seed candidates: the batch's `need`
+    * smallest-portable-hash vectors. */
+  private def seedCandidates(q: DataFrame, need: Int): Array[Array[Long]] =
+    q.withColumn("h", PortableHash.h60(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(need)
+      .select(col("q"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+
+  /** One mini-batch step, unguarded. The unit the spec's reference
+    * fold replays; stream sinks go through the batchId overload. */
   def processBatch(batch: DataFrame): Unit = {
     val q = Cluster.quantized(batch)
     if (cents == null) {
-      val seeds = q
-        .withColumn("h", PortableHash.h60(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id"))
-        .limit(k)
-        .select(col("q"))
-        .collect()
-        .map(_.getSeq[Long](0).toArray)
+      val seeds = seedCandidates(q, k)
       if (seeds.isEmpty) return // empty first batch: stay unseeded
       cents = seeds
       sums = Array.fill(k)(new Array[Long](seeds.head.length))
       counts = new Array[Long](k)
+    } else if (cents.length < k) {
+      // a first batch smaller than k would otherwise cap the model
+      // below k forever: top up unseeded centers from later batches
+      // until all k exist (their sums/counts slots are already sized
+      // k and still zero)
+      cents = cents ++ seedCandidates(q, k - cents.length)
     }
     val parts = q
       .withColumn("a", Cluster.assignCol(col("q"), cents))
@@ -90,7 +113,7 @@ final class StreamingKmeans(val k: Int) extends Serializable {
       if (d == 0) counts(c) += r.getLong(3)
     }
     var c = 0
-    while (c < k) {
+    while (c < cents.length) {
       if (counts(c) > 0L) {
         var d = 0
         while (d < cents(c).length) {
@@ -121,8 +144,8 @@ object StreamingKmeans {
   def fit(model: StreamingKmeans, embeddings: DataFrame): StreamingQuery =
     embeddings.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        model.processBatch(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        model.processBatch(batch, batchId)
       }
       .start()
 }

@@ -695,6 +695,72 @@ object Streams {
       .toDF()
   }
 
+  /** One matched error row — same shape as the batch
+    * [[graft.operators.Events.qAsofJoin]] output. */
+  final case class AsofMatch(error_id: Long, user_id: Long,
+      last_purchase_id: Option[Long])
+
+  /** Streaming as-of state (public: the state encoder's generated
+    * code instantiates it reflectively): the id of the latest SEALED
+    * purchase (-1 = none yet), plus the not-yet-sealed
+    * (ts_us, side, id) rows. `pending` is bounded by the watermark
+    * horizon (≲ 2 h of one user's purchase/error events), so
+    * steady-state state is O(1) per user however long the stream. */
+  final case class AsofState(lastPurchase: Long,
+      pending: List[(Long, Int, Long)])
+
+  /** Streaming twin of q_asof_join: each error enriched with the
+    * user's most recent purchase at-or-before it. The batch shape is
+    * a union + carry-forward window; no built-in streaming operator
+    * expresses "latest earlier row from the other stream", so this is
+    * the stateful tier: per-user buffered rows seal once the
+    * watermark passes their event time (no earlier purchase can
+    * still arrive under the watermark contract), and sealed rows
+    * replay the EXACT batch order — (ts, side, id), purchases before
+    * errors on ties — through the carried last-purchase register.
+    * The final drain's no-data batch fires the event-time timeout
+    * that seals rows reached by the last watermark advance; each
+    * user's open tail stays in state, like the stateful sessionizer.
+    */
+  def asofStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("purchase", "error"))
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
+        col("event_id"), col("ts"))
+      .as[(Long, Long, Int, Long, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Int, Long, java.sql.Timestamp)],
+            st: GroupState[AsofState]) =>
+          val wmMs = st.getCurrentWatermarkMs()
+          val prev = st.getOption.getOrElse(AsofState(-1L, Nil))
+          val all = prev.pending ++ rows.map(r => (r._2, r._3, r._4))
+          // sealed ⇔ event time ≤ watermark: the watermark promises no
+          // more rows at-or-before it, so the carry-forward register
+          // over the sealed prefix is final
+          val (ripe, open) = all.partition(_._1 / 1000L <= wmMs)
+          var last = prev.lastPurchase
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+          ripe.sorted.foreach { case (_, side, id) =>
+            if (side == 0) last = id
+            else out += AsofMatch(id, uid, if (last < 0) None else Some(last))
+          }
+          // lastPurchase persists even with nothing pending: a future
+          // error still matches a long-ago purchase
+          st.update(AsofState(last, open))
+          if (open.nonEmpty)
+            st.setTimeoutTimestamp(
+              math.max(open.map(_._1).min / 1000L, wmMs + 1))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Run any of the above to completion against a static input and
     * return the final answer via a memory sink (the spec/demo driver:
     * processAllAvailable drains the file source synchronously). */

@@ -271,6 +271,81 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.exists(_._3 == 0L), "no zero-event gap day was emitted")
   }
 
+  test("streaming as-of join emits the batch matches for every watermark-sealed error") {
+    val stream = Streams.runToMemory(
+      Streams.asofStream(spark, Streams.readEvents(spark, path)),
+      "asof_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val got = stream.collect().map(key).toSet
+    val batch = Events.qAsofJoin(spark, Sf).collect().map(key)
+    val batchSet = batch.toSet
+    // every emitted match is exactly the batch match for that error
+    got.foreach(r => assert(batchSet.contains(r), s"not a batch match: $r"))
+    // no error matched twice with different purchases
+    assert(got.toSeq.map(_._1).distinct.size == got.size,
+      "an error_id emitted more than once")
+    // coverage: every error sealed by the final watermark (max ts − 2 h,
+    // 1 s guard for the ms floor) must have emitted
+    val ev = graft.core.Tables(spark, Sf).events
+    val maxTsMs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val sealedBefore = maxTsMs - 2L * 3600 * 1000 - 1000
+    val expectedSealed = ev.filter(col("event_type") === "error" &&
+      col("ts").cast("long") * 1000 <= sealedBefore).count()
+    assert(got.size >= expectedSealed,
+      s"emitted ${got.size} < sealed $expectedSealed")
+    assert(got.nonEmpty)
+  }
+
+  test("as-of join state survives a two-batch split with checkpointed restart") {
+    import java.nio.file._
+    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType
+    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val watch = Files.createTempDirectory("graft_asof_in")
+    val ckpt = Files.createTempDirectory("graft_asof_st").toString
+    val outDir = Files.createTempDirectory("graft_asof_out").toString
+
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_asof_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, watch.resolve(name))
+    }
+
+    def runPhase(): Unit = {
+      val q = Streams.asofStream(spark,
+          Streams.readEvents(spark, watch.toString))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    runPhase()
+    stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+    runPhase() // restart: offsets + per-user pending/register recover
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val twoPhase = spark.read.parquet(outDir).collect().map(key)
+    // exactly-once: the carried purchase register recovers, so no
+    // error re-emits after the restart
+    assert(twoPhase.length == twoPhase.toSet.size,
+      "duplicate matches after restart")
+    // same final answer as a single-pass run over the full input —
+    // matches that SPAN the split (purchase in half 1, error in
+    // half 2) only work if lastPurchase survived the restart
+    val single = Streams.runToMemory(
+      Streams.asofStream(spark, Streams.readEvents(spark, path)),
+      "asof_single", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(key).toSet
+    assert(twoPhase.toSet == single,
+      s"two-phase=${twoPhase.length} single=${single.size}")
+    assert(single.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val stream = Streams.runToMemory(
       Streams.purchaseErrorJoin(Streams.readEvents(spark, path)),
@@ -527,13 +602,17 @@ class StreamingSpec extends SparkSpecBase {
       stage(raw.filter(col("ts") > cutNs), "half2.parquet")
       q.processAllAvailable()
     } finally q.stop()
-    // Update mode: the LATEST emission per type (max n_days — the
-    // memory sink keeps every refresh) is the standing verdict
-    val got = spark.table("cp_split").collect()
-      .map(r => (r.getString(0),
-        (r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          if (r.isNullAt(5)) null else r.getLong(5))))
-      .groupBy(_._1).map { case (t, rows) => t -> rows.map(_._2).maxBy(_._2) }
+    // Update mode: the LATEST emission per type (the memory sink
+    // keeps every refresh) is the standing verdict. n_days alone can
+    // TIE when the second half only adds events to already-seen
+    // calendar days, so ties break on emission order (collect index)
+    // — the later refresh wins.
+    val got = spark.table("cp_split").collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0),
+        ((r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5)), (r.getLong(2), i))) }
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.map(_._2).maxBy(_._2)._1 }
     val want = Events.qChangepoint(spark, Sf).collect()
       .map(r => r.getString(0) ->
         (r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4),
@@ -670,5 +749,34 @@ class StreamingSpec extends SparkSpecBase {
     val split = model.assign(rows.toDF("vec_id", "embedding", "label"))
       .groupBy("cid").count().collect().map(_.getLong(1)).sorted
     assert(split.toSeq == Seq(10L, 10L), s"got ${split.toSeq}")
+  }
+
+  test("streaming kmeans: replayed batchIds are no-ops; under-k seeds top up") {
+    import spark.implicits._
+    def vecs(ids: Range, base: Float) = ids.map(i =>
+      (i.toLong, Array(base, base, base, base), 0))
+      .toDF("vec_id", "embedding", "label")
+    // replay guard: applying the same batchId twice must not double-
+    // credit the cumulative sums (failure-replay semantics)
+    val m1 = new StreamingKmeans(2)
+    m1.processBatch(vecs(0 until 4, 1.0f), batchId = 0L)
+    val after = m1.centroids.map(_.toSeq).toSeq
+    m1.processBatch(vecs(0 until 4, 1.0f), batchId = 0L) // replay
+    assert(m1.centroids.map(_.toSeq).toSeq == after,
+      "replayed batch changed the model")
+    m1.processBatch(vecs(4 until 8, 3.0f), batchId = 1L) // new id applies
+    assert(m1.centroids.map(_.toSeq).toSeq != after,
+      "fresh batch did not apply")
+    // seed top-up: a 1-vector first batch must not cap a k=2 model at
+    // one center forever
+    val m2 = new StreamingKmeans(2)
+    m2.processBatch(vecs(0 until 1, -5.0f), batchId = 0L)
+    assert(m2.centroids.length == 1, "under-k first batch seeds < k")
+    m2.processBatch(vecs(1 until 3, 5.0f), batchId = 1L)
+    assert(m2.centroids.length == 2, "second batch did not top up to k")
+    val split = m2.assign(vecs(0 until 1, -5.0f)
+        .unionAll(vecs(1 until 3, 5.0f)))
+      .groupBy("cid").count().collect().map(_.getLong(1)).sorted
+    assert(split.toSeq == Seq(1L, 2L), s"blobs not separated: ${split.toSeq}")
   }
 }
