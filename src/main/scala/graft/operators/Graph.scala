@@ -118,7 +118,11 @@ object Graph {
     * Every node has out-edges (both edge directions exist), so there
     * is no dangling-mass term. */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
-    pagerankOf(tradeEdges(spark, dir), iters)
+    // assumeNoSinks: tradeEdges emits BOTH directions of every pair,
+    // so every node has out-edges by construction — skip the
+    // dangling-set derivation (a dst-distinct + anti-join + emptiness
+    // probe) that could never fire here
+    pagerankOf(tradeEdges(spark, dir), iters, assumeNoSinks = true)
 
   /** PageRank over an arbitrary (src, dst) edge set. The rank vector
     * is seeded over ALL nodes (src ∪ dst) and each round restored
@@ -129,8 +133,16 @@ object Graph {
     * ([[roundDangling]]); the dangling set is derived ONCE, and a
     * graph without sinks (the trading graph: both edge directions
     * exist) takes the plain [[round]] plan — no per-round dangling
-    * job, byte-identical output to the pre-dangling formulation. */
-  def pagerankOf(edgeList: DataFrame, iters: Int = 5): DataFrame = {
+    * job, byte-identical output to the pre-dangling formulation.
+    *
+    * `assumeNoSinks`: callers that guarantee every node has
+    * out-edges (e.g. symmetric edge sets) skip the dangling-set
+    * derivation and its emptiness probe entirely; output is
+    * byte-identical to the probe finding the set empty. A violated
+    * promise silently drops sink mass — only pass true when the
+    * edge construction proves it. */
+  def pagerankOf(edgeList: DataFrame, iters: Int = 5,
+      assumeNoSinks: Boolean = false): DataFrame = {
     // one exchange builds the whole loop input: repartition by src,
     // then the out-degree rides the SAME partitioning as a window
     // count (the GraphX-style "edge carries source degree" layout) —
@@ -148,12 +160,16 @@ object Graph {
     // sink-only nodes: a dst but never a src. Static over the loop;
     // empty ⇒ the dangling term is identically 0, so the plain round
     // is VALUE-identical and cheaper (one emptiness probe here beats
-    // a no-op semi-join + broadcast in every round).
-    val dangling = edges.select(col("dst").as("node")).distinct()
-      .join(srcNodes, Seq("node"), "left_anti")
+    // a no-op semi-join + broadcast in every round). Callers that
+    // prove no-sinks by construction skip the probe too.
+    val dangling =
+      if (assumeNoSinks) null
+      else edges.select(col("dst").as("node")).distinct()
+        .join(srcNodes, Seq("node"), "left_anti")
+        .localCheckpoint()
+    val hasDangling = dangling != null && !dangling.isEmpty
+    val nodes = (if (hasDangling) srcNodes.unionAll(dangling) else srcNodes)
       .localCheckpoint() // materializes the edge cache
-    val nodes = srcNodes.unionAll(dangling).localCheckpoint()
-    val hasDangling = !dangling.isEmpty
     val n = nodes.count()
     val base = (Scale * 15 / 100) / n
     var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
