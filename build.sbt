@@ -30,5 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on the 128 GiB box: the bench/verify JVM runs 32
+  // executor threads plus cached shared frames, and 8g left G1
+  // collecting through the cache-heavy suite pass. A/B note: bench
+  // totals on this box swing ±9% run-to-run at IDENTICAL code+config
+  // (loadavg honesty fields exist for exactly this), so the total
+  // delta is inside noise; 24g+G1 is kept for its best-observed run
+  // and the tightest spread on the iterative driver-loop queries
+  // (ParallelGC was bimodal there — components 3.8↔7.4 s — and the
+  // driver flags >2× per-query swings as regressions).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
