@@ -33,6 +33,16 @@ class BloomSpec extends SparkSpecBase {
     assert(kept < total / 2, s"bloom pruned nothing: $kept of $total")
   }
 
+  test("bloom on an empty key set: all-zero table, prefilter drops every row") {
+    // zero keys → the ungrouped pack still emits ONE row (1024 zero
+    // words), so the probe plan is unchanged and everything fails the
+    // bit test — the vacuous no-false-negative case
+    val none = hot.filter(col("c_custkey") < 0)
+    val bloom = Bloom.build(none, col("c_custkey"))
+    assert(bloom.count() == 1L, "empty build must still emit the 1-row table")
+    assert(Bloom.prefilter(orders, col("o_custkey"), bloom).count() == 0L)
+  }
+
   test("q_bloom_join equals the plain semi-join") {
     val got = Relational.qBloomJoin(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -125,6 +125,32 @@ class DedupSpec extends SparkSpecBase {
     assert(!uncapped.exists(r => r.take(2) == Seq(2L, 3L)))
   }
 
+  test("dir-level ngramJaccard: biting cap falls back to the capped plan; no-bite takes the shared fast path") {
+    // the dir-level entry decides per corpus: cap bites → full capped
+    // formulation (add-back joins); cap doesn't bite → shared cached
+    // pair base. Both must equal the Df reference.
+    val boiler = "this site uses cookies please accept our terms of service now"
+    val corpus = Seq(
+      (0L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, s"$boiler completely different words about catalyst plans"),
+      (3L, s"$boiler unrelated content discussing shuffle partitions")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_capdir").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val viaDirCapped = Dedup.ngramJaccard(spark, dir, tau = 0.6, maxDf = 3)
+      .collect().map(_.toSeq).toSet
+    val reference = Dedup.ngramJaccardDf(corpus, tau = 0.6, maxDf = 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaDirCapped == reference,
+      s"capped dir path $viaDirCapped != $reference")
+    val viaDirFast = Dedup.ngramJaccard(spark, dir, tau = 0.6, maxDf = 1000)
+      .collect().map(_.toSeq).toSet
+    assert(viaDirFast ==
+      Dedup.ngramJaccardDf(corpus, tau = 0.6).collect().map(_.toSeq).toSet)
+    assert(viaDirCapped.nonEmpty)
+  }
+
   test("components groups transitively (A~B, B~C, A!~C chain)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("d1", "d2")

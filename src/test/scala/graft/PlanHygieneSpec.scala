@@ -59,4 +59,25 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(offenders.isEmpty,
       s"broadcast() on customer/part-derived frames in: ${offenders.mkString(", ")}")
   }
+
+  test("PlanCache builds once per key and re-registers after a harness clearCache") {
+    import org.apache.spark.storage.StorageLevel
+    val pc = new graft.core.PlanCache(2)
+    var builds = 0
+    def build() = { builds += 1; spark.range(5).toDF("x") }
+    val a = pc.getOrBuild(spark, "k")(build())
+    val b = pc.getOrBuild(spark, "k")(build())
+    assert(builds == 1 && (a eq b), "second consumer must reuse the memo")
+    a.count()
+    assert(a.storageLevel != StorageLevel.NONE, "frame must be Spark-cached")
+    // Verify/Bench clear all cached data between queries — the memo
+    // must re-register (not rebuild) so sharing resumes
+    spark.catalog.clearCache()
+    assert(a.storageLevel == StorageLevel.NONE)
+    pc.getOrBuild(spark, "k")(build())
+    assert(builds == 1, "clearCache must not force a rebuild")
+    assert(a.storageLevel != StorageLevel.NONE, "hit must re-cache the frame")
+    pc.clear()
+    assert(a.storageLevel == StorageLevel.NONE, "clear() must unpersist")
+  }
 }
