@@ -160,6 +160,8 @@ object SparkEntry {
     "text_tfidf" -> ((s: SparkSession, d: String) => TextOps.textTfidf(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TextOps.textBm25(s, d)),
     "search_hybrid" -> ((s: SparkSession, d: String) => Search.hybrid(s, d)),
+    // H. sources/sinks: the per-column Avro envelope (Kafka ingest hop)
+    "avro_roundtrip" -> (graft.sources.IO.avroRoundtrip _),
   )
 
   /** Shared DuckDB CTE prefix: word-3-gram shingle sets per document —
@@ -631,6 +633,11 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    // the PLAIN projection: a hash match proves the to_avro→from_avro
+    // codec pair is value-invisible (lossless round trip) — same
+    // argument as q_salted_join below
+    "avro_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // the PLAIN join: a hash match proves the salted join is
     // value-invisible
     "q_salted_join" ->

@@ -118,9 +118,30 @@ object IO {
 
   def writeAvro(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).format(AvroProvider).save(path)
-  // NOTE: the per-column Kafka envelope (`from_avro`/`to_avro`) is NOT
-  // available in this build — the expression layer
-  // (CatalystDataToAvro/AvroDataToCatalyst) ships only in the external
-  // spark-avro module, absent from /opt/spark/jars. File-level Avro
-  // above is the full ingest surface until that jar exists.
+  // The per-column Kafka envelope (`from_avro`/`to_avro`): Spark's
+  // BUILT-IN SQL functions refuse to resolve in this build (their
+  // expressions ship only in the external spark-avro module —
+  // AVRO_NOT_LOADED by runtime probe), but the converter classes the
+  // file source itself runs rows through DO ship inside spark-sql,
+  // so [[graft.functions.AvroCodec]] provides the codec surface as
+  // custom expressions over them — real binary Avro on the wire
+  // (AvroCodecSpec decodes it with the plain org.apache.avro reader).
+
+  /** Avro envelope round trip over the documents table — the Kafka
+    * ingest-hop shape (struct → binary Avro column → struct),
+    * wired as a driver-checked query: the codec pair is
+    * value-invisible, so the oracle is the PLAIN projection and the
+    * hash match is the proof (same argument as q_salted_join /
+    * q_bloom_join). */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables(spark, dir).documents
+    val payload = struct(col("doc_id"), col("text"))
+    val schema = graft.functions.AvroCodec.schemaFor(
+      docs.select(payload.as("s")).schema("s").dataType)
+    docs.select(graft.functions.AvroCodec.to_avro(payload).as("bin"))
+      .select(graft.functions.AvroCodec.from_avro(col("bin"), schema).as("st"))
+      .select(col("st.doc_id").as("doc_id"), col("st.text").as("text"))
+      .orderBy("doc_id")
+  }
 }
