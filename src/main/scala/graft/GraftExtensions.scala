@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType}
 
-import graft.functions.{AsciiTokens, BottomKSampleAgg, CosineSimilarity,
-  CountMinAgg, HllAgg, MinHashAgg, NGramShingles, SimHashAgg, TopKFreqAgg,
-  TopKScoreAgg}
+import graft.functions.{AsciiTokens, AvroCodec, BottomKSampleAgg,
+  CosineSimilarity, CountMinAgg, HllAgg, MinHashAgg, NGramShingles,
+  SimHashAgg, TopKFreqAgg, TopKScoreAgg}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -17,9 +17,10 @@ import graft.functions.{AsciiTokens, BottomKSampleAgg, CosineSimilarity,
   * or runtime on an existing session:
   * {{{ GraftFunctions.register(spark) }}}
   * after which `SELECT cosine_sim(a, b)`,
-  * `SELECT ngram_shingles(tokens, 3)`, and the sketch/top-k
+  * `SELECT ngram_shingles(tokens, 3)`, the sketch/top-k
   * aggregates (`minhash_agg`, `simhash_agg`, `countmin_agg`,
-  * `hll_agg`, `topk_by_score`, `topk_freq`) work from plain SQL.
+  * `hll_agg`, `topk_by_score`, `topk_freq`), and the Avro codecs
+  * (`graft_to_avro`, `graft_from_avro`) work from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -134,7 +135,28 @@ object GraftFunctions {
       cosineBuilder _),
     (FunctionIdentifier("ngram_shingles"),
       new ExpressionInfo(classOf[NGramShingles].getName, "ngram_shingles"),
-      shinglesBuilder _))
+      shinglesBuilder _),
+    // graft_-prefixed: Spark reserves from_avro/to_avro for its own
+    // (unresolvable-in-this-build) registrations, and shadowing a
+    // built-in name would surprise anyone moving code between builds
+    (FunctionIdentifier("graft_to_avro"),
+      new ExpressionInfo(classOf[AvroCodec.AvroEncode].getName, "graft_to_avro"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_to_avro(struct_col)")
+        AvroCodec.AvroEncode(exprs.head)
+      }),
+    (FunctionIdentifier("graft_from_avro"),
+      new ExpressionInfo(classOf[AvroCodec.AvroDecode].getName, "graft_from_avro"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_from_avro(binary_col, json_schema)")
+        val schema = exprs(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_from_avro: schema must be a string literal, got $other")
+        }
+        AvroCodec.AvroDecode(exprs.head, schema)
+      }))
 
   /** Runtime registration on an already-created session. */
   def register(spark: SparkSession): Unit =

@@ -65,6 +65,19 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(freq == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("avro codecs round-trip from plain SQL") {
+    GraftFunctions.register(spark)
+    val schema = graft.functions.AvroCodec.schemaFor(
+      spark.sql("SELECT struct(CAST(7 AS BIGINT) AS id, 'x' AS s) AS p")
+        .schema("p").dataType)
+    val row = spark.sql(
+      s"""SELECT graft_from_avro(
+         |         graft_to_avro(struct(CAST(7 AS BIGINT) AS id, 'x' AS s)),
+         |         '${schema.replace("'", "''")}') AS st""".stripMargin)
+      .select("st.id", "st.s").head()
+    assert(row.getLong(0) == 7L && row.getString(1) == "x")
+  }
+
   test("ngram_shingles rejects a non-literal n") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
