@@ -89,11 +89,15 @@ object Bench {
     val suiteTimes = results.map { case (name, (med, _)) =>
       if (med >= 0) {
         val t0 = System.nanoTime()
-        try run(SparkEntry.queries(name))
-        catch { case e: Throwable =>
+        try { run(SparkEntry.queries(name))
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          // -1 marker, same as the medians: a partial execution's
+          // elapsed time is NOT that query's pipeline cost, and an
+          // unmarked failure would read as a (fast!) success
           System.err.println(s"[bench] suite $name failed: ${e.getMessage}")
+          name -> -1.0
         }
-        name -> (System.nanoTime() - t0) / 1e9
       } else name -> -1.0
     }
     val suiteSec = (System.nanoTime() - suiteT0) / 1e9

@@ -18,6 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * build and later consumers read executor-memory blocks.
   */
 final class PlanCache(maxEntries: Int = 16) {
+  PlanCache.register(this)
+
   private val m =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
         16, 0.75f, true) {
@@ -30,8 +32,11 @@ final class PlanCache(maxEntries: Int = 16) {
 
   /** The cached frame for `key`, building (and `.cache()`ing) it on
     * first use. The build runs OUTSIDE the monitor — plan resolution
-    * can do I/O; a racing duplicate is unpersisted, first insert
-    * wins. */
+    * can do I/O; on a racing duplicate build, first insert wins and
+    * the loser's frame is simply dropped WITHOUT unpersisting:
+    * CacheManager registrations are keyed by logical plan, not
+    * Dataset identity, so unpersisting the (value-identical) loser
+    * would silently un-cache the winner's registration too. */
   def getOrBuild(spark: SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
     val k = (spark, key)
@@ -49,8 +54,21 @@ final class PlanCache(maxEntries: Int = 16) {
       val built = build.cache()
       m.synchronized {
         val raced = m.get(k)
-        if (raced != null) { built.unpersist(false); raced }
+        if (raced != null) raced
         else { m.put(k, built); built }
+      }
+    }
+  }
+
+  /** Drop (and unpersist) entries whose key starts with `prefix` —
+    * keys embed the data directory, so this is the staleness hook
+    * for in-place rewrites (see [[Tables.invalidate]]). */
+  def invalidatePrefix(prefix: String): Unit = m.synchronized {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._2.startsWith(prefix)) {
+        e.getValue.unpersist(false); it.remove()
       }
     }
   }
@@ -59,4 +77,19 @@ final class PlanCache(maxEntries: Int = 16) {
   def clear(): Unit = m.synchronized {
     m.values.forEach(_.unpersist(false)); m.clear()
   }
+}
+
+object PlanCache {
+  // every PlanCache instance, so dir-level invalidation reaches all
+  // operator-local memos (dedup's pair base, the profiler's sample)
+  private val instances =
+    new java.util.concurrent.CopyOnWriteArrayList[PlanCache]()
+
+  private def register(pc: PlanCache): Unit = instances.add(pc)
+
+  /** Invalidate every PlanCache entry under `dirPrefix` (all
+    * instances). Called by [[Tables.invalidate]] so one hook covers
+    * both the resolved relations AND the derived-frame memos. */
+  def invalidate(dirPrefix: String): Unit =
+    instances.forEach(_.invalidatePrefix(dirPrefix))
 }

@@ -80,12 +80,22 @@ object Tables {
     }
   }
 
-  /** Drop every cached relation (all sessions, all paths). */
-  def invalidate(): Unit = cache.synchronized(cache.clear())
+  /** Drop every cached relation (all sessions, all paths), plus all
+    * [[PlanCache]] derived-frame memos. */
+  def invalidate(): Unit = {
+    cache.synchronized(cache.clear())
+    PlanCache.invalidate("")
+  }
 
   /** Drop cached relations under `dir` — call after rewriting any of
-    * its parquet tables in place so the next read re-lists files. */
-  def invalidate(dir: String): Unit = cache.synchronized {
-    cache.keySet.removeIf(_._2.startsWith(dir + "/"))
+    * its parquet tables in place so the next read re-lists files.
+    * Also drops the [[PlanCache]] derived frames built over `dir`
+    * (their keys embed it), so operator memos can't serve results
+    * from the pre-rewrite corpus. */
+  def invalidate(dir: String): Unit = {
+    cache.synchronized {
+      cache.keySet.removeIf(_._2.startsWith(dir + "/"))
+    }
+    PlanCache.invalidate(dir)
   }
 }

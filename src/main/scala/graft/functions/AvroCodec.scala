@@ -70,6 +70,17 @@ object AvroCodec {
   case class AvroDecode(child: Expression, jsonSchema: String)
       extends UnaryExpression with CodegenFallback {
     override def prettyName: String = "graft_from_avro"
+    // analysis-time type check: without it a non-binary argument
+    // resolves fine and every task then dies in a bare
+    // ClassCastException with no hint which argument was wrong
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_from_avro requires a BINARY input, got " +
+            child.dataType.catalogString)
 
     @transient private lazy val avroType: Schema =
       new Schema.Parser().parse(jsonSchema)

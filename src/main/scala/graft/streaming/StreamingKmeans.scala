@@ -67,11 +67,15 @@ final class StreamingKmeans(val k: Int) extends Serializable {
     * its partial sums would be credited into the cumulative state
     * TWICE, silently corrupting every centroid (the same defect the
     * exactly-once landing sink dedups by batchId). Monotonic ids only
-    * — a replayed or out-of-order id is a no-op. */
+    * — a replayed or out-of-order id is a no-op. The id advances
+    * AFTER the apply: a batch that throws mid-apply is retried, not
+    * silently skipped (the residual caveat is partial double-credit
+    * if the failure hit between per-partition sums landing — the
+    * far rarer window; a skipped batch loses its vectors forever). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= lastBatchId) return
-    lastBatchId = batchId
     processBatch(batch)
+    lastBatchId = batchId
   }
 
   /** Deterministic seed candidates: the batch's `need`
@@ -98,8 +102,13 @@ final class StreamingKmeans(val k: Int) extends Serializable {
       // a first batch smaller than k would otherwise cap the model
       // below k forever: top up unseeded centers from later batches
       // until all k exist (their sums/counts slots are already sized
-      // k and still zero)
+      // k and still zero). Candidates equal to an existing center
+      // are skipped — assignment ties break to the lower cid, so a
+      // duplicate seed could never win a vector and would leave a
+      // permanently dead center.
+      val have = cents.map(_.toSeq).toSet
       cents = cents ++ seedCandidates(q, k - cents.length)
+        .filter(c => !have.contains(c.toSeq))
     }
     val parts = q
       .withColumn("a", Cluster.assignCol(col("q"), cents))

@@ -742,8 +742,12 @@ object Streams {
           val all = prev.pending ++ rows.map(r => (r._2, r._3, r._4))
           // sealed ⇔ event time ≤ watermark: the watermark promises no
           // more rows at-or-before it, so the carry-forward register
-          // over the sealed prefix is final
-          val (ripe, open) = all.partition(_._1 / 1000L <= wmMs)
+          // over the sealed prefix is final. Compare in µs against the
+          // ms watermark (ts_us ≤ wmMs·1000): ms-FLOORING the event
+          // time instead would seal rows up to 999 µs PAST the
+          // watermark, whose earlier same-millisecond neighbors are
+          // not late yet and could still arrive.
+          val (ripe, open) = all.partition(_._1 <= wmMs * 1000L)
           var last = prev.lastPurchase
           val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
           ripe.sorted.foreach { case (_, side, id) =>
@@ -755,7 +759,10 @@ object Streams {
           st.update(AsofState(last, open))
           if (open.nonEmpty)
             st.setTimeoutTimestamp(
-              math.max(open.map(_._1).min / 1000L, wmMs + 1))
+              // ceil to the ms that COVERS the earliest open row —
+              // flooring could fire a timeout whose watermark still
+              // doesn't seal it, stalling until the next data batch
+              math.max((open.map(_._1).min + 999L) / 1000L, wmMs + 1))
           out.iterator
       }
       .toDF()

@@ -82,6 +82,14 @@ class AvroCodecSpec extends SparkSpecBase {
     assert(a == c)
   }
 
+  test("from_avro on a non-binary column fails at analysis, not mid-task") {
+    val schema = AvroCodec.schemaFor(payloadType)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      payload.select(AvroCodec.from_avro(col("id"), schema)).collect()
+    }
+    assert(e.getMessage.contains("BINARY"), s"unhelpful error: ${e.getMessage}")
+  }
+
   test("decode round-trips documents content at corpus scale") {
     val docs = graft.core.Tables(spark, Sf).documents
     val schema = AvroCodec.schemaFor(docs

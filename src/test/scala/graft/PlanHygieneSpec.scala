@@ -80,4 +80,17 @@ class PlanHygieneSpec extends SparkSpecBase {
     pc.clear()
     assert(a.storageLevel == StorageLevel.NONE, "clear() must unpersist")
   }
+
+  test("Tables.invalidate(dir) drops PlanCache entries built over that dir") {
+    val pc = new graft.core.PlanCache(4)
+    var builds = 0
+    def build() = { builds += 1; spark.range(3).toDF("x") }
+    pc.getOrBuild(spark, "/some/dir#grams")(build())
+    pc.getOrBuild(spark, "/other/dir#grams")(build())
+    graft.core.Tables.invalidate("/some/dir")
+    pc.getOrBuild(spark, "/some/dir#grams")(build())
+    assert(builds == 3, "invalidated-dir entry must rebuild")
+    pc.getOrBuild(spark, "/other/dir#grams")(build())
+    assert(builds == 3, "other dirs must keep their memo")
+  }
 }
