@@ -105,6 +105,7 @@ object SparkEntry {
     "profile_histogram" -> ((s, d) => Profile.histogramProfile(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "graph_triangles" -> (Graph.supplierTriangles _),
+    "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
     // maxDf passed explicitly: the 100 TB operating configuration of
@@ -1201,6 +1202,28 @@ object SparkEntry {
                SELECT b FROM t UNION ALL SELECT c FROM t)
          SELECT suppkey, count(*) AS n_tri FROM n
          GROUP BY suppkey ORDER BY suppkey""",
+    // same co-supply edge derivation as graph_triangles, then a
+    // recursive-CTE transitive closure labels each supplier with the
+    // min reachable suppkey — the oracle for the generic min-label
+    // propagation loop on its second input (reach is bounded by
+    // |component|² rows, fine at the gate SF)
+    "graph_components" ->
+      """WITH RECURSIVE sl AS (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+                FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         edges AS (SELECT u AS a, v AS b FROM e0
+                   UNION SELECT v, u FROM e0),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (
+           SELECT a AS suppkey, least(a, min(b)) AS component
+           FROM reach GROUP BY a)
+         SELECT suppkey, component FROM comp ORDER BY suppkey""",
     // the PLAIN semi-join: a hash match proves the bloom prefilter is
     // value-invisible (no false negatives; false positives removed by
     // the exact join)

@@ -106,6 +106,9 @@ object AvroCodec {
       deserialize(reader.read(null, decoder)) match {
         case Some(r: org.apache.spark.sql.catalyst.InternalRow) => r.copy()
         case Some(a: org.apache.spark.sql.catalyst.util.ArrayData) => a.copy()
+        // top-level map / string schemas recycle buffers the same way
+        case Some(m: org.apache.spark.sql.catalyst.util.MapData) => m.copy()
+        case Some(s: org.apache.spark.unsafe.types.UTF8String) => s.clone()
         case Some(x) => x
         case None => null
       }

@@ -95,7 +95,15 @@ object Dedup {
     * entry passes `maxDf = 1000` explicitly — the 100 TB operating
     * configuration, bit-identical to uncapped on this corpus (max
     * shingle df 25 at sf0.1; DedupSpec proves equality both here and
-    * on a crafted boilerplate corpus with real drops). */
+    * on a crafted boilerplate corpus with real drops).
+    *
+    * CONTRACT: when `maxDf > 0`, *constructing* the returned frame
+    * runs one bounded Spark job (a single aggregate over the cached
+    * postings) to decide whether the cap actually bites — i.e. this
+    * method is not purely lazy. The probe is what buys the shared
+    * exact-pair fast path below; callers building plans on a hot
+    * driver path should call [[ngramJaccardDf]] directly, which is
+    * fully lazy and always pays the capped formulation. */
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.1,
       maxDf: Long = 0): DataFrame = {
     // fast path through the shared pair base: when the cap doesn't

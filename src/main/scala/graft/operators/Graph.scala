@@ -208,23 +208,30 @@ object Graph {
          |  transform(slice(${xs.toString}, i + 2, size(${xs.toString})),
          |            y -> struct(x AS u, y AS v))))""".stripMargin))
 
+  // triangles and components both consume the same derived edge set;
+  // in a pipeline-shaped run (bench suite pass, a user session) the
+  // 2-exchange derivation is paid once — same sharing discipline as
+  // dedup's postings pair base
+  private val shared = new graft.core.PlanCache(4)
+
   private[graft] def coSupplyEdges(spark: SparkSession, dir: String,
-      minOrders: Int = 5): DataFrame = {
-    // one shuffle to per-order supplier sets (collect_set partials are
-    // bounded by suppliers-per-order, a schema constant ~7 — NOT by
-    // line volume), pairs exploded map-side after it, one shuffle to
-    // pair counts: 2 exchanges where distinct + self-join + groupBy
-    // spent 4, and the wide pair set never crosses the wire unkeyed
-    val byOrder = Tables(spark, dir).lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-    byOrder.select(arrayPairs(col("ss")).as("p"))
-      .select(col("p.u"), col("p.v"))
-      .groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minOrders)
-      .select(col("u"), col("v"))
-  }
+      minOrders: Int = 5): DataFrame =
+    shared.getOrBuild(spark, s"$dir#cosupply$minOrders") {
+      // one shuffle to per-order supplier sets (collect_set partials are
+      // bounded by suppliers-per-order, a schema constant ~7 — NOT by
+      // line volume), pairs exploded map-side after it, one shuffle to
+      // pair counts: 2 exchanges where distinct + self-join + groupBy
+      // spent 4, and the wide pair set never crosses the wire unkeyed
+      val byOrder = Tables(spark, dir).lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+      byOrder.select(arrayPairs(col("ss")).as("p"))
+        .select(col("p.u"), col("p.v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= minOrders)
+        .select(col("u"), col("v"))
+    }
 
   /** Per-node triangle counts via degree-ordered wedge closure — the
     * compact-forward algorithm, the one that survives skew at scale:
@@ -276,6 +283,22 @@ object Graph {
     * supplier — the classic clustering/community signal. */
   def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOf(coSupplyEdges(spark, dir))
+
+  /** Connected components of the strong-tie supplier graph — trading
+    * communities: suppliers linked (transitively) by ≥ `minOrders`
+    * co-supplied orders share a component, labeled by the component's
+    * min suppkey. Reuses [[Dedup.components]]' min-label-propagation
+    * loop verbatim (one shuffle + one job per round, Σ-label
+    * convergence, per-round lineage truncation) on a second,
+    * independently-derived edge set — the generic-API path: any
+    * (d1, d2) pair frame clusters through the same loop. Nodes with
+    * no strong tie have no component (same contract as dedup —
+    * singleton handling is the caller's join-back). */
+  def supplierComponents(spark: SparkSession, dir: String,
+      minOrders: Int = 5): DataFrame =
+    Dedup.components(coSupplyEdges(spark, dir, minOrders)
+        .select(col("u").as("d1"), col("v").as("d2")))
+      .select(col("doc_id").as("suppkey"), col("component"))
 
   /** k-core of the customer–supplier trading graph: iteratively peel
     * every node with (current) degree < k until the remaining

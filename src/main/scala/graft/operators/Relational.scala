@@ -85,7 +85,7 @@ object Relational {
       .join(t.orders.filter(col("o_orderdate") >= ts("1996-01-01") &&
           col("o_orderdate") < ts("1997-01-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(t.customer, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
@@ -326,7 +326,7 @@ object Relational {
     t.lineitem.filter(col("l_shipdate") >= ts("1997-01-01") &&
         col("l_shipdate") < ts("1998-01-01"))
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
@@ -485,7 +485,11 @@ object Relational {
     graft.functions.Bloom.prefilter(t.orders, col("o_custkey"), bloom)
       .join(hot, col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey"), col("o_custkey"))
-      .orderBy("o_orderkey")
+      // per-partition order only: the full match set scales with the
+      // corpus, so a global orderBy would funnel it through one range
+      // exchange purely for presentation; the driver's hash compare
+      // re-sorts rows, so ordering carries no correctness weight
+      .sortWithinPartitions("o_orderkey")
   }
 
   /** TPC-H Q15 shape (top supplier): revenue per supplier over a
@@ -503,7 +507,7 @@ object Relational {
         .cast("long")).as("rev_cents"))
     val top = rev.agg(max("rev_cents").as("max_cents"))
     rev.join(broadcast(top), col("rev_cents") === col("max_cents"))
-      .join(broadcast(Tables(spark, dir).supplier),
+      .join(Tables(spark, dir).supplier,
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         (col("rev_cents") / 100.0).as("total_revenue"))
@@ -655,9 +659,10 @@ object Relational {
     * charged in lineitem, in exact cents. The correlated `= (SELECT
     * min ...)` becomes a groupBy-min + equi-join on (part, cost) —
     * aggregation-shaped, not window-shaped, so map-side partial mins
-    * apply and nothing funnels. Supplier⋈nation⋈region is broadcast
-    * (bounded); the part slice and the per-part minima scale with the
-    * corpus, so they carry no hint — AQE size-gates those joins. */
+    * apply and nothing funnels. Only nation⋈region carry hints (25/5
+    * rows, fixed at any SF); supplier — and therefore the EU slice —
+    * scales linearly with the corpus (10×/SF in the testdata), so it
+    * carries no hint — AQE size-gates those joins. */
   def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     // the candidate-part semi-join runs BEFORE the (part, supplier)
@@ -676,7 +681,7 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
     val cand = supply
-      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .join(eu, col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("s_name"), col("s_acctbal"),
         col("n_name"), col("cost_cents"))
     val best = cand.groupBy(col("p_partkey").as("bp"))
@@ -693,13 +698,13 @@ object Relational {
   /** TPC-H Q8 shape (national market share): of AMERICA customers'
     * STANDARD-part purchase volume in 1995–96, the share supplied by
     * NATION_5, per year. One fact-fact shuffle (lineitem⋈orders);
-    * the FIXED-size dimensions (nation ×2, region) and supplier
-    * (~100s of MB even at 100 TB) carry broadcast hints. `customer`
-    * and the part subset do NOT — both scale linearly with the corpus
-    * (multi-GB at 100 TB), so those joins are left to AQE's size
-    * gate: broadcast-hash at test SFs, shuffle join at scale instead
-    * of an OOM. Volumes are exact cents; the final share is one
-    * double division per year-group. */
+    * only the FIXED-size dimensions (nation ×2, region) carry
+    * broadcast hints. `customer`, `supplier`, and the part subset do
+    * NOT — all three scale linearly with the corpus (10×/SF in the
+    * testdata; multi-GB at 100 TB), so those joins are left to AQE's
+    * size gate: broadcast-hash at test SFs, shuffle join at scale
+    * instead of an OOM. Volumes are exact cents; the final share is
+    * one double division per year-group. */
   def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val volCents =
@@ -714,7 +719,7 @@ object Relational {
         col("c_nationkey") === col("n1.n_nationkey"))
       .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
         col("n1.n_regionkey") === col("r_regionkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation.as("n2")),
         col("s_nationkey") === col("n2.n_nationkey"))
       .join(t.part.filter(col("p_type") === "STANDARD")
@@ -746,7 +751,7 @@ object Relational {
       .join(t.part.filter(col("p_name").contains("red"))
           .select(col("p_partkey"), col("p_retailprice")),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
@@ -771,7 +776,7 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val v = t.lineitem
-      .join(broadcast(n3supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(n3supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
         .as("val_cents"))
@@ -803,8 +808,9 @@ object Relational {
 
   /** TPC-H Q16 shape (supplier count by part attributes): distinct
     * suppliers per (brand, type, size) over a part filter, excluding
-    * negative-balance suppliers (the `NOT IN` becomes a broadcast
-    * anti join — s_suppkey is non-null so the semantics coincide).
+    * negative-balance suppliers (the `NOT IN` becomes an anti join —
+    * s_suppkey is non-null so the semantics coincide; no hint, since
+    * the bad-supplier set scales with supplier, i.e. the corpus).
     * Supplier history comes from lineitem (no `partsupp`); the
     * distinct-count shuffles once on the 3-part group key. */
   def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
@@ -816,7 +822,7 @@ object Relational {
     val badSupp = t.supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     t.lineitem
       .join(parts, col("l_partkey") === col("p_partkey"))
-      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"),
         "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -882,7 +888,7 @@ object Relational {
           col("l1.l_suppkey") =!= col("l3.l_suppkey") &&
           col("l3.l_shipdate") >= col("l1.l_shipdate"), "left_anti")
     strictlyLatest
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

@@ -105,10 +105,17 @@ final class StreamingKmeans(val k: Int) extends Serializable {
       // k and still zero). Candidates equal to an existing center
       // are skipped — assignment ties break to the lower cid, so a
       // duplicate seed could never win a vector and would leave a
-      // permanently dead center.
-      val have = cents.map(_.toSeq).toSet
-      cents = cents ++ seedCandidates(q, k - cents.length)
-        .filter(c => !have.contains(c.toSeq))
+      // permanently dead center. The fold threads `have` through the
+      // candidate list itself: two identical quantized vectors inside
+      // ONE top-up batch must not both seed (the second would be the
+      // same dead duplicate the pre-existing check guards against).
+      var have = cents.map(_.toSeq).toSet
+      seedCandidates(q, k - cents.length).foreach { c =>
+        if (cents.length < k && !have.contains(c.toSeq)) {
+          cents = cents :+ c
+          have = have + c.toSeq
+        }
+      }
     }
     val parts = q
       .withColumn("a", Cluster.assignCol(col("q"), cents))

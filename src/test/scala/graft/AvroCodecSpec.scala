@@ -90,6 +90,41 @@ class AvroCodecSpec extends SparkSpecBase {
     assert(e.getMessage.contains("BINARY"), s"unhelpful error: ${e.getMessage}")
   }
 
+  test("top-level map and string schemas round-trip without buffer clobber") {
+    // the deserializer recycles internal buffers; non-struct top-level
+    // results (MapData, UTF8String) must be copied in nullSafeEval or
+    // a later row's decode clobbers an earlier returned value — the
+    // multi-row collect here would surface exactly that
+    import spark.implicits._
+    val maps = Seq(
+      (1L, Map("a" -> 1L, "b" -> 2L)),
+      (2L, Map("x" -> 9L)),
+      (3L, Map.empty[String, Long])
+    ).toDF("id", "m")
+    val mapType = maps.schema("m").dataType
+    // nullable = true: toDF columns are nullable, and the encoder
+    // derives the union layout from child nullability — the reader
+    // schema must match it exactly (see schemaFor's doc)
+    val mapSchema = AvroCodec.schemaFor(mapType, nullable = true)
+    val gotMaps = maps
+      .select(col("id"), AvroCodec.from_avro(
+        AvroCodec.to_avro(col("m")), mapSchema).as("m2"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getMap[String, Long](1).toMap))
+    assert(gotMaps.toSeq == Seq(
+      (1L, Map("a" -> 1L, "b" -> 2L)), (2L, Map("x" -> 9L)),
+      (3L, Map.empty[String, Long])))
+    val strs = Seq((1L, "first"), (2L, "second"), (3L, "third"))
+      .toDF("id", "s")
+    val strSchema = AvroCodec.schemaFor(strs.schema("s").dataType,
+      nullable = true)
+    val gotStrs = strs
+      .select(col("id"), AvroCodec.from_avro(
+        AvroCodec.to_avro(col("s")), strSchema).as("s2"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(gotStrs.toSeq == Seq((1L, "first"), (2L, "second"), (3L, "third")))
+  }
+
   test("decode round-trips documents content at corpus scale") {
     val docs = graft.core.Tables(spark, Sf).documents
     val schema = AvroCodec.schemaFor(docs

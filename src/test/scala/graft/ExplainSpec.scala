@@ -30,20 +30,27 @@ class ExplainSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
   }
 
-  test("de-hinted part/customer joins still plan broadcast-hash at test SF") {
+  test("de-hinted part/customer/supplier joins still plan broadcast-hash at test SF") {
     // q2/q9/q16/q17/q19/q20 dropped their broadcast() hints on
-    // filtered slices of `part` (corpus-scaling — a forced broadcast
-    // OOMs at 100 TB). AQE's size gate must keep the small-SF plan
-    // broadcast-shaped, so correctness AND local perf are unchanged;
-    // at scale the same plan degrades to a shuffle join instead of
-    // dying. PlanHygieneSpec bans re-introducing the hints.
+    // filtered slices of `part` (r4), and r6 dropped the nine
+    // supplier/supplier-derived hints (q2's eu, q5, q7, q8, q9, q11's
+    // n3supp, q15, q16's badSupp, q21) — all corpus-scaling, where a
+    // forced broadcast OOMs at 100 TB. AQE's size gate must keep the
+    // small-SF plan broadcast-shaped, so correctness AND local perf
+    // are unchanged; at scale the same plan degrades to a shuffle
+    // join instead of dying. PlanHygieneSpec bans re-introducing the
+    // hints (scalingLeafCols covers c_custkey/p_partkey/s_suppkey).
     val checks = Seq(
       "q2" -> Relational.q2MinCost(spark, Sf),
+      "q7" -> Relational.q7NationVolume(spark, Sf),
       "q9" -> Relational.q9Profit(spark, Sf),
+      "q11" -> Relational.q11ImportantParts(spark, Sf),
+      "q15" -> Relational.q15TopSupplier(spark, Sf),
       "q16" -> Relational.q16SupplierCnt(spark, Sf),
       "q17" -> Relational.q17AvgQty(spark, Sf),
       "q19" -> Relational.q19OrPred(spark, Sf),
-      "q20" -> Relational.q20ExcessSuppliers(spark, Sf))
+      "q20" -> Relational.q20ExcessSuppliers(spark, Sf),
+      "q21" -> Relational.q21Waiting(spark, Sf))
     for ((name, df) <- checks) {
       val p = plan(df)
       assert(p.contains("BroadcastHashJoin"),

@@ -123,6 +123,37 @@ class GraphProfileSpec extends SparkSpecBase {
       Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("co-supply edge derivation is memoized across its consumers") {
+    // triangles and components both consume coSupplyEdges; in one
+    // process the 2-exchange derivation must build once (PlanCache) —
+    // reference equality is the memo's contract, and the cached frame
+    // is what makes the suite-pass pipeline shape cheap
+    val e1 = Graph.coSupplyEdges(spark, Sf)
+    val e2 = Graph.coSupplyEdges(spark, Sf)
+    assert(e1 eq e2, "coSupplyEdges must return the memoized frame")
+    // a different threshold is a different edge set — distinct key
+    assert(!(Graph.coSupplyEdges(spark, Sf, minOrders = 7) eq e1))
+  }
+
+  test("components: edge endpoints co-labeled, labels are group minima") {
+    // supplierComponents = the generic Dedup.components loop on the
+    // co-supply edge set; on the real graph assert the two invariants
+    // that define a correct min-labeling (the loop's convergence and
+    // closed forms are covered in DedupSpec on crafted pair sets)
+    val comp = Graph.supplierComponents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty, "strong-tie graph should be non-empty at test SF")
+    val edges = graft.operators.Graph.coSupplyEdges(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (u, v) =>
+      assert(comp(u) == comp(v), s"edge ($u,$v) split across components")
+    }
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label,
+        s"component $label not labeled by its min member")
+    }
+  }
+
   test("triangles: count invariant under partitioning and matches the id-ordered formula") {
     // the sf graph through the real operator vs the naive id-ordered
     // 3-way join — orientation must not change the census

@@ -28,18 +28,22 @@ class PlanHygieneSpec extends SparkSpecBase {
   }
 
   test("no query broadcast-hints a frame derived from a corpus-scaling table") {
-    // `customer` and `part` grow linearly with the corpus; a
+    // `customer`, `part`, and `supplier` grow linearly with the corpus
+    // (10×/SF in the driver's testdata: customer 150→15000, part
+    // 200→20000, supplier 10→1000 across sf0.001/0.01/0.1); a
     // constant-selectivity filter on them still grows linearly, so a
     // forced broadcast() of such a slice OOMs at 100 TB no matter how
-    // small it looks at test SF. This class of defect shipped twice
-    // (q8/q14 in r3, q2/q3/q9/q17/q19/q20 in r4) — this rule makes a
-    // third impossible. The one legitimate shape is a GLOBAL
-    // (ungrouped) aggregate of such a table: that is 1 row by
-    // construction at any scale (e.g. q22's avg-balance threshold),
-    // so subtrees containing an ungrouped Aggregate are exempt.
+    // small it looks at test SF. This class of defect shipped three
+    // times (q8/q14 in r3, q2/q3/q9/q17/q19/q20 in r4, nine
+    // supplier-derived hints through r5) — this rule makes a fourth
+    // impossible. The one legitimate shape is a GLOBAL (ungrouped)
+    // aggregate of such a table: that is 1 row by construction at any
+    // scale (e.g. q22's avg-balance threshold), so subtrees containing
+    // an ungrouped Aggregate are exempt. Only nation (25) and region
+    // (5) are fixed-size and hintable.
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}
-    val scalingLeafCols = Set("c_custkey", "p_partkey")
+    val scalingLeafCols = Set("c_custkey", "p_partkey", "s_suppkey")
     def leavesScale(p: LogicalPlan): Boolean = p.collectLeaves().exists(
       l => l.output.map(_.name).toSet.intersect(scalingLeafCols).nonEmpty)
     def boundedByConstruction(p: LogicalPlan): Boolean = p.collect {
@@ -57,7 +61,7 @@ class PlanHygieneSpec extends SparkSpecBase {
         if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
-      s"broadcast() on customer/part-derived frames in: ${offenders.mkString(", ")}")
+      s"broadcast() on customer/part/supplier-derived frames in: ${offenders.mkString(", ")}")
   }
 
   test("PlanCache builds once per key and re-registers after a harness clearCache") {

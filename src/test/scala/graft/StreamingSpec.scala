@@ -778,5 +778,19 @@ class StreamingSpec extends SparkSpecBase {
         .unionAll(vecs(1 until 3, 5.0f)))
       .groupBy("cid").count().collect().map(_.getLong(1)).sorted
     assert(split.toSeq == Seq(1L, 2L), s"blobs not separated: ${split.toSeq}")
+    // top-up dedupe WITHIN one batch: two identical quantized vectors
+    // arriving in the same top-up batch must seed only one center —
+    // assignment ties break to the lower cid, so a duplicate center
+    // could never win a vector and would be a permanently dead slot
+    val m3 = new StreamingKmeans(3)
+    m3.processBatch(vecs(0 until 1, -5.0f), batchId = 0L)
+    m3.processBatch(vecs(1 until 3, 5.0f), batchId = 1L) // identical pair
+    assert(m3.centroids.map(_.toSeq).distinct.length == m3.centroids.length,
+      s"duplicate centers seeded: ${m3.centroids.map(_.toSeq).toSeq}")
+    assert(m3.centroids.length == 2,
+      "identical top-up candidates must collapse to one center")
+    m3.processBatch(vecs(3 until 4, 9.0f), batchId = 2L)
+    assert(m3.centroids.length == 3,
+      "a later distinct batch must finish the top-up to k")
   }
 }
