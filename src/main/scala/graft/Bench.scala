@@ -42,6 +42,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive parquet timestamps read as LTZ (pre-Spark-4 behavior):
+      // the driver's testdata encodes ts/o_orderdate/l_shipdate as
+      // timestamp[us] without a zone, and the UTC session makes the
+      // LTZ reading value-identical to DuckDB's naive interpretation
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

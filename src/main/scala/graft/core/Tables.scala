@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Schema-typed readers over the driver-generated parquet tables.
   *
@@ -18,21 +18,35 @@ final case class Tables(spark: SparkSession, dir: String) {
   def customer: DataFrame   = t("customer")
   def supplier: DataFrame   = t("supplier")
   def part: DataFrame       = t("part")
-  def orders: DataFrame     = t("orders")
-  def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is nanosecond-precision in parquet, which Spark 4
-    * rejects as a timestamp; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and this reader
-    * truncates nanos → micros (identical to Spark's own ns handling)
-    * so downstream code always sees a TimestampType `ts`. */
+  def orders: DataFrame     = ltz(t("orders"), "o_orderdate")
+  def lineitem: DataFrame   = ltz(t("lineitem"), "l_shipdate")
+  /** The driver's `events.ts` encoding has varied across testdata
+    * generations — int64 nanoseconds (read as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), then naive
+    * `timestamp[us]` (read as TIMESTAMP_NTZ unless the session sets
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false`). This reader
+    * normalizes every variant to a session-local TimestampType `ts`
+    * (sessions run UTC, so the NTZ→LTZ cast is value-preserving and
+    * matches DuckDB's naive-timestamp epoch), so downstream code is
+    * insulated from the file encoding. */
   def events: DataFrame = {
     val raw = t("events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
-      case _ => raw
+      case _ => ltz(raw, "ts")
     }
   }
+  /** NTZ → session-local timestamp (identity when the session reads
+    * naive parquet timestamps as LTZ already). All sessions pin
+    * `spark.sql.session.timeZone=UTC`, so the cast preserves the
+    * literal field values — `cast(ts as double)`, `unix_timestamp`,
+    * and streaming watermarks then work uniformly. */
+  private def ltz(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _                => df
+    }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -19,23 +19,35 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** The on-disk events schema (`ts` is a nanos long under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`). */
+  /** The events schema with `ts` already a session-local timestamp —
+    * what every stream op below consumes. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over an events parquet path, nanos → micros
-    * timestamp normalization matching [[graft.core.Tables.events]]. */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  /** File-source stream over an events parquet path. A file stream
+    * needs its schema declared up front, and the driver's testdata has
+    * encoded `ts` three ways across generations (int64 nanos, naive
+    * timestamp[us] → NTZ, zoned timestamp[us] → LTZ) — so probe the
+    * existing footers with a one-off batch read and normalize to the
+    * session-local TimestampType of [[eventsSchema]], mirroring
+    * [[graft.core.Tables.events]]. The probe is a footer/listing read
+    * only (no data scan) and happens once at stream construction. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val onDisk = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(onDisk).parquet(path)
+    onDisk("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Streaming twin of q_event_window: hourly tumbling windows with a
     * 2-hour watermark. */

@@ -16,6 +16,11 @@ trait SparkSpecBase extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive parquet timestamps read as LTZ (pre-Spark-4 behavior):
+      // the driver's testdata encodes ts/o_orderdate/l_shipdate as
+      // timestamp[us] without a zone, and the UTC session makes the
+      // LTZ reading value-identical to DuckDB's naive interpretation
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -148,8 +148,8 @@ class StreamingSpec extends SparkSpecBase {
 
   test("sessionizer state survives a checkpointed restart (two-phase ingest)") {
     import java.nio.file._
-    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType (nanosAsLong)
-    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val raw = graft.core.Tables(spark, Sf).events // ts normalized to TimestampType
+    val cutUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
     val watch = Files.createTempDirectory("graft_ckpt_in")
     val ckpt = Files.createTempDirectory("graft_ckpt_st").toString
     val outDir = Files.createTempDirectory("graft_ckpt_out").toString
@@ -171,9 +171,9 @@ class StreamingSpec extends SparkSpecBase {
       try q.processAllAvailable() finally q.stop()
     }
 
-    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half1.parquet")
     runPhase()
-    stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half2.parquet")
     runPhase() // restart from checkpoint: file-source offsets + session state recover
 
     val twoPhase = spark.read.parquet(outDir).collect()
@@ -192,8 +192,8 @@ class StreamingSpec extends SparkSpecBase {
 
   test("gap-fill state survives a checkpointed restart (two-phase ingest)") {
     import java.nio.file._
-    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType (nanosAsLong)
-    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val raw = graft.core.Tables(spark, Sf).events // ts normalized to TimestampType
+    val cutUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
     val watch = Files.createTempDirectory("graft_gf_ckpt_in")
     val ckpt = Files.createTempDirectory("graft_gf_ckpt_st").toString
     val outDir = Files.createTempDirectory("graft_gf_ckpt_out").toString
@@ -215,9 +215,9 @@ class StreamingSpec extends SparkSpecBase {
       try q.processAllAvailable() finally q.stop()
     }
 
-    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half1.parquet")
     runPhase()
-    stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half2.parquet")
     runPhase() // restart: offsets + per-user day state recover
 
     val twoPhase = spark.read.parquet(outDir).collect()
@@ -299,8 +299,8 @@ class StreamingSpec extends SparkSpecBase {
 
   test("as-of join state survives a two-batch split with checkpointed restart") {
     import java.nio.file._
-    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType
-    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val raw = graft.core.Tables(spark, Sf).events // ts normalized to TimestampType
+    val cutUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
     val watch = Files.createTempDirectory("graft_asof_in")
     val ckpt = Files.createTempDirectory("graft_asof_st").toString
     val outDir = Files.createTempDirectory("graft_asof_out").toString
@@ -322,9 +322,9 @@ class StreamingSpec extends SparkSpecBase {
       try q.processAllAvailable() finally q.stop()
     }
 
-    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half1.parquet")
     runPhase()
-    stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+    stage(raw.filter(unix_micros(col("ts")) > cutUs), "half2.parquet")
     runPhase() // restart: offsets + per-user pending/register recover
 
     def key(r: org.apache.spark.sql.Row) =
@@ -544,8 +544,8 @@ class StreamingSpec extends SparkSpecBase {
 
   test("streaming markov transitions equal the batch lead window across a batch split") {
     import java.nio.file._
-    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType
-    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val raw = graft.core.Tables(spark, Sf).events // ts normalized to TimestampType
+    val cutUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
     val watch = Files.createTempDirectory("graft_mkv_in")
 
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
@@ -558,14 +558,14 @@ class StreamingSpec extends SparkSpecBase {
 
     // two batches: the per-user LastEvent state must carry the
     // boundary so cross-batch adjacencies still emit
-    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half1.parquet")
     val q = Streams.markovStream(spark,
         Streams.readEvents(spark, watch.toString))
       .writeStream.format("memory").queryName("mkv_split")
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+      stage(raw.filter(unix_micros(col("ts")) > cutUs), "half2.parquet")
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("mkv_split")
@@ -578,8 +578,8 @@ class StreamingSpec extends SparkSpecBase {
 
   test("streaming changepoint: latest per-type verdict equals batch across a batch split") {
     import java.nio.file._
-    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType
-    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val raw = graft.core.Tables(spark, Sf).events // ts normalized to TimestampType
+    val cutUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
     val watch = Files.createTempDirectory("graft_cp_in")
 
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
@@ -592,14 +592,14 @@ class StreamingSpec extends SparkSpecBase {
 
     // two batches: the per-type daily-count state must carry over so
     // the second batch's verdict covers the whole series
-    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half1.parquet")
     val q = Streams.changepointStream(spark,
         Streams.readEvents(spark, watch.toString))
       .writeStream.format("memory").queryName("cp_split")
       .outputMode("update").start()
     try {
       q.processAllAvailable()
-      stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+      stage(raw.filter(unix_micros(col("ts")) > cutUs), "half2.parquet")
       q.processAllAvailable()
     } finally q.stop()
     // Update mode: the LATEST emission per type (the memory sink
@@ -622,8 +622,8 @@ class StreamingSpec extends SparkSpecBase {
 
   test("streaming rfm: scored drained states equal batch qRfm across a batch split") {
     import java.nio.file._
-    val raw = spark.read.parquet(s"$Sf/events.parquet") // ts stays LongType
-    val cutNs = raw.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    val raw = graft.core.Tables(spark, Sf).events // ts normalized to TimestampType
+    val cutUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
     val watch = Files.createTempDirectory("graft_rfm_in")
 
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
@@ -634,14 +634,14 @@ class StreamingSpec extends SparkSpecBase {
       Files.copy(part.toPath, watch.resolve(name))
     }
 
-    stage(raw.filter(col("ts") <= cutNs), "half1.parquet")
+    stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half1.parquet")
     val q = Streams.rfmStream(spark,
         Streams.readEvents(spark, watch.toString))
       .writeStream.format("memory").queryName("rfm_split")
       .outputMode("update").start()
     try {
       q.processAllAvailable()
-      stage(raw.filter(col("ts") > cutNs), "half2.parquet")
+      stage(raw.filter(unix_micros(col("ts")) > cutUs), "half2.parquet")
       q.processAllAvailable()
     } finally q.stop()
     // latest emission per user = max f (f strictly grows per refresh)
@@ -651,10 +651,8 @@ class StreamingSpec extends SparkSpecBase {
     // the stateless scoring decoration over the drained states:
     // recency anchored on the global max day over ALL events
     val DayMs = 86400000L
-    val maxDayMs = {
-      val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-      maxNs / 1000000L / DayMs * DayMs
-    }
+    val maxDayMs =
+      raw.agg(max(col("ts"))).head().getTimestamp(0).getTime / DayMs * DayMs
     def band(v: Long, cuts: Seq[(Long, Int)]): Int =
       cuts.find(v >= _._1).map(_._2).getOrElse(1)
     val got = state.map { case (u, (lastMs, f, m)) =>
