@@ -104,6 +104,7 @@ object SparkEntry {
     "profile_quantiles" -> ((s, d) => Profile.quantileProfile(s, d)),
     "profile_histogram" -> ((s, d) => Profile.histogramProfile(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    "graph_pagerank_weighted" -> ((s, d) => Graph.pagerankWeighted(s, d)),
     "graph_triangles" -> (Graph.supplierTriangles _),
     "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
     // D. dedup
@@ -413,6 +414,38 @@ object SparkEntry {
          deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
          const AS (SELECT count(*) AS n FROM deg),
          pr0 AS (SELECT node, outdeg, ${Graph.Scale} // n AS pr
+                 FROM deg CROSS JOIN const),
+         $chain
+         SELECT node, CAST(pr AS BIGINT) AS pr FROM pr$iters
+         ORDER BY pr DESC, node LIMIT 100"""
+  }
+
+  /** graph_pagerank_weighted oracle: same unrolled integer CTE chain
+    * as [[pagerankSql]], with uniform 1/outdeg splitting replaced by
+    * per-edge (pr · w) // wout — truncation applied per edge BEFORE
+    * the sum in both engines, so the chain stays hash-exact. */
+  private lazy val pagerankWeightedSql: String = {
+    val iters = 5
+    val chain = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT d.node, d.wout,
+             (${Graph.Scale} * 15 // 100) // c.n
+               + (${Graph.Damping} * sum((p.pr * e.w) // p.wout)) // 100 AS pr
+           FROM pr${i - 1} p JOIN edges e ON p.node = e.src
+             JOIN deg d ON e.dst = d.node
+             CROSS JOIN const c
+           GROUP BY d.node, d.wout, c.n)"""
+    }.mkString(",\n         ")
+    s"""WITH pairs AS (SELECT
+             'C' || CAST(o_custkey AS VARCHAR) AS c,
+             'S' || CAST(l_suppkey AS VARCHAR) AS s,
+             count(*) AS w
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         edges AS (SELECT c AS src, s AS dst, w FROM pairs
+                   UNION ALL SELECT s AS src, c AS dst, w FROM pairs),
+         deg AS (SELECT src AS node, sum(w) AS wout FROM edges GROUP BY src),
+         const AS (SELECT count(*) AS n FROM deg),
+         pr0 AS (SELECT node, wout, ${Graph.Scale} // n AS pr
                  FROM deg CROSS JOIN const),
          $chain
          SELECT node, CAST(pr AS BIGINT) AS pr FROM pr$iters
@@ -1187,6 +1220,7 @@ object SparkEntry {
                       / 100.0 / count(value), 6) AS mean
          FROM m GROUP BY col_name ORDER BY col_name""",
     "graph_pagerank" -> pagerankSql,
+    "graph_pagerank_weighted" -> pagerankWeightedSql,
     // id-ordered 3-way self-join: orientation in the Spark plan only
     // changes where each triangle is FOUND, never the per-node census
     "graph_triangles" ->

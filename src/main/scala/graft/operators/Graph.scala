@@ -187,6 +187,78 @@ object Graph {
       .limit(100)
   }
 
+  /** One WEIGHTED PageRank round: a node's rank splits across its
+    * out-edges proportionally to edge weight instead of uniformly —
+    * contrib = (pr · w) div wout, where `wout` (the node's total
+    * outgoing weight) rides each edge row exactly like [[round]]'s
+    * `outdeg`. Same single-shuffle shape, same integer fixed-point
+    * determinism (per-edge truncation BEFORE the sum, so the oracle's
+    * unrolled CTEs reproduce it term for term). */
+  private def weightedRound(edges: DataFrame, pr: DataFrame,
+      base: Long, nodes: DataFrame): DataFrame =
+    edges
+      .join(pr.hint("shuffle_hash"), col("src") === col("node"))
+      .select(col("dst"), expr("(pr * w) div wout").as("contrib"))
+      .unionAll(nodes.select(col("node").as("dst"), lit(0L).as("contrib")))
+      .groupBy(col("dst"))
+      .agg((lit(base) + expr(s"($Damping * sum(contrib)) div 100")).as("pr"))
+      .select(col("dst").as("node"), col("pr"))
+
+  /** Weighted PageRank over the trading graph: the edge weight is the
+    * number of lineitems the (customer, supplier) pair traded, so a
+    * customer's rank flows preferentially to the suppliers it
+    * actually buys from rather than splitting evenly — the variant a
+    * supplier-importance ranking wants when relationship INTENSITY
+    * matters. Weights are integer counts straight out of the pair
+    * aggregation (no distinct needed — multiplicity IS the signal),
+    * symmetric by construction like [[tradeEdges]], so the graph has
+    * no sinks and the plain round applies. */
+  def pagerankWeighted(spark: SparkSession, dir: String,
+      iters: Int = 5): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = concat(lit("C"), col("o_custkey"))
+    val s = concat(lit("S"), col("l_suppkey"))
+    val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs
+      .select(explode(array(
+        struct(c.as("src"), s.as("dst"), col("w")),
+        struct(s.as("src"), c.as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    pagerankWeightedOf(edges, iters)
+  }
+
+  /** Weighted PageRank over an arbitrary (src, dst, w) edge set with
+    * every node guaranteed out-edges (symmetric edge sets). Identical
+    * loop discipline to [[pagerankOf]] — the edge set is partitioned
+    * by src once with the outgoing-weight total attached on that same
+    * exchange, rounds are SHUFFLE_HASH joins of the small rank
+    * vector, lineage truncated per round with lazy localCheckpoints.
+    * Overflow headroom: pr ≤ Scale (10¹²) and integer weights keep
+    * pr·w far under Long.Max for any weight ≤ ~10⁶. */
+  def pagerankWeightedOf(edgeList: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = edgeList
+      .repartition(col("src"))
+      .withColumn("wout",
+        sum(col("w")).over(Window.partitionBy(col("src"))))
+      .cache()
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint() // materializes the edge cache
+    val n = nodes.count()
+    val base = (Scale * 15 / 100) / n
+    var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
+    for (i <- 1 to iters)
+      pr = weightedRound(edges, pr, base, nodes)
+        .localCheckpoint(eager = i == iters)
+    edges.unpersist(blocking = false)
+    pr.select(col("node"), col("pr"))
+      .orderBy(col("pr").desc, col("node"))
+      .limit(100)
+  }
+
   /** Strong-tie supplier graph: an edge between two suppliers that
     * co-supplied at least `minOrders` distinct orders. Pair
     * generation is the bounded per-order self-join (pairs per order ≤

@@ -57,6 +57,46 @@ class GraphProfileSpec extends SparkSpecBase {
       s"leaves not tied: $ranks")
   }
 
+  test("weighted pagerank: uniform weights reproduce the unweighted ranks exactly") {
+    import spark.implicits._
+    // w = 1 everywhere makes (pr·w) div wout ≡ pr div outdeg term for
+    // term, so the weighted loop must be bit-identical to the plain
+    // one on the same graph — the strongest oracle-independent check
+    // of the weighted formula's wiring
+    val star = Seq("l1", "l2", "l3", "l4")
+      .flatMap(l => Seq(("h", l), (l, "h"))).toDF("src", "dst")
+    val plain = Graph.pagerankOf(star).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val weighted = Graph.pagerankWeightedOf(star.withColumn("w", lit(1L)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(plain == weighted, s"plain=$plain weighted=$weighted")
+  }
+
+  test("weighted pagerank: rank follows edge weight, not edge count") {
+    import spark.implicits._
+    // hub h splits rank 9:1 between b and c; both backlink with equal
+    // weight. Unweighted PageRank sees an identical topology for b and
+    // c — only the weights break the tie, so b must out-rank c.
+    val g = Seq(("h", "b", 9L), ("h", "c", 1L),
+      ("b", "h", 1L), ("c", "h", 1L)).toDF("src", "dst", "w")
+    val ranks = Graph.pagerankWeightedOf(g).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ranks("b") > ranks("c"), s"weight ignored: $ranks")
+    val u = Graph.pagerankOf(g.drop("w")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(u("b") == u("c"), s"unweighted must tie b/c: $u")
+  }
+
+  test("weighted pagerank: bit-identical across partitioning (integer fixed-point)") {
+    val a = Graph.pagerankWeighted(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = Graph.pagerankWeighted(sp2, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("pagerank: source-only nodes keep base rank and keep contributing") {
     import spark.implicits._
     // s has out-edges but NO in-edges: before the zero-seed union it

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+import graft.core.Tables
+import graft.operators.Events
+import graft.streaming.Streams
+
+/** The driver's testdata has changed its timestamp encoding between
+  * generations (int64 nanos → naive timestamp[us]); a naive
+  * timestamp[us] column reads as TIMESTAMP_NTZ in a stock Spark 4
+  * session, and `cast(ntz as double)` / `percentile(ts, …)` /
+  * watermarks then fail or drift. Our own mains pin
+  * `spark.sql.parquet.inferTimestampNTZ.enabled=false`, but the
+  * driver's smoke session is NOT ours — these tests run a session
+  * withOUT that conf (the hostile configuration) and pin that the
+  * [[Tables]] accessors insulate every consumer from the file
+  * encoding. */
+class TimestampEncodingSpec extends SparkSpecBase {
+  override val Sf = "/root/testdata/sf0.001"
+
+  // a session that reads naive parquet timestamps as NTZ — what a
+  // driver-owned SparkSession looks like without our conf line
+  private lazy val ntzSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    s
+  }
+
+  test("Tables normalizes ts/o_orderdate/l_shipdate to TimestampType under an NTZ session") {
+    val raw = ntzSession.read.parquet(s"$Sf/events.parquet")
+    // precondition, not an assertion: if the driver changes the
+    // encoding again (zoned, or back to int64 nanos) this scenario
+    // no longer exists — cancel instead of failing
+    assume(raw.schema("ts").dataType == TimestampNTZType,
+      "testdata no longer NTZ-encoded; scenario vacuous")
+    val t = Tables(ntzSession, Sf)
+    assert(t.events.schema("ts").dataType == TimestampType)
+    assert(t.orders.schema("o_orderdate").dataType == TimestampType)
+    assert(t.lineitem.schema("l_shipdate").dataType == TimestampType)
+  }
+
+  test("epoch-arithmetic query agrees between NTZ and LTZ sessions (UTC pins the values)") {
+    val raw = ntzSession.read.parquet(s"$Sf/events.parquet")
+    assume(raw.schema("ts").dataType == TimestampNTZType,
+      "testdata no longer NTZ-encoded; scenario vacuous")
+    def runIn(s: org.apache.spark.sql.SparkSession) =
+      Events.qSessionize(s, Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(runIn(ntzSession) == runIn(spark),
+      "sessionize must be encoding-invariant")
+  }
+
+  test("readEvents probes the on-disk schema and emits TimestampType under an NTZ session") {
+    val stream = Streams.readEvents(ntzSession, s"$Sf/events.parquet")
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType == TimestampType)
+    // watermark + window construction must analyze (the NTZ failure
+    // mode was an AnalysisException at plan time)
+    Streams.windowCounts(stream).schema
+  }
+}
