@@ -79,20 +79,31 @@ object Graph {
     * directions so the bipartite graph is walkable. One fact-fact
     * shuffle + a distinct; at 100 TB this is the standard edge
     * extraction (project early, distinct on the pair key). */
+  /** The (customer, supplier, lineitem-count) pair aggregation BOTH
+    * pagerank variants start from: the unweighted graph is its key
+    * set (groupBy keys ≡ the old distinct — same shuffle, one extra
+    * counter), the weighted graph its counts. Memoized + Spark-cached
+    * so a batch running both pageranks pays the fact-fact join once
+    * (the same sharing discipline as [[coSupplyEdges]]). */
+  private def tradePairs(spark: SparkSession, dir: String): DataFrame =
+    shared.getOrBuild(spark, s"$dir#tradepairs") {
+      val t = Tables(spark, dir)
+      // aggregation on the NUMERIC pair (16-byte shuffle rows); string
+      // node ids are minted after, in the explode
+      t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+    }
+
   private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    // distinct on the NUMERIC pair (16-byte shuffle rows), then both
-    // edge directions from one explode — a unionAll of two
-    // projections would run the distinct aggregate once per branch
-    // (only the exchange below it is reuse-deduped), and string keys
-    // would fatten the distinct's shuffle for nothing
+    // both edge directions from one explode — a unionAll of two
+    // projections would run the pair aggregate once per branch (only
+    // the exchange below it is reuse-deduped)
     val c = concat(lit("C"), col("o_custkey"))
     val s = concat(lit("S"), col("l_suppkey"))
-    t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey"))
-      .distinct()
+    tradePairs(spark, dir)
       .select(explode(array(
         struct(c.as("src"), s.as("dst")),
         struct(s.as("src"), c.as("dst")))).as("e"))
@@ -194,7 +205,7 @@ object Graph {
     * `outdeg`. Same single-shuffle shape, same integer fixed-point
     * determinism (per-edge truncation BEFORE the sum, so the oracle's
     * unrolled CTEs reproduce it term for term). */
-  private def weightedRound(edges: DataFrame, pr: DataFrame,
+  private[graft] def weightedRound(edges: DataFrame, pr: DataFrame,
       base: Long, nodes: DataFrame): DataFrame =
     edges
       .join(pr.hint("shuffle_hash"), col("src") === col("node"))
@@ -215,15 +226,9 @@ object Graph {
     * no sinks and the plain round applies. */
   def pagerankWeighted(spark: SparkSession, dir: String,
       iters: Int = 5): DataFrame = {
-    val t = Tables(spark, dir)
     val c = concat(lit("C"), col("o_custkey"))
     val s = concat(lit("S"), col("l_suppkey"))
-    val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey"), col("l_suppkey"))
-      .agg(count(lit(1)).as("w"))
-    val edges = pairs
+    val edges = tradePairs(spark, dir)
       .select(explode(array(
         struct(c.as("src"), s.as("dst"), col("w")),
         struct(s.as("src"), c.as("dst"), col("w")))).as("e"))

@@ -128,6 +128,23 @@ class ExplainSpec extends SparkSpecBase {
       s"rank-vector join must not sort-merge (edge re-sort per round):\n$p")
   }
 
+  test("weighted pagerank rounds join the rank vector without re-exchanging edges") {
+    import org.apache.spark.sql.functions._
+    val g = graft.operators.Graph
+    val edges = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("l_orderkey")).as("dst"), lit(2L).as("w"))
+      .repartition(col("src"))
+      .withColumn("wout", org.apache.spark.sql.functions.sum(
+        col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    val pr = edges.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1000000L)).localCheckpoint()
+    val p = plan(g.weightedRound(edges, pr, 1000L, pr.select(col("node"))))
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"rank-vector join must not sort-merge (edge re-sort per round):\n$p")
+  }
+
   test("pii scrub never shuffles: no hash exchange in the plan") {
     val p = plan(graft.operators.Curation.pipelinePii(spark, Sf))
     // the only exchange allowed is the presentation sort's range
