@@ -29,29 +29,38 @@ final case class Tables(spark: SparkSession, dir: String) {
     * (sessions run UTC, so the NTZ→LTZ cast is value-preserving and
     * matches DuckDB's naive-timestamp epoch), so downstream code is
     * insulated from the file encoding. */
-  def events: DataFrame = {
-    val raw = t("events")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
-      case _ => ltz(raw, "ts")
-    }
-  }
-  /** NTZ → session-local timestamp (identity when the session reads
-    * naive parquet timestamps as LTZ already). All sessions pin
-    * `spark.sql.session.timeZone=UTC`, so the cast preserves the
-    * literal field values — `cast(ts as double)`, `unix_timestamp`,
-    * and streaming watermarks then work uniformly. */
+  def events: DataFrame = Tables.normalizeTs(t("events"), "ts")
   private def ltz(df: DataFrame, c: String): DataFrame =
-    df.schema(c).dataType match {
-      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
-      case _                => df
-    }
+    Tables.normalizeTs(df, c)
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
 
 object Tables {
+  /** Normalize a timestamp column to session-local TimestampType,
+    * whatever the file encoding handed us — the ONE switch batch
+    * ([[Tables]] accessors) and streaming
+    * ([[graft.streaming.Streams.readEvents]]) reads share, so the
+    * two paths cannot drift across testdata generations:
+    *  - int64 nanoseconds (read as LongType under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`): integer
+    *    `div 1000` truncation to micros — exact for any value, where
+    *    a double-division floor could mis-truncate non-µs-aligned
+    *    nanos (long `/` is double division; ulp at 1.7e15 > 0.25);
+    *  - naive timestamp[us] (TIMESTAMP_NTZ unless the session sets
+    *    `spark.sql.parquet.inferTimestampNTZ.enabled=false`): cast to
+    *    LTZ — value-preserving under the pinned UTC session zone and
+    *    equal to the oracle engine's naive-timestamp epoch;
+    *  - already TimestampType: identity. */
+  private[graft] def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+
   // Resolved-relation reuse: `spark.read.parquet` re-lists the path
   // and re-reads footers for the schema on EVERY call, which at ~60
   // queries × 2-3 table reads each is pure driver-side latency. A

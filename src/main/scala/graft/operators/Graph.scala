@@ -42,7 +42,7 @@ object Graph {
       base: Long, nodes: DataFrame): DataFrame =
     edges
       .join(pr.hint("shuffle_hash"), col("src") === col("node"))
-      .select(col("dst"), expr("pr div outdeg").as("contrib"))
+      .select(col("dst"), expr("(pr * w) div wout").as("contrib"))
       .unionAll(nodes.select(col("node").as("dst"), lit(0L).as("contrib")))
       .groupBy(col("dst"))
       .agg((lit(base) + expr(s"($Damping * sum(contrib)) div 100")).as("pr"))
@@ -64,7 +64,7 @@ object Graph {
       .agg(coalesce(sum(col("pr")), lit(0L)).as("dang_sum"))
     edges
       .join(pr.hint("shuffle_hash"), col("src") === col("node"))
-      .select(col("dst"), expr("pr div outdeg").as("contrib"))
+      .select(col("dst"), expr("(pr * w) div wout").as("contrib"))
       .unionAll(nodes.select(col("node").as("dst"), lit(0L).as("contrib")))
       .groupBy(col("dst"))
       .agg(sum(col("contrib")).as("c"))
@@ -74,11 +74,6 @@ object Graph {
           expr(s"($Damping * (c + (dang_sum div $n))) div 100")).as("pr"))
   }
 
-  /** Customer↔supplier trading edges: one edge per distinct
-    * (customer, supplier) pair observed in orders⋈lineitem, in both
-    * directions so the bipartite graph is walkable. One fact-fact
-    * shuffle + a distinct; at 100 TB this is the standard edge
-    * extraction (project early, distinct on the pair key). */
   /** The (customer, supplier, lineitem-count) pair aggregation BOTH
     * pagerank variants start from: the unweighted graph is its key
     * set (groupBy keys ≡ the old distinct — same shuffle, one extra
@@ -153,15 +148,26 @@ object Graph {
     * promise silently drops sink mass — only pass true when the
     * edge construction proves it. */
   def pagerankOf(edgeList: DataFrame, iters: Int = 5,
-      assumeNoSinks: Boolean = false): DataFrame = {
+      assumeNoSinks: Boolean = false): DataFrame =
+    pagerankLoop(edgeList.select(col("src"), col("dst"))
+      .withColumn("w", lit(1L)), iters, assumeNoSinks)
+
+  /** The ONE fixed-point loop both public variants run: uniform
+    * splitting IS the weighted formula with w ≡ 1 ((pr·w) div wout ≡
+    * pr div outdeg — GraphProfileSpec pins the equivalence
+    * bit-exactly), so there is a single copy of the loop discipline
+    * (edge partition + cache, zero-seed union, dangling term, lazy
+    * checkpoints) to maintain. */
+  private def pagerankLoop(edgeList: DataFrame, iters: Int,
+      assumeNoSinks: Boolean): DataFrame = {
     // one exchange builds the whole loop input: repartition by src,
-    // then the out-degree rides the SAME partitioning as a window
-    // count (the GraphX-style "edge carries source degree" layout) —
-    // no degree join, no second cache
+    // then the outgoing-weight total rides the SAME partitioning as a
+    // window sum (the GraphX-style "edge carries source degree"
+    // layout) — no degree join, no second cache
     val edges = edgeList
       .repartition(col("src"))
-      .withColumn("outdeg",
-        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .withColumn("wout",
+        sum(col("w")).over(Window.partitionBy(col("src"))))
       .cache()
     // node set = src ∪ dst, built as src-distinct (exchange-FREE — it
     // rides the edge partitioning) + the sink-only remainder, so the
@@ -198,23 +204,6 @@ object Graph {
       .limit(100)
   }
 
-  /** One WEIGHTED PageRank round: a node's rank splits across its
-    * out-edges proportionally to edge weight instead of uniformly —
-    * contrib = (pr · w) div wout, where `wout` (the node's total
-    * outgoing weight) rides each edge row exactly like [[round]]'s
-    * `outdeg`. Same single-shuffle shape, same integer fixed-point
-    * determinism (per-edge truncation BEFORE the sum, so the oracle's
-    * unrolled CTEs reproduce it term for term). */
-  private[graft] def weightedRound(edges: DataFrame, pr: DataFrame,
-      base: Long, nodes: DataFrame): DataFrame =
-    edges
-      .join(pr.hint("shuffle_hash"), col("src") === col("node"))
-      .select(col("dst"), expr("(pr * w) div wout").as("contrib"))
-      .unionAll(nodes.select(col("node").as("dst"), lit(0L).as("contrib")))
-      .groupBy(col("dst"))
-      .agg((lit(base) + expr(s"($Damping * sum(contrib)) div 100")).as("pr"))
-      .select(col("dst").as("node"), col("pr"))
-
   /** Weighted PageRank over the trading graph: the edge weight is the
     * number of lineitems the (customer, supplier) pair traded, so a
     * customer's rank flows preferentially to the suppliers it
@@ -237,32 +226,18 @@ object Graph {
   }
 
   /** Weighted PageRank over an arbitrary (src, dst, w) edge set with
-    * every node guaranteed out-edges (symmetric edge sets). Identical
-    * loop discipline to [[pagerankOf]] — the edge set is partitioned
-    * by src once with the outgoing-weight total attached on that same
-    * exchange, rounds are SHUFFLE_HASH joins of the small rank
-    * vector, lineage truncated per round with lazy localCheckpoints.
-    * Overflow headroom: pr ≤ Scale (10¹²) and integer weights keep
-    * pr·w far under Long.Max for any weight ≤ ~10⁶. */
-  def pagerankWeightedOf(edgeList: DataFrame, iters: Int = 5): DataFrame = {
-    val edges = edgeList
-      .repartition(col("src"))
-      .withColumn("wout",
-        sum(col("w")).over(Window.partitionBy(col("src"))))
-      .cache()
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint() // materializes the edge cache
-    val n = nodes.count()
-    val base = (Scale * 15 / 100) / n
-    var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
-    for (i <- 1 to iters)
-      pr = weightedRound(edges, pr, base, nodes)
-        .localCheckpoint(eager = i == iters)
-    edges.unpersist(blocking = false)
-    pr.select(col("node"), col("pr"))
-      .orderBy(col("pr").desc, col("node"))
-      .limit(100)
-  }
+    * every node guaranteed out-edges (symmetric edge sets) and
+    * weights ≥ 1 — [[pagerankLoop]] with the caller's w column.
+    * Zero/negative-weight edges are dropped up front: they carry no
+    * rank by definition, and a node whose edges ALL had w ≤ 0 would
+    * otherwise divide by wout = 0 (under ANSI mode, an error mid-
+    * loop). Overflow headroom: pr ≤ Scale (10¹²) and integer weights
+    * keep pr·w far under Long.Max for any weight ≤ ~10⁶. */
+  def pagerankWeightedOf(edgeList: DataFrame, iters: Int = 5): DataFrame =
+    pagerankLoop(
+      edgeList.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .filter(col("w") > 0),
+      iters, assumeNoSinks = true)
 
   /** Strong-tie supplier graph: an edge between two suppliers that
     * co-supplied at least `minOrders` distinct orders. Pair
@@ -397,15 +372,13 @@ object Graph {
     * can never diverge from the oracle's fixed unroll. */
   def kcore(spark: SparkSession, dir: String, k: Int = 8,
       maxRounds: Int = 4): DataFrame = {
-    val t = Tables(spark, dir)
-    val base = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey"))
-      .distinct()
+    // the trading edge set = the memoized pagerank pair base's keys —
+    // a batch running any pagerank variant and kcore pays the
+    // dominant lineitem⋈orders shuffle once
     val c = concat(lit("C"), col("o_custkey"))
     val s = concat(lit("S"), col("l_suppkey"))
-    kcoreOf(base.select(c.as("a"), s.as("b")), k, maxRounds)
+    kcoreOf(tradePairs(spark, dir).select(c.as("a"), s.as("b")),
+      k, maxRounds)
   }
 
   /** k-core over an arbitrary undirected (a, b) edge list. */

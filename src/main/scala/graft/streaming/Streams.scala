@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** The events schema with `ts` already a session-local timestamp —
-    * what every stream op below consumes. */
+  /** The events schema every stream op below consumes (`ts` already a
+    * session-local timestamp) — and the declared schema
+    * [[readEvents]] falls back to when its footer probe finds nothing
+    * to probe (a watch directory created before the first file
+    * lands). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -33,19 +36,24 @@ object Streams {
     * needs its schema declared up front, and the driver's testdata has
     * encoded `ts` three ways across generations (int64 nanos, naive
     * timestamp[us] → NTZ, zoned timestamp[us] → LTZ) — so probe the
-    * existing footers with a one-off batch read and normalize to the
-    * session-local TimestampType of [[eventsSchema]], mirroring
-    * [[graft.core.Tables.events]]. The probe is a footer/listing read
-    * only (no data scan) and happens once at stream construction. */
+    * existing footers with a one-off batch read and normalize through
+    * the SAME [[graft.core.Tables.normalizeTs]] switch the batch
+    * accessors use (the two read paths cannot drift). The probe is a
+    * footer/listing read only (no data scan), happens once at stream
+    * construction, and an EMPTY or not-yet-existing watch directory —
+    * the standard create-dir-then-stream pattern — falls back to
+    * declaring [[eventsSchema]] directly (files that later land are
+    * read with µs-timestamp `ts`, today's on-disk encoding). */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    val onDisk = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(onDisk).parquet(path)
-    onDisk("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+    val onDisk =
+      try Some(spark.read.parquet(path).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    onDisk match {
+      case Some(s) =>
+        graft.core.Tables.normalizeTs(
+          spark.readStream.schema(s).parquet(path), "ts")
+      case None =>
+        spark.readStream.schema(eventsSchema).parquet(path)
     }
   }
 

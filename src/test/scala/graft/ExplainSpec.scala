@@ -111,26 +111,12 @@ class ExplainSpec extends SparkSpecBase {
       s"expected the part join below the partial agg:\n$pre")
   }
 
-  test("pagerank rounds join the rank vector without re-exchanging edges") {
+  test("pagerank rounds (shared by both variants) join the rank vector without re-exchanging edges") {
     import org.apache.spark.sql.functions._
     val g = graft.operators.Graph
-    val edges = spark.read.parquet(s"$Sf/lineitem.parquet")
-      .select(concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("l_orderkey")).as("dst"))
-      .repartition(col("src"))
-      .withColumn("outdeg", org.apache.spark.sql.functions.count(
-        lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-    val pr = edges.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(1000000L)).localCheckpoint()
-    val p = plan(g.round(edges, pr, 1000L, pr.select(col("node"))))
-    assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"rank-vector join must not sort-merge (edge re-sort per round):\n$p")
-  }
-
-  test("weighted pagerank rounds join the rank vector without re-exchanging edges") {
-    import org.apache.spark.sql.functions._
-    val g = graft.operators.Graph
+    // the loop's edge layout: (src, dst, w) partitioned by src with
+    // the outgoing-weight total attached on that same exchange —
+    // uniform pagerank is w = 1 through the identical round
     val edges = spark.read.parquet(s"$Sf/lineitem.parquet")
       .select(concat(lit("S"), col("l_suppkey")).as("src"),
         concat(lit("C"), col("l_orderkey")).as("dst"), lit(2L).as("w"))
@@ -139,7 +125,7 @@ class ExplainSpec extends SparkSpecBase {
         col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
     val pr = edges.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1000000L)).localCheckpoint()
-    val p = plan(g.weightedRound(edges, pr, 1000L, pr.select(col("node"))))
+    val p = plan(g.round(edges, pr, 1000L, pr.select(col("node"))))
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"rank-vector join must not sort-merge (edge re-sort per round):\n$p")
