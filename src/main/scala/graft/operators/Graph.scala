@@ -188,6 +188,13 @@ object Graph {
     val nodes = (if (hasDangling) srcNodes.unionAll(dangling) else srcNodes)
       .localCheckpoint() // materializes the edge cache
     val n = nodes.count()
+    // empty edge set (or all-filtered weighted input): no nodes, no
+    // ranks — return the empty (node, pr) frame instead of letting
+    // the base computation divide by zero
+    if (n == 0) {
+      edges.unpersist(blocking = false)
+      return nodes.withColumn("pr", lit(0L)).select(col("node"), col("pr"))
+    }
     val base = (Scale * 15 / 100) / n
     var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
     for (i <- 1 to iters) {

@@ -125,6 +125,16 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(r(3L)._2 == 4L)
   }
 
+  test("pagerank: empty edge sets return empty ranks, never divide by zero") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.operators.Graph.pagerankOf(empty).collect().isEmpty)
+    // the weighted API drops w <= 0 edges up front — an all-dropped
+    // input must hit the same empty-graph exit, not wout = 0
+    val zeroW = Seq(("a", "b", 0L), ("b", "a", 0L)).toDF("src", "dst", "w")
+    assert(graft.operators.Graph.pagerankWeightedOf(zeroW).collect().isEmpty)
+  }
+
   test("containment: degenerate docs share only the empty-token shingle contract") {
     // docs 0 and 1 both collapse to the single degenerate shingle '',
     // so they are MUTUALLY contained (inter=1, size=1 both sides) —

@@ -53,6 +53,24 @@ class TimestampEncodingSpec extends SparkSpecBase {
       "sessionize must be encoding-invariant")
   }
 
+  test("int64-nanos encoding truncates to exact microseconds (integer div, not double floor)") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_ns_enc").toString
+    // a non-µs-aligned nanos value: 1.7e18 + 999 ns. Double division
+    // (long / 1000.0) cannot represent the quotient — ulp at 1.7e15
+    // is 0.25, so floor() lands on ...001 µs; the integer `div 1000`
+    // branch must land on ...000.
+    val ns = 1700000000000000999L
+    spark.range(1).select(
+      lit(7L).as("event_id"), lit(ns).as("ts"), lit(1L).as("user_id"),
+      lit("click").as("event_type"), lit(1.0).as("value"),
+      lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables(spark, dir).events.select(unix_micros(col("ts")))
+      .head().getLong(0)
+    assert(got == ns / 1000L, s"expected ${ns / 1000L}, got $got")
+  }
+
   test("readEvents probes the on-disk schema and emits TimestampType under an NTZ session") {
     val stream = Streams.readEvents(ntzSession, s"$Sf/events.parquet")
     assert(stream.isStreaming)
