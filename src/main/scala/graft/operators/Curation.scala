@@ -88,11 +88,16 @@ object Curation {
     * rare while catching verbatim leakage. `n` is a parameter for
     * pipelines that want a stricter/looser window.
     *
-    * Shape: the benchmark's distinct gram set is SMALL by construction
-    * (eval suites are MBs, not TBs) → broadcast; the corpus side is
-    * one explode + broadcast semi-join + groupBy(doc_id). Zero-hit
-    * docs are restored by a left join so the output is a per-doc
-    * verdict table, not just the contaminated list. */
+    * Shape: a PRODUCTION benchmark gram set is small (eval suites
+    * are MBs, not TBs) and broadcasts — but this stand-in derives it
+    * from a source-filtered slice of the corpus itself, which SCALES
+    * with the corpus, so the join carries no explicit hint: AQE's
+    * size gate broadcasts at test SF and degrades to a shuffled
+    * semi-join instead of OOMing if the bench side ever grows (the
+    * same discipline as the de-hinted customer/part/supplier joins).
+    * The corpus side is one explode + semi-join + groupBy(doc_id).
+    * Zero-hit docs are restored by a left join so the output is a
+    * per-doc verdict table, not just the contaminated list. */
   def pipelineDecontam(spark: SparkSession, dir: String,
       benchSource: String = "src0", n: Int = 13): DataFrame =
     pipelineDecontamDf(Tables(spark, dir).documents, benchSource, n)
@@ -105,7 +110,7 @@ object Curation {
     val corpus = docs.filter(col("source") =!= benchSource)
     val hits = corpus
       .select(col("doc_id"), explode(grams).as("gram"))
-      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .join(bench, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
     corpus.select(col("doc_id"), col("source"))

@@ -50,7 +50,11 @@ class ExplainSpec extends SparkSpecBase {
       "q17" -> Relational.q17AvgQty(spark, Sf),
       "q19" -> Relational.q19OrPred(spark, Sf),
       "q20" -> Relational.q20ExcessSuppliers(spark, Sf),
-      "q21" -> Relational.q21Waiting(spark, Sf))
+      "q21" -> Relational.q21Waiting(spark, Sf),
+      // r6: the decontam benchmark gram side is corpus-derived in this
+      // stand-in (scales with the corpus) — de-hinted for the same
+      // reason; AQE must still pick the broadcast semi-join here
+      "decontam" -> graft.operators.Curation.pipelineDecontam(spark, Sf))
     for ((name, df) <- checks) {
       val p = plan(df)
       assert(p.contains("BroadcastHashJoin"),
