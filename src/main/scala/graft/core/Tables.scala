@@ -43,10 +43,11 @@ object Tables {
     * ([[graft.streaming.Streams.readEvents]]) reads share, so the
     * two paths cannot drift across testdata generations:
     *  - int64 nanoseconds (read as LongType under
-    *    `spark.sql.legacy.parquet.nanosAsLong=true`): integer
-    *    `div 1000` truncation to micros — exact for any value, where
-    *    a double-division floor could mis-truncate non-µs-aligned
-    *    nanos (long `/` is double division; ulp at 1.7e15 > 0.25);
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`): integer FLOOR
+    *    division to micros — exact for any value incl. pre-epoch
+    *    negatives (`div` alone truncates toward zero, shifting
+    *    negative non-µs-aligned nanos +1 µs; a double-division
+    *    floor mis-truncates large values — ulp at 1.7e15 > 0.25);
     *  - naive timestamp[us] (TIMESTAMP_NTZ unless the session sets
     *    `spark.sql.parquet.inferTimestampNTZ.enabled=false`): cast to
     *    LTZ — value-preserving under the pinned UTC session zone and
@@ -55,7 +56,10 @@ object Tables {
   private[graft] def normalizeTs(df: DataFrame, c: String): DataFrame =
     df.schema(c).dataType match {
       case LongType =>
-        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        // floor division in integers: truncate, then correct the
+        // negative-remainder case downward
+        df.withColumn(c, timestamp_micros(
+          expr(s"($c div 1000) - if($c % 1000 < 0, 1, 0)")))
       case TimestampNTZType =>
         df.withColumn(c, col(c).cast(TimestampType))
       case _ => df

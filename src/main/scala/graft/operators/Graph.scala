@@ -92,18 +92,26 @@ object Graph {
         .agg(count(lit(1)).as("w"))
     }
 
-  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
-    // both edge directions from one explode — a unionAll of two
-    // projections would run the pair aggregate once per branch (only
-    // the exchange below it is reuse-deduped)
-    val c = concat(lit("C"), col("o_custkey"))
-    val s = concat(lit("S"), col("l_suppkey"))
+  // the ONE place trading-graph node ids are minted — tradeEdges,
+  // the weighted edge builder, and kcore all read these, so the id
+  // scheme cannot silently diverge between graph ops
+  private def custNode: Column = concat(lit("C"), col("o_custkey"))
+  private def suppNode: Column = concat(lit("S"), col("l_suppkey"))
+
+  /** Symmetric (src, dst, w) trading edges — both directions from one
+    * explode (a unionAll of two projections would run the pair
+    * aggregate once per branch; only the exchange below it is
+    * reuse-deduped). Weights are the pair's lineitem counts, ≥ 1 by
+    * construction. */
+  private def tradeEdgesW(spark: SparkSession, dir: String): DataFrame =
     tradePairs(spark, dir)
       .select(explode(array(
-        struct(c.as("src"), s.as("dst")),
-        struct(s.as("src"), c.as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-  }
+        struct(custNode.as("src"), suppNode.as("dst"), col("w")),
+        struct(suppNode.as("src"), custNode.as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    tradeEdgesW(spark, dir).drop("w")
 
   /** Fixed-iteration PageRank over the trading graph. Each round is
     * one shuffle (contributions grouped by destination, map-side
@@ -221,30 +229,30 @@ object Graph {
     * symmetric by construction like [[tradeEdges]], so the graph has
     * no sinks and the plain round applies. */
   def pagerankWeighted(spark: SparkSession, dir: String,
-      iters: Int = 5): DataFrame = {
-    val c = concat(lit("C"), col("o_custkey"))
-    val s = concat(lit("S"), col("l_suppkey"))
-    val edges = tradePairs(spark, dir)
-      .select(explode(array(
-        struct(c.as("src"), s.as("dst"), col("w")),
-        struct(s.as("src"), c.as("dst"), col("w")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-    pagerankWeightedOf(edges, iters)
-  }
+      iters: Int = 5): DataFrame =
+    // weights are lineitem counts ≥ 1 and both edge directions exist
+    // by construction, so the no-sinks fast path is safe here (the
+    // generic API below cannot assume either)
+    pagerankLoop(tradeEdgesW(spark, dir), iters, assumeNoSinks = true)
 
-  /** Weighted PageRank over an arbitrary (src, dst, w) edge set with
-    * every node guaranteed out-edges (symmetric edge sets) and
-    * weights ≥ 1 — [[pagerankLoop]] with the caller's w column.
-    * Zero/negative-weight edges are dropped up front: they carry no
-    * rank by definition, and a node whose edges ALL had w ≤ 0 would
-    * otherwise divide by wout = 0 (under ANSI mode, an error mid-
-    * loop). Overflow headroom: pr ≤ Scale (10¹²) and integer weights
-    * keep pr·w far under Long.Max for any weight ≤ ~10⁶. */
+  /** Weighted PageRank over an arbitrary (src, dst, w) edge set —
+    * [[pagerankLoop]] with the caller's w column. Zero/negative-
+    * weight edges are dropped up front: they carry no rank by
+    * definition, and a node whose edges ALL had w ≤ 0 would otherwise
+    * divide by wout = 0 (under ANSI mode, an error mid-loop). Because
+    * that drop can turn a node with only w ≤ 0 out-edges into a SINK
+    * (in-edges survive, out-edges gone), this generic entry point
+    * always derives the dangling set — a symmetric all-positive input
+    * just finds it empty and takes the plain-round plan; callers on
+    * proven inputs (e.g. [[pagerankWeighted]]) go through the loop's
+    * fast path directly. Overflow headroom: pr ≤ Scale (10¹²) and
+    * integer weights keep pr·w far under Long.Max for any weight
+    * ≤ ~10⁶. */
   def pagerankWeightedOf(edgeList: DataFrame, iters: Int = 5): DataFrame =
     pagerankLoop(
       edgeList.select(col("src"), col("dst"), col("w").cast("long").as("w"))
         .filter(col("w") > 0),
-      iters, assumeNoSinks = true)
+      iters, assumeNoSinks = false)
 
   /** Strong-tie supplier graph: an edge between two suppliers that
     * co-supplied at least `minOrders` distinct orders. Pair
@@ -382,10 +390,8 @@ object Graph {
     // the trading edge set = the memoized pagerank pair base's keys —
     // a batch running any pagerank variant and kcore pays the
     // dominant lineitem⋈orders shuffle once
-    val c = concat(lit("C"), col("o_custkey"))
-    val s = concat(lit("S"), col("l_suppkey"))
-    kcoreOf(tradePairs(spark, dir).select(c.as("a"), s.as("b")),
-      k, maxRounds)
+    kcoreOf(tradePairs(spark, dir)
+      .select(custNode.as("a"), suppNode.as("b")), k, maxRounds)
   }
 
   /** k-core over an arbitrary undirected (a, b) edge list. */

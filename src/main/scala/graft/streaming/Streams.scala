@@ -47,7 +47,14 @@ object Streams {
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     val onDisk =
       try Some(spark.read.parquet(path).schema)
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch {
+        // ONLY the nothing-there-yet cases fall back to the declared
+        // schema; any other analysis failure (corrupt files, a path
+        // that isn't parquet) must stay loud at construction
+        case e: org.apache.spark.sql.AnalysisException
+            if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+              .contains(e.getCondition) => None
+      }
     onDisk match {
       case Some(s) =>
         graft.core.Tables.normalizeTs(

@@ -60,15 +60,21 @@ class TimestampEncodingSpec extends SparkSpecBase {
     // (long / 1000.0) cannot represent the quotient — ulp at 1.7e15
     // is 0.25, so floor() lands on ...001 µs; the integer `div 1000`
     // branch must land on ...000.
-    val ns = 1700000000000000999L
-    spark.range(1).select(
-      lit(7L).as("event_id"), lit(ns).as("ts"), lit(1L).as("user_id"),
-      lit("click").as("event_type"), lit(1.0).as("value"),
-      lit("{}").as("props"))
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val got = Tables(spark, dir).events.select(unix_micros(col("ts")))
-      .head().getLong(0)
-    assert(got == ns / 1000L, s"expected ${ns / 1000L}, got $got")
+    // and a pre-epoch value: -1500 ns sits in microsecond -2
+    // (floor), where plain `div` truncation toward zero says -1
+    val cases = Seq(1700000000000000999L -> 1700000000000000L,
+      -1500L -> -2L)
+    spark.createDataFrame(spark.sparkContext.parallelize(cases.zipWithIndex.map {
+      case ((ns, _), i) => org.apache.spark.sql.Row(
+        i.toLong, ns, 1L, "click", 1.0, "{}")
+    }), Streams.eventsSchema.copy(fields = Streams.eventsSchema.fields.map {
+      f => if (f.name == "ts") f.copy(dataType =
+        org.apache.spark.sql.types.LongType) else f
+    })).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables(spark, dir).events
+      .orderBy(col("event_id"))
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._2), s"expected ${cases.map(_._2)}, got $got")
   }
 
   test("readEvents probes the on-disk schema and emits TimestampType under an NTZ session") {
