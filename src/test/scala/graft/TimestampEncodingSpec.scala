@@ -77,6 +77,27 @@ class TimestampEncodingSpec extends SparkSpecBase {
     assert(got == cases.map(_._2), s"expected ${cases.map(_._2)}, got $got")
   }
 
+  test("readEvents on an empty watch directory falls back to the declared schema and picks up late files") {
+    import java.nio.file._
+    // the standard create-dir-then-stream pattern: the probe finds
+    // nothing (no files yet) and must NOT fail stream construction
+    val watch = Files.createTempDirectory("graft_empty_watch")
+    val stream = Streams.readEvents(spark, watch.toString)
+    assert(stream.isStreaming &&
+      stream.schema("ts").dataType == TimestampType)
+    // files that land after construction are read on the next batch
+    val src = graft.core.Tables(spark, Sf).events.limit(50)
+    val tmp = Files.createTempDirectory("graft_late_stage").toString
+    src.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, watch.resolve("late.parquet"))
+    val q = stream.writeStream.format("memory").queryName("late_files")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("late_files").count() == 50)
+  }
+
   test("readEvents probes the on-disk schema and emits TimestampType under an NTZ session") {
     val stream = Streams.readEvents(ntzSession, s"$Sf/events.parquet")
     assert(stream.isStreaming)
