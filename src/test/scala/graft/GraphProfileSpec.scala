@@ -87,6 +87,25 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(u("b") == u("c"), s"unweighted must tie b/c: $u")
   }
 
+  test("weighted pagerank: a node sunk by the w<=0 filter keeps its mass via the dangling term") {
+    import spark.implicits._
+    // (a→b, w=1) survives; (b→a, w=0) is dropped — b becomes a SINK
+    // with live in-edges. The generic API must count b as a node
+    // (n=2, not 1) and return b's held mass through the dangling
+    // term rather than silently losing it.
+    val g = Seq(("a", "b", 1L), ("b", "a", 0L)).toDF("src", "dst", "w")
+    val ranks = Graph.pagerankWeightedOf(g).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ranks.keySet == Set("a", "b"), s"node lost: $ranks")
+    // b receives a's full contribution every round; a only base +
+    // its dangling share — b must dominate, and total mass must stay
+    // within integer-truncation leakage of SCALE
+    assert(ranks("b") > ranks("a"), s"expected b > a: $ranks")
+    val total = ranks.values.sum
+    assert(total > Graph.Scale * 97 / 100 && total <= Graph.Scale,
+      s"mass not conserved: $total vs ${Graph.Scale}")
+  }
+
   test("weighted pagerank: bit-identical across partitioning (integer fixed-point)") {
     val a = Graph.pagerankWeighted(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
