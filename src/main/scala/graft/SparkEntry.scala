@@ -1396,18 +1396,21 @@ object SparkEntry {
          WHERE greatest(round(inter * 1.0 / s1.n, 6),
                         round(inter * 1.0 / s2.n, 6)) >= 0.6
          ORDER BY d1, d2""",
-    // same content-defined anchors (md5-60bit of the 4-gram at each
-    // position, mod 16 = 0) and the same 64-char window hash
+    // same content-defined anchors (base-31 polynomial of the 4-gram
+    // at each position, mod 17 = 0 — coprime modulus, see
+    // Dedup.substringSpans; first term widened to BIGINT so astral
+    // code points can't overflow INT32) and the same 64-char window
+    // hash
     "dedup_substring" ->
       """WITH docs AS (SELECT doc_id, text, length(text) AS len,
                        [ascii(x) FOR x IN string_split(text, '')] AS codes
                        FROM documents WHERE length(text) >= 64),
          a AS (SELECT doc_id, CAST(p AS INT) AS p, text
                FROM docs, unnest(range(1, len - 64 + 2)) AS t(p)
-               WHERE (codes[CAST(p AS INT)] * 29791
+               WHERE (CAST(codes[CAST(p AS INT)] AS BIGINT) * 29791
                     + codes[CAST(p AS INT) + 1] * 961
                     + codes[CAST(p AS INT) + 2] * 31
-                    + codes[CAST(p AS INT) + 3]) % 16 = 0),
+                    + codes[CAST(p AS INT) + 3]) % 17 = 0),
          w AS (SELECT doc_id, md5(substring(text, p, 64)) AS h FROM a)
          SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_id
          FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1

@@ -508,17 +508,27 @@ object Dedup {
     *
     * Alignment is CONTENT-DEFINED, not stride-defined: a window
     * starts wherever the 4-gram polynomial hash at its first position
-    * ≡ 0 (mod 16) — so two copies of the same region pick the SAME
-    * anchor positions relative to the region's content regardless of
-    * where it sits in each document (a fixed stride would only match
+    * ≡ 0 (mod `anchorMod`) — so two copies of the same region pick the
+    * SAME anchor positions relative to the region's content regardless
+    * of where it sits in each document (a fixed stride would only match
     * copies at equal offsets mod stride). The probe is a base-31
     * polynomial over the 4 code points (`ascii`, portable to the
     * oracle engine verbatim) — an earlier formulation md5-hashed the
     * 4-gram at EVERY position, which put a digest + hex + base
     * conversion inside the per-character HOF lambda and dominated the
-    * whole operator (measured 2.5 s → ~1 s at sf0.1). Expected window
-    * density is one per 16 chars; `win` = 64 chars is the minimum
-    * span size detected.
+    * whole operator (measured 2.5 s → ~1 s at sf0.1). The modulus
+    * defaults to 17, COPRIME to the base: mod 16 the coefficients
+    * collapse (29791 ≡ 15, 961 ≡ 1, 31 ≡ 15), and because 16 divides
+    * 29791+961+31+1 = 30784, EVERY run of one repeated character
+    * (whitespace padding, '====' rules) anchored at every position —
+    * ~16× window density over such runs. Mod 17 the coefficients are
+    * 7, 9, 14, 1 and a repeated-char run anchors only when 14·c ≡ 0
+    * (mod 17), i.e. for ~1/17 of character values — the same odds any
+    * other 4-gram gets. Code points are widened to BIGINT before the
+    * polynomial: astral-plane characters (≥ 72 090) would overflow
+    * INT32 under ANSI mode in both engines. Expected window density is
+    * one per `anchorMod` chars; `win` = 64 chars is the minimum span
+    * size detected.
     *
     * Scale shape: anchor selection and window hashing are MAP-SIDE
     * over the text scan (the per-position 4-gram probe is the honest
@@ -528,11 +538,11 @@ object Dedup {
     * count per hash is bounded by the duplication factor, not corpus
     * size. */
   def substringSpans(spark: SparkSession, dir: String, win: Int = 64,
-      anchorMod: Int = 16): DataFrame =
+      anchorMod: Int = 17): DataFrame =
     substringSpansDf(Tables(spark, dir).documents, win, anchorMod)
 
   def substringSpansDf(docs: DataFrame, win: Int = 64,
-      anchorMod: Int = 16): DataFrame =
+      anchorMod: Int = 17): DataFrame =
     docs
       .filter(length(col("text")) >= win)
       // one O(len) pass builds the code-point array; the per-position
@@ -543,7 +553,7 @@ object Dedup {
       .withColumn("codes", expr("transform(split(text, ''), c -> ascii(c))"))
       .select(col("doc_id"), col("text"), explode(expr(
         s"""filter(sequence(1, length(text) - $win + 1),
-           |  p -> (element_at(codes, p) * 29791
+           |  p -> (CAST(element_at(codes, p) AS BIGINT) * 29791
            |      + element_at(codes, p + 1) * 961
            |      + element_at(codes, p + 2) * 31
            |      + element_at(codes, p + 3)) % $anchorMod = 0)"""

@@ -245,14 +245,36 @@ object Graph {
     * always derives the dangling set — a symmetric all-positive input
     * just finds it empty and takes the plain-round plan; callers on
     * proven inputs (e.g. [[pagerankWeighted]]) go through the loop's
-    * fast path directly. Overflow headroom: pr ≤ Scale (10¹²) and
-    * integer weights keep pr·w far under Long.Max for any weight
-    * ≤ ~10⁶. */
-  def pagerankWeightedOf(edgeList: DataFrame, iters: Int = 5): DataFrame =
-    pagerankLoop(
-      edgeList.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-        .filter(col("w") > 0),
-      iters, assumeNoSinks = false)
+    * fast path directly.
+    *
+    * HARD PRECONDITION, enforced here: max(w) ≤ [[MaxEdgeWeight]]
+    * (~9.2×10⁶). A node's rank can approach Scale (10¹²), so a larger
+    * weight overflows the pr·w product in Long arithmetic — an ANSI
+    * error mid-loop, or silent wraparound (wrong ranks) if a caller
+    * disabled ANSI. The entry point fails fast on the whole input
+    * instead; rescale weights (only their ratios matter) to get under
+    * the bound. The probe is one aggregate over the edge list the
+    * loop is about to cache anyway — construction is already eager
+    * (dangling probe + node count). */
+  def pagerankWeightedOf(edgeList: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = edgeList
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
+    val maxW = edges.agg(max(col("w"))).head() match {
+      case r if r.isNullAt(0) => 0L // empty edge set — loop handles it
+      case r => r.getLong(0)
+    }
+    require(maxW <= MaxEdgeWeight,
+      s"pagerankWeightedOf: max edge weight $maxW exceeds the Long " +
+        s"overflow headroom $MaxEdgeWeight (pr*w with pr up to $Scale); " +
+        "rescale the weights — only their ratios affect the ranking")
+    pagerankLoop(edges, iters, assumeNoSinks = false)
+  }
+
+  /** Largest edge weight [[pagerankWeightedOf]] accepts:
+    * Long.MaxValue / Scale, floored with slack. pr ≤ Scale by mass
+    * conservation, so pr·w ≤ Scale·MaxEdgeWeight < 2⁶³. */
+  val MaxEdgeWeight: Long = Long.MaxValue / Scale - 1
 
   /** Strong-tie supplier graph: an edge between two suppliers that
     * co-supplied at least `minOrders` distinct orders. Pair

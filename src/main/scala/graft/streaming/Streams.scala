@@ -60,6 +60,13 @@ object Streams {
         graft.core.Tables.normalizeTs(
           spark.readStream.schema(s).parquet(path), "ts")
       case None =>
+        // one-line breadcrumb: if a later batch fails on an encoding
+        // mismatch (e.g. legacy int64-nanos files landing in the
+        // watched dir), the failure is traceable to this
+        // declared-schema path rather than the probe+normalize one
+        System.err.println(s"[graft] readEvents: '$path' is empty or " +
+          "absent; declaring the µs-timestamp events schema directly " +
+          "(files that later land are read through it un-normalized)")
         spark.readStream.schema(eventsSchema).parquet(path)
     }
   }
