@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.PortableHash
 import graft.functions.Shingles._
-import graft.functions.SketchAggs
 import graft.functions.Vectors
 
 /** Deduplication operator block (SURVEY.md §2 D).
@@ -48,9 +47,14 @@ object Dedup {
 
   private def sharedPosts(spark: SparkSession, dir: String): DataFrame =
     shared.getOrBuild(spark, s"$dir#posts") {
+      // hash the whole gram array in one per-doc kernel loop, THEN
+      // explode: the postings stream carries fixed-width longs and
+      // never pays the per-exploded-row md5→hex→conv string chain
+      // (functions.GramHashes — value-identical to h60 per row)
       sharedGrams(spark, dir)
-        .select(col("doc_id"), explode(col("grams")).as("gram"))
-        .select(col("doc_id"), PortableHash.h60(col("gram")).as("gid"))
+        .select(col("doc_id"),
+          explode(graft.functions.SketchExprs.gramHashes(col("grams")))
+            .as("gid"))
     }
 
   /** `(d1, d2, inter, n1, n2)` for every doc pair sharing ≥ 1
@@ -154,9 +158,12 @@ object Dedup {
     // (measured ~1.8× on the join stage), and exactness is preserved
     // because the oracle joins on the SAME hash — any collision (P ≈
     // |grams|²/2⁶¹) affects both engines identically, and within-doc
-    // distinctness is taken before hashing.
-    val allPosts = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), PortableHash.h60(col("gram")).as("gid"))
+    // distinctness is taken before hashing. Hashing runs as one
+    // per-doc kernel loop over the array BEFORE the explode
+    // (functions.GramHashes), so no exploded row pays the
+    // md5→hex→conv Column chain.
+    val allPosts = g.select(col("doc_id"),
+      explode(graft.functions.SketchExprs.gramHashes(col("grams"))).as("gid"))
     val needDfs = pruneSingletons || maxDf > 0
     val dfs = if (needDfs) {
       allPosts.groupBy(col("gid")).agg(count(lit(1)).as("df")).cache()
@@ -234,22 +241,30 @@ object Dedup {
     * signature + band-key derivation shared by the self-join dedup
     * ([[minhashLshDf]]) and the incremental gate ([[incrementalDf]]).
     *
-    * Exploded-aggregate minhash: hash each shingle once, build the
-    * whole k-entry signature in ONE custom TypedImperativeAggregate
-    * column (long[k] buffer, map-side partial mins — see
-    * functions.MinHashAgg; bit-compatible with k separate
-    * min((a_i*h+b_i) mod P) columns but one buffer instead of k agg
-    * slots). The nested-HOF formulation (Shingles.minhashSignature)
-    * is interpreted per element and measured 20× slower. Band key =
-    * plain "band#v1_v2_v3_v4" concat — deterministic and portable to
-    * the SQL oracle (no re-hash needed; the signature entries are
-    * already 31-bit). */
+    * One-loop kernel minhash: the whole k-entry signature from ONE
+    * codegen'd expression over the per-doc shingle array
+    * ([[graft.functions.MinHashSignature]] — same h60 base and affine
+    * salts as the exploded-aggregate [[graft.functions.MinHashAgg]]
+    * formulation, bit-identical by SketchAggsSpec). The signature is
+    * therefore MAP-SIDE over the gram scan: no exploded shingle rows,
+    * no partial-min aggregate, no doc_id exchange — the first shuffle
+    * in the whole operator is the band-key candidate join itself.
+    * (The aggregate form remains the right tool where input IS one
+    * row per element — the SQL-function surface and streaming
+    * micro-batch state.) The nested-HOF formulation
+    * (Shingles.minhashSignature) is interpreted per element and
+    * measured 20× slower still. Band key = plain "band#v1_v2_v3_v4"
+    * concat — deterministic and portable to the SQL oracle (no
+    * re-hash needed; the signature entries are already 31-bit).
+    * `size(grams) > 0` keeps row coverage identical to the exploded
+    * form (which emits no row for an empty array); grams3 never
+    * produces one, so on the documents table the filter is
+    * value-invisible. */
   private def bandBuckets(g: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val base = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), PortableHash.h60(col("gram")).as("h"))
-    val sig = base.groupBy(col("doc_id"))
-      .agg(SketchAggs.minhashAgg(col("h"), k).as("sig"))
+    val sig = g.filter(size(col("grams")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SketchExprs.minhashSig(col("grams"), k).as("sig"))
     val bandKeyCols = (0 until bands).map(b =>
       concat(lit(s"$b#"),
         concat_ws("_", (b * r until (b + 1) * r).map(i =>
@@ -336,15 +351,16 @@ object Dedup {
     simhashDf(Tables(spark, dir).documents, maxHamming)
 
   def simhashDf(docs: DataFrame, maxHamming: Int): DataFrame = {
-    // Same exploded-aggregate shape as minhash: one portable hash per
-    // shingle, one custom SimHashAgg column (long[64] vote buffer,
-    // sign-packed on eval — bit-compatible with 64 sum-of-vote
-    // columns, see SketchAggsSpec).
+    // Same one-loop kernel shape as minhash: the 64-bit signature from
+    // one codegen'd expression over the per-doc shingle array
+    // (functions.SimHashSignature — bit-compatible with explode +
+    // SimHashAgg and with the 64 sum-of-vote columns, see
+    // SketchAggsSpec), so signature derivation is map-side and the
+    // operator's first shuffle is the chunk-bucket candidate join.
     val sigs = docGrams(docs)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), PortableHash.h60(col("gram")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(SketchAggs.simhashAgg(col("h")).as("sim"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SketchExprs.simhashSig(col("grams")).as("sim"))
       .cache()
     val chunks = sigs.select(col("doc_id"), col("sim"),
       explode(simhashChunks(col("sim"))).as("ck")).cache()
@@ -483,8 +499,8 @@ object Dedup {
     // discipline as ngramJaccardPairs)
     val g = docGrams(docs).cache()
     val sizes = g.select(col("doc_id"), size(col("grams")).as("n"))
-    val posts = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), PortableHash.h60(col("gram")).as("gid"))
+    val posts = g.select(col("doc_id"),
+      explode(graft.functions.SketchExprs.gramHashes(col("grams"))).as("gid"))
     posts.as("a")
       .join(posts.as("b"),
         col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))

@@ -175,18 +175,22 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
-  test("sketch signatures combine map-side (partial custom aggregates in plan)") {
+  test("sketch signatures are map-side kernels (no explode+aggregate in plan)") {
     val docs = graft.core.Tables(spark, Sf).documents
     val mh = Dedup.minhashLshDf(docs, tau = 0.5)
     mh.collect()
     val mhPlan = mh.queryExecution.executedPlan.toString
-    assert(mhPlan.contains("partial_minhash_agg"),
-      s"minhash signature must partial-aggregate before the shuffle:\n$mhPlan")
+    assert(mhPlan.contains("minhash_signature"),
+      s"minhash signature must come from the one-loop kernel:\n$mhPlan")
+    assert(!mhPlan.contains("minhash_agg"),
+      s"signature derivation must not explode+aggregate shingle rows:\n$mhPlan")
     val sh = Dedup.simhashDf(docs, maxHamming = 3)
     sh.collect()
     val shPlan = sh.queryExecution.executedPlan.toString
-    assert(shPlan.contains("partial_simhash_agg"),
-      s"simhash signature must partial-aggregate before the shuffle:\n$shPlan")
+    assert(shPlan.contains("simhash_signature"),
+      s"simhash signature must come from the one-loop kernel:\n$shPlan")
+    assert(!shPlan.contains("simhash_agg"),
+      s"signature derivation must not explode+aggregate shingle rows:\n$shPlan")
   }
 
   test("embedding dedup agrees with HOF cosine reference") {

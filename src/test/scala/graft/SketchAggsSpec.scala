@@ -31,6 +31,68 @@ class SketchAggsSpec extends SparkSpecBase {
     assert(imperative.nonEmpty)
   }
 
+  private lazy val gramTable = graft.core.Tables(spark, Sf).documents
+    .select(col("doc_id"), Shingles.grams3(col("text")).as("grams"))
+
+  test("MinHashSignature kernel equals explode + MinHashAgg on real documents") {
+    val k = 32
+    val kernel = gramTable
+      .select(col("doc_id"),
+        graft.functions.SketchExprs.minhashSig(col("grams"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = hashes.groupBy("doc_id")
+      .agg(SketchAggs.minhashAgg(col("h"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel == agg)
+    assert(kernel.nonEmpty)
+  }
+
+  test("SimHashSignature kernel equals explode + SimHashAgg on real documents") {
+    val kernel = gramTable
+      .select(col("doc_id"),
+        graft.functions.SketchExprs.simhashSig(col("grams")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = hashes.groupBy("doc_id")
+      .agg(SketchAggs.simhashAgg(col("h")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == agg)
+    assert(kernel.nonEmpty)
+  }
+
+  test("GramHashes kernel equals h60 per exploded row (incl. null elements)") {
+    val kernel = gramTable
+      .select(col("doc_id"),
+        explode(graft.functions.SketchExprs.gramHashes(col("grams"))).as("gid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val perRow = hashes.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(kernel == perRow)
+    assert(kernel.nonEmpty)
+    // null element → null hash, exactly as h60(NULL) evaluates
+    val withNull = spark.range(1)
+      .select(expr("array('a b c', NULL, 'b c d')").as("g"))
+    val hs = withNull
+      .select(graft.functions.SketchExprs.gramHashes(col("g")).as("hs"))
+      .head().getSeq[Any](0)
+    assert(hs.size == 3 && hs(1) == null && hs(0) != null && hs(2) != null)
+  }
+
+  test("sketch kernels: empty array is neutral, null array is null") {
+    val df = spark.range(1)
+      .select(expr("array('a b c', 'b c d')").as("g"),
+        expr("array()").cast("array<string>").as("empty"),
+        expr("CAST(NULL AS array<string>)").as("nul"))
+    val r = df.select(
+      graft.functions.SketchExprs.minhashSig(col("empty"), 4).as("me"),
+      graft.functions.SketchExprs.minhashSig(col("nul"), 4).as("mn"),
+      graft.functions.SketchExprs.simhashSig(col("empty")).as("se"),
+      graft.functions.SketchExprs.simhashSig(col("nul")).as("sn")).head()
+    assert(r.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
+    assert(r.isNullAt(1))
+    assert(r.getLong(2) == 0L)
+    assert(r.isNullAt(3))
+  }
+
   test("SimHashAgg equals the 64-column sum-of-votes formulation") {
     def vote(j: Int) =
       when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
