@@ -13,13 +13,22 @@ import org.apache.spark.sql.SparkSession
   * materialization cost rather than a predecessor's — every timed
   * rep is a full cold execution of that operator.
   *
-  * Two honesty signals ride along:
+  * Honesty signals ride along, enough to adjudicate a disturbed
+  * capture from the JSON alone (the round-6 driver capture doubled
+  * mid-run and took a judge rerun to attribute):
   * - `loadavg_start`/`loadavg_end` (1-min /proc/loadavg) and a
-  *   per-query `queries_min` map next to the medians: a
-  *   driver-side run on a contended box then shows load ≫ cpus
-  *   and min ≪ median, making an inflated total attributable in
-  *   one read instead of triggering a regression hunt (rounds 3
-  *   and 4 each burned one on phantom regressions).
+  *   per-query `queries_min` map next to the medians: load ≫ cpus
+  *   and min ≪ median = a contended box, not a regression.
+  * - `queries_reps_wall` / `queries_reps_cpu` (full line only):
+  *   every rep's raw wall seconds and the JVM's process-CPU-time
+  *   delta over that rep, in execution order. External disturbance
+  *   has a signature no summary stat can fake: wall balloons on
+  *   some reps while that rep's CPU seconds stay at the query's
+  *   normal burn (the box was busy, not the engine); a true
+  *   regression raises wall AND cpu on every rep.
+  * - `total_cpu_med`: Σ over queries of the CPU seconds of each
+  *   query's median-wall rep — the summary-line scalar twin of the
+  *   per-rep maps (wall total up, cpu total flat ⇒ external).
   * - `suite_sec`: ONE sequential pass over the whole suite with
   *   caches retained — the pipeline-shaped total where shared
   *   derived frames ([[graft.core.PlanCache]]: dedup's postings
@@ -27,12 +36,37 @@ import org.apache.spark.sql.SparkSession
   *   reused. This is how the engine actually runs a query batch;
   *   the per-query-median `value` deliberately excludes that
   *   sharing, so the pair is the measured cost/benefit of reuse.
+  *
+  * SPARK_GRAFT_BENCH_FILTER (local iteration only — the driver
+  * never sets it): comma-separated name prefixes; only matching
+  * queries run. The JSON still parses but is a partial surface —
+  * n_ok says how partial.
   */
 object Bench {
   private def loadavg1(): String =
     try java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
     catch { case _: Throwable => "-1" }
+
+  /** Cumulative process CPU time (user+sys, all threads), ns; -1 if
+    * the platform bean doesn't expose it. */
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** One query's timed reps: (wall sec, cpu sec) in execution order,
+    * plus the derived stats the headline uses. */
+  private case class QTimes(reps: Array[(Double, Double)]) {
+    private val byWall = reps.sortBy(_._1)
+    def median: Double = byWall(byWall.length / 2)._1
+    def min: Double = byWall.head._1
+    /** CPU seconds of the median-wall rep. */
+    def medianCpu: Double = byWall(byWall.length / 2)._2
+    def failed: Boolean = reps.isEmpty
+  }
+  private val Failed = QTimes(Array.empty)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,10 +88,15 @@ object Bench {
     // absorb one-time session/codegen warmup outside the per-query timings
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val loadStart = loadavg1()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        filter.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       // Median-of-N steady-state timing: first execution pays one-time
       // codegen compilation (amortized to ~0 on a real cluster run), so
       // warm up untimed, then time `reps` fresh executions with caches
@@ -69,16 +108,18 @@ object Bench {
       try {
         spark.catalog.clearCache()
         run(fn)
-        val times = Array.fill(reps) {
+        name -> QTimes(Array.fill(reps) {
           spark.catalog.clearCache()
+          val c0 = processCpuNs()
           val t0 = System.nanoTime()
           run(fn)
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        name -> (times(times.length / 2), times.head)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val c1 = processCpuNs()
+          (wall, if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9)
+        })
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> (-1.0, -1.0)
+        name -> Failed
       }
     }
     // crash-safety checkpoint: the per-query medians are the judged
@@ -91,8 +132,8 @@ object Bench {
     // across queries so PlanCache-shared frames are built once
     spark.catalog.clearCache()
     val suiteT0 = System.nanoTime()
-    val suiteTimes = results.map { case (name, (med, _)) =>
-      if (med >= 0) {
+    val suiteTimes = results.map { case (name, qt) =>
+      if (!qt.failed) {
         val t0 = System.nanoTime()
         try { run(SparkEntry.queries(name))
           name -> (System.nanoTime() - t0) / 1e9
@@ -113,23 +154,29 @@ object Bench {
     // cache-retained suite pass (a PlanCache-interaction-only failure)
     // must also fail the gate — queries_suite records -1 for it, and a
     // zero exit would let that class ship unnoticed.
-    if (results.exists(_._2._1 < 0) || suiteTimes.exists(_._2 < 0)) sys.exit(1)
+    if (results.exists(_._2.failed) || suiteTimes.exists(_._2 < 0)) sys.exit(1)
   }
 
   /** Assemble + write the bench JSON (and optionally print it). Called
     * twice: a silent checkpoint write right after the medians (so a
     * harness timeout mid-suite-pass can't lose the round's headline),
     * then the full write with the suite fields. */
-  private def writeAndPrint(results: Seq[(String, (Double, Double))],
+  private def writeAndPrint(results: Seq[(String, QTimes)],
       suiteTimes: Seq[(String, Double)], suiteSec: Double,
       loadStart: String, loadEnd: String, sfDir: String, reps: Int,
       printToStdout: Boolean): Unit = {
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + r3(med) }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + r3(mn) }
-      .mkString("{", ",", "}")
+    def qmap(f: QTimes => String): String =
+      results.map { case (k, qt) =>
+        "\"" + k + "\":" + (if (qt.failed) "-1.000" else f(qt)) }
+        .mkString("{", ",", "}")
+    val qs = qmap(qt => r3(qt.median))
+    val qsMin = qmap(qt => r3(qt.min))
+    // per-rep raw walls and cpu-time deltas, execution order — the
+    // full-line-only forensics maps (see the scaladoc's honesty list)
+    val qsRepsWall = qmap(_.reps.map(r => r3(r._1)).mkString("[", ",", "]"))
+    val qsRepsCpu = qmap(_.reps.map(r => r3(r._2)).mkString("[", ",", "]"))
     // suite fields only once the suite pass actually ran. The scalar
     // (suite_sec) and the per-query map are kept SEPARATE: the map goes
     // only into the full line/file, never the summary — in round 5 the
@@ -143,18 +190,23 @@ object Bench {
     }
     // failures are excluded from the headline total (a -1 marker would
     // make a broken run look FASTER) and reported explicitly
-    val ok = results.filter(_._2._1 >= 0)
-    val failed = results.filter(_._2._1 < 0).map(_._1)
+    val ok = results.filter(!_._2.failed)
+    val failed = results.filter(_._2.failed).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = r3(ok.map(_._2._1).sum)
-    val totalMin = r3(ok.map(_._2._2).sum)
-    // scalars only — safe to embed in the bounded-size summary line
+    val total = r3(ok.map(_._2.median).sum)
+    val totalMin = r3(ok.map(_._2.min).sum)
+    val totalCpuMed = r3(ok.map(_._2.medianCpu).sum)
+    // scalars only — safe to embed in the bounded-size summary line.
+    // total_min leads: it is the contention-robust stat (an external
+    // disturbance inflates the median long before the min), so a
+    // reader hits it before the per-query maps.
     val honesty =
-      s""""total_min":$totalMin,$suiteScalar""" +
+      s""""total_min":$totalMin,"total_cpu_med":$totalCpuMed,$suiteScalar""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_min":$qsMin,$suiteMap""" +
+        s""""queries_min":$qsMin,"queries_reps_wall":$qsRepsWall,""" +
+        s""""queries_reps_cpu":$qsRepsCpu,$suiteMap""" +
         s""""sf":"$sfDir","reps":$reps,"n_ok":${ok.size},"n_failed":${failed.size},""" +
         s""""failed":$failedJson,$honesty}"""
     // Compact summary WITHOUT any per-query map, printed LAST: the full
