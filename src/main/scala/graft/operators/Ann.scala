@@ -77,7 +77,10 @@ object Ann {
       .select(col("qid"), col("vec_id"),
         round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
       .filter(col("cosine") >= tau)
-      .orderBy("qid", "vec_id")
+      // range output scales with corpus hits — within-partition
+      // presentation order only (top-k variants keep their global
+      // sort: bounded k×|queries| rows feeding an ordered contract)
+      .sortWithinPartitions("qid", "vec_id")
 
   // --- random-hyperplane LSH --------------------------------------
 

@@ -43,7 +43,7 @@ object Curation {
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6)
           .as("rep_ratio"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** Rule-based quality gate (Gopher-rules shape): per-document
     * pass/fail flags for token count, mean word length, symbol ratio,
@@ -77,7 +77,7 @@ object Curation {
         (col("n_stop") >= 2).as("ok_stop"))
       .withColumn("keep",
         col("ok_len") && col("ok_word_len") && col("ok_symbol") && col("ok_stop"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** Benchmark decontamination: flag corpus documents that share any
@@ -118,7 +118,7 @@ object Curation {
       .select(col("doc_id"), col("source"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** PII patterns shared by the Spark expressions and the generated
@@ -162,7 +162,7 @@ object Curation {
       .withColumn("has_pii",
         PiiPatterns.map { case (n, _, _) => col(s"n_$n") > 0L }
           .reduce(_ || _))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** Deterministic stratified sampling: downsample every language
@@ -203,7 +203,7 @@ object Curation {
     docs
       .filter(bucket < thresh)
       .select(col("doc_id"), round(w, 6).as("weight"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   def sampleStratifiedDf(docs: DataFrame): DataFrame = {
@@ -219,6 +219,6 @@ object Curation {
     d.join(broadcast(thresholds), Seq("lang"))
       .filter(bucket < col("thresh"))
       .select(col("doc_id"), col("lang"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 }

@@ -26,7 +26,12 @@ object Dedup {
     Tables(spark, dir).documents
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
-      .orderBy("h")
+      // presentation order only (the gate re-sorts before hashing): a
+      // within-partition sort keeps output deterministic per partition
+      // without a corpus-wide range exchange — one row per distinct
+      // content here, so a global sort would be a full extra shuffle
+      // at 100× (the q_bloom_join pattern, Relational.scala)
+      .sortWithinPartitions("h")
 
   private def docGrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), grams3(col("text")).as("grams"))
@@ -121,13 +126,14 @@ object Dedup {
       .filter(col("df") > maxDf).isEmpty
     if (capBites)
       ngramJaccardDf(Tables(spark, dir).documents, tau, maxDf = maxDf)
-    else sharedJaccardPairs(spark, dir, tau).orderBy("d1", "d2")
+    else sharedJaccardPairs(spark, dir, tau).sortWithinPartitions("d1", "d2")
   }
 
   /** Presentation-sorted wrapper over [[ngramJaccardPairs]]. */
   def ngramJaccardDf(docs: DataFrame, tau: Double,
       pruneSingletons: Boolean = false, maxDf: Long = 0): DataFrame =
-    ngramJaccardPairs(docs, tau, pruneSingletons, maxDf).orderBy("d1", "d2")
+    ngramJaccardPairs(docs, tau, pruneSingletons, maxDf)
+      .sortWithinPartitions("d1", "d2")
 
   /** N-gram Jaccard near-dup pairs, unsorted (iterative consumers —
     * [[components]] — must not pay a global sort they immediately
@@ -290,7 +296,7 @@ object Dedup {
       .select(col("d1"), col("d2"),
         round(jaccard(col("g1.grams"), col("g2.grams")), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
-      .orderBy("d1", "d2")
+      .sortWithinPartitions("d1", "d2")
   }
 
   /** Incremental dedup gate — the shape a 100 TB pipeline actually
@@ -339,7 +345,7 @@ object Dedup {
         col("best_match").isNotNull.as("is_dup"),
         coalesce(col("best_match"), lit(-1L)).as("best_match"),
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit chunk
@@ -371,7 +377,7 @@ object Dedup {
         hamming(col("a.sim"), col("b.sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("d1", "d2")
+      .sortWithinPartitions("d1", "d2")
   }
 
   /** Connected components over near-dup pairs — the step that turns
@@ -455,7 +461,7 @@ object Dedup {
     edges.unpersist(blocking = false)
     p.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** Dedup groups from n-gram Jaccard pairs: every doc that has a
@@ -491,7 +497,7 @@ object Dedup {
         round(col("inter") / col("n1"), 6).as("cont_d1_in_d2"),
         round(col("inter") / col("n2"), 6).as("cont_d2_in_d1"))
       .filter(greatest(col("cont_d1_in_d2"), col("cont_d2_in_d1")) >= tau)
-      .orderBy("d1", "d2")
+      .sortWithinPartitions("d1", "d2")
 
   def containmentDf(docs: DataFrame, tau: Double = 0.6): DataFrame = {
     // cached: consumed by both the size projection and the postings
@@ -512,7 +518,7 @@ object Dedup {
         round(col("inter") / col("s1.n"), 6).as("cont_d1_in_d2"),
         round(col("inter") / col("s2.n"), 6).as("cont_d2_in_d1"))
       .filter(greatest(col("cont_d1_in_d2"), col("cont_d2_in_d1")) >= tau)
-      .orderBy("d1", "d2")
+      .sortWithinPartitions("d1", "d2")
   }
 
   /** Exact duplicated-SPAN detection — the substring-level dedup pass
@@ -580,7 +586,7 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") > 1)
-      .orderBy("h")
+      .sortWithinPartitions("h")
 
   def embedding(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame =
     embeddingDf(Tables(spark, dir).embeddings, tau)
@@ -594,7 +600,7 @@ object Dedup {
         round(Vectors.cosineSim(col("a.embedding"), col("b.embedding")), 6)
           .as("cosine"))
       .filter(col("cosine") >= tau)
-      .orderBy("v1", "v2")
+      .sortWithinPartitions("v1", "v2")
   }
 
   /** SemDeDup-shaped semantic dedup: LEARNED blocking. Where
@@ -622,6 +628,6 @@ object Dedup {
         round(Vectors.cosineSim(col("a.embedding"), col("b.embedding")), 6)
           .as("cosine"))
       .filter(col("cosine") >= tau)
-      .orderBy("v1", "v2")
+      .sortWithinPartitions("v1", "v2")
   }
 }

@@ -24,7 +24,12 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total"))
-      .orderBy("hour", "event_type")
+      // corpus/time-scaling outputs end in a within-partition
+      // presentation sort only (the gate re-sorts before hashing); a
+      // trailing global orderBy here is a pure extra range exchange
+      // at 100×. Bounded outputs (markov types², retention day-pairs,
+      // changepoint per-type) and limit-fed sorts keep global order.
+      .sortWithinPartitions("hour", "event_type")
 
   /** Top-k users by purchase spend. */
   def qEventTopusers(spark: SparkSession, dir: String): DataFrame =
@@ -66,7 +71,7 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         floor(min(col("ts").cast("double"))).cast("long").as("start_s"),
         floor(max(col("ts").cast("double"))).cast("long").as("end_s"))
-      .orderBy("user_id", "session_id")
+      .sortWithinPartitions("user_id", "session_id")
   }
 
   /** Interval (range) join: error events within 30 minutes AFTER a
@@ -86,7 +91,7 @@ object Events {
         col("e_ts") >= col("p_ts") &&
         col("e_ts") <= col("p_ts") + expr("interval 30 minutes"))
       .select(col("purchase_id"), col("error_id"), col("p_user").as("user_id"))
-      .orderBy("purchase_id", "error_id")
+      .sortWithinPartitions("purchase_id", "error_id")
   }
 
   /** Three-step conversion funnel (view → click → purchase, each step
@@ -126,7 +131,7 @@ object Events {
       .select(col("user_id"), col("n_views"),
         coalesce(col("n_clicked"), lit(0L)).as("n_clicked"),
         coalesce(col("n_full"), lit(0L)).as("n_full"))
-      .orderBy("user_id")
+      .sortWithinPartitions("user_id")
   }
 
   /** As-of join: for each error event, the most recent prior (or
@@ -168,7 +173,7 @@ object Events {
           .as("carried"))
       .withColumnRenamed("cal_user", "user_id")
       .withColumnRenamed("cal_day", "day")
-      .orderBy("user_id", "day")
+      .sortWithinPartitions("user_id", "day")
   }
 
   /** Per-user daily-activity anomaly flags — the time-series outlier
@@ -203,7 +208,7 @@ object Events {
     daily.join(moments, col("user_id") === col("m_user"))
       .select(col("user_id"), col("day"), col("cnt"), z.as("z"))
       .withColumn("is_anomaly", abs(col("z")) > 3.0)
-      .orderBy("user_id", "day")
+      .sortWithinPartitions("user_id", "day")
   }
 
   /** Cohort retention — the product-analytics staple: users grouped
@@ -277,7 +282,7 @@ object Events {
           unix_timestamp(col("ts")) - unix_timestamp(col("lt_ts")))
           .as("secs_since_touch"),
         col("value"))
-      .orderBy("purchase_id")
+      .sortWithinPartitions("purchase_id")
   }
 
   /** First-order Markov transition matrix over each user's event
@@ -380,7 +385,7 @@ object Events {
       .withColumn("rfm",
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
           .cast("int"))
-      .orderBy("user_id")
+      .sortWithinPartitions("user_id")
   }
 
   /** CUSUM changepoint detection per event type — where did the
@@ -439,6 +444,6 @@ object Events {
         last(col("purchase_id"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("error_id"), col("user_id"), col("last_purchase_id"))
-      .orderBy("error_id")
+      .sortWithinPartitions("error_id")
   }
 }

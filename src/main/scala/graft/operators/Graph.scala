@@ -364,7 +364,10 @@ object Graph {
       wedges("n1") === edges("u") && wedges("n2") === edges("v"))
     tri.select(explode(array(col("x"), col("n1"), col("n2"))).as("suppkey"))
       .groupBy(col("suppkey")).agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("suppkey"))
+      // presentation order only (the gate re-sorts): per-node output
+      // scales with the graph, so a global sort is a pure extra
+      // range exchange at 100× — within-partition order suffices
+      .sortWithinPartitions(col("suppkey"))
   }
 
   /** Triangle census of the strong-tie supplier graph: how many
@@ -442,7 +445,7 @@ object Graph {
       System.err.println(s"[graft] kcore round $rounds: stable=$stable")
     }
     live.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .orderBy("node")
+      .sortWithinPartitions("node")
   }
 
   /** Generated DuckDB oracle for [[kcore]]: the same synchronous

@@ -106,7 +106,7 @@ object Multimodal {
       .agg(count(lit(1)).as("n_sampled"),
         max("frame_idx").as("last_frame"),
         round(avg("brightness"), 6).as("avg_brightness"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** Per-format metadata stats — the downstream relational op that
     * proves decoded metadata joins back into the declarative world.
@@ -137,7 +137,7 @@ object Multimodal {
           .otherwise(expr("(width * 224) div height")).as("new_w"),
         when(col("width") >= col("height"), expr("(height * 224) div width"))
           .otherwise(lit(224)).as("new_h"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** One image's byte histogram — the feature-extraction stand-in
     * (a real deployment swaps this for an embedding model call; the
@@ -164,7 +164,7 @@ object Multimodal {
       .select(col("doc_id"), posexplode(col("bins")))
       .select(col("doc_id"), col("pos").cast("int").as("bin"),
         col("col").as("cnt"))
-      .orderBy("doc_id", "bin")
+      .sortWithinPartitions("doc_id", "bin")
   }
 
   /** Quantized-histogram signature for one image: per-mille bin
@@ -198,6 +198,6 @@ object Multimodal {
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") > 1)
-      .orderBy("sig")
+      .sortWithinPartitions("sig")
   }
 }

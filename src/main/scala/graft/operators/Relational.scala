@@ -119,7 +119,7 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         moneySum(col("o_totalprice")).as("spend"))
       .filter(col("n_orders") >= 5)
-      .orderBy("o_custkey")
+      .sortWithinPartitions("o_custkey")
 
   /** count(distinct) per group. */
   def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
@@ -137,7 +137,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .orderBy("o_custkey", "rn")
+      .sortWithinPartitions("o_custkey", "rn")
   }
 
   /** Running sum over an ordered window. */
@@ -148,7 +148,7 @@ object Relational {
     Tables(spark, dir).orders
       .select(col("o_custkey"), col("o_orderkey"),
         round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
-      .orderBy("o_custkey", "o_orderkey")
+      .sortWithinPartitions("o_custkey", "o_orderkey")
   }
 
   /** RANGE-frame window (vs [[qWindowRunning]]'s ROWS frame): rolling
@@ -164,7 +164,7 @@ object Relational {
         col("o_totalprice"))
       .select(col("o_custkey"), col("o_orderkey"), col("epoch_s"),
         round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"))
-      .orderBy("o_custkey", "o_orderkey")
+      .sortWithinPartitions("o_custkey", "o_orderkey")
   }
 
   /** Conditional-ratio aggregate: returned-revenue share per month —
@@ -189,7 +189,7 @@ object Relational {
       .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .sortWithinPartitions("c_custkey")
   }
 
   /** NOT EXISTS via left_anti: customers with no orders at all. */
@@ -198,7 +198,7 @@ object Relational {
     t.customer
       .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .sortWithinPartitions("c_custkey")
   }
 
   /** Union of two filtered branches + aggregate. */
@@ -232,7 +232,7 @@ object Relational {
         .select(col("o_custkey"), lit("churned").as("cohort")))
       .unionAll(y98.except(y97)
         .select(col("o_custkey"), lit("acquired").as("cohort")))
-      .orderBy("cohort", "o_custkey")
+      .sortWithinPartitions("cohort", "o_custkey")
   }
 
   /** Hierarchical ROLLUP aggregate. */
@@ -315,7 +315,7 @@ object Relational {
       .groupBy(col("p_brand"), upper(col("p_type")).as("type_u"),
         substring(col("p_name"), 1, 8).as("name8"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("p_brand", "type_u", "name8")
+      .sortWithinPartitions("p_brand", "type_u", "name8")
 
   /** TPC-H Q7-style: revenue volume between supplier/customer nation
     * pairs (two broadcast dimension joins on the same fact row). */
@@ -396,7 +396,7 @@ object Relational {
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_acctbal > 9000)
-         ORDER BY o_orderkey""")
+         SORT BY o_orderkey""")
   }
 
   /** Full CUBE over two grouping columns. */
@@ -418,7 +418,7 @@ object Relational {
         // cast straight to long — hop through TIMESTAMP (session UTC)
         (lead(col("o_orderdate"), 1).over(w).cast("timestamp").cast("long") -
           col("o_orderdate").cast("timestamp").cast("long")).as("gap_s"))
-      .orderBy("o_custkey", "o_orderkey")
+      .sortWithinPartitions("o_custkey", "o_orderkey")
   }
 
   /** Exact percentiles per group (continuous interpolation). */
@@ -467,7 +467,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 6).as("pr"))
-      .orderBy("o_custkey", "o_orderkey")
+      .sortWithinPartitions("o_custkey", "o_orderkey")
   }
 
   /** Bloom-prefiltered semi-join — the explicit runtime-filter
@@ -541,7 +541,7 @@ object Relational {
         first(col("o_orderkey")).over(w).as("cheapest_key"),
         last(col("o_orderkey")).over(w).as("priciest_key"),
         nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
-      .orderBy("o_custkey", "o_orderkey")
+      .sortWithinPartitions("o_custkey", "o_orderkey")
   }
 
   /** TPC-H Q4 shape (order-priority checking): count orders per

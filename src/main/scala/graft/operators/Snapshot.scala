@@ -48,6 +48,6 @@ object Snapshot {
       .filter(col("change").isNotNull)
       .select(coalesce(col("b_key"), col("n_key")).as("c_custkey"),
         col("change"), col("old_cents"), col("new_cents"))
-      .orderBy("c_custkey")
+      .sortWithinPartitions("c_custkey")
   }
 }

@@ -44,7 +44,12 @@ object TextOps {
         round(col("n_distinct").cast("double") / col("n_tokens"), 6)
           .as("distinct_ratio"),
         col("punct_ratio"))
-      .orderBy("doc_id")
+      // per-doc outputs end in a within-partition presentation sort
+      // ONLY: the gate re-sorts before hashing, and a trailing global
+      // orderBy on a corpus-scaling frame is a full range exchange at
+      // 100× (kept only where a limit/TakeOrdered or a genuinely
+      // ordered contract follows — e.g. textCollocations, bm25Search)
+      .sortWithinPartitions("doc_id")
   }
 
   /** Token counts: whitespace tokens vs BPE-ish pre-tokenizer runs. */
@@ -53,7 +58,7 @@ object TextOps {
       .select(col("doc_id"),
         size(tokens(col("text"))).as("ws_tokens"),
         size(bpeTokens(col("text"))).as("re_tokens"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** Readability profile — Flesch-reading-ease-shaped scoring in
     * exact fixed point. Sentences are `[.!?]+` runs, syllables the
@@ -89,14 +94,14 @@ object TextOps {
         expr("""CAST(206835 - (1015 * n_words) DIV n_sentences
                 - (84600 * n_syllables) DIV n_words AS BIGINT)""")
           .as("flesch_milli"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** Stable md5 fingerprint of normalized text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** Composite cleaning pipeline — the canonical training-data flow:
     * quality gate (length / lexical-diversity / punctuation) then
@@ -123,7 +128,7 @@ object TextOps {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"),
         min(col("n_tokens").cast("int")).as("n_tokens"))
       .select(col("keep_id"), col("fp"), col("n_dups"), col("n_tokens"))
-      .orderBy("keep_id")
+      .sortWithinPartitions("keep_id")
   }
 
   /** Deterministic train/val/test split — the assignment must be a
@@ -176,7 +181,7 @@ object TextOps {
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("source", "pack_id")
+      .sortWithinPartitions("source", "pack_id")
   }
 
   /** Overflow-safe split bucket + assignment (see [[pipelineSplit]]).
@@ -249,7 +254,7 @@ object TextOps {
         round(coalesce(col("nat_micro"), lit(0L)).cast("double") / 1e6 /
           greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 6)
           .as("avg_logprob"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** Corpus collocations — the top-k bigrams by pointwise mutual
@@ -331,7 +336,7 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("score_scaled").cast("double") / 1e6, 6).as("tfidf"),
         col("rn"))
-      .orderBy("doc_id", "rn")
+      .sortWithinPartitions("doc_id", "rn")
   }
 
   /** BM25 ranked retrieval for a fixed query — the search surface
@@ -442,7 +447,7 @@ object TextOps {
         col("lang").as("lang"))).as("pred"))
       .select(col("doc_id"), col("pred.lang").as("pred_lang"),
         round(col("pred.score"), 6).as("score"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** Character-level Shannon entropy per document — the randomness
@@ -474,5 +479,5 @@ object TextOps {
           (round(log(col("n").cast("double")) * 1e6, 0).cast("long") -
             col("s_micro").cast("double") / col("n")) / 1e6), 6)
           .as("entropy_nats"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 }

@@ -142,6 +142,6 @@ object IO {
     docs.select(graft.functions.AvroCodec.to_avro(payload).as("bin"))
       .select(graft.functions.AvroCodec.from_avro(col("bin"), schema).as("st"))
       .select(col("st.doc_id").as("doc_id"), col("st.text").as("text"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 }

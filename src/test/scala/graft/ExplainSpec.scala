@@ -62,6 +62,44 @@ class ExplainSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus-scaling outputs carry no global presentation sort (no range exchange)") {
+    // The gate re-sorts rows before hashing, so a trailing global
+    // orderBy on an output that scales with the corpus buys nothing
+    // and costs a full range exchange at 100× — those operators end in
+    // sortWithinPartitions instead (the q_bloom_join pattern). This
+    // pins the whole audited class: no rangepartitioning exchange
+    // anywhere in the plan. Global sorts survive ONLY where bounded
+    // output or a limit (TakeOrderedAndProject) makes them free.
+    // Construction-only plans suffice for a negative assertion: AQE
+    // can remove or downgrade exchanges at runtime, never introduce a
+    // range exchange the initial plan lacks.
+    val converted = Seq(
+      "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_incremental", "dedup_containment",
+      "dedup_substring", "dedup_embedding", "dedup_semantic",
+      "graph_triangles", "graph_kcore",
+      "text_quality", "text_tokens", "text_readability",
+      "text_fingerprint", "text_lm_score", "text_langid", "text_entropy",
+      "text_tfidf", "pipeline_clean", "pipeline_pack", "text_repetition",
+      "text_gopher", "pipeline_decontam", "pipeline_pii",
+      "sample_stratified", "sample_weighted",
+      "mm_frame_sample", "mm_resize", "mm_features", "mm_dedup",
+      "snapshot_diff", "avro_roundtrip",
+      "q_event_window", "q_sessionize", "q_range_join", "q_funnel",
+      "q_gap_fill", "q_anomaly_days", "events_attribution", "events_rfm",
+      "q_asof_join",
+      "q_group_having", "q_window_rank", "q_window_running",
+      "q_window_range", "q_window_lead", "q_ntile", "q_first_last",
+      "q_semi_join", "q_anti_join", "q_set_ops", "q_string_funcs",
+      "q_in_sub", "ann_range")
+    for (name <- converted) {
+      val df = SparkEntry.queries(name)(spark, Sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("rangepartitioning"),
+        s"$name: corpus-scaling output must not end in a global sort:\n$p")
+    }
+  }
+
   test("q1 keeps partial (map-side) aggregation before the shuffle") {
     val df = Relational.q1Agg(spark, Sf)
     // pre-AQE physical plan shows the partial/final aggregate split
