@@ -1,5 +1,6 @@
 #!/bin/bash
-# One-command local gate: compile, specs, 3-SF oracle verify, bench.
+# One-command local gate: compile, specs, 3-SF oracle verify (plus a
+# partition-invariance pass), bench.
 # Usage: tools/gate.sh [quick]   (quick = sf0.01 verify only, no bench)
 set -e
 set -o pipefail
@@ -17,6 +18,17 @@ for sf in $sfs; do
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf$sf $out" > /dev/null 2>&1
   python3 tools/check.py "/root/testdata/sf$sf" "$out" | tail -1
 done
+
+# Partition-invariance pass: the whole surface again at an unrelated
+# CPU count / shuffle-partition setting, hash-checked against the same
+# oracle. Any operator whose result depends on partitioning, merge
+# order, or per-partition evaluation order (the fixed-point loops, the
+# sketch merges, sampling) fails HERE even while the 8-CPU run is
+# green — the class of bug a single-configuration gate cannot see.
+echo "=== verify sf0.01 @ 5 cpus (partition invariance) ==="
+rm -rf /tmp/gate_v5cpu
+SPARK_GRAFT_CPUS=5 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_v5cpu" > /dev/null 2>&1
+python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_v5cpu | tail -1
 
 if [ "$1" != "quick" ]; then
   echo "=== bench sf0.1 ==="
