@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongTyp
 
 import graft.functions.{AsciiTokens, AvroCodec, BottomKSampleAgg,
   CosineSimilarity, CountMinAgg, HllAgg, MinHashAgg, NGramShingles,
-  SimHashAgg, TopKFreqAgg, TopKScoreAgg}
+  QSketchAgg, SimHashAgg, TopKFreqAgg, TopKScoreAgg}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -119,6 +119,12 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "hll_agg(hash_col)")
         HllAgg(exprs.head)
+      }),
+    (FunctionIdentifier("qsketch_agg"),
+      new ExpressionInfo(classOf[QSketchAgg].getName, "qsketch_agg"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "qsketch_agg(non_negative_bigint_col)")
+        QSketchAgg(Cast(exprs.head, LongType))
       }),
     (FunctionIdentifier("bottomk_sample"),
       new ExpressionInfo(classOf[BottomKSampleAgg].getName, "bottomk_sample"),

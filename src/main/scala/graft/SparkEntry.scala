@@ -96,6 +96,7 @@ object SparkEntry {
     "events_rfm" -> (Events.qRfm _),
     "events_paths" -> ((s, d) => Events.qPaths(s, d)),
     "profile_fd" -> (Profile.fdProfile _),
+    "profile_qsketch" -> ((s: SparkSession, d: String) => Profile.qsketchProfile(s, d)),
     "profile_mad" -> ((s, d) => Profile.madProfile(s, d)),
     "profile_numeric" -> (Profile.numericProfile _),
     "profile_hll_users" -> (Profile.hllUsers _),
@@ -1923,6 +1924,9 @@ object SparkEntry {
     "profile_corr" -> corrSql,
     // generated from the same FdPairs list the Spark sweep uses
     "profile_fd" -> graft.operators.Profile.fdOracleSql,
+    // generated from the same CASE chains the Spark plan runs — the
+    // bucket/rank/midpoint rules have one Scala source of truth
+    "profile_qsketch" -> graft.operators.Profile.qsketchOracleSql,
     // identical IEEE double bucket arithmetic; max clamps into the
     // last bucket, constant columns collapse to bucket 0
     "profile_histogram" ->

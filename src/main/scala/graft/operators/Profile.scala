@@ -304,4 +304,74 @@ object Profile {
            CAST(max(k) = 1 AS INT) AS holds
          FROM (SELECT $a, count(DISTINCT $b) AS k FROM orders GROUP BY $a)"""
   }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY lhs, rhs")
+
+  /** Approximate p50/p90/p99 of cent-scaled `l_extendedprice` per
+    * return flag via the MERGEABLE quantile sketch
+    * ([[graft.functions.QuantileSketch]] — HDR-histogram exponential
+    * buckets, ≤ ±1.6% by construction, integer-exact end to end).
+    * Where `profile_quantiles` rides a bottom-k SAMPLE (exact ranks
+    * of a fixed-size subset), this is the sketch of the WHOLE
+    * distribution: every row lands in one of ≤ 1888 fixed buckets,
+    * map-side partial counts collapse before the shuffle, and the
+    * exchange carries bucket rows bounded by |groups| × 1888 — never
+    * by the corpus. The same bucket counts are the streaming window
+    * state ([[graft.streaming.Streams.qsketchWindow]], bit-identical
+    * by merge associativity).
+    *
+    * Relational formulation (groupBy bucket → cumulative walk) rather
+    * than the [[graft.functions.QSketchAgg]] array — same counts
+    * (QuantileSketchSpec pins it) but the walk, ranks, and midpoint
+    * decode stay in portable SQL shared verbatim with the DuckDB
+    * oracle via [[qsketchOracleSql]]. */
+  def qsketchProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{QuantileSketch => QS}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("idx")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+    def pick(num: Int, den: Int, name: String) =
+      min(when(col("cum") >= expr(QS.rankSql("n", num, den, "div")),
+        col("idx"))).as(name)
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("v"))
+      .withColumn("idx", expr(QS.idxCaseSql("v", "div")))
+      .groupBy(col("l_returnflag"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(max("n").as("n"), pick(1, 2, "i50"), pick(9, 10, "i90"),
+        pick(99, 100, "i99"))
+      .select(col("l_returnflag"), col("n"),
+        expr(QS.midCaseSql("i50", "div")).cast("long").as("p50_cents"),
+        expr(QS.midCaseSql("i90", "div")).cast("long").as("p90_cents"),
+        expr(QS.midCaseSql("i99", "div")).cast("long").as("p99_cents"))
+      .orderBy("l_returnflag") // bounded: one row per flag
+  }
+
+  /** Generated DuckDB oracle for [[qsketchProfile]] — the same
+    * bucket / rank / midpoint CASE chains rendered with DuckDB's
+    * `//` integer division (window sums CAST from HUGEINT). */
+  def qsketchOracleSql: String = {
+    import graft.functions.{QuantileSketch => QS}
+    def pick(num: Int, den: Int, name: String) =
+      s"min(CASE WHEN cum >= ${QS.rankSql("n", num, den, "//")} THEN idx END) AS $name"
+    s"""WITH b AS (SELECT l_returnflag,
+              ${QS.idxCaseSql("CAST(round(l_extendedprice * 100, 0) AS BIGINT)", "//")} AS idx
+            FROM lineitem),
+       c AS (SELECT l_returnflag, idx, count(*) AS cnt FROM b GROUP BY 1, 2),
+       cc AS (SELECT l_returnflag, idx, cnt,
+                CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx) AS BIGINT) AS cum,
+                CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+              FROM c),
+       q AS (SELECT l_returnflag, max(n) AS n,
+               ${pick(1, 2, "i50")}, ${pick(9, 10, "i90")}, ${pick(99, 100, "i99")}
+             FROM cc GROUP BY 1)
+       SELECT l_returnflag, n,
+              CAST(${QS.midCaseSql("i50", "//")} AS BIGINT) AS p50_cents,
+              CAST(${QS.midCaseSql("i90", "//")} AS BIGINT) AS p90_cents,
+              CAST(${QS.midCaseSql("i99", "//")} AS BIGINT) AS p99_cents
+       FROM q ORDER BY l_returnflag"""
+  }
 }

@@ -38,6 +38,33 @@ class StreamingSpec extends SparkSpecBase {
     want.foreach { case (_, m) => assert(m.slice(0, 64).sum == m.slice(64, 128).sum) }
   }
 
+  test("streaming quantile sketch is bit-identical to the batch sketch") {
+    val stream = Streams.runToMemory(
+      Streams.qsketchWindow(Streams.readEvents(spark, path)), "qs_win")
+    val got = stream.collect()
+      .map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    val want = graft.core.Tables(spark, Sf).events
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.QuantileSketch.qsketchAgg(
+        expr("CAST(round(value * 100, 0) AS BIGINT)")).as("qs"))
+      .select(col("window.start"), col("qs"))
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    // per-window sketch mass = events in the window; decoded medians
+    // are sane cents (the sketch is usable, not just identical)
+    want.foreach { case (_, qs) =>
+      assert(qs.sum > 0)
+      val n = qs.sum
+      var cum = 0L
+      var i50 = -1
+      qs.zipWithIndex.foreach { case (c, i) =>
+        cum += c; if (i50 < 0 && cum >= (n + 1) / 2) i50 = i }
+      val p50 = graft.functions.QuantileSketch.midpointOf(i50)
+      assert(p50 >= 1 && p50 <= 49002, s"median $p50 outside value range")
+    }
+  }
+
   test("streaming HLL sketch is bit-identical to the batch sketch") {
     val stream = Streams.runToMemory(
       Streams.hllWindowSketch(Streams.readEvents(spark, path)), "hll_win")
