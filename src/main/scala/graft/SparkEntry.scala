@@ -108,6 +108,7 @@ object SparkEntry {
     "graph_pagerank_weighted" -> ((s, d) => Graph.pagerankWeighted(s, d)),
     "graph_triangles" -> (Graph.supplierTriangles _),
     "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
+    "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
     // maxDf passed explicitly: the 100 TB operating configuration of
@@ -1259,6 +1260,37 @@ object SparkEntry {
            SELECT a AS suppkey, least(a, min(b)) AS component
            FROM reach GROUP BY a)
          SELECT suppkey, component FROM comp ORDER BY suppkey""",
+    // same transitive closure as graph_components, weights kept into
+    // the per-community aggregate; integer density in ppm
+    "graph_communities" ->
+      """WITH RECURSIVE sl AS (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+                       count(*) AS w
+                FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         edges AS (SELECT u AS a, v AS b FROM e0
+                   UNION SELECT v, u FROM e0),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (
+           SELECT a AS node, least(a, min(b)) AS component
+           FROM reach GROUP BY a),
+         ns AS (SELECT component, count(*) AS n_members
+                FROM comp GROUP BY 1),
+         es AS (SELECT c.component, count(*) AS n_edges,
+                       CAST(sum(e0.w) AS BIGINT) AS internal_weight
+                FROM e0 JOIN comp c ON e0.u = c.node GROUP BY 1)
+         SELECT ns.component, ns.n_members, es.n_edges,
+                es.internal_weight,
+                CAST((2000000 * es.n_edges)
+                     // (ns.n_members * (ns.n_members - 1)) AS BIGINT)
+                  AS density_ppm
+         FROM ns JOIN es ON ns.component = es.component
+         ORDER BY ns.component""",
     // the PLAIN semi-join: a hash match proves the bloom prefilter is
     // value-invisible (no false negatives; false positives removed by
     // the exact join)

@@ -183,15 +183,23 @@ class GraphProfileSpec extends SparkSpecBase {
   }
 
   test("co-supply edge derivation is memoized across its consumers") {
-    // triangles and components both consume coSupplyEdges; in one
-    // process the 2-exchange derivation must build once (PlanCache) —
-    // reference equality is the memo's contract, and the cached frame
-    // is what makes the suite-pass pipeline shape cheap
-    val e1 = Graph.coSupplyEdges(spark, Sf)
-    val e2 = Graph.coSupplyEdges(spark, Sf)
-    assert(e1 eq e2, "coSupplyEdges must return the memoized frame")
+    // triangles, components, kcore, and communities all slice the
+    // weighted base; in one process the 2-exchange derivation must
+    // build once (PlanCache) — reference equality is the memo's
+    // contract, and the cached frame is what makes the suite-pass
+    // pipeline shape cheap
+    val e1 = Graph.coSupplyEdgesW(spark, Sf)
+    val e2 = Graph.coSupplyEdgesW(spark, Sf)
+    assert(e1 eq e2, "coSupplyEdgesW must return the memoized frame")
     // a different threshold is a different edge set — distinct key
-    assert(!(Graph.coSupplyEdges(spark, Sf, minOrders = 7) eq e1))
+    assert(!(Graph.coSupplyEdgesW(spark, Sf, minOrders = 7) eq e1))
+    // the unweighted view is a narrow projection OF that cached frame
+    // (drops a column, recomputes nothing): its plan's child is the
+    // memoized base, so the base's storage blocks back both consumers
+    val uv = Graph.coSupplyEdges(spark, Sf)
+    assert(uv.queryExecution.analyzed.children.head
+      .sameResult(e1.queryExecution.analyzed),
+      "coSupplyEdges must project the memoized weighted base")
   }
 
   test("components: edge endpoints co-labeled, labels are group minima") {
@@ -394,5 +402,33 @@ class GraphProfileSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == expect)
     assert(expect.nonEmpty) // the circulant graph is 4-regular: all survive
+  }
+
+  test("communities: consistent with component labels and edge totals") {
+    import org.apache.spark.sql.functions._
+    val comm = graft.operators.Graph.supplierCommunities(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(comm.nonEmpty)
+    // membership must be exactly the component labels' histogram
+    val labels = graft.operators.Graph.supplierComponents(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val sizes = labels.groupBy(_._2).map { case (c, m) => c -> m.length.toLong }
+    assert(comm.map(r => r._1 -> r._2).toMap == sizes)
+    // edge counts and weight partition the whole edge set
+    val ew = graft.operators.Graph.coSupplyEdgesW(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(comm.map(_._3).sum == ew.length.toLong)
+    assert(comm.map(_._4).sum == ew.map(_._3).sum)
+    comm.foreach { case (c, n, e, w, dPpm) =>
+      assert(n >= 2, s"community $c smaller than an edge")
+      assert(w >= e * 5, s"community $c: weights below the threshold floor")
+      assert(dPpm == 2000000L * e / (n * (n - 1)), s"density mismatch for $c")
+      assert(dPpm <= 1000000L, s"density over 1 for $c")
+    }
+    // a 2-member community is a single edge: density exactly 1
+    comm.filter(_._2 == 2).foreach { case (c, _, e, _, dPpm) =>
+      assert(e == 1 && dPpm == 1000000L, s"pair community $c malformed")
+    }
   }
 }
