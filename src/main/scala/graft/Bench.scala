@@ -96,6 +96,14 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         filter.forall(_.exists(name.startsWith)) }
+    if (selected.isEmpty) {
+      // an empty or typo'd filter must not print an instant-pass
+      // {"value":0.000,"n_ok":0} bench with a zero exit
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_FILTER=" +
+        s"${sys.env.get("SPARK_GRAFT_BENCH_FILTER")} matches no query")
+      spark.stop()
+      sys.exit(1)
+    }
     val results = selected.map { case (name, fn) =>
       // Median-of-N steady-state timing: first execution pays one-time
       // codegen compilation (amortized to ~0 on a real cluster run), so
@@ -167,16 +175,18 @@ object Bench {
       printToStdout: Boolean): Unit = {
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    def qmap(f: QTimes => String): String =
+    def qmap(failedRepr: String)(f: QTimes => String): String =
       results.map { case (k, qt) =>
-        "\"" + k + "\":" + (if (qt.failed) "-1.000" else f(qt)) }
+        "\"" + k + "\":" + (if (qt.failed) failedRepr else f(qt)) }
         .mkString("{", ",", "}")
-    val qs = qmap(qt => r3(qt.median))
-    val qsMin = qmap(qt => r3(qt.min))
+    val qs = qmap("-1.000")(qt => r3(qt.median))
+    val qsMin = qmap("-1.000")(qt => r3(qt.min))
     // per-rep raw walls and cpu-time deltas, execution order — the
-    // full-line-only forensics maps (see the scaladoc's honesty list)
-    val qsRepsWall = qmap(_.reps.map(r => r3(r._1)).mkString("[", ",", "]"))
-    val qsRepsCpu = qmap(_.reps.map(r => r3(r._2)).mkString("[", ",", "]"))
+    // full-line-only forensics maps (see the scaladoc's honesty
+    // list). Failed queries render as [] so the map stays homogeneous
+    // (every value an array) for tools iterating the rep lists.
+    val qsRepsWall = qmap("[]")(_.reps.map(r => r3(r._1)).mkString("[", ",", "]"))
+    val qsRepsCpu = qmap("[]")(_.reps.map(r => r3(r._2)).mkString("[", ",", "]"))
     // suite fields only once the suite pass actually ran. The scalar
     // (suite_sec) and the per-query map are kept SEPARATE: the map goes
     // only into the full line/file, never the summary — in round 5 the
@@ -195,7 +205,12 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r3(ok.map(_._2.median).sum)
     val totalMin = r3(ok.map(_._2.min).sum)
-    val totalCpuMed = r3(ok.map(_._2.medianCpu).sum)
+    // -1 marker (not a sum of per-query -1 sentinels) when the JVM
+    // doesn't expose process CPU time — a negative garbage total
+    // would silently compare against real totals across rounds
+    val totalCpuMed =
+      if (ok.exists(_._2.medianCpu < 0)) "-1.000"
+      else r3(ok.map(_._2.medianCpu).sum)
     // scalars only — safe to embed in the bounded-size summary line.
     // total_min leads: it is the contention-robust stat (an external
     // disturbance inflates the median long before the min), so a

@@ -122,13 +122,31 @@ case class QSketchAgg(child: Expression,
 
   import QuantileSketch.NumBuckets
 
+  // integral inputs only, checked at ANALYSIS time: without this a
+  // decimal/string column would pass analysis and die mid-job with a
+  // ClassCastException in every task (and a silent Cast would
+  // truncate decimals instead of making the caller decide)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"qsketch_agg needs an integral column (cast cents/micros " +
+            s"explicitly), got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](NumBuckets)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      buf(QuantileSketch.bucketOf(v.asInstanceOf[Long])) += 1L
+      buf(QuantileSketch.bucketOf(v.asInstanceOf[Number].longValue())) += 1L
     }
     buf
   }

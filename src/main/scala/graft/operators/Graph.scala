@@ -167,7 +167,7 @@ object Graph {
     * (edge partition + cache, zero-seed union, dangling term, lazy
     * checkpoints) to maintain. */
   private def pagerankLoop(edgeList: DataFrame, iters: Int,
-      assumeNoSinks: Boolean): DataFrame = {
+      assumeNoSinks: Boolean, weightBound: Long = Long.MaxValue): DataFrame = {
     // one exchange builds the whole loop input: repartition by src,
     // then the outgoing-weight total rides the SAME partitioning as a
     // window sum (the GraphX-style "edge carries source degree"
@@ -202,6 +202,16 @@ object Graph {
     if (n == 0) {
       edges.unpersist(blocking = false)
       return nodes.withColumn("pr", lit(0L)).select(col("node"), col("pr"))
+    }
+    // fail-fast overflow gate for weighted callers: reads the cached
+    // edge blocks (materialized by the count above), costs one tiny
+    // aggregate, and stops before any round can hit pr·w overflow
+    if (weightBound != Long.MaxValue) {
+      val maxW = edges.agg(max(col("w"))).head().getLong(0)
+      require(maxW <= weightBound,
+        s"weighted pagerank: max edge weight $maxW exceeds the Long " +
+          s"overflow headroom $weightBound (pr*w with pr up to $Scale); " +
+          "rescale the weights — only their ratios affect the ranking")
     }
     val base = (Scale * 15 / 100) / n
     var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
@@ -247,29 +257,21 @@ object Graph {
     * proven inputs (e.g. [[pagerankWeighted]]) go through the loop's
     * fast path directly.
     *
-    * HARD PRECONDITION, enforced here: max(w) ≤ [[MaxEdgeWeight]]
-    * (~9.2×10⁶). A node's rank can approach Scale (10¹²), so a larger
-    * weight overflows the pr·w product in Long arithmetic — an ANSI
-    * error mid-loop, or silent wraparound (wrong ranks) if a caller
-    * disabled ANSI. The entry point fails fast on the whole input
-    * instead; rescale weights (only their ratios matter) to get under
-    * the bound. The probe is one aggregate over the edge list the
-    * loop is about to cache anyway — construction is already eager
-    * (dangling probe + node count). */
-  def pagerankWeightedOf(edgeList: DataFrame, iters: Int = 5): DataFrame = {
-    val edges = edgeList
-      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .filter(col("w") > 0)
-    val maxW = edges.agg(max(col("w"))).head() match {
-      case r if r.isNullAt(0) => 0L // empty edge set — loop handles it
-      case r => r.getLong(0)
-    }
-    require(maxW <= MaxEdgeWeight,
-      s"pagerankWeightedOf: max edge weight $maxW exceeds the Long " +
-        s"overflow headroom $MaxEdgeWeight (pr*w with pr up to $Scale); " +
-        "rescale the weights — only their ratios affect the ranking")
-    pagerankLoop(edges, iters, assumeNoSinks = false)
-  }
+    * HARD PRECONDITION, enforced at construction: max(w) ≤
+    * [[MaxEdgeWeight]] (~9.2×10⁶). A node's rank can approach Scale
+    * (10¹²), so a larger weight overflows the pr·w product in Long
+    * arithmetic — an ANSI error mid-loop, or silent wraparound
+    * (wrong ranks) if a caller disabled ANSI. The loop probes
+    * max(w) on its ALREADY-CACHED edge frame (one block-read
+    * aggregate, after the node-count job materializes the cache —
+    * no extra pass over the caller's derivation) and fails before
+    * any round runs; rescale weights (only their ratios matter) to
+    * get under the bound. */
+  def pagerankWeightedOf(edgeList: DataFrame, iters: Int = 5): DataFrame =
+    pagerankLoop(
+      edgeList.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .filter(col("w") > 0),
+      iters, assumeNoSinks = false, weightBound = MaxEdgeWeight)
 
   /** Largest edge weight [[pagerankWeightedOf]] accepts:
     * Long.MaxValue / Scale, floored with slack. pr ≤ Scale by mass
