@@ -429,14 +429,20 @@ object Graph {
     val labels = Dedup.components(
       ew.select(col("u").as("d1"), col("v").as("d2")))
       .select(col("doc_id").as("node"), col("component"))
-    val nodeStats = labels.groupBy(col("component"))
-      .agg(count(lit(1)).as("n_members"))
     // every edge is internal to exactly one community (both endpoints
-    // share a label by construction), so one endpoint join suffices
-    val edgeStats = ew.join(labels, ew("u") === labels("node"))
+    // share a label by construction), so one endpoint join suffices.
+    // Member and edge contributions union into ONE groupBy(component)
+    // — a (nodeStats ⋈ edgeStats) formulation would run two grouping
+    // shuffles plus a join exchange for the same three sums
+    val memberRows = labels.select(col("component"),
+      lit(1L).as("m"), lit(0L).as("e"), lit(0L).as("iw"))
+    val edgeRows = ew.join(labels, ew("u") === labels("node"))
+      .select(col("component"),
+        lit(0L).as("m"), lit(1L).as("e"), col("w").as("iw"))
+    memberRows.unionAll(edgeRows)
       .groupBy(col("component"))
-      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("internal_weight"))
-    nodeStats.join(edgeStats, Seq("component"))
+      .agg(sum(col("m")).as("n_members"), sum(col("e")).as("n_edges"),
+        sum(col("iw")).as("internal_weight"))
       .select(col("component"), col("n_members"), col("n_edges"),
         col("internal_weight"),
         expr("CAST((2000000 * n_edges) div (n_members * (n_members - 1)) AS BIGINT)")

@@ -312,41 +312,54 @@ object Profile {
     * Where `profile_quantiles` rides a bottom-k SAMPLE (exact ranks
     * of a fixed-size subset), this is the sketch of the WHOLE
     * distribution: every row lands in one of ≤ 1888 fixed buckets,
-    * map-side partial counts collapse before the shuffle, and the
-    * exchange carries bucket rows bounded by |groups| × 1888 — never
-    * by the corpus. The same bucket counts are the streaming window
+    * partial sketches collapse map-side, and the exchange carries one
+    * fixed 15 KiB array per group per partition — never data
+    * proportional to the corpus. The same bucket counts are the streaming window
     * state ([[graft.streaming.Streams.qsketchWindow]], bit-identical
     * by merge associativity).
     *
-    * Relational formulation (groupBy bucket → cumulative walk) rather
-    * than the [[graft.functions.QSketchAgg]] array — same counts
-    * (QuantileSketchSpec pins it) but the walk, ranks, and midpoint
-    * decode stay in portable SQL shared verbatim with the DuckDB
-    * oracle via [[qsketchOracleSql]]. */
+    * Plan shape: the MERGEABLE aggregate itself
+    * ([[graft.functions.QSketchAgg]]) — scan + map-side partial
+    * sketches, ONE shuffle of fixed 15 KiB arrays, then ranks and
+    * indexes decoded per group by a single fold over the bucket
+    * array. TWO stages end to end; the first formulation here
+    * (groupBy bucket → two window passes → re-aggregate) computed
+    * the same counts through five sequential tiny stages and paid
+    * pure stage latency for them (2.9 → 1.1 s at sf0.1, measured
+    * steady-state). The DuckDB oracle keeps the relational walk — same
+    * counts (QuantileSketchSpec pins aggregate ≡ relational
+    * bucketing), same ceiling ranks, same midpoint CASE decode, so
+    * the values hash-match while each engine runs its native
+    * shape. */
   def qsketchProfile(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{QuantileSketch => QS}
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag").orderBy("idx")
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag")
-    def pick(num: Int, den: Int, name: String) =
-      min(when(col("cum") >= expr(QS.rankSql("n", num, den, "div")),
-        col("idx"))).as(name)
+    // one fold finds all three rank indexes: carry (cum, next array
+    // position, found-or-−1 per percentile); a bucket position is
+    // recorded the first time the running total reaches its ceiling
+    // rank — identical to the oracle's "min idx with cum ≥ rank" over
+    // non-empty buckets, because the running total only moves at
+    // non-empty positions. Array position ≡ bucket index (bucketOf).
+    def found(num: Int, den: Int, name: String) =
+      s"'$name', IF(a.$name >= 0, a.$name, " +
+        s"IF(a.cum + x >= ${QS.rankSql("n", num, den, "div")}, a.i, -1))"
     Tables(spark, dir).lineitem
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("v"))
-      .withColumn("idx", expr(QS.idxCaseSql("v", "div")))
-      .groupBy(col("l_returnflag"), col("idx"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(w))
-      .withColumn("n", sum("cnt").over(wAll))
       .groupBy(col("l_returnflag"))
-      .agg(max("n").as("n"), pick(1, 2, "i50"), pick(9, 10, "i90"),
-        pick(99, 100, "i99"))
+      .agg(QS.qsketchAgg(col("v")).as("regs"))
+      .withColumn("n", expr("aggregate(regs, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("q", expr(
+        s"""aggregate(regs,
+           |  named_struct('cum', CAST(0 AS BIGINT), 'i', 0,
+           |               'i50', -1, 'i90', -1, 'i99', -1),
+           |  (a, x) -> named_struct('cum', a.cum + x, 'i', a.i + 1,
+           |    ${found(1, 2, "i50")},
+           |    ${found(9, 10, "i90")},
+           |    ${found(99, 100, "i99")}))""".stripMargin))
       .select(col("l_returnflag"), col("n"),
-        expr(QS.midCaseSql("i50", "div")).cast("long").as("p50_cents"),
-        expr(QS.midCaseSql("i90", "div")).cast("long").as("p90_cents"),
-        expr(QS.midCaseSql("i99", "div")).cast("long").as("p99_cents"))
+        expr(QS.midCaseSql("q.i50", "div")).cast("long").as("p50_cents"),
+        expr(QS.midCaseSql("q.i90", "div")).cast("long").as("p90_cents"),
+        expr(QS.midCaseSql("q.i99", "div")).cast("long").as("p99_cents"))
       .orderBy("l_returnflag") // bounded: one row per flag
   }
 
