@@ -408,7 +408,9 @@ object Dedup {
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("comp", col("node"))
-      .localCheckpoint()
+      // lazy: the pre-loop labelSum below is a full aggregate over it,
+      // so the seed materializes in that job instead of its own
+      .localCheckpoint(eager = false)
     // labels only ever decrease (min-propagation), so Σcomp strictly
     // decreases on any change: convergence = the sum holding still.
     // Decimal sum: a 100 TB graph's Σ(64-bit ids) overflows a long.

@@ -193,8 +193,14 @@ object Graph {
         .join(srcNodes, Seq("node"), "left_anti")
         .localCheckpoint()
     val hasDangling = dangling != null && !dangling.isEmpty
+    // lazy: the count() below is a FULL action, so it materializes the
+    // checkpoint (and the edge cache) in the same job an eager
+    // checkpoint would have spent a separate job on. (Lazy + a partial
+    // action like isEmpty would be a hazard — truncated lineage with
+    // partitions unmaterialized — which is why `dangling` above stays
+    // eager; count/aggregate actions scan every partition.)
     val nodes = (if (hasDangling) srcNodes.unionAll(dangling) else srcNodes)
-      .localCheckpoint() // materializes the edge cache
+      .localCheckpoint(eager = false)
     val n = nodes.count()
     // empty edge set (or all-filtered weighted input): no nodes, no
     // ranks — return the empty (node, pr) frame instead of letting
@@ -214,7 +220,11 @@ object Graph {
           "rescale the weights — only their ratios affect the ranking")
     }
     val base = (Scale * 15 / 100) / n
-    var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
+    // lazy like the intermediate rounds: round 1's join reads every
+    // seed partition, so the seed materializes inside round 1's job
+    // instead of a dedicated eager-checkpoint job here
+    var pr = nodes.withColumn("pr", lit(Scale / n))
+      .localCheckpoint(eager = false)
     for (i <- 1 to iters) {
       // intermediate rounds checkpoint lazily (they pipeline into the
       // final round's job); the LAST round is eager so the whole
@@ -486,7 +496,10 @@ object Graph {
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
-      .localCheckpoint()
+      // lazy: round 1's degree aggregate scans every partition and
+      // materializes it in the same job (the eager/partial-action
+      // hazard doesn't apply — see pagerankLoop's nodes checkpoint)
+      .localCheckpoint(eager = false)
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
@@ -498,7 +511,9 @@ object Graph {
         .join(bad, col("src") === col("n"), "left_anti")
         .join(bad.withColumnRenamed("n", "m"),
           col("dst") === col("m"), "left_anti")
-        .localCheckpoint()
+        // lazy: the next round's degree aggregate (or the final
+        // grouped output) is a full action over it
+        .localCheckpoint(eager = false)
       rounds += 1
       System.err.println(s"[graft] kcore round $rounds: stable=$stable")
     }
