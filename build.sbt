@@ -40,4 +40,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (ParallelGC was bimodal there — components 3.8↔7.4 s — and the
   // driver flags >2× per-query swings as regressions).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Spark's ContextCleaner calls System.gc() on its periodic cadence
+  // (see Bench/Verify's spark.cleaner.periodicGC.interval) to flush
+  // dropped RDD/broadcast references into its cleanup queue; without
+  // this flag each of those is a stop-the-world Full GC that can land
+  // inside a timed rep — with it, G1 runs a concurrent cycle instead.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -25,7 +25,12 @@ import org.apache.spark.sql.SparkSession
   *   has a signature no summary stat can fake: wall balloons on
   *   some reps while that rep's CPU seconds stay at the query's
   *   normal burn (the box was busy, not the engine); a true
-  *   regression raises wall AND cpu on every rep.
+  *   regression raises wall AND cpu on every rep. One known
+  *   confounder: process CPU time includes GC threads, so a
+  *   periodic concurrent GC cycle (see the cleaner config below)
+  *   overlapping a SHORT query's reps inflates wall and cpu
+  *   together — distinguish from a real regression by rerunning
+  *   that query alone (SPARK_GRAFT_BENCH_FILTER) before acting.
   * - `total_cpu_med`: Σ over queries of the CPU seconds of each
   *   query's median-wall rep — the summary-line scalar twin of the
   *   per-rep maps (wall total up, cpu total flat ⇒ external).
@@ -83,6 +88,25 @@ object Bench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Long-run block hygiene. localCheckpoint blocks (every iterative
+      // loop's lineage truncation) are freed by ContextCleaner only
+      // after a GC drops their RDD references into its queue — and on a
+      // 24g heap that never fills, the only guaranteed GC is Spark's
+      // periodic one, whose DEFAULT interval (30min) is close to a full
+      // 133-query × 3-rep run. Measured effect of the backlog: the
+      // cache-retained suite pass after the ~35-min median phase ran
+      // 193 s with q1_agg at 9.9 s, vs 114 s / sub-second q1_agg on a
+      // fresh JVM — same code, same box. A 2-minute cadence bounds the
+      // block pile-up; ExplicitGCInvokesConcurrent (build.sbt) keeps
+      // each cycle concurrent instead of a stop-the-world Full GC
+      // inside someone's timed rep.
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      // the SQL status store retains up to 1000 executions' plan
+      // graphs even with the UI disabled — a multi-rep 133-query run
+      // holds every one of them on the heap
+      .config("spark.sql.ui.retainedExecutions", "15")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time session/codegen warmup outside the per-query timings

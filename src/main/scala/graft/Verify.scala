@@ -22,6 +22,15 @@ object Verify {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // same long-run hygiene as Bench: a 133-query verify run in one
+      // JVM accumulates localCheckpoint blocks (ContextCleaner frees
+      // them only on GC — default periodic GC is 30min away) and SQL
+      // status-store plan graphs; bound both so the tail of the run
+      // doesn't pay the pile-up
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.ui.retainedExecutions", "15")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
