@@ -408,16 +408,26 @@ object Dedup {
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("comp", col("node"))
-      // lazy: the pre-loop labelSum below is a full aggregate over it,
-      // so the seed materializes in that job instead of its own
+      // lazy: round 1's union + join both scan every seed partition,
+      // so the seed materializes inside round 1's job instead of its
+      // own (there is no pre-loop action at all — see labelSum)
       .localCheckpoint(eager = false)
     // labels only ever decrease (min-propagation), so Σcomp strictly
     // decreases on any change: convergence = the sum holding still.
     // Decimal sum: a 100 TB graph's Σ(64-bit ids) overflows a long.
+    // No pre-loop sum of the seed: round 1 ALWAYS changes a label on
+    // any nonempty edge set (the edge holding the globally-minimal
+    // endpoint propagates it to a larger id), so the comparison can
+    // start at round 2 and the seed's dedicated aggregate job is
+    // saved — the seed checkpoint materializes inside round 1's job
+    // instead. (A degenerate all-self-loop edge set runs one extra
+    // idempotent round; an EMPTY edge set yields a null round-1 sum,
+    // which reads as converged rather than the NPE the seed-sum
+    // comparison used to hit.)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
         .getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum: java.math.BigDecimal = null
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
@@ -433,9 +443,11 @@ object Dedup {
         .agg(min("comp").as("comp"))
         .localCheckpoint(eager = false)
       // this aggregate materializes the lazy checkpoint AND evaluates
-      // convergence — one job per round, no separate scan
+      // convergence — one job per round, no separate scan. Round 1
+      // (prevSum == null) is always "changed" on a nonempty graph;
+      // a null s means the label set itself is empty — converged.
       val s = labelSum(next)
-      changed = s.compareTo(prevSum) != 0
+      changed = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
       prevSum = s
       labels = next
       rounds += 1

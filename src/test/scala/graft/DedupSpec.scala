@@ -160,6 +160,22 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("components of an empty pair set is empty (no pre-loop NPE)") {
+    // regression: the old pre-loop seed-sum comparison dereferenced
+    // the null aggregate an empty label set produces
+    val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.components(pairs).collect().isEmpty)
+  }
+
+  test("components tolerates self-loop pairs (degenerate generic input)") {
+    // round 1 changes nothing on a self-loop-only graph; the loop must
+    // still converge (one extra idempotent round, not a wrong label)
+    val pairs = Seq((5L, 5L), (7L, 7L)).toDF("d1", "d2")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(5L -> 5L, 7L -> 7L))
+  }
+
   test("components of real near-dup pairs are consistent with the pair set") {
     val pairs = Dedup.ngramJaccardDf(graft.core.Tables(spark, Sf).documents, 0.1)
     val comp = Dedup.components(pairs).collect()
