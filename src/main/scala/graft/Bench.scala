@@ -159,7 +159,7 @@ object Bench {
     // pass — a harness timeout mid-suite then truncates the honesty
     // extras, not the round's bench (the r3 parsed:null class)
     writeAndPrint(results, Nil, -1.0, loadStart, loadavg1(), sfDir, reps,
-      printToStdout = false)
+      filter, printToStdout = false)
     // pipeline-shaped suite pass: cold caches at the start, retained
     // across queries so PlanCache-shared frames are built once
     spark.catalog.clearCache()
@@ -180,7 +180,7 @@ object Bench {
     }
     val suiteSec = (System.nanoTime() - suiteT0) / 1e9
     writeAndPrint(results, suiteTimes, suiteSec, loadStart, loadavg1(),
-      sfDir, reps, printToStdout = true)
+      sfDir, reps, filter, printToStdout = true)
     spark.stop()
     // A query that passed its timed reps but broke during the
     // cache-retained suite pass (a PlanCache-interaction-only failure)
@@ -196,7 +196,7 @@ object Bench {
   private def writeAndPrint(results: Seq[(String, QTimes)],
       suiteTimes: Seq[(String, Double)], suiteSec: Double,
       loadStart: String, loadEnd: String, sfDir: String, reps: Int,
-      printToStdout: Boolean): Unit = {
+      filter: Option[Seq[String]], printToStdout: Boolean): Unit = {
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def qmap(failedRepr: String)(f: QTimes => String): String =
@@ -239,8 +239,14 @@ object Bench {
     // total_min leads: it is the contention-robust stat (an external
     // disturbance inflates the median long before the min), so a
     // reader hits it before the per-query maps.
+    // a filtered run is a PARTIAL surface: stamp the filter into every
+    // JSON line so a partial total can never masquerade as the full
+    // record in cross-round comparison
+    val filterField =
+      filter.map(f => s""""filter":"${f.mkString(",")}",""").getOrElse("")
     val honesty =
-      s""""total_min":$totalMin,"total_cpu_med":$totalCpuMed,$suiteScalar""" +
+      filterField +
+        s""""total_min":$totalMin,"total_cpu_med":$totalCpuMed,$suiteScalar""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -258,8 +264,13 @@ object Bench {
         s""""reps":$reps,"n_ok":${ok.size},"n_failed":${failed.size},""" +
         s""""failed":$failedJson,$honesty}"""
     // machine-readable copy — sbt log noise around stdout made the
-    // driver's parse fall back to log-fishing in round 1
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // driver's parse fall back to log-fishing in round 1. A filtered
+    // (partial-surface) run never overwrites the default full-surface
+    // record: it lands in bench_out.partial.json unless the caller
+    // explicitly chose an output path.
+    val defaultOut =
+      if (filter.isDefined) "bench_out.partial.json" else "bench_out.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     if (printToStdout) { println(json); println(summary) }
   }

@@ -124,7 +124,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[QSketchAgg].getName, "qsketch_agg"),
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "qsketch_agg(non_negative_bigint_col)")
-        QSketchAgg(Cast(exprs.head, LongType))
+        // NO implicit Cast here: QSketchAgg's analysis-time integral
+        // check is the contract (a silent LongType cast would truncate
+        // a decimal column to whole units and defeat the check for
+        // every SQL caller while the DataFrame surface rejects it)
+        QSketchAgg(exprs.head)
       }),
     (FunctionIdentifier("bottomk_sample"),
       new ExpressionInfo(classOf[BottomKSampleAgg].getName, "bottomk_sample"),

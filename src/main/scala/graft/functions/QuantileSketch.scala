@@ -88,9 +88,10 @@ object QuantileSketch {
   }
 
   /** Dialect-portable CASE chain decoding bucket index `idxExpr` to
-    * its integer midpoint (inverse of [[idxCaseSql]], same portable
-    * primitive set — `divOp` as above). */
-  def midCaseSql(idxExpr: String, divOp: String): String = {
+    * its integer midpoint (inverse of [[idxCaseSql]]). Unlike the
+    * encoder it needs no division — comparisons, multiply and
+    * subtract only — so there is no dialect knob here. */
+  def midCaseSql(idxExpr: String): String = {
     val whens = (MaxShift to 1 by -1).map { s =>
       val lo = (s + 1).toLong * Sub // first idx of shift s
       s"WHEN $idxExpr >= $lo THEN (2 * ($idxExpr - ${s.toLong * Sub}) + 1) * ${1L << (s - 1)}"

@@ -214,10 +214,16 @@ object Graph {
     // aggregate, and stops before any round can hit pr·w overflow
     if (weightBound != Long.MaxValue) {
       val maxW = edges.agg(max(col("w"))).head().getLong(0)
-      require(maxW <= weightBound,
-        s"weighted pagerank: max edge weight $maxW exceeds the Long " +
-          s"overflow headroom $weightBound (pr*w with pr up to $Scale); " +
-          "rescale the weights — only their ratios affect the ranking")
+      if (maxW > weightBound) {
+        // release the just-materialized edge cache before failing: a
+        // session that catches the rejection and moves on must not
+        // keep a full edge set pinned in storage memory
+        edges.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"weighted pagerank: max edge weight $maxW exceeds the Long " +
+            s"overflow headroom $weightBound (pr*w with pr up to $Scale); " +
+            "rescale the weights — only their ratios affect the ranking")
+      }
     }
     val base = (Scale * 15 / 100) / n
     // lazy like the intermediate rounds: round 1's join reads every

@@ -357,9 +357,9 @@ object Profile {
            |    ${found(9, 10, "i90")},
            |    ${found(99, 100, "i99")}))""".stripMargin))
       .select(col("l_returnflag"), col("n"),
-        expr(QS.midCaseSql("q.i50", "div")).cast("long").as("p50_cents"),
-        expr(QS.midCaseSql("q.i90", "div")).cast("long").as("p90_cents"),
-        expr(QS.midCaseSql("q.i99", "div")).cast("long").as("p99_cents"))
+        expr(QS.midCaseSql("q.i50")).cast("long").as("p50_cents"),
+        expr(QS.midCaseSql("q.i90")).cast("long").as("p90_cents"),
+        expr(QS.midCaseSql("q.i99")).cast("long").as("p99_cents"))
       .orderBy("l_returnflag") // bounded: one row per flag
   }
 
@@ -382,9 +382,9 @@ object Profile {
                ${pick(1, 2, "i50")}, ${pick(9, 10, "i90")}, ${pick(99, 100, "i99")}
              FROM cc GROUP BY 1)
        SELECT l_returnflag, n,
-              CAST(${QS.midCaseSql("i50", "//")} AS BIGINT) AS p50_cents,
-              CAST(${QS.midCaseSql("i90", "//")} AS BIGINT) AS p90_cents,
-              CAST(${QS.midCaseSql("i99", "//")} AS BIGINT) AS p99_cents
+              CAST(${QS.midCaseSql("i50")} AS BIGINT) AS p50_cents,
+              CAST(${QS.midCaseSql("i90")} AS BIGINT) AS p90_cents,
+              CAST(${QS.midCaseSql("i99")} AS BIGINT) AS p99_cents
        FROM q ORDER BY l_returnflag"""
   }
 }

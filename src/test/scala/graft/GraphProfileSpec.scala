@@ -87,6 +87,40 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(u("b") == u("c"), s"unweighted must tie b/c: $u")
   }
 
+  test("weighted pagerank: over-bound weights fail fast and release the edge cache") {
+    import spark.implicits._
+    val g = Seq(("a", "b", Graph.MaxEdgeWeight + 1), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    // The weight probe materializes the loop's cached edge frame
+    // before rejecting; the rejection path must unpersist it, not pin
+    // it in the CacheManager for the session's lifetime. Probe: a
+    // value-identical reconstruction of the loop's edge prep (keep in
+    // sync with pagerankLoop) canonicalizes to the same plan, so
+    // CacheManager dedupes the loop's internal cache() onto THIS
+    // registration — and the rejection path's unpersist must clear
+    // it. A lineage drift fails the final assert (the entry survives
+    // untouched), so the check cannot rot silently; counting
+    // persistent RDDs instead would be racy (parallel suites share
+    // the context, ContextCleaner frees checkpoint RDDs on GC).
+    val reconstructed = g
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .repartition(col("src"))
+      .withColumn("wout", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    reconstructed.cache()
+    assert(reconstructed.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pagerankWeightedOf(g)
+    }
+    assert(ex.getMessage.contains("rescale"), ex.getMessage)
+    assert(reconstructed.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "rejected weighted pagerank left its edge frame cached (or the " +
+        "reconstruction drifted from pagerankLoop's edge prep — re-sync it)")
+  }
+
   test("weighted pagerank: a node sunk by the w<=0 filter keeps its mass via the dangling term") {
     import spark.implicits._
     // (a→b, w=1) survives; (b→a, w=0) is dropped — b becomes a SINK

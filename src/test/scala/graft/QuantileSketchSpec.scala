@@ -36,7 +36,7 @@ class QuantileSketchSpec extends SparkSpecBase {
     import spark.implicits._
     val idxs = boundaryValues.map(QS.bucketOf).distinct.sorted
     val decoded = idxs.map(_.toLong).toDF("idx")
-      .withColumn("mid_sql", expr(QS.midCaseSql("idx", "div")).cast("long"))
+      .withColumn("mid_sql", expr(QS.midCaseSql("idx")).cast("long"))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
     idxs.foreach { idx =>
       val mid = QS.midpointOf(idx)
@@ -118,5 +118,20 @@ class QuantileSketchSpec extends SparkSpecBase {
       "SELECT qsketch_agg(id * 37) AS qs FROM range(1000)")
       .head().getSeq[Long](0)
     assert(r.length == QS.NumBuckets && r.sum == 1000L)
+  }
+
+  test("SQL qsketch_agg rejects a decimal column at analysis time") {
+    // the SQL builder must NOT wrap its input in a silent Long cast:
+    // that would truncate decimals to whole units for SQL callers
+    // while the DataFrame surface rejects them — the two surfaces
+    // share the analysis-time integral-input contract
+    GraftFunctions.register(spark)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT qsketch_agg(CAST(id AS DECIMAL(10,2))) FROM range(10)")
+        .collect()
+    }
+    assert(ex.getMessage.contains("integral"),
+      s"expected the integral-input analysis error, got: ${ex.getMessage}")
   }
 }
