@@ -187,18 +187,20 @@ object Graph {
     // is VALUE-identical and cheaper (one emptiness probe here beats
     // a no-op semi-join + broadcast in every round). Callers that
     // prove no-sinks by construction skip the probe too.
+    // lazy + count(): one job materializes the (loop-static) dangling
+    // set AND answers the emptiness question — count is a FULL action,
+    // so the truncated lineage is complete. (Lazy + a partial action
+    // like isEmpty would be the hazard: truncated lineage with
+    // partitions unmaterialized.)
     val dangling =
       if (assumeNoSinks) null
       else edges.select(col("dst").as("node")).distinct()
         .join(srcNodes, Seq("node"), "left_anti")
-        .localCheckpoint()
-    val hasDangling = dangling != null && !dangling.isEmpty
+        .localCheckpoint(eager = false)
+    val hasDangling = dangling != null && dangling.count() > 0
     // lazy: the count() below is a FULL action, so it materializes the
     // checkpoint (and the edge cache) in the same job an eager
-    // checkpoint would have spent a separate job on. (Lazy + a partial
-    // action like isEmpty would be a hazard — truncated lineage with
-    // partitions unmaterialized — which is why `dangling` above stays
-    // eager; count/aggregate actions scan every partition.)
+    // checkpoint would have spent a separate job on.
     val nodes = (if (hasDangling) srcNodes.unionAll(dangling) else srcNodes)
       .localCheckpoint(eager = false)
     val n = nodes.count()
@@ -510,9 +512,13 @@ object Graph {
     var stable = false
     while (!stable && rounds < maxRounds) {
       val deg = live.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      // lazy + count(): ONE job both materializes the peel set (count
+      // is a full action — every partition scans, so the truncated
+      // lineage is complete) and answers the emptiness question the
+      // old eager-checkpoint-then-isEmpty pair spent two jobs on
       val bad = deg.filter(col("d") < k).select(col("src").as("n"))
-        .localCheckpoint() // materialized by the emptiness check below
-      if (bad.isEmpty) stable = true
+        .localCheckpoint(eager = false)
+      if (bad.count() == 0) stable = true
       else live = live
         .join(bad, col("src") === col("n"), "left_anti")
         .join(bad.withColumnRenamed("n", "m"),
