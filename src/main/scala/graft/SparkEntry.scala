@@ -173,7 +173,7 @@ object SparkEntry {
     * dedup_ngram_jaccard hash match since round 1). */
   private val ShingleCte =
     """toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
            FROM documents),
          g AS (
            SELECT doc_id,
@@ -1327,7 +1327,7 @@ object SparkEntry {
          FROM documents GROUP BY md5(text) ORDER BY h""",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
            FROM documents),
          g AS (
            SELECT doc_id,
@@ -1360,7 +1360,7 @@ object SparkEntry {
     // Spark side derives (tiny clusters → closure stays small).
     "dedup_components" ->
       """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
            FROM documents),
          g AS (
            SELECT doc_id,
@@ -1401,7 +1401,7 @@ object SparkEntry {
     // the scoring differs (both per-side containments, max-gated)
     "dedup_containment" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
            FROM documents),
          g AS (
            SELECT doc_id,
@@ -1479,7 +1479,7 @@ object SparkEntry {
         .mkString(", ")
       s"""WITH lex(lang, word) AS (SELECT * FROM (VALUES $lexRows) AS v(lang, word)),
          toks AS (SELECT doc_id,
-                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                         unnest(string_split_regex(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '\\s+')) AS tok
                   FROM documents),
          n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
          hits AS (SELECT t.doc_id, l.lang, count(*) AS h
@@ -1638,16 +1638,19 @@ object SparkEntry {
     // buckets, bit_count(xor) Hamming verify.
     "dedup_simhash" -> simhashSql,
     // Mirrors Multimodal.decodeBatch's deterministic stub: payload is
-    // the utf-8 text (ASCII corpus → byte length = char length), fmt
-    // round-robins doc_id % 3, width/height/n_frames derive from
-    // payload length and first byte.
+    // the utf-8 BYTES of text (encode(col, 'UTF-8')), so the mirror is
+    // byte-true — strlen for the byte length, hex-decoded byte probes
+    // for the first-byte field — and stays exact on non-ASCII corpora
+    // where byte length != char length (the unicode gate's find).
     "mm_meta_stats" ->
       """WITH m AS (
            SELECT doc_id,
                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                        WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
-                  length(text) AS plen,
-                  ascii(substring(text, 1, 1)) % 64 AS first7
+                  strlen(text) AS plen,
+                  CASE WHEN strlen(text) = 0 THEN 0
+                       ELSE (('0x' || substring(to_hex(encode(text)), 1, 2))::INT
+                             % 128) % 64 END AS first7
            FROM documents)
          SELECT fmt, count(*) AS n,
                 round(avg(64 + plen % 512), 6) AS avg_w,
@@ -1657,31 +1660,34 @@ object SparkEntry {
          FROM m GROUP BY fmt ORDER BY fmt""",
     // Mirrors Multimodal.sampleFramesBatch's deterministic stub:
     // videos are doc_id % 3 = 2, frame count 1 + len % 100, uniform
-    // stride ceil(n/8), per-frame brightness = byte probe at
-    // (frame * 997) mod len (ASCII corpus: byte == char, so
-    // ascii % 128 == byte & 0x7f).
+    // stride ceil(n/8), per-frame brightness = payload BYTE at
+    // (frame * 997) mod len, hex-decoded from the utf-8 encoding so
+    // the mirror is byte-exact on any corpus.
     "mm_frame_sample" ->
       """WITH v AS (
-           SELECT doc_id, text, length(text) AS len,
-                  1 + length(text) % 100 AS n_frames
+           SELECT doc_id, to_hex(encode(text)) AS hx, strlen(text) AS len,
+                  1 + strlen(text) % 100 AS n_frames
            FROM documents
-           WHERE CAST(doc_id % 3 AS INT) = 2 AND length(text) > 0),
+           WHERE CAST(doc_id % 3 AS INT) = 2 AND strlen(text) > 0),
          f AS (
-           SELECT doc_id, text, len,
+           SELECT doc_id, hx, len,
                   unnest(range(0, n_frames,
                     CAST(ceil(n_frames / 8.0) AS BIGINT))) AS fi
            FROM v)
          SELECT doc_id, count(*) AS n_sampled, max(fi) AS last_frame,
-                round(avg(ascii(substring(text, CAST((fi * 997) % len + 1 AS INT), 1)) % 128),
+                round(avg(('0x' || substring(hx, CAST(2 * ((fi * 997) % len) + 1 AS INT), 2))::INT % 128),
                       6) AS avg_brightness
          FROM f GROUP BY doc_id ORDER BY doc_id""",
     // fit-224 aspect-preserving resize plan, integer div on the stub
-    // metadata (width = 64 + plen % 512, height = 64 + first7)
+    // metadata (width = 64 + plen % 512, height = 64 + first-byte
+    // % 128 % 64 — byte-true like mm_meta_stats)
     "mm_resize" ->
       """WITH m AS (
            SELECT doc_id,
-                  64 + length(text) % 512 AS width,
-                  64 + ascii(substring(text, 1, 1)) % 64 AS height
+                  64 + strlen(text) % 512 AS width,
+                  64 + CASE WHEN strlen(text) = 0 THEN 0
+                            ELSE (('0x' || substring(to_hex(encode(text)), 1, 2))::INT
+                                  % 128) % 64 END AS height
            FROM documents WHERE CAST(doc_id % 3 AS INT) = 0)
          SELECT doc_id, width, height,
                 CASE WHEN width >= height THEN 224
@@ -1689,16 +1695,17 @@ object SparkEntry {
                 CASE WHEN width >= height THEN (height * 224) // width
                      ELSE 224 END AS new_h
          FROM m ORDER BY doc_id""",
-    // byte histogram per image: ASCII corpus ⇒ ascii(char) == byte;
-    // zero bins are materialized (the Spark side always emits 8)
-    // identical integer signature arithmetic: per-mille share // 25,
-    // absent bins skipped, '-'-joined in bin order
+    // byte histogram per image over the utf-8 payload BYTES (hex
+    // probe — byte-exact on any corpus); identical integer signature
+    // arithmetic: per-mille share // 25, absent bins skipped,
+    // '-'-joined in bin order
     "mm_dedup" ->
-      """WITH i AS (SELECT doc_id, text, length(text) AS len
+      """WITH i AS (SELECT doc_id, to_hex(encode(text)) AS hx,
+                           strlen(text) AS len
                     FROM documents
-                    WHERE CAST(doc_id % 3 AS INT) = 0 AND length(text) > 0),
+                    WHERE CAST(doc_id % 3 AS INT) = 0 AND strlen(text) > 0),
          b AS (SELECT doc_id,
-                      (ascii(substring(text, CAST(p AS INT), 1)) % 128) // 16 AS bin
+                      (('0x' || substring(hx, CAST(2 * p - 1 AS INT), 2))::INT % 128) // 16 AS bin
                FROM i, unnest(range(1, len + 1)) AS t(p)),
          h AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
          tot AS (SELECT doc_id, sum(cnt) AS n FROM h GROUP BY 1),
@@ -1710,10 +1717,11 @@ object SparkEntry {
          SELECT sig, count(*) AS n_docs, min(doc_id) AS keep_id
          FROM sg GROUP BY sig HAVING count(*) > 1 ORDER BY sig""",
     "mm_features" ->
-      """WITH i AS (SELECT doc_id, text, length(text) AS len
+      """WITH i AS (SELECT doc_id, to_hex(encode(text)) AS hx,
+                           strlen(text) AS len
                     FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),
          b AS (SELECT doc_id,
-                      (ascii(substring(text, CAST(p AS INT), 1)) % 128) // 16 AS bin
+                      (('0x' || substring(hx, CAST(2 * p - 1 AS INT), 2))::INT % 128) // 16 AS bin
                FROM i, unnest(range(1, len + 1)) AS t(p)),
          g AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2)
          SELECT d.doc_id, bn.bin, coalesce(g.cnt, 0) AS cnt
@@ -1744,7 +1752,7 @@ object SparkEntry {
     "pipeline_pack" ->
       """WITH t AS (
            SELECT source, doc_id,
-                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+                  CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS n_tok
            FROM documents),
          c AS (
            SELECT source, doc_id, n_tok,
@@ -1763,14 +1771,14 @@ object SparkEntry {
          FROM p GROUP BY source, pack_id ORDER BY source, pack_id""",
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_m,
-                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-                round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
-                      / len(string_split_regex(trim(text), '\s+')), 6) AS avg_tok_len,
-                round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                len(string_split_regex(trim(text, ' '), '\s+')) AS n_tokens,
+                round(CAST(list_sum(list_transform(string_split_regex(trim(text, ' '), '\s+'), t -> length(t))) AS DOUBLE)
+                      / len(string_split_regex(trim(text, ' '), '\s+')), 6) AS avg_tok_len,
+                round(CAST(len(list_filter(string_split_regex(trim(text, ' '), '\s+'),
                         t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
-                      / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
-                round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
-                      / len(string_split_regex(trim(text), '\s+')), 6) AS distinct_ratio,
+                      / len(string_split_regex(trim(text, ' '), '\s+')), 6) AS stopword_ratio,
+                round(CAST(len(list_distinct(string_split_regex(trim(text, ' '), '\s+'))) AS DOUBLE)
+                      / len(string_split_regex(trim(text, ' '), '\s+')), 6) AS distinct_ratio,
                 round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
                       / length(text), 6) AS punct_ratio
          FROM documents ORDER BY doc_id""",
@@ -1779,7 +1787,7 @@ object SparkEntry {
     // half-up and half-away rounding agree), then exact BIGINT adds
     "text_collocations" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
            FROM documents),
          uni AS (SELECT w, count(*) AS c1
                  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
@@ -1813,8 +1821,8 @@ object SparkEntry {
       """WITH c AS (
            SELECT doc_id,
                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
-                  len(string_split_regex(trim(text), '\s+')) AS n_words,
-                  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+                  len(string_split_regex(trim(text, ' '), '\s+')) AS n_words,
+                  len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+')) AS n_syllables
            FROM documents)
          SELECT doc_id,
                 CAST(n_sentences AS BIGINT) AS n_sentences,
@@ -1827,24 +1835,24 @@ object SparkEntry {
          FROM c ORDER BY doc_id""",
     "text_tokens" ->
       """SELECT doc_id,
-                len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+                len(string_split_regex(trim(text, ' '), '\s+')) AS ws_tokens,
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS re_tokens
          FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
-                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+                md5(translate(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
          FROM documents ORDER BY doc_id""",
     "pipeline_clean" ->
       """WITH q AS (
            SELECT doc_id, text,
-                  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-                  round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
-                        / len(string_split_regex(trim(text), '\s+')), 6) AS dr,
+                  len(string_split_regex(trim(text, ' '), '\s+')) AS n_tokens,
+                  round(CAST(len(list_distinct(string_split_regex(trim(text, ' '), '\s+'))) AS DOUBLE)
+                        / len(string_split_regex(trim(text, ' '), '\s+')), 6) AS dr,
                   round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
                         / length(text), 6) AS pr
            FROM documents)
          SELECT min(doc_id) AS keep_id,
-                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                md5(translate(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp,
                 count(*) AS n_dups, min(n_tokens) AS n_tokens
          FROM q WHERE n_tokens >= 20 AND dr >= 0.3 AND pr <= 0.3
          GROUP BY fp ORDER BY keep_id""",
@@ -1852,7 +1860,7 @@ object SparkEntry {
     // same degenerate len<2 rule as the shingle expression.
     "text_repetition" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
            FROM documents),
          g AS (
            SELECT doc_id,
@@ -1871,7 +1879,7 @@ object SparkEntry {
     "text_gopher" ->
       """WITH tk AS (
            SELECT doc_id,
-                  unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  unnest(string_split_regex(trim(text, ' '), '\s+')) AS tok
            FROM documents),
          per AS (
            SELECT doc_id, count(*) AS n_tokens,
@@ -1901,7 +1909,7 @@ object SparkEntry {
     // Spark expression (degenerate len<13 → one all-tokens shingle).
     "pipeline_decontam" ->
       """WITH toks AS (
-           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, source, string_split_regex(trim(text, ' '), '\s+') AS t
            FROM documents),
          g AS (
            SELECT doc_id, source,
@@ -2107,7 +2115,7 @@ object SparkEntry {
     // (score, term) is engine-reproducible.
     "text_tfidf" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '\s+')) AS term
            FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf
                 FROM toks GROUP BY doc_id, term),
@@ -2158,7 +2166,7 @@ object SparkEntry {
          ORDER BY d.doc_id""",
     "text_lm_score" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
            FROM documents),
          bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
                 FROM toks, unnest(range(1, len(t))) AS r(i)),
@@ -2250,10 +2258,10 @@ object SparkEntry {
   private def bm25Ctes(limit: Int): String = {
     val terms = TextOps.Bm25Query.map("'" + _ + "'").mkString(", ")
     s"""toks AS (
-           SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+           SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '\\s+')) AS term
            FROM documents),
          lens AS (SELECT doc_id,
-                         len(string_split_regex(trim(text), '\\s+')) AS dl
+                         len(string_split_regex(trim(text, ' '), '\\s+')) AS dl
                   FROM documents),
          stats AS (SELECT count(*) AS n_docs,
                           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl

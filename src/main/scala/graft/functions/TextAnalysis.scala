@@ -116,11 +116,26 @@ object TextAnalysis {
     round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
       .cast("double") / size(toks), 6)
 
+  /** Locale-independent ASCII case-fold: maps A-Z to a-z and leaves
+    * every other code point untouched. `lower()` is the wrong tool
+    * for a DISTRIBUTED KEY: Java's full-string lowercase is
+    * locale-sensitive (a JVM under tr_TR maps I → ı) and applies
+    * one-to-many special casing (İ → i + combining dot) that DuckDB's
+    * utf8proc lower (İ → i) does not share — so an md5 over `lower`
+    * is neither reproducible across executor locales nor
+    * oracle-matchable on non-ASCII corpora. `translate` is a pure
+    * 1:1 code-point map, identical in both engines and on every JVM
+    * locale; on ASCII text it equals `lower` exactly. */
+  def asciiFold(text: Column): Column =
+    translate(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
   /** Stable document fingerprint: md5 of whitespace-normalized,
-    * lowercased text. (A rolling polynomial hash variant is
-    * [[rollingFingerprint]] — spec-tested, not oracle-checked.) */
+    * ASCII-case-folded text ([[asciiFold]] — locale-independent, so
+    * the dedup key is identical on every executor and engine).
+    * (A rolling polynomial hash variant is [[rollingFingerprint]] —
+    * spec-tested, not oracle-checked.) */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(asciiFold(regexp_replace(trim(text), "\\s+", " ")))
 
   /** Rolling polynomial hash (Rabin-Karp shape) over the normalized
     * text, computed with a higher-order aggregate — deterministic and
@@ -128,7 +143,7 @@ object TextAnalysis {
     * a 1e9+7 modulus so ANSI mode (Spark 4 default) can't overflow:
     * acc < 2³⁰ and base ≈ 2²⁰, so acc·base + c < 2⁶³. */
   def rollingFingerprint(text: Column): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    val norm = asciiFold(regexp_replace(trim(text), "\\s+", " "))
     aggregate(split(norm, ""), lit(0L),
       (acc, ch) => pmod(acc * lit(1000003L) +
         coalesce(ascii(ch).cast("long"), lit(0L)), lit(1000000007L)))

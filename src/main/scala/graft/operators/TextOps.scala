@@ -79,7 +79,11 @@ object TextOps {
     // degenerate docs (no terminator at all) count as one sentence,
     // so the score is defined for every row
     val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
-    val syllables = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    // asciiFold, not lower: locale-independent and engine-portable
+    // (Java lower's one-to-many İ mapping would split a vowel run
+    // differently than the oracle's utf8proc lower on unicode text)
+    val syllables =
+      regexp_count(asciiFold(col("text")), lit("[aeiouy]+"))
     docs
       .select(col("doc_id"),
         sentences.cast("long").as("n_sentences"),
@@ -402,7 +406,10 @@ object TextOps {
     * prediction = argmax (ties broken by language code). Built from
     * array ops only, so it's one narrow codegen'd projection. */
   def langidScores(text: Column): Column = {
-    val toks = tokens(lower(text))
+    // ASCII case-fold (not lower): the lexicons are ASCII, so folding
+    // A-Z is all membership needs — and it is locale-independent,
+    // where Java lower under tr_TR would turn 'In' into 'ın' and miss
+    val toks = tokens(asciiFold(text))
     val scored = Profiles.toSeq.sortBy(_._1).map { case (langCode, words) =>
       val hits = size(filter(toks, t => words.map(t === _).reduce(_ || _)))
       struct((hits.cast("double") / size(toks)).as("score"),
@@ -427,7 +434,8 @@ object TextOps {
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        tokens(asciiFold(col("text"))).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n"),
         explode(col("toks")).as("tok"))
     val lexicon = spark.createDataFrame(

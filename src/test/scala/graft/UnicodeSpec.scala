@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, TextOps}
+
+/** Engine-side unicode contracts. The full cross-engine story is the
+  * unicode parity gate (tools/unicode_gate.sh: the 133-query oracle
+  * compare over a deterministic multi-script corpus); these specs pin
+  * the SPARK-side semantics that gate relies on, so a regression is
+  * attributable without running DuckDB.
+  *
+  * The two portability rules under test:
+  * - whitespace tokenization is ASCII-space-trimmed (`trim` removes
+  *   0x20 only) — the oracle mirrors it with `trim(text, ' ')`;
+  * - case-folding in fingerprint/langid/readability is [[TextAnalysis
+  *   .asciiFold]] (A-Z → a-z via `translate`), never `lower()`: Java's
+  *   full-string lowercase is locale-sensitive (tr_TR maps I → ı) and
+  *   applies one-to-many special casing (İ → i + combining dot) that
+  *   DuckDB's utf8proc lower does not share, so a `lower`-derived md5
+  *   dedup key would differ across executor locales AND engines. */
+class UnicodeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("asciiFold equals lower on ASCII and leaves non-ASCII untouched") {
+    val rows = Seq("MiXeD Case 42!", "İstanbul STRASSE ß", "ΑΝΆΛΥΣΗ Данные")
+      .toDF("t")
+      .select(TextAnalysis.asciiFold(col("t")).as("f"),
+        lower(col("t")).as("l"))
+      .collect()
+    assert(rows(0) == Row("mixed case 42!", "mixed case 42!"))
+    // İ survives the fold verbatim (Java lower would mint i+U+0307,
+    // utf8proc a bare i — both locale/engine hazards the fold avoids)
+    assert(rows(1).getString(0) == "İstanbul strasse ß")
+    // Greek/Cyrillic capitals also pass through untouched
+    assert(rows(2).getString(0) == "ΑΝΆΛΥΣΗ Данные")
+  }
+
+  test("fingerprint is İ-stable: differs only by ASCII case") {
+    val fps = Seq("The İstanbul Data", "the İstanbul data",
+      "the istanbul data").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1), "ASCII case must not split dup groups")
+    assert(fps(1) != fps(2), "non-ASCII letters are significant")
+  }
+
+  test("whitespace tokens: unicode spaces are token chars, not separators") {
+    // ideographic space (U+3000) and NBSP are NOT \s in Java or RE2
+    // and NOT trimmed by either engine's ASCII-space trim — the
+    // contract the oracle's trim(text, ' ') mirrors
+    val t = "a　b  c 　　"
+    val toks = Seq(t).toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("ts"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("a　b", "c", "　　"))
+  }
+
+  test("CharMoments counts astral code points once (surrogate pairs)") {
+    // "🚀🚀a": 3 code points, counts {🚀: 2, a: 1}
+    val r = Seq("🚀🚀a").toDF("text")
+      .select(TextAnalysis.charMoments(col("text")).as("m"))
+      .select(col("m.n"), col("m.s_micro")).head()
+    assert(r.getLong(0) == 3L)
+    // s_micro = 2*round(ln2*1e6) + 1*round(ln1*1e6) = 2*693147
+    assert(r.getLong(1) == 2L * 693147L)
+  }
+
+  test("substring spans survive astral code points (no INT32 overflow)") {
+    // a 64+-char window of repeated astral chars drives the anchor
+    // polynomial with code points ≥ 0x1F680 — the ADVICE overflow
+    // class; BIGINT widening must keep it exact, not throw under ANSI
+    val boiler = ("🚀" * 20) + "shared boilerplate across docs " +
+      "x" * 40
+    val docs = Seq(
+      (1L, "prefix one " + boiler + " tail A"),
+      (2L, "a different and longer prefix " + boiler + " tail B"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpansDf(docs, win = 64)
+      .filter(col("n_docs") > 1).count()
+    assert(spans > 0, "offset-shifted astral boilerplate must align")
+  }
+
+  test("langid scoring folds ASCII only — no locale-dependent lowering") {
+    // 'THE AND OF TO IS' hits the en lexicon through the fold even
+    // though lower('İ...') paths would be locale-fragile
+    val pred = Seq("THE data AND more OF it TO see IS here İ")
+      .toDF("text")
+      .select(TextOps.langidScores(col("text")).getField("lang"))
+      .head().getString(0)
+    assert(pred == "en")
+  }
+}

@@ -19,6 +19,17 @@ for sf in $sfs; do
   python3 tools/check.py "/root/testdata/sf$sf" "$out" | tail -1
 done
 
+# Unicode parity pass: the full surface again over the deterministic
+# multi-script documents table (tools/unicode_testdata.py) — the
+# driver's corpus is pure ASCII, so engine divergences that only fire
+# on multi-byte text (unicode trim, one-to-many case mappings,
+# byte-vs-codepoint probes) are only visible HERE.
+echo "=== verify unicode corpus ==="
+rm -rf /tmp/unicode_sf /tmp/unicode_out
+python3 tools/unicode_testdata.py /tmp/unicode_sf > /dev/null
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /tmp/unicode_sf /tmp/unicode_out" > /dev/null 2>&1
+python3 tools/check.py /tmp/unicode_sf /tmp/unicode_out | tail -1
+
 # Partition-invariance pass: the whole surface again at an unrelated
 # CPU count / shuffle-partition setting, hash-checked against the same
 # oracle. Any operator whose result depends on partitioning, merge
