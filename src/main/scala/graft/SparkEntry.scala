@@ -1779,8 +1779,9 @@ object SparkEntry {
                       / len(string_split_regex(trim(text, ' '), '\s+')), 6) AS stopword_ratio,
                 round(CAST(len(list_distinct(string_split_regex(trim(text, ' '), '\s+'))) AS DOUBLE)
                       / len(string_split_regex(trim(text, ' '), '\s+')), 6) AS distinct_ratio,
-                round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-                      / length(text), 6) AS punct_ratio
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                                / length(text), 6) END AS punct_ratio
          FROM documents ORDER BY doc_id""",
     // PMI decomposes into a linear combination of per-count logs;
     // each ln quantizes once to micro-nats (counts ≥ 1 → ln ≥ 0, so
@@ -1891,8 +1892,9 @@ object SparkEntry {
          m AS (
            SELECT d.doc_id, per.n_tokens,
                   round(per.tok_chars * 1.0 / per.n_tokens, 6) AS avg_word_len,
-                  round(CAST(length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-                        / length(d.text), 6) AS punct_ratio,
+                  CASE WHEN length(d.text) = 0 THEN 0.0
+                       ELSE round(CAST(length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                                  / length(d.text), 6) END AS punct_ratio,
                   per.n_stop
            FROM documents d JOIN per ON per.doc_id = d.doc_id)
          SELECT doc_id, n_tokens, avg_word_len, punct_ratio, n_stop,

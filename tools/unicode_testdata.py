@@ -105,6 +105,25 @@ def build_text(i: int) -> str:
     return " ".join(ws)
 
 
+# Degenerate documents appended after the main corpus: the Spark
+# operators guard these shapes (ANSI division, empty payloads, missing
+# terminators/vowels) and EdgeCaseSpec pins the engine side — but the
+# ORACLE twins only prove parity if the gate corpus actually contains
+# them. doc_ids continue after N_DOCS.
+DEGENERATES = [
+    "",                       # empty text (payload-empty mm path)
+    " ",                      # single ASCII space (trims to empty)
+    "   \t  ",                # ASCII whitespace only
+    "　　",                   # unicode whitespace only (NOT trimmed)
+    "x",                      # single char
+    "\U0001f680",             # single astral char
+    "bcdfg hjklm npqrs",      # no vowels (readability's syllable=0)
+    "no sentence terminator here at all",
+    "!!! ??? ...",            # punctuation only
+    "1234567890 42 7",        # digits only
+]
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
@@ -115,6 +134,10 @@ def main():
     rows = []
     for i in range(N_DOCS):
         text = build_text(i)
+        rows.append((i, text, LANGS[h(i + 13) % len(LANGS)],
+                     SOURCES[h(i + 57) % len(SOURCES)], len(text)))
+    for j, text in enumerate(DEGENERATES):
+        i = N_DOCS + j
         rows.append((i, text, LANGS[h(i + 13) % len(LANGS)],
                      SOURCES[h(i + 57) % len(SOURCES)], len(text)))
     con = duckdb.connect()
