@@ -103,4 +103,53 @@ class ClusterSpec extends SparkSpecBase {
     val b = Cluster.coresetDf(embs.repartition(7), 64, 8, 3).collect().toSeq
     assert(a == b, "sample must not depend on partitioning")
   }
+
+  test("kmeans trajectory matches a scalar Lloyd's fold on random vectors") {
+    // third independent witness beside the unrolled-CTE oracle and the
+    // closed-form specs: a plain-Scala replay of the exact integer
+    // recurrence (portable-hash seed order, strict-< argmin with
+    // first-lowest-cid ties, truncating centroid division, empty
+    // clusters keeping their centroid) on seeded random float vectors
+    val rnd = new scala.util.Random(55001)
+    for (trial <- 1 to 2) {
+      val n = 24 + trial * 6; val dim = 4; val k = 3; val iters = 3
+      val vecs = (0L until n.toLong).map { id =>
+        (id, Array.fill(dim)(rnd.nextFloat() * 2f - 1f), 0)
+      }
+      def quant(v: Array[Float]): Array[Long] =
+        v.map(x => math.floor(x.toDouble * Cluster.Scale).toLong)
+      def h(id: Long): Long = graft.functions.SketchKernel.h60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+      var cents = vecs.sortBy(v => (h(v._1), v._1)).take(k)
+        .map(v => quant(v._2)).toArray
+      val q = vecs.map(v => v._1 -> quant(v._2)).toMap
+      var ref = Map.empty[Long, (Int, Long)]
+      for (r <- 1 to iters) {
+        ref = q.map { case (id, xs) =>
+          var best = 0; var bd = Long.MaxValue
+          for (c <- 0 until k) {
+            var acc = 0L
+            for (i <- 0 until dim) {
+              val d = xs(i) - cents(c)(i); acc += d * d
+            }
+            if (acc < bd) { bd = acc; best = c }
+          }
+          id -> (best, bd)
+        }
+        if (r < iters) {
+          val next = cents.map(_.clone())
+          ref.groupBy(_._2._1).foreach { case (c, members) =>
+            for (i <- 0 until dim)
+              next(c)(i) = members.keys.map(q(_)(i)).sum / members.size
+          }
+          cents = next
+        }
+      }
+      val got = Cluster.kmeansAssign(
+        vecs.toSeq.toDF("vec_id", "embedding", "label"), k, iters)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+        .toMap
+      assert(got == ref, s"trial $trial")
+    }
+  }
 }
