@@ -1649,7 +1649,7 @@ object SparkEntry {
                        WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
                   strlen(text) AS plen,
                   CASE WHEN strlen(text) = 0 THEN 0
-                       ELSE (('0x' || substring(to_hex(encode(text)), 1, 2))::INT
+                       ELSE (('0x' || substring(to_hex(encode(substring(text, 1, 1))), 1, 2))::INT
                              % 128) % 64 END AS first7
            FROM documents)
          SELECT fmt, count(*) AS n,
@@ -1686,7 +1686,7 @@ object SparkEntry {
            SELECT doc_id,
                   64 + strlen(text) % 512 AS width,
                   64 + CASE WHEN strlen(text) = 0 THEN 0
-                            ELSE (('0x' || substring(to_hex(encode(text)), 1, 2))::INT
+                            ELSE (('0x' || substring(to_hex(encode(substring(text, 1, 1))), 1, 2))::INT
                                   % 128) % 64 END AS height
            FROM documents WHERE CAST(doc_id % 3 AS INT) = 0)
          SELECT doc_id, width, height,

@@ -25,10 +25,7 @@ done
 # on multi-byte text (unicode trim, one-to-many case mappings,
 # byte-vs-codepoint probes) are only visible HERE.
 echo "=== verify unicode corpus ==="
-rm -rf /tmp/unicode_sf /tmp/unicode_out
-python3 tools/unicode_testdata.py /tmp/unicode_sf > /dev/null
-SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /tmp/unicode_sf /tmp/unicode_out" > /dev/null 2>&1
-python3 tools/check.py /tmp/unicode_sf /tmp/unicode_out | tail -1
+tools/unicode_gate.sh | tail -2
 
 # Partition-invariance pass: the whole surface again at an unrelated
 # CPU count / shuffle-partition setting, hash-checked against the same

@@ -17,6 +17,8 @@ OUT_DIR=${UNICODE_OUT_DIR:-/tmp/unicode_out}
 
 rm -rf "$SF_DIR" "$OUT_DIR"
 python3 tools/unicode_testdata.py "$SF_DIR"
-sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
+# sbt/Spark chatter to a log; the gate's stdout is the compare verdict
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} sbt -batch \
+  "runMain graft.Verify $SF_DIR $OUT_DIR" > /tmp/unicode_gate_sbt.log 2>&1
 python3 tools/check.py "$SF_DIR" "$OUT_DIR"
 echo "unicode gate: all queries hash-match on the multi-script corpus"

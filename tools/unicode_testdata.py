@@ -100,8 +100,7 @@ def build_text(i: int) -> str:
     if i % 29 == 5:
         ws.insert(0, RUN_EQ)
     if i % 37 == 8:
-        ws.append(RUN_IDEO.strip() or RUN_IDEO)  # keep the run verbatim
-        ws.append(RUN_IDEO)
+        ws += [RUN_IDEO, RUN_IDEO]  # two unicode-whitespace runs
     return " ".join(ws)
 
 
@@ -143,9 +142,9 @@ def main():
     con = duckdb.connect()
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, "
                 "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    # n_chars = Python len(text) = code points, the driver's convention
+    # (identical to DuckDB length() and Spark length())
     con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
-    # n_chars = code-point length, matching the driver's convention
-    con.execute("UPDATE d SET n_chars = length(text)")
     con.execute(f"COPY d TO '{OUT}/documents.parquet' (FORMAT PARQUET)")
     n, cp = con.execute(
         "SELECT count(*), max(length(text)) FROM d").fetchone()
