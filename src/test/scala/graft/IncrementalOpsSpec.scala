@@ -68,7 +68,12 @@ class IncrementalOpsSpec extends SparkSpecBase {
   }
 
   test("changepoint: CUSUM argmax lands on the planted regime shift") {
-    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // pinned UTC instants, NOT Timestamp.valueOf: valueOf parses in
+    // the JVM default zone, so under a non-UTC JVM (the hostile-env
+    // gate runs Asia/Kolkata) the expected midnight literal lands on
+    // a different instant than the session's UTC day truncation
+    def utc(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    def ts(d: Int) = utc(f"2024-01-$d%02dT10:00:00Z")
     // type "a": daily counts 1,1,1,9,9,9 — the shift is after day 3
     val counts = Seq(1, 1, 1, 9, 9, 9)
     val rows = counts.zipWithIndex.flatMap { case (c, j) =>
@@ -80,7 +85,7 @@ class IncrementalOpsSpec extends SparkSpecBase {
     val row = r.head
     // D_3 = 6*3 - 3*30 = -72 is the max deviation; split_day is the
     // calendar day (midnight truncation)
-    assert(row.getTimestamp(1) == Timestamp.valueOf("2024-01-03 00:00:00")
+    assert(row.getTimestamp(1) == utc("2024-01-03T00:00:00Z")
       && row.getLong(2) == 6L && row.getLong(3) == 72L)
     assert(row.getLong(4) == 1000L, "mean before = 1.000 events/day")
     assert(row.getLong(5) == 9000L, "mean after = 9.000 events/day")
