@@ -18,7 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * expression is one tight fused loop.
   *
   * Null handling: any null input → null result (standard
-  * BinaryExpression nullable contract). Zero-norm vectors → 0.0.
+  * BinaryExpression nullable contract). Zero-norm vectors AND
+  * non-finite results (a NaN component — a failed encoder's output)
+  * → 0.0: the score domain is total and finite, which matters at
+  * scale because Spark's double ordering treats NaN as the LARGEST
+  * value — an unguarded NaN cosine would outrank every real score
+  * and surface one corrupted embedding at the top of every ANN
+  * ranking. Scoring degenerate vectors as orthogonal keeps them out
+  * of near-dup pairs and top-k results instead.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,7 +45,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    else {
+      val r = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (java.lang.Double.isFinite(r)) r else 0.0
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -46,7 +56,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
+      val n = ctx.freshName("n"); val r = ctx.freshName("r")
       s"""
          |float[] $xs = $a.toFloatArray();
          |float[] $ys = $b.toFloatArray();
@@ -57,8 +67,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double y = (double) $ys[$i];
          |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |double $r = ($na == 0.0 || $nb == 0.0)
          |  ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |${ev.value} = java.lang.Double.isFinite($r) ? $r : 0.0;
        """.stripMargin
     })
 
@@ -105,7 +116,12 @@ case class NearestCells(child: Expression, ids: Array[Long],
       }
       sims(k) =
         if (na == 0.0 || nb == 0.0) 0.0
-        else dot / (math.sqrt(na) * math.sqrt(nb))
+        else {
+          // same total-finite contract as CosineSimilarity: a NaN
+          // component must not hijack the (sims desc) cell ordering
+          val r = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (java.lang.Double.isFinite(r)) r else 0.0
+        }
       k += 1
     }
     val order = Array.range(0, c).sortWith { (a, b) =>
@@ -153,11 +169,14 @@ object Vectors {
   /** L2 norm via HOFs. */
   def normHof(a: Column): Column = sqrt(dotHof(a, a))
 
-  /** Cosine via HOFs (reference semantics for the spec). */
+  /** Cosine via HOFs (reference semantics for the spec). Mirrors the
+    * codegen kernel's total-finite contract: zero norms and NaN
+    * results score 0.0 (float inputs cannot overflow the double
+    * accumulators to infinity, so nanvl covers the non-finite set). */
   def cosineHof(a: Column, b: Column): Column = {
     val d = dotHof(a, b)
     val n = normHof(a) * normHof(b)
-    when(n === 0.0d, 0.0d).otherwise(d / n)
+    when(n === 0.0d, 0.0d).otherwise(nanvl(d / n, lit(0.0d)))
   }
 
   // --- int8 scalar quantization ------------------------------------

@@ -18,6 +18,34 @@ class VectorsSpec extends SparkSpecBase {
       .collect().foreach(r => assert(r.getDouble(0) < 1e-12))
   }
 
+  test("corrupted vectors score 0.0 and never hijack a ranking") {
+    // a failed encoder emits NaN/Inf components at corpus scale;
+    // Spark's double ordering puts NaN ABOVE every real value, so an
+    // unguarded NaN cosine would top every ANN ranking — the kernel's
+    // contract is a total, finite score domain instead
+    val good = Array(1f, 2f, 3f)
+    val df = Seq(
+      (Array(Float.NaN, 1f, 0f), good),
+      (Array(Float.PositiveInfinity, 1f, 0f), good),
+      (Array(0f, 0f, 0f), good),
+    ).toDF("a", "b")
+    val scores = df.select(
+        Vectors.cosineSim($"a", $"b").as("k"),
+        Vectors.cosineHof($"a", $"b").as("h"))
+      .collect()
+    scores.foreach { r =>
+      assert(r.getDouble(0) == 0.0, "codegen kernel must score 0.0")
+      assert(r.getDouble(1) == 0.0, "HOF reference must agree")
+    }
+    // ordering check: the corrupted vector ranks BELOW a real match
+    val ranked = Seq(
+      (1L, Array(Float.NaN, 1f, 0f)),
+      (2L, Array(1f, 2f, 3f))).toDF("id", "v")
+      .select($"id", Vectors.cosineSim($"v", typedLit(good)).as("c"))
+      .orderBy($"c".desc).collect().map(_.getLong(0))
+    assert(ranked.head == 2L, "real match must outrank the corrupted row")
+  }
+
   test("cosineSim null propagation") {
     val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
       .toDF("a", "b")
