@@ -93,11 +93,25 @@ object Cluster {
 
   private[graft] val Scale = 1048576L // 2^20 quantization
 
+  /** Quantize once to `floor(x·2²⁰)` BIGINTs. HARD INPUT CONTRACT,
+    * enforced here: every component must be finite. Spark's `floor`
+    * maps NaN to 0L silently, so a failed encoder's NaN embedding
+    * would otherwise quantize to the origin and quietly drag
+    * centroids toward it for the rest of the trajectory — the one
+    * corruption mode worse than a crash. (The cosine kernels take
+    * the other branch of the same decision: scoring paths DEMOTE
+    * non-finite vectors to 0.0 because a ranking must stay total;
+    * a training trajectory fails fast instead.) */
   private[graft] def quantized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * Scale).cast("long")).as("q"))
+        transform(col("embedding"), x =>
+          when(isnan(x) || abs(x) === Float.PositiveInfinity,
+            raise_error(concat(lit("kmeans: non-finite embedding component "),
+              x.cast("string"), lit(" at vec_id="),
+              col("vec_id").cast("string"),
+              lit(" — gate corrupt vectors upstream"))).cast("long"))
+            .otherwise(floor(x.cast("double") * Scale).cast("long"))).as("q"))
 
   private[graft] def assignCol(q: Column, cents: Array[Array[Long]]): Column =
     ColumnBridge.column(NearestCentroidSq(ColumnBridge.expression(q), cents))

@@ -104,6 +104,23 @@ class ClusterSpec extends SparkSpecBase {
     assert(a == b, "sample must not depend on partitioning")
   }
 
+  test("kmeans fails fast on a non-finite embedding component") {
+    // Spark's floor maps NaN to 0L silently — without the quantizer's
+    // finiteness gate a corrupt vector would drag centroids toward the
+    // origin for the whole trajectory instead of failing visibly
+    val df = spark.range(2).select(col("id").as("vec_id"),
+      when(col("id") === 1, array(lit(Float.NaN), lit(1f)))
+        .otherwise(array(lit(0.5f), lit(0.25f))).as("embedding"))
+    val e = intercept[Exception] {
+      Cluster.kmeansAssign(df, 1, 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-finite embedding")),
+      s"expected the quantizer's fail-fast, got: $e")
+  }
+
   test("kmeans trajectory matches a scalar Lloyd's fold on random vectors") {
     // third independent witness beside the unrolled-CTE oracle and the
     // closed-form specs: a plain-Scala replay of the exact integer
