@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+
+/** Reference cross-checks for the two event operators with the
+  * subtlest ordering contracts — the as-of join and last-touch
+  * attribution. Their same-instant tie rule (the matchable side
+  * sorts BEFORE the consuming side at equal ts, so a same-instant
+  * purchase/touch IS visible) and attribution's 24 h freshness
+  * horizon are exactly the semantics a refactor can silently flip.
+  * Checked two ways: against an in-memory fold over the REAL
+  * sf0.001 corpus, and on seeded random streams engineered to hit
+  * the tie and horizon boundaries far more often than real data
+  * would. */
+class RandomEventsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Latest (ts, id)-ordered candidate at-or-before the consumer —
+    * the shared as-of rule of both operators. */
+  private def lastAtOrBefore(cands: Seq[(Long, Long)], // (epochMs, id)
+      t: Long): Option[(Long, Long)] =
+    cands.filter(_._1 <= t).sortBy(identity).lastOption
+
+  test("as-of join matches an in-memory fold over the real corpus") {
+    val evs = spark.read.parquet(s"$Sf/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val byUser = evs.groupBy(_._3)
+    val expected = evs.filter(_._4 == "error").map { e =>
+      val purchases = byUser(e._3).filter(_._4 == "purchase")
+        .map(p => (p._2, p._1)).toSeq
+      e._1 -> lastAtOrBefore(purchases, e._2).map(_._2)
+    }.toMap
+    val got = Events.qAsofJoin(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("attribution matches an in-memory fold over the real corpus") {
+    val evs = spark.read.parquet(s"$Sf/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val byUser = evs.groupBy(_._3)
+    val expected = evs.filter(_._4 == "purchase").map { p =>
+      val touches = byUser(p._3)
+        .filter(t => t._4 == "click" || t._4 == "view")
+      val hit = lastAtOrBefore(touches.map(t => (t._2, t._1)).toSeq, p._2)
+        .map { case (ts, id) => (ts, id, touches.find(_._1 == id).get._4) }
+      val fresh = hit.exists(_._1 >= p._2 - 24L * 3600 * 1000)
+      // unix_timestamp truncates EACH side to epoch seconds before
+      // subtracting — mirror that, not a delta-then-divide
+      p._1 -> (if (fresh) (hit.map(_._2), hit.get._3,
+          Some(p._2 / 1000 - hit.get._1 / 1000))
+        else (None, "direct", None))
+    }.toMap
+    val got = Events.qAttribution(spark, Sf).collect().map { r =>
+      r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+        r.getString(3),
+        (if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("attribution boundaries on engineered random streams") {
+    val rnd = new Random(90210)
+    for (trial <- 1 to 3) {
+      // coarse ts grid (hours) + exact 24h offsets: same-instant ties
+      // and horizon-boundary purchases occur constantly by design
+      val base = 1700000000000L
+      val rows = (0 until 120).map { i =>
+        val user = rnd.nextInt(4).toLong
+        val t = base + rnd.nextInt(72).toLong * 3600 * 1000
+        val tpe = Seq("click", "view", "purchase", "error")(rnd.nextInt(4))
+        (i.toLong, new Timestamp(t), user, tpe, rnd.nextDouble())
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val evs = rows.map(r => (r._1, r._2.getTime, r._3, r._4))
+      val byUser = evs.groupBy(_._3)
+      val expected = evs.filter(_._4 == "purchase").map { p =>
+        val touches = byUser(p._3)
+          .filter(t => t._4 == "click" || t._4 == "view")
+        val hit = lastAtOrBefore(touches.map(t => (t._2, t._1)), p._2)
+          .map { case (ts, id) => (ts, id, touches.find(_._1 == id).get._4) }
+        val fresh = hit.exists(_._1 >= p._2 - 24L * 3600 * 1000)
+        p._1 -> (if (fresh) (hit.map(_._2), hit.get._3)
+          else (None, "direct"))
+      }.toMap
+      val got = Events.attributionDf(df).collect().map { r =>
+        r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          r.getString(3))
+      }.toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+}
