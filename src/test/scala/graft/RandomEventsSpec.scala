@@ -72,6 +72,39 @@ class RandomEventsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("sessionize matches an in-memory fold; the 30min boundary is inclusive") {
+    // reference fold in exact epoch-microseconds (ts.cast(double) in
+    // the operator carries the full microsecond fraction)
+    def us(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def refSessions(evs: Seq[(Long, Long)]) // (epochUs, event_id)
+        : Seq[(Long, Long, Long, Long)] = { // (session, n, start_s, end_s)
+      val sorted = evs.sortBy(identity)
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, Long)]]) {
+        case (acc, e) =>
+          // STRICT >: a gap of exactly 1800s stays in-session
+          if (acc.nonEmpty && e._1 - acc.last.last._1 <= 1800000000L)
+            acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+      }
+      sessions.zipWithIndex.map { case (s, i) =>
+        ((i + 1).toLong, s.size.toLong,
+          s.map(_._1).min / 1000000L, s.map(_._1).max / 1000000L)
+      }
+    }
+    val evs = spark.read.parquet(s"$Sf/events.parquet")
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2)))
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      refSessions(es.map(e => (e._2, e._3)).toSeq)
+        .map { case (sid, n, a, b) => (u, sid) -> ((n, a, b)) }
+    }
+    val got = Events.qSessionize(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
   test("attribution boundaries on engineered random streams") {
     val rnd = new Random(90210)
     for (trial <- 1 to 3) {
