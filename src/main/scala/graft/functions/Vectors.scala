@@ -45,10 +45,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0
-    else {
-      val r = dot / (math.sqrt(na) * math.sqrt(nb))
-      if (java.lang.Double.isFinite(r)) r else 0.0
-    }
+    else Vectors.finiteOr0(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -114,14 +111,11 @@ case class NearestCells(child: Expression, ids: Array[Long],
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
+      // same total-finite contract as CosineSimilarity: a NaN
+      // component must not hijack the (sims desc) cell ordering
       sims(k) =
         if (na == 0.0 || nb == 0.0) 0.0
-        else {
-          // same total-finite contract as CosineSimilarity: a NaN
-          // component must not hijack the (sims desc) cell ordering
-          val r = dot / (math.sqrt(na) * math.sqrt(nb))
-          if (java.lang.Double.isFinite(r)) r else 0.0
-        }
+        else Vectors.finiteOr0(dot / (math.sqrt(na) * math.sqrt(nb)))
       k += 1
     }
     val order = Array.range(0, c).sortWith { (a, b) =>
@@ -147,6 +141,13 @@ case class NearestCells(child: Expression, ids: Array[Long],
 
 /** Vector math over `array<float>` embedding columns. */
 object Vectors {
+
+  /** The shared total-finite score guard of the interpreted cosine
+    * paths (the codegen template inlines the same expression —
+    * `java.lang.Double.isFinite(r) ? r : 0.0` — and VectorsSpec pins
+    * the paths equal on NaN/Inf/zero-norm inputs). */
+  @inline private[functions] def finiteOr0(r: Double): Double =
+    if (java.lang.Double.isFinite(r)) r else 0.0
 
   /** Codegen'd nearest-codebook-cells (see [[NearestCells]]). */
   def nearestCells(v: Column, codebook: Array[(Long, Array[Float])],

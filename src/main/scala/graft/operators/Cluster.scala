@@ -93,25 +93,48 @@ object Cluster {
 
   private[graft] val Scale = 1048576L // 2^20 quantization
 
+  /** Largest component magnitude the quantizer accepts: |q| ≤ 2²⁷,
+    * so a squared-L2 diff is ≤ (2·2²⁷)² = 2⁵⁶ and a 64-dim sum stays
+    * ≤ 2⁶², inside Long. Any real embedding is orders of magnitude
+    * under this; rescale if yours is not. */
+  private[graft] val MaxAbsComponent = 128f
+
   /** Quantize once to `floor(x·2²⁰)` BIGINTs. HARD INPUT CONTRACT,
-    * enforced here: every component must be finite. Spark's `floor`
-    * maps NaN to 0L silently, so a failed encoder's NaN embedding
-    * would otherwise quantize to the origin and quietly drag
-    * centroids toward it for the rest of the trajectory — the one
-    * corruption mode worse than a crash. (The cosine kernels take
-    * the other branch of the same decision: scoring paths DEMOTE
-    * non-finite vectors to 0.0 because a ranking must stay total;
-    * a training trajectory fails fast instead.) */
+    * enforced here: every component finite AND |x| < 128
+    * ([[MaxAbsComponent]]). Spark's `floor` maps NaN to 0L silently
+    * (dragging centroids toward the origin for the rest of the
+    * trajectory), and a finite component ≥ 2⁴³ would saturate the
+    * long cast and overflow the squared-distance kernel into garbage
+    * assignments — both are the corruption mode worse than a crash,
+    * so training fails fast with the offending vec_id. (The cosine
+    * kernels take the other branch of the same decision: scoring
+    * paths DEMOTE non-finite vectors to 0.0 because a ranking must
+    * stay total; streaming ingest/serving SKIPS them via
+    * [[finiteVectors]] because a stream must keep making progress.)
+    * The DuckDB twin ([[kmeansAssignCtes]]) carries the same gate via
+    * error(), so both engines refuse the same inputs. */
   private[graft] def quantized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"),
         transform(col("embedding"), x =>
-          when(isnan(x) || abs(x) === Float.PositiveInfinity,
-            raise_error(concat(lit("kmeans: non-finite embedding component "),
+          when(isnan(x) || abs(x) >= MaxAbsComponent,
+            raise_error(concat(
+              lit("kmeans: non-finite or out-of-range (|x| >= 128) " +
+                "embedding component "),
               x.cast("string"), lit(" at vec_id="),
               col("vec_id").cast("string"),
-              lit(" — gate corrupt vectors upstream"))).cast("long"))
+              lit(" — gate or rescale corrupt vectors upstream"))).cast("long"))
             .otherwise(floor(x.cast("double") * Scale).cast("long"))).as("q"))
+
+  /** Rows whose embedding is entirely finite and inside the
+    * quantizer's range — the SKIP-shaped twin of [[quantized]]'s
+    * fail-fast gate, for paths that must make progress past corrupt
+    * rows (streaming ingest, serving): a micro-batch that throws is
+    * replayed forever by the engine, so a poisoned stream would
+    * crash-loop on one bad vector. */
+  private[graft] def finiteVectors(embeddings: DataFrame): DataFrame =
+    embeddings.filter(
+      forall(col("embedding"), x => !isnan(x) && abs(x) < MaxAbsComponent))
 
   private[graft] def assignCol(q: Column, cents: Array[Array[Long]]): Column =
     ColumnBridge.column(NearestCentroidSq(ColumnBridge.expression(q), cents))
@@ -190,7 +213,9 @@ object Cluster {
     }.mkString(",\n         ")
     s"""e AS (SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]),
-                 x -> CAST(floor(x * $Scale) AS BIGINT)) AS q
+                 x -> CASE WHEN isnan(x) OR abs(x) >= 128
+                      THEN CAST(error('kmeans: non-finite or out-of-range embedding component') AS BIGINT)
+                      ELSE CAST(floor(x * $Scale) AS BIGINT) END) AS q
              FROM embeddings),
          x AS (SELECT vec_id, unnest(q) AS v,
                       unnest(range(len(q))) AS d FROM e),

@@ -54,10 +54,14 @@ final class StreamingKmeans(val k: Int) extends Serializable {
 
   /** Assign a (vec_id, embedding) frame against the CURRENT centroids
     * — the serving path; also usable on a static frame after the
-    * stream drains. */
+    * stream drains. Corrupt rows (non-finite or out-of-range
+    * components) are SKIPPED, not raised: one poisoned vector must
+    * not fail a million-row serving job — the batch trainer
+    * ([[graft.operators.Cluster.kmeansAssign]]) is the surface that
+    * fails fast instead. */
   def assign(embeddings: DataFrame): DataFrame = {
     require(cents != null, "model not seeded yet")
-    Cluster.quantized(embeddings)
+    Cluster.quantized(Cluster.finiteVectors(embeddings))
       .withColumn("a", Cluster.assignCol(col("q"), cents))
       .select(col("vec_id"), col("a.cid").as("cid"), col("a.dist").as("dist"))
   }
@@ -89,9 +93,14 @@ final class StreamingKmeans(val k: Int) extends Serializable {
       .map(_.getSeq[Long](0).toArray)
 
   /** One mini-batch step, unguarded. The unit the spec's reference
-    * fold replays; stream sinks go through the batchId overload. */
+    * fold replays; stream sinks go through the batchId overload.
+    * Corrupt vectors are SKIPPED (see [[assign]]): a micro-batch
+    * that throws is replayed verbatim by the engine on restart, so
+    * the quantizer's fail-fast would wedge the whole stream on one
+    * bad row — a crash-loop with no skip path. The filter makes the
+    * dropped rows' absence the observable signal instead. */
   def processBatch(batch: DataFrame): Unit = {
-    val q = Cluster.quantized(batch)
+    val q = Cluster.quantized(Cluster.finiteVectors(batch))
     if (cents == null) {
       val seeds = seedCandidates(q, k)
       if (seeds.isEmpty) return // empty first batch: stay unseeded

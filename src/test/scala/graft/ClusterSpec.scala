@@ -111,14 +111,36 @@ class ClusterSpec extends SparkSpecBase {
     val df = spark.range(2).select(col("id").as("vec_id"),
       when(col("id") === 1, array(lit(Float.NaN), lit(1f)))
         .otherwise(array(lit(0.5f), lit(0.25f))).as("embedding"))
-    val e = intercept[Exception] {
-      Cluster.kmeansAssign(df, 1, 1).collect()
-    }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
       else String.valueOf(t.getMessage) +: messages(t.getCause)
-    assert(messages(e).exists(_.contains("non-finite embedding")),
+    val e = intercept[Exception] {
+      Cluster.kmeansAssign(df, 1, 1).collect()
+    }
+    assert(messages(e).exists(_.contains("non-finite or out-of-range")),
       s"expected the quantizer's fail-fast, got: $e")
+    // finite but out of range: floor(x*2^20) would saturate the long
+    // cast and overflow the squared-distance kernel — same gate
+    val big = spark.range(2).select(col("id").as("vec_id"),
+      when(col("id") === 1, array(lit(1e13f), lit(1f)))
+        .otherwise(array(lit(0.5f), lit(0.25f))).as("embedding"))
+    val e2 = intercept[Exception] {
+      Cluster.kmeansAssign(big, 1, 1).collect()
+    }
+    assert(messages(e2).exists(_.contains("non-finite or out-of-range")),
+      s"expected the range fail-fast, got: $e2")
+    // the streaming/serving twin SKIPS the same rows instead: one
+    // corrupt vector must not crash-loop a stream or fail a serving job
+    val skim = Cluster.finiteVectors(big).collect().map(_.getLong(0))
+    assert(skim.toSeq == Seq(0L), "finiteVectors must keep only clean rows")
+    // and the streaming trainer rides that skip path: a batch with a
+    // poisoned row trains on the clean remainder instead of throwing
+    // (a thrown micro-batch is replayed verbatim — a crash loop)
+    val model = new graft.streaming.StreamingKmeans(1)
+    model.processBatch(df, 0L)
+    assert(model.activeCenters == 1, "clean rows must still train")
+    assert(model.assign(df).collect().map(_.getLong(0)).toSeq == Seq(0L),
+      "serving skips the corrupt row and scores the clean one")
   }
 
   test("kmeans trajectory matches a scalar Lloyd's fold on random vectors") {

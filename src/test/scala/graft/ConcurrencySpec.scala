@@ -63,6 +63,11 @@ class ConcurrencySpec extends SparkSpecBase {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       for (round <- 1 to 3) {
+        // clearCache alone drops storage but NOT the PlanCache memo —
+        // a hit would only re-cache, never re-enter the first-insert
+        // race. Invalidate every memo so both consumers genuinely
+        // race the build of the shared pair base each round.
+        graft.core.PlanCache.invalidate("")
         spark.catalog.clearCache()
         val a = Future(rows(Dedup.ngramJaccard(spark, Sf)))
         val b = Future(rows(Dedup.containment(spark, Sf)))
