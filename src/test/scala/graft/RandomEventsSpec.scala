@@ -105,6 +105,50 @@ class RandomEventsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("gap-fill matches an in-memory calendar fold over the real corpus") {
+    val DayMs = 86400000L
+    def dayOf(ms: Long): Long = ms - java.lang.Math.floorMod(ms, DayMs)
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val evs = spark.read.parquet(s"$Sf/events.parquet")
+      .select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), dayOf(r.getTimestamp(1).getTime),
+        cents(r.getDouble(2))))
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val daily = es.groupBy(_._2).view
+        .mapValues(d => (d.size.toLong, d.map(_._3).sum)).toMap
+      val d0 = daily.keys.min; val d1 = daily.keys.max
+      var carriedCents = 0L
+      (d0 to d1 by DayMs).map { day =>
+        val (n, c) = daily.getOrElse(day, (0L, -1L))
+        if (c >= 0) carriedCents = c
+        (u, day) -> ((n, if (c >= 0) c / 100.0 else 0.0,
+          carriedCents / 100.0))
+      }
+    }
+    val got = Events.qGapFill(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+  }
+
+  test("retention matches an in-memory cohort fold over the real corpus") {
+    val DayMs = 86400000L
+    def dayOf(ms: Long): Long = ms - java.lang.Math.floorMod(ms, DayMs)
+    val evs = spark.read.parquet(s"$Sf/events.parquet")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), dayOf(r.getTimestamp(1).getTime)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val days = es.map(_._2).distinct.sorted
+      days.map(d => (days.head, (d - days.head) / DayMs))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Events.qRetention(spark, Sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1).toLong) ->
+        r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
   test("attribution boundaries on engineered random streams") {
     val rnd = new Random(90210)
     for (trial <- 1 to 3) {
