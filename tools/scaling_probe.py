@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""Build a K-times scaled variant of the sf0.1 documents corpus for
+the scaling probe (tools/scaling_probe.sh).
+
+Each replica k suffixes every token with a replica salt ("wk1", ...),
+so replicas share NO shingles: cross-replica candidate pairs are
+impossible and the corpus grows like independent content — the
+natural-growth regime a 100 TB crawl has — instead of the
+pathological every-doc-has-K-copies regime a plain union would
+measure. doc_ids shift by k*10_000_000. Non-document tables are
+symlinked from sf0.1 (only the documents family is probed).
+"""
+import os
+import sys
+import duckdb
+
+K = int(sys.argv[1])
+OUT = sys.argv[2]
+SRC = "/root/testdata/sf0.1"
+
+os.makedirs(OUT, exist_ok=True)
+for t in ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "embeddings"):
+    dst = f"{OUT}/{t}.parquet"
+    if not os.path.exists(dst):
+        os.symlink(f"{SRC}/{t}.parquet", dst)
+
+con = duckdb.connect()
+reps = "\nUNION ALL\n".join(
+    f"""SELECT doc_id + {k * 10000000} AS doc_id,
+               regexp_replace(text, '(\\S+)', '\\1k{k}', 'g') AS text,
+               lang, source, n_chars
+        FROM read_parquet('{SRC}/documents.parquet')"""
+    for k in range(K))
+con.execute(f"COPY ({reps}) TO '{OUT}/documents.parquet' (FORMAT PARQUET)")
+n = con.execute(
+    f"SELECT count(*) FROM read_parquet('{OUT}/documents.parquet')").fetchone()[0]
+print(f"wrote {OUT}/documents.parquet: {n} docs (K={K})")
