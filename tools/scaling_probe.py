@@ -20,7 +20,7 @@ SRC = "/root/testdata/sf0.1"
 
 os.makedirs(OUT, exist_ok=True)
 for t in ("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "embeddings"):
+          "orders", "lineitem", "embeddings"):
     dst = f"{OUT}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
@@ -35,4 +35,17 @@ reps = "\nUNION ALL\n".join(
 con.execute(f"COPY ({reps}) TO '{OUT}/documents.parquet' (FORMAT PARQUET)")
 n = con.execute(
     f"SELECT count(*) FROM read_parquet('{OUT}/documents.parquet')").fetchone()[0]
-print(f"wrote {OUT}/documents.parquet: {n} docs (K={K})")
+# events scale by replicating USERS (shifted user/event ids, same
+# timestamps): K independent user populations — the natural-growth
+# regime for the sessionize/funnel/markov/retention interval logic,
+# whose per-user state must not couple across users
+evs = "\nUNION ALL\n".join(
+    f"""SELECT event_id + {k * 100000000} AS event_id, ts,
+               user_id + {k * 10000000} AS user_id,
+               event_type, value, props
+        FROM read_parquet('{SRC}/events.parquet')"""
+    for k in range(K))
+con.execute(f"COPY ({evs}) TO '{OUT}/events.parquet' (FORMAT PARQUET)")
+ne = con.execute(
+    f"SELECT count(*) FROM read_parquet('{OUT}/events.parquet')").fetchone()[0]
+print(f"wrote {OUT}: {n} docs, {ne} events (K={K})")

@@ -9,7 +9,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment,text_tfidf,pipeline_clean,mr_wordcount,pipeline_decontam}
+OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment,text_tfidf,pipeline_clean,mr_wordcount,pipeline_decontam,q_sessionize,q_funnel,q_range_join,q_asof_join,q_gap_fill,events_markov,events_retention,events_attribution,events_changepoint,events_rfm,events_paths}
 
 for K in 1 2 4; do
   dir=/tmp/scale_$K
