@@ -99,42 +99,89 @@ object Cluster {
     * under this; rescale if yours is not. */
   private[graft] val MaxAbsComponent = 128f
 
+  /** Largest embedding dimension the squared-distance kernel's Long
+    * headroom covers: per-dimension diff² ≤ 2⁵⁶ under
+    * [[MaxAbsComponent]], so a d-dim sum stays < 2⁶³ only while
+    * d ≤ 2⁷. [[quantized]] enforces it fail-fast — the component
+    * gate alone would admit a 1000-dim corpus whose gated-but-extreme
+    * components still overflow the distance sum into garbage
+    * assignments (silent, the corruption mode worse than a crash). */
+  private[graft] val MaxDim = 128
+
   /** Quantize once to `floor(x·2²⁰)` BIGINTs. HARD INPUT CONTRACT,
-    * enforced here: every component finite AND |x| < 128
+    * enforced here: embedding non-NULL with dimension ≤ [[MaxDim]],
+    * every component non-NULL, finite AND |x| < 128
     * ([[MaxAbsComponent]]). Spark's `floor` maps NaN to 0L silently
     * (dragging centroids toward the origin for the rest of the
-    * trajectory), and a finite component ≥ 2⁴³ would saturate the
-    * long cast and overflow the squared-distance kernel into garbage
-    * assignments — both are the corruption mode worse than a crash,
-    * so training fails fast with the offending vec_id. (The cosine
-    * kernels take the other branch of the same decision: scoring
-    * paths DEMOTE non-finite vectors to 0.0 because a ranking must
-    * stay total; streaming ingest/serving SKIPS them via
-    * [[finiteVectors]] because a stream must keep making progress.)
-    * The DuckDB twin ([[kmeansAssignCtes]]) carries the same gate via
-    * error(), so both engines refuse the same inputs. */
+    * trajectory), a finite component ≥ 2⁴³ would saturate the
+    * long cast, and a > 128-dim vector would overflow the
+    * squared-distance SUM even with every component in range — all
+    * are the corruption mode worse than a crash, so training fails
+    * fast with the offending vec_id. A NULL component likewise fails
+    * here (it would quantize to a NULL q element and poison the
+    * kernel) — deliberately the OPPOSITE of [[finiteVectors]]' skip,
+    * see that doc for the fail-vs-skip split. (The cosine kernels
+    * take the other branch of the same decision: scoring paths DEMOTE
+    * non-finite vectors to 0.0 because a ranking must stay total.)
+    * The DuckDB twin ([[kmeansAssignCtes]]) carries the same
+    * component gate via error(), so both engines refuse the same
+    * inputs. */
   private[graft] def quantized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"),
-        transform(col("embedding"), x =>
-          when(isnan(x) || abs(x) >= MaxAbsComponent,
-            raise_error(concat(
-              lit("kmeans: non-finite or out-of-range (|x| >= 128) " +
-                "embedding component "),
-              x.cast("string"), lit(" at vec_id="),
-              col("vec_id").cast("string"),
-              lit(" — gate or rescale corrupt vectors upstream"))).cast("long"))
-            .otherwise(floor(x.cast("double") * Scale).cast("long"))).as("q"))
+        when(col("embedding").isNull || size(col("embedding")) > MaxDim,
+          raise_error(concat(
+            lit(s"kmeans: NULL or over-$MaxDim-dim embedding (dim="),
+            coalesce(size(col("embedding")).cast("string"), lit("NULL")),
+            lit(") at vec_id="), col("vec_id").cast("string"),
+            lit(" — the Long distance headroom requires dim <= 128")))
+            .cast("array<long>"))
+          .otherwise(transform(col("embedding"), x =>
+            when(x.isNull || isnan(x) || abs(x) >= MaxAbsComponent,
+              raise_error(concat(
+                lit("kmeans: NULL, non-finite or out-of-range (|x| >= 128) " +
+                  "embedding component "),
+                coalesce(x.cast("string"), lit("NULL")), lit(" at vec_id="),
+                col("vec_id").cast("string"),
+                lit(" — gate or rescale corrupt vectors upstream"))).cast("long"))
+              .otherwise(floor(x.cast("double") * Scale).cast("long"))))
+          .as("q"))
 
-  /** Rows whose embedding is entirely finite and inside the
-    * quantizer's range — the SKIP-shaped twin of [[quantized]]'s
-    * fail-fast gate, for paths that must make progress past corrupt
-    * rows (streaming ingest, serving): a micro-batch that throws is
-    * replayed forever by the engine, so a poisoned stream would
-    * crash-loop on one bad vector. */
+  /** Rows whose embedding is non-NULL, ≤ [[MaxDim]]-dimensional, and
+    * entirely finite / NULL-free / inside the quantizer's range — the
+    * SKIP-shaped twin of [[quantized]]'s fail-fast gate, for paths
+    * that must make progress past corrupt rows (streaming ingest,
+    * serving): a micro-batch that throws is replayed forever by the
+    * engine, so a poisoned stream would crash-loop on one bad vector.
+    * NULL handling is EXPLICIT and deliberate: a NULL embedding or a
+    * NULL component is a corrupt row here and is skipped (where the
+    * batch twin fails fast on the same input) — previously this fell
+    * out of three-valued logic (forall over a NULL predicate yields
+    * NULL, which filter discards); now the predicate says so. */
   private[graft] def finiteVectors(embeddings: DataFrame): DataFrame =
     embeddings.filter(
-      forall(col("embedding"), x => !isnan(x) && abs(x) < MaxAbsComponent))
+      col("embedding").isNotNull && size(col("embedding")) <= MaxDim &&
+        forall(col("embedding"), x =>
+          x.isNotNull && !isnan(x) && abs(x) < MaxAbsComponent))
+
+  /** [[finiteVectors]] + a raise-FREE floor quantization — the whole
+    * skip path as one composition. The skip paths must not compose
+    * `quantized(finiteVectors(df))` themselves: the fail-fast
+    * projection above a filter is an optimizer hazard — predicate
+    * pushdown substitutes the raise-bearing CASE into a downstream
+    * predicate, and codegen subexpression elimination can then
+    * evaluate it EAGERLY, before the skip filter's conjunct
+    * short-circuits (observed: ClusterSpec's poisoned-row batch
+    * raising through StreamingKmeans after an innocuous quantizer
+    * refactor). With no raise_error in the lenient projection there
+    * is no evaluation order to get wrong: a corrupt row's expression
+    * may compute garbage, but the row itself is filtered out of every
+    * result regardless of when the optimizer evaluates what. */
+  private[graft] def quantizedLenient(embeddings: DataFrame): DataFrame =
+    finiteVectors(embeddings)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * Scale).cast("long")).as("q"))
 
   private[graft] def assignCol(q: Column, cents: Array[Array[Long]]): Column =
     ColumnBridge.column(NearestCentroidSq(ColumnBridge.expression(q), cents))

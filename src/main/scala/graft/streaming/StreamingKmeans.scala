@@ -61,7 +61,7 @@ final class StreamingKmeans(val k: Int) extends Serializable {
     * fails fast instead. */
   def assign(embeddings: DataFrame): DataFrame = {
     require(cents != null, "model not seeded yet")
-    Cluster.quantized(Cluster.finiteVectors(embeddings))
+    Cluster.quantizedLenient(embeddings)
       .withColumn("a", Cluster.assignCol(col("q"), cents))
       .select(col("vec_id"), col("a.cid").as("cid"), col("a.dist").as("dist"))
   }
@@ -100,7 +100,7 @@ final class StreamingKmeans(val k: Int) extends Serializable {
     * bad row — a crash-loop with no skip path. The filter makes the
     * dropped rows' absence the observable signal instead. */
   def processBatch(batch: DataFrame): Unit = {
-    val q = Cluster.quantized(Cluster.finiteVectors(batch))
+    val q = Cluster.quantizedLenient(batch)
     if (cents == null) {
       val seeds = seedCandidates(q, k)
       if (seeds.isEmpty) return // empty first batch: stay unseeded

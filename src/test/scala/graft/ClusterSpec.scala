@@ -143,6 +143,37 @@ class ClusterSpec extends SparkSpecBase {
       "serving skips the corrupt row and scores the clean one")
   }
 
+  test("kmeans fails fast on NULL and over-dim embeddings; skip twin drops them") {
+    // dimension gate: |x| < 128 alone leaves d*2^56 Long headroom only
+    // for d <= 128 — a 129-dim vector must be refused, not silently
+    // overflow the squared-distance sum
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    val wide = spark.range(2).select(col("id").as("vec_id"),
+      when(col("id") === 1, array((0 until 129).map(_ => lit(0.5f)): _*))
+        .otherwise(array(lit(0.5f), lit(0.25f))).as("embedding"))
+    val e = intercept[Exception] { Cluster.kmeansAssign(wide, 1, 1).collect() }
+    assert(messages(e).exists(_.contains("dim")),
+      s"expected the dimension fail-fast, got: $e")
+    // NULL component: previously quantized passed it through as a NULL
+    // q element (poisoning the kernel); now the same fail-fast fires
+    val holed = spark.range(2).select(col("id").as("vec_id"),
+      when(col("id") === 1, array(lit(null).cast("float"), lit(1f)))
+        .otherwise(array(lit(0.5f), lit(0.25f))).as("embedding"))
+    val e2 = intercept[Exception] { Cluster.kmeansAssign(holed, 1, 1).collect() }
+    assert(messages(e2).exists(_.contains("NULL")),
+      s"expected the NULL-component fail-fast, got: $e2")
+    // the skip twin treats all three shapes as corrupt rows to drop
+    val nulled = spark.range(2).select(col("id").as("vec_id"),
+      when(col("id") === 1, lit(null).cast("array<float>"))
+        .otherwise(array(lit(0.5f), lit(0.25f))).as("embedding"))
+    for (df <- Seq(wide, holed, nulled)) {
+      assert(Cluster.finiteVectors(df).collect().map(_.getLong(0)).toSeq
+        == Seq(0L), "finiteVectors must keep only the clean row")
+    }
+  }
+
   test("kmeans trajectory matches a scalar Lloyd's fold on random vectors") {
     // third independent witness beside the unrolled-CTE oracle and the
     // closed-form specs: a plain-Scala replay of the exact integer

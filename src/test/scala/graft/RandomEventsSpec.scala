@@ -121,9 +121,13 @@ class RandomEventsSpec extends SparkSpecBase {
       val d0 = daily.keys.min; val d1 = daily.keys.max
       var carriedCents = 0L
       (d0 to d1 by DayMs).map { day =>
-        val (n, c) = daily.getOrElse(day, (0L, -1L))
-        if (c >= 0) carriedCents = c
-        (u, day) -> ((n, if (c >= 0) c / 100.0 else 0.0,
+        // Option, not a -1 sentinel: a negative daily sum (possible if
+        // the generator ever emits negative values) must read as a
+        // PRESENT day, not a missing one
+        val present = daily.get(day)
+        present.foreach { case (_, c) => carriedCents = c }
+        (u, day) -> ((present.map(_._1).getOrElse(0L),
+          present.map(_._2 / 100.0).getOrElse(0.0),
           carriedCents / 100.0))
       }
     }

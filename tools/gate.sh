@@ -39,7 +39,29 @@ SPARK_GRAFT_CPUS=5 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/g
 python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_v5cpu | tail -1
 
 if [ "$1" != "quick" ]; then
-  echo "=== bench sf0.1 ==="
+  # standing scaling tripwire: 1x vs 2x replica-salted corpora on the
+  # dedup family — an accidental all-pairs regression shows ~4x here
+  # and fails the gate the round it lands (scaling_probe.sh quick
+  # exits nonzero past a 3.0 ratio)
+  echo "=== scaling probe (2x quick) ==="
+  tools/scaling_probe.sh quick | tail -12
+
+  # contention guard: a closing bench stamped on a loaded box is not a
+  # record anyone can compare across rounds (BENCH_r06's 122 s vs the
+  # idle-box 69 s). Refuse to stamp when 1-min loadavg > 1.5, after one
+  # cooldown retry.
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  if ! awk -v l="$load" 'BEGIN { exit !(l <= 1.5) }'; then
+    echo "loadavg $load > 1.5 — cooling down 180 s before the closing bench"
+    sleep 180
+    load=$(cut -d' ' -f1 /proc/loadavg)
+    if ! awk -v l="$load" 'BEGIN { exit !(l <= 1.5) }'; then
+      echo "REFUSING to stamp closing bench: loadavg still $load > 1.5" \
+        "— rerun 'tools/gate.sh' when the box is idle"
+      exit 2
+    fi
+  fi
+  echo "=== bench sf0.1 (loadavg_start $load) ==="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_OUT=/tmp/gate_bench.json \
     sbt -batch "runMain graft.Bench" > /dev/null 2>&1

@@ -6,31 +6,61 @@
 # plus the fixed session/stage floor), while an accidental all-pairs
 # shape would blow up ~K^2. The per-query numbers land in
 # /tmp/scale_bench_K.json (full bench JSON with forensics fields).
+#
+# Usage: tools/scaling_probe.sh [quick]
+#   quick = 1x/2x only, 1 rep, dedup family only — the standing-gate
+#   regression tripwire (exits nonzero if any 2x/1x min-wall ratio
+#   exceeds 3.0, where linear is ~2 and all-pairs is ~4); the full
+#   1x/2x/4x run stays the ad-hoc measurement tool.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment,text_tfidf,pipeline_clean,mr_wordcount,pipeline_decontam,q_sessionize,q_funnel,q_range_join,q_asof_join,q_gap_fill,events_markov,events_retention,events_attribution,events_changepoint,events_rfm,events_paths}
+MODE=${1:-full}
+if [ "$MODE" = "quick" ]; then
+  KS="1 2"
+  OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment}
+  REPS=${SCALING_REPS:-1}
+else
+  KS="1 2 4"
+  OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment,text_tfidf,pipeline_clean,mr_wordcount,pipeline_decontam,q_sessionize,q_funnel,q_range_join,q_asof_join,q_gap_fill,events_markov,events_retention,events_attribution,events_changepoint,events_rfm,events_paths}
+  REPS=${SCALING_REPS:-2}
+fi
 
-for K in 1 2 4; do
+for K in $KS; do
   dir=/tmp/scale_$K
   rm -rf "$dir"
   python3 tools/scaling_probe.py "$K" "$dir"
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 \
-    SPARK_GRAFT_BENCH_REPS=${SCALING_REPS:-2} \
+    SPARK_GRAFT_BENCH_REPS="$REPS" \
     SPARK_GRAFT_BENCH_FILTER="$OPS" \
     SPARK_GRAFT_BENCH_OUT=/tmp/scale_bench_$K.json \
     sbt -batch "runMain graft.Bench" > /tmp/scale_bench_$K.log 2>&1
 done
 
-python3 - <<'EOF'
-import json
-runs = {k: json.load(open(f"/tmp/scale_bench_{k}.json")) for k in (1, 2, 4)}
+MODE="$MODE" python3 - <<'EOF'
+import json, os, sys
+quick = os.environ["MODE"] == "quick"
+ks = (1, 2) if quick else (1, 2, 4)
+runs = {k: json.load(open(f"/tmp/scale_bench_{k}.json")) for k in ks}
 qs = sorted(runs[1]["queries"])
-print(f"{'operator':24s} {'1x':>7s} {'2x':>7s} {'4x':>7s} {'4x/1x':>6s}")
+hdr = " ".join(f"{k}x".rjust(7) for k in ks)
+print(f"{'operator':24s} {hdr} {'ratio':>6s}")
+bad = []
 for q in qs:
-    t = [runs[k]["queries_min"][q] for k in (1, 2, 4)]
-    print(f"{q:24s} {t[0]:7.2f} {t[1]:7.2f} {t[2]:7.2f} {t[2]/t[0]:6.2f}")
-tot = [sum(runs[k]["queries_min"].values()) for k in (1, 2, 4)]
-print(f"{'TOTAL (min-of-reps)':24s} {tot[0]:7.2f} {tot[1]:7.2f} {tot[2]:7.2f} {tot[2]/tot[0]:6.2f}")
-print("loadavg:", [(runs[k]['loadavg_start'], runs[k]['loadavg_end']) for k in (1,2,4)])
+    t = [runs[k]["queries_min"][q] for k in ks]
+    ratio = t[-1] / t[0]
+    print(f"{q:24s} " + " ".join(f"{x:7.2f}" for x in t) + f" {ratio:6.2f}")
+    # quick-mode tripwire: 2x data in > 3x wall smells quadratic
+    # (linear ~2 incl. fixed floor; all-pairs ~4)
+    if quick and ratio > 3.0:
+        bad.append((q, ratio))
+tot = [sum(runs[k]["queries_min"].values()) for k in ks]
+print(f"{'TOTAL (min-of-reps)':24s} " + " ".join(f"{x:7.2f}" for x in tot)
+      + f" {tot[-1]/tot[0]:6.2f}")
+print("loadavg:", [(runs[k]['loadavg_start'], runs[k]['loadavg_end']) for k in ks])
+if quick:
+    if bad:
+        print("SCALING FAIL:", ", ".join(f"{q} 2x/1x={r:.2f}" for q, r in bad))
+        sys.exit(1)
+    print("SCALING OK: all 2x/1x ratios <= 3.0")
 EOF
