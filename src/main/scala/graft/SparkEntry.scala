@@ -106,6 +106,7 @@ object SparkEntry {
     "profile_histogram" -> ((s, d) => Profile.histogramProfile(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "graph_pagerank_weighted" -> ((s, d) => Graph.pagerankWeighted(s, d)),
+    "graph_pagerank_resume" -> ((s: SparkSession, d: String) => Graph.pagerankResume(s, d)),
     "graph_triangles" -> (Graph.supplierTriangles _),
     "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
     "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.ngramComponents(s, d)),
+    "dedup_components_resume" -> ((s: SparkSession, d: String) => Dedup.ngramComponentsResumed(s, d)),
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
     "ann_lsh" -> (Ann.lsh _),
@@ -453,6 +455,51 @@ object SparkEntry {
          SELECT node, CAST(pr AS BIGINT) AS pr FROM pr$iters
          ORDER BY pr DESC, node LIMIT 100"""
   }
+
+  /** dedup_components oracle: recursive-CTE transitive closure over
+    * the same near-dup pair set the Spark side derives (tiny clusters
+    * → closure stays small). Shared VERBATIM with
+    * `dedup_components_resume`: the warm-started loop must land on
+    * the identical fixed point, so one oracle text gates both. */
+  private lazy val dedupComponentsSql: String =
+    """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS gs
+           FROM toks),
+         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         -- postings join on the 60-bit portable hash, mirroring the
+         -- Spark side exactly (collisions, were any to exist, would
+         -- be identical on both engines)
+         hp AS (SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gid
+                FROM posts),
+         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           FROM hp a JOIN hp b
+             ON a.gid = b.gid AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         near AS (
+           SELECT d1, d2 FROM pairs
+           JOIN sizes s1 ON s1.doc_id = d1
+           JOIN sizes s2 ON s2.doc_id = d2
+           WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.1),
+         edges AS (SELECT d1 AS a, d2 AS b FROM near
+                   UNION SELECT d2, d1 FROM near),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (
+           SELECT a AS doc_id, least(a, min(b)) AS component
+           FROM reach GROUP BY a)
+         SELECT doc_id, component FROM comp ORDER BY doc_id"""
 
   /** mr_cms_freq oracle: a Count-Min counter's content is "sum of
     * counts of every token in the bucket", so DuckDB rebuilds the
@@ -1223,6 +1270,10 @@ object SparkEntry {
          FROM m GROUP BY col_name ORDER BY col_name""",
     "graph_pagerank" -> pagerankSql,
     "graph_pagerank_weighted" -> pagerankWeightedSql,
+    // SAME oracle text as graph_pagerank: 3 cold rounds + a 2-round
+    // warm resume from the full round-3 vector must be bit-identical
+    // to 5 straight rounds — the hash match IS the resume proof
+    "graph_pagerank_resume" -> pagerankSql,
     // id-ordered 3-way self-join: orientation in the Spark plan only
     // changes where each triangle is FOUND, never the per-node census
     "graph_triangles" ->
@@ -1358,45 +1409,11 @@ object SparkEntry {
          ORDER BY d1, d2""",
     // Recursive-CTE transitive closure over the same pair set the
     // Spark side derives (tiny clusters → closure stays small).
-    "dedup_components" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
-           FROM documents),
-         g AS (
-           SELECT doc_id,
-                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                  END AS gs
-           FROM toks),
-         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
-         -- postings join on the 60-bit portable hash, mirroring the
-         -- Spark side exactly (collisions, were any to exist, would
-         -- be identical on both engines)
-         hp AS (SELECT doc_id,
-                       ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gid
-                FROM posts),
-         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
-         pairs AS (
-           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-           FROM hp a JOIN hp b
-             ON a.gid = b.gid AND a.doc_id < b.doc_id
-           GROUP BY a.doc_id, b.doc_id),
-         near AS (
-           SELECT d1, d2 FROM pairs
-           JOIN sizes s1 ON s1.doc_id = d1
-           JOIN sizes s2 ON s2.doc_id = d2
-           WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.1),
-         edges AS (SELECT d1 AS a, d2 AS b FROM near
-                   UNION SELECT d2, d1 FROM near),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (
-           SELECT a AS doc_id, least(a, min(b)) AS component
-           FROM reach GROUP BY a)
-         SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    "dedup_components" -> dedupComponentsSql,
+    // SAME oracle text as dedup_components: the resume query's
+    // warm-started propagation must land on the identical fixed point
+    // — the hash match IS the resume-correctness proof
+    "dedup_components_resume" -> dedupComponentsSql,
     // same postings-hash pair derivation as dedup_ngram_jaccard; only
     // the scoring differs (both per-side containments, max-gated)
     "dedup_containment" ->

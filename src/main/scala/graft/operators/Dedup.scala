@@ -392,7 +392,8 @@ object Dedup {
     * test — no separate convergence scan. Lineage is truncated per
     * round so the loop survives arbitrarily many iterations at
     * scale. */
-  def components(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxRounds: Int = 20,
+      seed: DataFrame = null): DataFrame = {
     // materialize the pair derivation once — the union below references
     // it twice, and without this the whole upstream (shingling +
     // self-join) executes per side
@@ -405,9 +406,30 @@ object Dedup {
     val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(p.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct().repartition(col("src")).cache()
-    var labels = edges.select(col("src").as("node"))
-      .distinct()
-      .withColumn("comp", col("node"))
+    // Round-0 labels: each node's own id, or (warm start) the caller's
+    // prior (doc_id, component) labels — the daily-delta loop: when
+    // yesterday's corpus grew by today's documents, seeding with
+    // yesterday's converged labels means most components start already
+    // labeled with their true minimum and propagation only has to walk
+    // the NEW edges' neighborhoods instead of every component's full
+    // diameter. least(node, seed) keeps the only invariant the loop
+    // needs — labels start ≥ their component minimum and only ever
+    // decrease — and the converged result is IDENTICAL to the cold
+    // run's (spec-pinned and hash-gated via `dedup_components_resume`):
+    // a seed label is the min doc_id of a prior component, i.e. a node
+    // id inside the same (possibly now larger) component, so the
+    // propagated minimum is unchanged. Valid for edge-ADDITIVE deltas
+    // (the dedup corpus case: documents arrive, pairs only accumulate);
+    // after edge REMOVAL a component can split and stale labels would
+    // under-segment — recompute cold for compaction/deletion runs.
+    val coldLabels = edges.select(col("src").as("node")).distinct()
+    var labels = (if (seed == null) coldLabels.withColumn("comp", col("node"))
+                  else coldLabels
+                    .join(seed.select(col("doc_id").as("node"),
+                      col("component").as("seed_comp")), Seq("node"), "left")
+                    .select(col("node"),
+                      least(col("node"),
+                        coalesce(col("seed_comp"), col("node"))).as("comp")))
       // lazy: round 1's union + join both scan every seed partition,
       // so the seed materializes inside round 1's job instead of its
       // own (there is no pre-loop action at all — see labelSum)
@@ -489,6 +511,23 @@ object Dedup {
     // latency-bound, and within a run the base pair set is already
     // cached for dedup_ngram_jaccard/dedup_containment
     components(sharedJaccardPairs(spark, dir, tau))
+
+  /** The `dedup_components_resume` query: warm-start label propagation
+    * — converge a deterministic "yesterday" subset of the near-dup
+    * pairs (those whose lower doc_id is even — an arbitrary but
+    * engine-free split standing in for a prior day's corpus), then
+    * converge the FULL pair set seeded with those labels. The DuckDB
+    * oracle is the SAME recursive-CTE closure as `dedup_components`,
+    * so the hash gate proves seeded-resume ≡ cold-run: stale labels
+    * from the subset run (each the min doc_id of a prior, possibly
+    * since-merged component) can only accelerate propagation, never
+    * change its fixed point. */
+  def ngramComponentsResumed(spark: SparkSession, dir: String,
+      tau: Double = 0.1): DataFrame = {
+    val pairs = sharedJaccardPairs(spark, dir, tau)
+    val prior = components(pairs.filter(col("d1") % 2 === 0))
+    components(pairs, seed = prior)
+  }
 
   /** Embedding cosine near-dup pairs, blocked by the `label` column
     * (the pre-clustering blocking pattern: at 100 TB the block key is
