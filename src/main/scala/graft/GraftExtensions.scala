@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongTyp
 
 import graft.functions.{AsciiTokens, AvroCodec, BottomKSampleAgg,
   CosineSimilarity, CountMinAgg, HllAgg, MinHashAgg, NGramShingles,
-  QSketchAgg, SimHashAgg, TopKFreqAgg, TopKScoreAgg}
+  QSketchAgg, SimHashAgg, SpaceSavingAgg, TopKFreqAgg, TopKScoreAgg}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -19,7 +19,8 @@ import graft.functions.{AsciiTokens, AvroCodec, BottomKSampleAgg,
   * after which `SELECT cosine_sim(a, b)`,
   * `SELECT ngram_shingles(tokens, 3)`, the sketch/top-k
   * aggregates (`minhash_agg`, `simhash_agg`, `countmin_agg`,
-  * `hll_agg`, `topk_by_score`, `topk_freq`), and the Avro codecs
+  * `hll_agg`, `topk_by_score`, `topk_freq`, `spacesaving_agg`),
+  * and the Avro codecs
   * (`graft_to_avro`, `graft_from_avro`) work from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -114,6 +115,13 @@ object GraftFunctions {
     (FunctionIdentifier("countmin_agg"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "countmin_agg"),
       countMinBuilder _),
+    (FunctionIdentifier("spacesaving_agg"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "spacesaving_agg"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "spacesaving_agg(item, capacity)")
+        SpaceSavingAgg(exprs.head,
+          intLit(exprs(1), "spacesaving_agg", "capacity"))
+      }),
     (FunctionIdentifier("hll_agg"),
       new ExpressionInfo(classOf[HllAgg].getName, "hll_agg"),
       { exprs: Seq[Expression] =>

@@ -28,6 +28,7 @@ object SparkEntry {
     "mr_inverted_index" -> (TextMR.invertedIndex _),
     "mr_topwords" -> ((s: SparkSession, d: String) => TextMR.topWords(s, d)),
     "mr_cms_freq" -> ((s: SparkSession, d: String) => TextMR.cmsFreq(s, d)),
+    "mr_heavyhitters" -> ((s: SparkSession, d: String) => TextMR.heavyHitters(s, d)),
     // B. relational
     "q1_agg" -> (Relational.q1Agg _),
     "q1_sql" -> ((s: SparkSession, d: String) => runSql(s, d, Q1AggSql)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "graph_triangles" -> (Graph.supplierTriangles _),
     "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
     "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
+    "graph_communities_sweep" -> ((s: SparkSession, d: String) => Graph.supplierCommunitySweep(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
     // maxDf passed explicitly: the 100 TB operating configuration of
@@ -123,6 +125,8 @@ object SparkEntry {
     "q_skyline" -> (Skyline.qSkyline _),
     "q_set_ops" -> (Relational.qSetOps _),
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
+    "graph_kcore_weighted" -> ((s: SparkSession, d: String) => Graph.kcoreWeighted(s, d)),
+    "events_forecast" -> (Events.qForecast _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
@@ -612,6 +616,22 @@ object SparkEntry {
          SELECT source, rank, word, cnt FROM r
          WHERE rank <= 10 ORDER BY source, rank""",
     "mr_cms_freq" -> cmsFreqSql,
+    // canonical Misra-Gries summary at capacity 8: theta = the 9th
+    // largest exact count (0 if vocabulary <= 8), survivors = counts
+    // above it with lower bound cnt - theta — a pure multiset function,
+    // so the window-rank replay hash-matches at any partitioning
+    "mr_heavyhitters" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS word
+                    FROM documents),
+         c AS (SELECT word, count(*) AS cnt FROM w
+               WHERE word <> '' GROUP BY word),
+         r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk
+               FROM c),
+         t AS (SELECT CAST(coalesce(max(CASE WHEN rk = 9 THEN cnt END), 0)
+                        AS BIGINT) AS theta FROM r)
+         SELECT word, cnt, cnt - theta AS lo_bound, theta
+         FROM c CROSS JOIN t WHERE cnt > theta
+         ORDER BY cnt DESC, word""",
     "q1_agg" -> Q1AggSql,
     "q1_sql" -> Q1AggSql,
     "q3_join_topk" ->
@@ -1342,6 +1362,11 @@ object SparkEntry {
                   AS density_ppm
          FROM ns JOIN es ON ns.component = es.component
          ORDER BY ns.component""",
+    // the same closure replayed per threshold level over one
+    // materialized base edge set (generated, so sweep and oracle
+    // share the threshold list by construction)
+    "graph_communities_sweep" ->
+      graft.operators.Graph.communitySweepOracleSql(),
     // the PLAIN semi-join: a hash match proves the bloom prefilter is
     // value-invisible (no false negatives; false positives removed by
     // the exact join)
@@ -1572,6 +1597,18 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY qid, rank""",
     // generated unrolled synchronous peel (idempotent past stability)
     "graph_kcore" -> graft.operators.Graph.kcoreOracleSql(),
+    "graph_kcore_weighted" -> graft.operators.Graph.kcoreWeightedOracleSql(),
+    // engine-free weekday: day = epoch_s // 86400, dow = day % 7
+    // (0 = Thursday) — no locale/week-start convention to diverge
+    "events_forecast" ->
+      """WITH d AS (SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day % 7 AS dow, count(*) AS n_days,
+                CAST(sum(cnt) AS BIGINT) AS total_events,
+                CAST((1000 * sum(cnt)) // count(*) AS BIGINT) AS forecast_milli
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_set_ops" ->
       """WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
                       WHERE year(o_orderdate) = 1997),

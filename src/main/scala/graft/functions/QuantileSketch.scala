@@ -104,6 +104,37 @@ object QuantileSketch {
   def rankSql(nExpr: String, num: Int, den: Int, divOp: String): String =
     s"(($nExpr * $num + ${den - 1}) $divOp $den)"
 
+  /** ONE `aggregate()` fold finding the p50/p90/p99 bucket positions
+    * in a bucket-count array column: carry (cum, next array position,
+    * found-or-−1 per percentile); a position is recorded the first
+    * time the running total reaches its ceiling rank — identical to
+    * "min idx with cum ≥ rank" over non-empty buckets, because the
+    * running total only moves at non-empty positions. Array position
+    * ≡ bucket index ([[bucketOf]]). Shared VERBATIM by the batch
+    * profiler ([[graft.operators.Profile.qsketchProfile]]) and the
+    * streaming window decode ([[graft.streaming.Streams
+    * .qsketchWindowPercentiles]]) so the decode rule cannot drift
+    * between the twins. `nExpr` is the total-count expression the
+    * ranks are taken against (typically its own one-line fold,
+    * [[totalFoldSql]]). */
+  def rankFoldSql(regsCol: String, nExpr: String): String = {
+    def found(num: Int, den: Int, name: String) =
+      s"'$name', IF(a.$name >= 0, a.$name, " +
+        s"IF(a.cum + x >= ${rankSql(nExpr, num, den, "div")}, a.i, -1))"
+    s"""aggregate($regsCol,
+       |  named_struct('cum', CAST(0 AS BIGINT), 'i', 0,
+       |               'i50', -1, 'i90', -1, 'i99', -1),
+       |  (a, x) -> named_struct('cum', a.cum + x, 'i', a.i + 1,
+       |    ${found(1, 2, "i50")},
+       |    ${found(9, 10, "i90")},
+       |    ${found(99, 100, "i99")}))""".stripMargin
+  }
+
+  /** Total count of a bucket array — the `n` the ceiling ranks are
+    * taken against. */
+  def totalFoldSql(regsCol: String): String =
+    s"aggregate($regsCol, CAST(0 AS BIGINT), (a, x) -> a + x)"
+
   /** Sketch aggregate column: fixed long[[[NumBuckets]]] counts. */
   def qsketchAgg(v: Column): Column =
     ColumnBridge.column(

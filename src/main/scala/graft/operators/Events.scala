@@ -428,6 +428,30 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Seasonal-naive forecast baseline: per (event_type, day-of-week),
+    * the mean daily event count in exact truncating milli-units — the
+    * standard "predict next Monday with the average of past Mondays"
+    * baseline every volume-forecasting pipeline starts from (and the
+    * yardstick fancier models must beat). Day and weekday are derived
+    * ENGINE-FREE from the epoch: day = epoch_seconds div 86400,
+    * dow = day mod 7 (0 = Thursday — 1970-01-01 was one), so no
+    * locale/week-start convention can diverge between engines. Means
+    * are over days PRESENT for the type (the corpus has no silent
+    * holes; a gap-filled variant would compose with q_gap_fill).
+    * Scale shape: daily counts collapse map-side (shuffle ∝ types ×
+    * days), the dow aggregate is ∝ types × 7, output bounded. */
+  def qForecast(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS BIGINT) div 86400").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"), expr("day % 7").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cnt")).as("total_events"),
+        expr("CAST((1000 * sum(cnt)) div count(1) AS BIGINT)")
+          .as("forecast_milli"))
+      .orderBy("event_type", "dow") // bounded: types × 7
+
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")

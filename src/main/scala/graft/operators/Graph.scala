@@ -504,8 +504,13 @@ object Graph {
     * n_members ≥ 2 always (labels exist only for edge endpoints), so
     * the density division cannot hit zero. */
   def supplierCommunities(spark: SparkSession, dir: String,
-      minOrders: Int = 5): DataFrame = {
-    val ew = coSupplyEdgesW(spark, dir, minOrders)
+      minOrders: Int = 5): DataFrame =
+    communityStats(coSupplyEdgesW(spark, dir, minOrders))
+
+  /** The community-summary body shared by the single-threshold view
+    * and the sweep: label via the propagation loop, then one grouped
+    * pass for size / edges / weight / exact ppm density. */
+  private def communityStats(ew: DataFrame): DataFrame = {
     val labels = Dedup.components(
       ew.select(col("u").as("d1"), col("v").as("d2")))
       .select(col("doc_id").as("node"), col("component"))
@@ -528,6 +533,77 @@ object Graph {
         expr("CAST((2000000 * n_edges) div (n_members * (n_members - 1)) AS BIGINT)")
           .as("density_ppm"))
       .sortWithinPartitions("component")
+  }
+
+  /** The community HIERARCHY in one query: [[supplierCommunities]] at
+    * several strength thresholds from ONE materialized co-supply
+    * derivation — the operator's own resolution story
+    * ([[supplierCommunities]]' doc sells `minOrders` as the γ knob)
+    * made concrete. The expensive part — the 2-exchange pair
+    * aggregation over the fact table — is the PlanCache-memoized base
+    * at the LOOSEST threshold; each level is then a cheap weight
+    * filter over it feeding the proven label-propagation loop, so a
+    * 3-level sweep pays the corpus scan once, not three times. Output
+    * rows carry their `min_orders` level; levels whose threshold
+    * exceeds every pair weight are naturally empty (at small SFs the
+    * levels may coincide — the hierarchy only separates once the
+    * corpus gives pair weights any spread, as at sf0.1: 47k → 5.7k →
+    * 103 edges for 5/7/10). */
+  def supplierCommunitySweep(spark: SparkSession, dir: String,
+      thresholds: Seq[Int] = Seq(5, 7, 10)): DataFrame = {
+    val base = coSupplyEdgesW(spark, dir, thresholds.min)
+    thresholds.sorted.map { t =>
+      communityStats(base.filter(col("w") >= t))
+        .withColumn("min_orders", lit(t))
+    }.reduce(_.unionAll(_))
+      .select(col("min_orders"), col("component"), col("n_members"),
+        col("n_edges"), col("internal_weight"), col("density_ppm"))
+      .sortWithinPartitions("min_orders", "component")
+  }
+
+  /** Generated DuckDB oracle for [[supplierCommunitySweep]]: the
+    * single-threshold recursive-closure oracle replayed per level
+    * over the SAME materialized base edge set, unioned with its
+    * `min_orders` tag. */
+  def communitySweepOracleSql(thresholds: Seq[Int] = Seq(5, 7, 10)): String = {
+    val baseT = thresholds.min
+    val levels = thresholds.sorted.map { t =>
+      s"""e$t AS (SELECT u, v, w FROM e0 WHERE w >= $t),
+         ed$t AS (SELECT u AS a, v AS b FROM e$t
+                  UNION SELECT v, u FROM e$t),
+         reach$t(a, b) AS (
+           SELECT a, b FROM ed$t
+           UNION
+           SELECT r.a, e.b FROM reach$t r JOIN ed$t e ON r.b = e.a),
+         comp$t AS (
+           SELECT a AS node, least(a, min(b)) AS component
+           FROM reach$t GROUP BY a),
+         ns$t AS (SELECT component, count(*) AS n_members
+                  FROM comp$t GROUP BY 1),
+         es$t AS (SELECT c.component, count(*) AS n_edges,
+                         CAST(sum(e$t.w) AS BIGINT) AS internal_weight
+                  FROM e$t JOIN comp$t c ON e$t.u = c.node GROUP BY 1),
+         out$t AS (SELECT $t AS min_orders, ns$t.component,
+                          ns$t.n_members, es$t.n_edges,
+                          es$t.internal_weight,
+                          CAST((2000000 * es$t.n_edges)
+                               // (ns$t.n_members * (ns$t.n_members - 1))
+                            AS BIGINT) AS density_ppm
+                   FROM ns$t JOIN es$t
+                     ON ns$t.component = es$t.component)"""
+    }.mkString(",\n         ")
+    val union = thresholds.sorted.map(t => s"SELECT * FROM out$t")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE sl AS (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e0 AS MATERIALIZED (SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+                       count(*) AS w
+                FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2 HAVING count(*) >= $baseT),
+         $levels
+         SELECT * FROM ($union)
+         ORDER BY min_orders, component"""
   }
 
   /** k-core of the customer–supplier trading graph: iteratively peel
@@ -557,23 +633,44 @@ object Graph {
       .select(custNode.as("a"), suppNode.as("b")), k, maxRounds)
   }
 
-  /** k-core over an arbitrary undirected (a, b) edge list. */
-  def kcoreOf(undirected: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    // symmetric edge list: degree(n) = count of rows with src = n
+  /** k-core over an arbitrary undirected (a, b) edge list. The
+    * unweighted peel IS the weighted one with w ≡ 1 (sum(w) ≡ count —
+    * one loop discipline to maintain, the pagerankLoop argument);
+    * output keeps the historical (node, deg) shape. */
+  def kcoreOf(undirected: DataFrame, k: Int, maxRounds: Int): DataFrame =
+    kcoreWeightedOf(undirected.withColumn("w", lit(1L)), k, maxRounds)
+      .select(col("node"), col("deg"))
+
+  /** WEIGHTED k-core (an s-core, in the literature's terms): peel
+    * every node whose STRENGTH — the sum of its incident edge
+    * weights — is below `k`, until stable. The natural sequel to
+    * weighted pagerank: where the unweighted core asks "how many
+    * strong partners", the weighted core asks "how much total trade
+    * volume", so a node with few but heavy relationships survives a
+    * cut that degree-based peeling would drop it from. Same
+    * incremental-peel plan as the unweighted loop (one map-side
+    * strength aggregate + anti-joins against the typically-tiny peel
+    * set per round; AQE broadcasts the peel set as it shrinks), same
+    * synchronous-removal semantics as the unrolled-CTE oracle, and
+    * extra rounds after stability are idempotent. Output: (node,
+    * deg, strength) of the surviving subgraph. */
+  def kcoreWeightedOf(undirected: DataFrame, k: Long,
+      maxRounds: Int): DataFrame = {
+    // symmetric edge list: strength(n) = Σw over rows with src = n
     var live = undirected
       .select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        struct(col("a").as("src"), col("b").as("dst"), col("w")),
+        struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
       .repartition(col("src"))
-      // lazy: round 1's degree aggregate scans every partition and
+      // lazy: round 1's strength aggregate scans every partition and
       // materializes it in the same job (the eager/partial-action
       // hazard doesn't apply — see pagerankLoop's nodes checkpoint)
       .localCheckpoint(eager = false)
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
-      val deg = live.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val deg = live.groupBy(col("src")).agg(sum(col("w")).as("d"))
       // lazy + count(): ONE job both materializes the peel set (count
       // is a full action — every partition scans, so the truncated
       // lineage is complete) and answers the emptiness question the
@@ -585,14 +682,53 @@ object Graph {
         .join(bad, col("src") === col("n"), "left_anti")
         .join(bad.withColumnRenamed("n", "m"),
           col("dst") === col("m"), "left_anti")
-        // lazy: the next round's degree aggregate (or the final
+        // lazy: the next round's strength aggregate (or the final
         // grouped output) is a full action over it
         .localCheckpoint(eager = false)
       rounds += 1
       System.err.println(s"[graft] kcore round $rounds: stable=$stable")
     }
-    live.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    live.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"), sum(col("w")).as("strength"))
       .sortWithinPartitions("node")
+  }
+
+  /** Weighted k-core of the trading graph: strength = total lineitems
+    * the node traded across its surviving partners. Shares the
+    * memoized pair base with both pageranks and the unweighted core. */
+  def kcoreWeighted(spark: SparkSession, dir: String, k: Long = 48,
+      maxRounds: Int = 4): DataFrame =
+    kcoreWeightedOf(tradePairs(spark, dir)
+      .select(custNode.as("a"), suppNode.as("b"), col("w")), k, maxRounds)
+
+  /** Generated DuckDB oracle for [[kcoreWeighted]]: the same
+    * synchronous strength peel unrolled as chained CTEs — the
+    * [[kcoreOracleSql]] recipe with count(*) replaced by sum(w). */
+  def kcoreWeightedOracleSql(k: Long = 48, rounds: Int = 4): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT a, b, w FROM ed
+             WHERE a IN (SELECT n FROM n${r - 1})
+               AND b IN (SELECT n FROM n${r - 1})),
+         d$r AS MATERIALIZED (SELECT n, sum(w) AS d
+             FROM (SELECT a AS n, w FROM l$r UNION ALL SELECT b, w FROM l$r)
+             GROUP BY n),
+         n$r AS MATERIALIZED (SELECT n FROM d$r WHERE d >= $k)"""
+    }.mkString(",\n         ")
+    s"""WITH ed AS MATERIALIZED (SELECT
+             'C' || CAST(o_custkey AS VARCHAR) AS a,
+             'S' || CAST(l_suppkey AS VARCHAR) AS b,
+             count(*) AS w
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         n0 AS MATERIALIZED (SELECT a AS n FROM ed UNION SELECT b FROM ed),
+         $steps,
+         lf AS MATERIALIZED (SELECT a, b, w FROM ed
+                WHERE a IN (SELECT n FROM n$rounds)
+                  AND b IN (SELECT n FROM n$rounds))
+         SELECT n AS node, CAST(count(*) AS BIGINT) AS deg,
+                CAST(sum(w) AS BIGINT) AS strength
+         FROM (SELECT a AS n, w FROM lf UNION ALL SELECT b AS n, w FROM lf)
+         GROUP BY n ORDER BY node"""
   }
 
   /** Generated DuckDB oracle for [[kcore]]: the same synchronous

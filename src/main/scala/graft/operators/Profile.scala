@@ -333,29 +333,16 @@ object Profile {
     * shape. */
   def qsketchProfile(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{QuantileSketch => QS}
-    // one fold finds all three rank indexes: carry (cum, next array
-    // position, found-or-−1 per percentile); a bucket position is
-    // recorded the first time the running total reaches its ceiling
-    // rank — identical to the oracle's "min idx with cum ≥ rank" over
-    // non-empty buckets, because the running total only moves at
-    // non-empty positions. Array position ≡ bucket index (bucketOf).
-    def found(num: Int, den: Int, name: String) =
-      s"'$name', IF(a.$name >= 0, a.$name, " +
-        s"IF(a.cum + x >= ${QS.rankSql("n", num, den, "div")}, a.i, -1))"
+    // the rank-index fold and midpoint decode are the ONE shared
+    // source (QS.rankFoldSql/midCaseSql) the streaming window decode
+    // reads from too — see rankFoldSql's doc for the fold semantics
     Tables(spark, dir).lineitem
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("v"))
       .groupBy(col("l_returnflag"))
       .agg(QS.qsketchAgg(col("v")).as("regs"))
-      .withColumn("n", expr("aggregate(regs, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .withColumn("q", expr(
-        s"""aggregate(regs,
-           |  named_struct('cum', CAST(0 AS BIGINT), 'i', 0,
-           |               'i50', -1, 'i90', -1, 'i99', -1),
-           |  (a, x) -> named_struct('cum', a.cum + x, 'i', a.i + 1,
-           |    ${found(1, 2, "i50")},
-           |    ${found(9, 10, "i90")},
-           |    ${found(99, 100, "i99")}))""".stripMargin))
+      .withColumn("n", expr(QS.totalFoldSql("regs")))
+      .withColumn("q", expr(QS.rankFoldSql("regs", "n")))
       .select(col("l_returnflag"), col("n"),
         expr(QS.midCaseSql("q.i50")).cast("long").as("p50_cents"),
         expr(QS.midCaseSql("q.i90")).cast("long").as("p90_cents"),

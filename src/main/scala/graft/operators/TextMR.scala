@@ -60,6 +60,46 @@ object TextMR {
         col("col.item").as("word"), col("col.cnt").as("cnt"))
       .orderBy("source", "rank")
 
+  /** Heavy hitters with a DECLARED error bound — the canonical
+    * (order-invariant) Misra-Gries summary of the corpus vocabulary
+    * at capacity `c`: θ = the (c+1)-th largest exact count (0 when
+    * vocabulary ≤ c), survivors = words with count > θ, each emitted
+    * with its exact count, the MG lower bound `lo_bound = cnt − θ`,
+    * and θ itself. Guarantee shape (strictly stronger than a
+    * streaming Misra-Gries run): at most `c` survivors,
+    * θ ≤ N/(c+1) — the (c+1)-th largest count can't exceed the mean
+    * of the top c+1 — and every word with true count > θ survives.
+    *
+    * Because the summary is a pure MULTISET function (exact counts +
+    * an order statistic), it is partition/merge-order invariant and
+    * hash-gates against a window-rank DuckDB oracle — the property no
+    * literal insertion-order MG stream can offer (its θ-sized tail
+    * depends on arrival order). The scale shape is honest: exact
+    * counts are one map-side-combined groupBy (shuffle ∝ vocabulary,
+    * never token volume), θ is a limit-fed TakeOrdered over the
+    * counts (per-partition top-(c+1), merged at the driver — bounded
+    * state), and the survivor filter broadcasts the 1-row θ. The
+    * single-pass bounded-state twin for streams is
+    * [[graft.functions.SpaceSavingAgg]] (same bound contract,
+    * spec-pinned on planted skew in SpaceSavingSpec). */
+  def heavyHitters(spark: SparkSession, dir: String, c: Int = 8): DataFrame = {
+    val counts = words(Tables(spark, dir).documents)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    // (c+1)-th largest count via a limit-fed sort (TakeOrdered: each
+    // partition keeps c+1 rows); word tiebreak only orders the limit's
+    // contents — θ is the min COUNT among them either way
+    val theta = counts.orderBy(col("cnt").desc, col("word")).limit(c + 1)
+      .agg(when(count(lit(1)) <= c, lit(0L))
+        .otherwise(min(col("cnt"))).as("theta"))
+    counts.crossJoin(broadcast(theta))
+      .filter(col("cnt") > col("theta"))
+      .select(col("word"), col("cnt"),
+        (col("cnt") - col("theta")).as("lo_bound"), col("theta"))
+      // bounded output (≤ c rows): global presentation sort is free
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   /** The reference's own wordcount job, byte-for-byte: tokens are
     * `[A-Za-z0-9]+` runs (case-sensitive — `ta'en` → `ta`,`en`; digit
     * runs like `000` are distinct words), one `word, count` line per

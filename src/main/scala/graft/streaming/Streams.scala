@@ -115,6 +115,33 @@ object Streams {
         expr("CAST(round(value * 100, 0) AS BIGINT)")).as("qs"))
       .select(col("window.start").as("win"), col("qs"))
 
+  /** [[qsketchWindow]] with the percentiles already decoded: each
+    * emitted window carries n / p50 / p90 / p99 cents instead of the
+    * raw 1888-bucket array, so a streaming consumer (a dashboard
+    * sink, an alert rule) reads latency-style percentiles directly.
+    * The decode is a STATELESS projection over the aggregated stream
+    * (one `aggregate()` fold + the midpoint CASE per row) and both
+    * pieces are the same shared source the batch profiler decodes
+    * with ([[graft.functions.QuantileSketch.rankFoldSql]] /
+    * `midCaseSql`), so stream ≡ batch extends from raw buckets to
+    * decoded values for free (StreamingSpec pins both). */
+  def qsketchWindowPercentiles(events: DataFrame): DataFrame =
+    decodeQsketch(qsketchWindow(events))
+
+  /** The decode projection alone — applied to a (win, qs) frame,
+    * batch or streaming: the twins must share it VERBATIM for the
+    * stream ≡ batch pin to mean anything. */
+  private[graft] def decodeQsketch(sketches: DataFrame): DataFrame = {
+    import graft.functions.{QuantileSketch => QS}
+    sketches
+      .withColumn("n", expr(QS.totalFoldSql("qs")))
+      .withColumn("q", expr(QS.rankFoldSql("qs", "n")))
+      .select(col("win"), col("n"),
+        expr(QS.midCaseSql("q.i50")).cast("long").as("p50_cents"),
+        expr(QS.midCaseSql("q.i90")).cast("long").as("p90_cents"),
+        expr(QS.midCaseSql("q.i99")).cast("long").as("p99_cents"))
+  }
+
   /** Streaming HLL: per-6-hour-window approximate distinct users via
     * the same [[graft.functions.HllAgg]] the batch profiler uses —
     * per-window state is a fixed 1 KiB register array however many

@@ -438,6 +438,86 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(expect.nonEmpty) // the circulant graph is 4-regular: all survive
   }
 
+  test("weighted kcore: strength peel keeps heavy-few, drops light-many") {
+    import spark.implicits._
+    // hub h has THREE light edges (strength 3); pair (x, y) has ONE
+    // heavy edge (strength 10 each): an s-core at 5 keeps the heavy
+    // pair and peels the high-degree hub — the exact inversion the
+    // degree core can't express. The hub's spokes cascade with it.
+    val g = Seq(("h", "s1", 1L), ("h", "s2", 1L), ("h", "s3", 1L),
+      ("x", "y", 10L))
+    val got = graft.operators.Graph.kcoreWeightedOf(g.toDF("a", "b", "w"), 5, 6)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("x" -> ((1L, 10L)), "y" -> ((1L, 10L))))
+    // degree core at k=1 keeps everything — the measures really differ
+    assert(graft.operators.Graph.kcoreOf(
+      g.toDF("a", "b", "w").select("a", "b"), 1, 6).count() == 6)
+    // synchronous cascade: spokes (strength 1) and hub (strength 3)
+    // all fall below 4; chain c1-c2-c3 with weights 4, 4: ends have
+    // strength 4, middle 8 — peel at 5 removes the ends, then the
+    // middle's support is gone: empty core, not an error
+    val chain = Seq(("c1", "c2", 4L), ("c2", "c3", 4L))
+    assert(graft.operators.Graph
+      .kcoreWeightedOf(chain.toDF("a", "b", "w"), 5, 6).isEmpty)
+  }
+
+  test("weighted kcore: w = 1 reproduces the unweighted core bit-exactly") {
+    import spark.implicits._
+    val edges = (0 until 40).flatMap { i =>
+      Seq((s"n$i", s"n${(i + 1) % 40}"), (s"n$i", s"n${(i + 2) % 40}"))
+    }
+    val unw = graft.operators.Graph.kcoreOf(edges.toDF("a", "b"), 4, 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w1 = graft.operators.Graph
+      .kcoreWeightedOf(edges.toDF("a", "b").withColumn("w", lit(1L)), 4, 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(w1.map { case (n, d, _) => (n, d) } == unw)
+    assert(w1.forall { case (_, d, s) => d == s }, "w=1: strength == degree")
+  }
+
+  test("forecast: closed-form seasonal means on planted daily volumes") {
+    import spark.implicits._
+    // day 0 = 1970-01-01 (a Thursday) — dow here is day % 7, so dow 0
+    // is Thursday by construction; plant two Thursdays (3 + 5 events)
+    // and one Friday (2 events) for one type, and check the milli-mean
+    def at(day: Long, i: Int) =
+      new java.sql.Timestamp(day * 86400000L + i * 1000L)
+    val rows =
+      (0 until 3).map(i => (1L, at(0, i), i.toLong, "tick", 1.0, "{}")) ++
+        (0 until 5).map(i => (1L, at(7, i), 100L + i, "tick", 1.0, "{}")) ++
+        (0 until 2).map(i => (1L, at(1, i), 200L + i, "tick", 1.0, "{}"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    // qForecast reads from a table dir; replay its exact expression
+    // tree on the planted frame (the corpus half below drives the
+    // real operator end-to-end)
+    val got = df
+      .groupBy(col("event_type"), expr("CAST(ts AS BIGINT) div 86400").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"), expr("day % 7").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum("cnt").as("total_events"),
+        expr("CAST((1000 * sum(cnt)) div count(1) AS BIGINT)").as("forecast_milli"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("tick", 0L) -> ((2L, 8L, 4000L)),  // Thursdays: (3+5)/2 = 4.000
+      ("tick", 1L) -> ((1L, 2L, 2000L)))) // Friday: 2.000
+    // the corpus query agrees with an independent scalar replay
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("event_type"), expr("CAST(ts AS BIGINT) div 86400").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val daily = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = daily.toSeq
+      .map { case ((t, day), c) => (t, day % 7) -> c }
+      .groupBy(_._1).view.mapValues { xs =>
+        val cs = xs.map(_._2)
+        (cs.size.toLong, cs.sum, 1000L * cs.sum / cs.size)
+      }.toMap
+    val corpus = graft.operators.Events.qForecast(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(corpus == expect)
+  }
+
   test("communities: consistent with component labels and edge totals") {
     import org.apache.spark.sql.functions._
     val comm = graft.operators.Graph.supplierCommunities(spark, Sf).collect()

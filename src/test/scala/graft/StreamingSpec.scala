@@ -65,6 +65,34 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming quantile percentiles decode to the batch values") {
+    // the decoded surface: a consumer reads p50/p90/p99 directly off
+    // the stream; the decode projection is the SAME shared source
+    // (rankFoldSql/midCaseSql) the batch profiler uses, applied to
+    // the same bit-identical window sketches — so the decoded rows
+    // must equal decoding the batch sketches
+    val stream = Streams.runToMemory(
+      Streams.qsketchWindowPercentiles(Streams.readEvents(spark, path)),
+      "qs_pct_win")
+    val got = stream.collect()
+      .map(r => r.getTimestamp(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batchSketches = graft.core.Tables(spark, Sf).events
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.QuantileSketch.qsketchAgg(
+        expr("CAST(round(value * 100, 0) AS BIGINT)")).as("qs"))
+      .select(col("window.start").as("win"), col("qs"))
+    val want = Streams.decodeQsketch(batchSketches).collect()
+      .map(r => r.getTimestamp(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    // decoded values are ordered percentiles of positive cents
+    got.values.foreach { case (n, p50, p90, p99) =>
+      assert(n > 0 && p50 >= 1 && p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("streaming HLL sketch is bit-identical to the batch sketch") {
     val stream = Streams.runToMemory(
       Streams.hllWindowSketch(Streams.readEvents(spark, path)), "hll_win")
