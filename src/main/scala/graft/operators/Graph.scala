@@ -539,27 +539,75 @@ object Graph {
     * several strength thresholds from ONE materialized co-supply
     * derivation — the operator's own resolution story
     * ([[supplierCommunities]]' doc sells `minOrders` as the γ knob)
-    * made concrete. The expensive part — the 2-exchange pair
-    * aggregation over the fact table — is the PlanCache-memoized base
-    * at the LOOSEST threshold; each level is then a cheap weight
-    * filter over it feeding the proven label-propagation loop, so a
-    * 3-level sweep pays the corpus scan once, not three times. Output
-    * rows carry their `min_orders` level; levels whose threshold
-    * exceeds every pair weight are naturally empty (at small SFs the
-    * levels may coincide — the hierarchy only separates once the
-    * corpus gives pair weights any spread, as at sf0.1: 47k → 5.7k →
-    * 103 edges for 5/7/10). */
+    * made concrete. Two sharing levers, not one:
+    *
+    *  - The 2-exchange pair aggregation over the fact table is the
+    *    PlanCache-memoized base at the LOOSEST threshold; each level
+    *    is a weight filter over it, so the corpus scan is paid once.
+    *  - All levels ride ONE label-propagation loop: (level, node) is
+    *    encoded into a single BIGINT key (`level · 2⁴⁴ + node`), the
+    *    per-level edge sets union into one DISJOINT graph, and
+    *    [[Dedup.components]] runs once over it. Levels never share an
+    *    edge, so per-level min-label semantics are untouched (the
+    *    encode is order-preserving within a level — every id carries
+    *    the same offset — so the decoded label is exactly the level's
+    *    min reachable node id), but a k-level sweep now pays
+    *    max(diameter) rounds with one job per round instead of
+    *    Σ diameters with k jobs per round — at any corpus size, loop
+    *    rounds are driver-side latency that level-count should not
+    *    multiply. Headroom is enforced fail-fast on the cached base
+    *    (max node id < 2⁴⁴ — the [[MaxEdgeWeight]] probe discipline:
+    *    one block-read aggregate, no extra derivation pass).
+    *
+    * Output rows carry their `min_orders` level; levels whose
+    * threshold exceeds every pair weight are naturally empty (at
+    * small SFs the levels may coincide — the hierarchy only separates
+    * once the corpus gives pair weights any spread, as at sf0.1:
+    * 47k → 5.7k → 103 edges for 5/7/10). */
   def supplierCommunitySweep(spark: SparkSession, dir: String,
       thresholds: Seq[Int] = Seq(5, 7, 10)): DataFrame = {
     val base = coSupplyEdgesW(spark, dir, thresholds.min)
-    thresholds.sorted.map { t =>
-      communityStats(base.filter(col("w") >= t))
-        .withColumn("min_orders", lit(t))
+    val maxIdRow = base.agg(max(greatest(col("u"), col("v")))).head()
+    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+    require(maxId >= 0 && maxId < NodeSpan,
+      s"sweep node id $maxId exceeds the 2^44 encode headroom — " +
+        "remap node ids (only identity within a level matters)")
+    // per-level edge sets, level-tagged; referenced twice (encode →
+    // propagation, and the stats join) but both are cheap filters
+    // over the cached base
+    val lvl = thresholds.sorted.map { t =>
+      base.filter(col("w") >= t)
+        .select(lit(t.toLong).as("lv"), col("u"), col("v"), col("w"))
     }.reduce(_.unionAll(_))
-      .select(col("min_orders"), col("component"), col("n_members"),
-        col("n_edges"), col("internal_weight"), col("density_ppm"))
+    val labels = Dedup.components(lvl.select(
+        (col("lv") * NodeSpan + col("u")).as("d1"),
+        (col("lv") * NodeSpan + col("v")).as("d2")))
+      .select(expr(s"doc_id div $NodeSpan").as("lv"),
+        (col("doc_id") % NodeSpan).as("node"),
+        (col("component") % NodeSpan).as("component"))
+    // the single-threshold member/edge union-aggregate, with the
+    // level in the grouping key: still one grouping shuffle for the
+    // whole hierarchy
+    val memberRows = labels.select(col("lv"), col("component"),
+      lit(1L).as("m"), lit(0L).as("e"), lit(0L).as("iw"))
+    val edgeRows = lvl.join(labels,
+        lvl("lv") === labels("lv") && lvl("u") === labels("node"))
+      .select(labels("lv"), col("component"),
+        lit(0L).as("m"), lit(1L).as("e"), col("w").as("iw"))
+    memberRows.unionAll(edgeRows)
+      .groupBy(col("lv"), col("component"))
+      .agg(sum(col("m")).as("n_members"), sum(col("e")).as("n_edges"),
+        sum(col("iw")).as("internal_weight"))
+      .select(col("lv").cast("int").as("min_orders"), col("component"),
+        col("n_members"), col("n_edges"), col("internal_weight"),
+        expr("CAST((2000000 * n_edges) div (n_members * (n_members - 1)) AS BIGINT)")
+          .as("density_ppm"))
       .sortWithinPartitions("min_orders", "component")
   }
+
+  /** Node-id headroom of the sweep's (level, node) BIGINT encoding:
+    * level · 2⁴⁴ + node stays under 2⁶³ for levels up to ~500k. */
+  val NodeSpan: Long = 1L << 44
 
   /** Generated DuckDB oracle for [[supplierCommunitySweep]]: the
     * single-threshold recursive-closure oracle replayed per level

@@ -518,6 +518,23 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(corpus == expect)
   }
 
+  test("communities sweep: one-loop hierarchy equals the per-threshold runs") {
+    // the sweep runs ALL levels in one disjoint-union propagation
+    // (level-encoded BIGINT keys); this pins it row-identical to
+    // running supplierCommunities separately at each threshold — the
+    // encode/decode and the shared loop must be semantics-free
+    val sweep = graft.operators.Graph.supplierCommunitySweep(spark, Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val perLevel = Seq(5, 7, 10).flatMap { t =>
+      graft.operators.Graph.supplierCommunities(spark, Sf, t).collect()
+        .map(r => (t, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    }.toSet
+    assert(sweep == perLevel)
+    assert(sweep.nonEmpty)
+  }
+
   test("communities: consistent with component labels and edge totals") {
     import org.apache.spark.sql.functions._
     val comm = graft.operators.Graph.supplierCommunities(spark, Sf).collect()
