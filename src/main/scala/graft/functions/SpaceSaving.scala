@@ -46,7 +46,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Output: `array<struct<item, lo, hi>>` sorted (lo desc, item asc),
   * where lo = counter (lower bound) and hi = counter + θ (upper
-  * bound).
+  * bound). The summary can legitimately be EMPTY under near-uniform
+  * input (every counter decremented away); the certificate an empty
+  * summary gives is "no item's true count exceeds θ ≤ N/(capacity+1)"
+  * — θ itself is only readable (as hi − lo) from a non-empty summary.
   */
 case class SpaceSavingAgg(child: Expression, capacity: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

@@ -98,6 +98,28 @@ object Streams {
         4, 64).as("cms"))
       .select(col("window.start").as("win"), col("cms"))
 
+  /** Streaming heavy hitters: a per-6-hour-window Misra-Gries
+    * summary of active users via [[graft.functions.SpaceSavingAgg]] —
+    * the bounded-state frequent-items surface for streams. Per-window
+    * state is ≤ 2·capacity counters plus one offset scalar however
+    * many events stream through, and the declared sandwich bound
+    * (`lo ≤ true ≤ hi`, `hi − lo = θ ≤ N/(capacity+1)`) survives ANY
+    * micro-batch arrival order — the mergeable-summaries merge is
+    * exactly what incremental state needs. In the exact regime
+    * (capacity ≥ distinct keys in the window) no compression ever
+    * fires, θ = 0, and the emitted summary is the exact
+    * (count desc, key asc) vector — bit-identical to a batch run
+    * (StreamingSpec pins that); under compression the θ-sized tail
+    * may differ from batch in CONTENT while both carry the same
+    * guarantees (SpaceSavingSpec pins the bounds on planted skew). */
+  def spaceSavingWindow(events: DataFrame, capacity: Int = 16): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(
+        col("user_id").cast("string"), capacity).as("hh"))
+      .select(col("window.start").as("win"), col("hh"))
+
   /** Streaming quantile sketch: a per-6-hour-window mergeable
     * value-distribution sketch ([[graft.functions.QSketchAgg]] —
     * HDR-style exponential buckets over cent-scaled event values).

@@ -93,6 +93,67 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming heavy hitters: exact regime ≡ batch; MG bounds under compression") {
+    import org.apache.spark.sql.Row
+    def summarize(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getTimestamp(0) ->
+        r.getSeq[Row](1).map(s =>
+          (s.getString(0), s.getLong(1), s.getLong(2)))).toMap
+    val batchEvents = graft.core.Tables(spark, Sf).events
+    def batchAt(cap: Int) = summarize(batchEvents
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(
+        col("user_id").cast("string"), cap).as("hh"))
+      .select(col("window.start").as("win"), col("hh")))
+    // exact regime: capacity >= distinct users per window, so no
+    // compression ever fires, theta = 0, and the summary is the exact
+    // deterministic (count desc, user asc) vector — the stream must
+    // be BIT-identical to batch whatever the micro-batch split
+    val exact = summarize(Streams.runToMemory(
+      Streams.spaceSavingWindow(Streams.readEvents(spark, path), 4096),
+      "ss_win_exact"))
+    assert(exact == batchAt(4096) && exact.nonEmpty)
+    assert(exact.values.forall(_.forall { case (_, lo, hi) => lo == hi }),
+      "capacity 4096 must be the exact regime on this corpus")
+    // compressed regime: per-window MG guarantees vs the exact counts
+    // (content may legitimately differ from a batch run in the
+    // theta-sized tail; the BOUNDS are the invariant)
+    val cap = 4
+    val compressed = summarize(Streams.runToMemory(
+      Streams.spaceSavingWindow(Streams.readEvents(spark, path), cap),
+      "ss_win_small"))
+    val truth = batchEvents
+      .groupBy(window(col("ts"), "6 hours"), col("user_id").cast("string").as("u"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win"), col("u"), col("cnt"))
+      .collect()
+      .groupBy(_.getTimestamp(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+    assert(compressed.keySet == truth.keySet)
+    compressed.foreach { case (win, entries) =>
+      val t = truth(win)
+      val n = t.values.sum
+      assert(entries.size <= cap)
+      if (entries.isEmpty) {
+        // every counter was decremented away (possible under near-
+        // uniform traffic): θ is unreadable from an empty summary but
+        // still ≤ N/(cap+1), so the certificate an empty summary
+        // gives is "no key's true count exceeds that ceiling"
+        assert(t.values.max <= n / (cap + 1),
+          s"$win: empty summary but a count exceeds N/(cap+1)")
+      } else {
+        val thetas = entries.map { case (_, lo, hi) => hi - lo }.distinct
+        assert(thetas.size == 1 && thetas.head <= n / (cap + 1))
+        entries.foreach { case (u, lo, hi) =>
+          assert(lo <= t(u) && t(u) <= hi, s"$win/$u: [$lo,$hi] vs ${t(u)}")
+        }
+        val present = entries.map(_._1).toSet
+        t.filter(_._2 > thetas.head).keys
+          .foreach(u => assert(present.contains(u)))
+      }
+    }
+  }
+
   test("streaming HLL sketch is bit-identical to the batch sketch") {
     val stream = Streams.runToMemory(
       Streams.hllWindowSketch(Streams.readEvents(spark, path)), "hll_win")
