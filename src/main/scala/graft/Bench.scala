@@ -34,6 +34,12 @@ import org.apache.spark.sql.SparkSession
   * - `total_cpu_med`: Σ over queries of the CPU seconds of each
   *   query's median-wall rep — the summary-line scalar twin of the
   *   per-rep maps (wall total up, cpu total flat ⇒ external).
+  * - `steal_sec`: hypervisor CPU-steal seconds across the whole run
+  *   (/proc/stat). Loadavg only sees THIS VM's run queue; a noisy
+  *   host neighbor inflates wall (and, via cache thrash, cpu) while
+  *   loadavg reads idle — observed as a loadavg-0.36 capture with
+  *   100+ stolen seconds and 3× spikes on deterministic queries.
+  *   High steal ⇒ rerun before reading any per-query delta.
   * - `suite_sec`: ONE sequential pass over the whole suite with
   *   caches retained — the pipeline-shaped total where shared
   *   derived frames ([[graft.core.PlanCache]]: dedup's postings
@@ -52,6 +58,17 @@ object Bench {
     try java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
     catch { case _: Throwable => "-1" }
+
+  /** Cumulative hypervisor CPU-steal jiffies (/proc/stat cpu col 8,
+    * USER_HZ = 100); -1 off-Linux. Loadavg only sees THIS VM's run
+    * queue — a noisy host neighbor inflates wall times while loadavg
+    * reads idle, and the steal delta is the only forensic that
+    * catches it (observed: a loadavg-0.36 capture with 100+ stolen
+    * CPU-seconds and 3× spikes on deterministic queries). */
+  private def stealJiffies(): Long =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+      .linesIterator.next().trim.split("\\s+")(8).toLong
+    catch { case _: Throwable => -1L }
 
   /** Cumulative process CPU time (user+sys, all threads), ns; -1 if
     * the platform bean doesn't expose it. */
@@ -117,6 +134,7 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val loadStart = loadavg1()
+    val stealStart = stealJiffies()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         filter.forall(_.exists(name.startsWith)) }
@@ -158,8 +176,8 @@ object Bench {
     // headline, so they land on disk BEFORE the (minutes-long) suite
     // pass — a harness timeout mid-suite then truncates the honesty
     // extras, not the round's bench (the r3 parsed:null class)
-    writeAndPrint(results, Nil, -1.0, loadStart, loadavg1(), sfDir, reps,
-      filter, printToStdout = false)
+    writeAndPrint(results, Nil, -1.0, loadStart, loadavg1(), stealStart,
+      sfDir, reps, filter, printToStdout = false)
     // pipeline-shaped suite pass: cold caches at the start, retained
     // across queries so PlanCache-shared frames are built once
     spark.catalog.clearCache()
@@ -180,7 +198,7 @@ object Bench {
     }
     val suiteSec = (System.nanoTime() - suiteT0) / 1e9
     writeAndPrint(results, suiteTimes, suiteSec, loadStart, loadavg1(),
-      sfDir, reps, filter, printToStdout = true)
+      stealStart, sfDir, reps, filter, printToStdout = true)
     spark.stop()
     // A query that passed its timed reps but broke during the
     // cache-retained suite pass (a PlanCache-interaction-only failure)
@@ -195,7 +213,8 @@ object Bench {
     * then the full write with the suite fields. */
   private def writeAndPrint(results: Seq[(String, QTimes)],
       suiteTimes: Seq[(String, Double)], suiteSec: Double,
-      loadStart: String, loadEnd: String, sfDir: String, reps: Int,
+      loadStart: String, loadEnd: String, stealStart: Long,
+      sfDir: String, reps: Int,
       filter: Option[Seq[String]], printToStdout: Boolean): Unit = {
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
@@ -244,10 +263,17 @@ object Bench {
     // record in cross-round comparison
     val filterField =
       filter.map(f => s""""filter":"${f.mkString(",")}",""").getOrElse("")
+    // hypervisor steal across the whole run, seconds (USER_HZ = 100);
+    // -1 when /proc/stat is unreadable at either end
+    val stealNow = stealJiffies()
+    val stealSec =
+      if (stealStart < 0 || stealNow < 0) "-1.000"
+      else r3((stealNow - stealStart) / 100.0)
     val honesty =
       filterField +
         s""""total_min":$totalMin,"total_cpu_med":$totalCpuMed,$suiteScalar""" +
-        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd"""
+        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+        s""""steal_sec":$stealSec"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_min":$qsMin,"queries_reps_wall":$qsRepsWall,""" +
