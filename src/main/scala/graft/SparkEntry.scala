@@ -164,6 +164,7 @@ object SparkEntry {
     "pipeline_decontam" -> ((s: SparkSession, d: String) => Curation.pipelineDecontam(s, d)),
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_weighted" -> (Curation.sampleWeighted _),
+    "pipeline_mix" -> (Curation.pipelineMix _),
     "pipeline_pii" -> (Curation.pipelinePii _),
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_entropy" -> (TextOps.textEntropy _),
@@ -2011,6 +2012,11 @@ object SparkEntry {
          WHERE CAST(('0x' || substring(md5('wsmp#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576
                < CAST(floor(least(CAST(1 AS DOUBLE), CAST(length(text) AS DOUBLE) / 500.0) * 1048576) AS BIGINT)
          ORDER BY doc_id""",
+    // Generated from Curation.MixTargetsPpm (operator and oracle
+    // share the mix by construction): BIGINT water-line capacity,
+    // forced-DOUBLE fraction in the identical IEEE op order, the
+    // same portable-hash membership gate.
+    "pipeline_mix" -> graft.operators.Curation.mixOracleSql,
     // Generated from the same Curation.PiiPatterns strings, applied
     // in the same order; DuckDB needs the explicit 'g' flag to match
     // Spark's replace-all default.

@@ -221,4 +221,106 @@ object Curation {
       .select(col("doc_id"), col("lang"))
       .sortWithinPartitions("doc_id")
   }
+
+  /** Target language mix for [[pipelineMix]], parts-per-million. The
+    * operator's knob in production; fixed here so the generated
+    * oracle shares it by construction. */
+  val MixTargetsPpm: Seq[(String, Long)] = Seq(
+    "en" -> 400000L, "de" -> 200000L, "fr" -> 150000L,
+    "es" -> 150000L, "zh" -> 100000L)
+
+  /** Largest per-lang count the BIGINT capacity `n·10⁶ div w` can
+    * hold: Long.MaxValue / 10⁶. ~9.2·10¹² documents per language —
+    * far above a 100 TB corpus (~10¹¹ docs at 1 KB/doc); raised
+    * fail-fast (5-row projection), mirrored via error() in the
+    * oracle. */
+  val MixMaxLangCount: Long = Long.MaxValue / 1000000L
+
+  /** Deterministic MIXTURE REBALANCING — the data-mixing step of a
+    * training pipeline ("rebalance the corpus to 40% en / 20% de /
+    * 15% fr / 15% es / 10% zh") with no rand(), no global sort, no
+    * coordination. The kept total is water-line maximal: T = min over
+    * targeted langs of the BIGINT capacity `n_lang·10⁶ div w_ppm` —
+    * the largest total the corpus can supply at the target mix
+    * without upsampling any language — and each lang keeps fraction
+    * `w_ppm·T / (n_lang·10⁶)` of its documents (1 for the binding
+    * lang; langs absent from [[MixTargetsPpm]] drop to weight 0).
+    * Membership is the portable-hash gate (keep iff
+    * `h60("mix#"+doc_id) mod 2²⁰ < thresh_lang`) with the threshold
+    * derived in FORCED-DOUBLE arithmetic — the [[sampleWeighted]]
+    * discipline: both engines execute the identical IEEE op sequence,
+    * so the kept SET is engine/retry/partitioning-invariant and the
+    * hash gate proves it.
+    *
+    * Scale shape: per-lang counts are one map-side-combined aggregate
+    * (shuffle ∝ langs), thresholds broadcast back (≤ |targets| rows),
+    * and the corpus pass is a stateless projection + filter — the
+    * sampling decision is local to the row, which is what survives
+    * 100 TB. */
+  def pipelineMix(spark: SparkSession, dir: String): DataFrame =
+    pipelineMixDf(Tables(spark, dir).documents)
+
+  def pipelineMixDf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = MixTargetsPpm.toDF("lang", "w_ppm")
+    val d = docs.select(col("doc_id"), col("lang"))
+    // inner join: only targeted-AND-present langs contribute capacity
+    val tc = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .join(broadcast(targets), Seq("lang"))
+      .select(col("lang"), col("n_lang"), col("w_ppm"),
+        when(col("n_lang") > MixMaxLangCount,
+          raise_error(concat(
+            lit(s"pipeline_mix: lang count exceeds the BIGINT capacity " +
+              s"bound ($MixMaxLangCount) for "), col("lang")))
+            .cast("long"))
+          .otherwise(expr("(n_lang * 1000000) div w_ppm")).as("cap"))
+    val tmax = tc.agg(min(col("cap")).as("t_total"))
+    // forced-double fraction, identical op order in the oracle; the
+    // least(1.0, …) guards the binding lang against a half-ulp
+    // overshoot of exactly 1
+    val thresholds = tc.crossJoin(broadcast(tmax))
+      .select(col("lang"),
+        floor(least(lit(1.0),
+          (col("w_ppm").cast("double") * col("t_total").cast("double"))
+            / (col("n_lang").cast("double") * lit(1000000.0)))
+          * 1048576).cast("long").as("thresh"))
+    val bucket = pmod(
+      PortableHash.h60(concat(lit("mix#"), col("doc_id").cast("string"))),
+      lit(1048576L))
+    d.join(broadcast(thresholds), Seq("lang"))
+      .filter(bucket < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[pipelineMix]] — targets inlined
+    * from [[MixTargetsPpm]] so operator and oracle share the mix by
+    * construction; capacity in BIGINT `//`, fraction in the same
+    * forced-DOUBLE op order, the same fail-fast via error(). */
+  def mixOracleSql: String = {
+    val values = MixTargetsPpm
+      .map { case (l, w) => s"('$l', CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents
+                        GROUP BY lang),
+       t(lang, w_ppm) AS (VALUES $values),
+       cap AS (SELECT c.lang, c.n_lang, t.w_ppm,
+                      CASE WHEN c.n_lang > $MixMaxLangCount
+                           THEN CAST(error('pipeline_mix: lang count exceeds capacity bound') AS BIGINT)
+                           ELSE (c.n_lang * 1000000) // t.w_ppm END AS cap
+               FROM counts c JOIN t ON c.lang = t.lang),
+       m AS (SELECT min(cap) AS t_total FROM cap),
+       th AS (SELECT lang,
+                     CAST(floor(least(CAST(1.0 AS DOUBLE),
+                       (CAST(w_ppm AS DOUBLE) * CAST(t_total AS DOUBLE))
+                         / (CAST(n_lang AS DOUBLE) * 1000000.0))
+                       * 1048576) AS BIGINT) AS thresh
+              FROM cap CROSS JOIN m),
+       h AS (SELECT doc_id, lang,
+                    CAST(('0x' || substring(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 1048576 AS b
+             FROM documents)
+       SELECT h.doc_id, h.lang FROM h JOIN th ON th.lang = h.lang
+       WHERE h.b < th.thresh ORDER BY h.doc_id"""
+  }
 }

@@ -136,6 +136,67 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("pipelineMix: water-line semantics, determinism, corpus replay") {
+    // planted: en is targeted at 400000 ppm with 8 docs (capacity
+    // 8e6/4e5 = 20), zh at 100000 ppm with 2 docs (capacity
+    // 2e6/1e5 = 20), fr untargeted-lang stand-in via 'xx'. Both
+    // capacities tie at T = 20 → BOTH langs are binding: fraction 1,
+    // threshold 2^20, every doc kept — a closed form with no hash
+    // dependence. The untargeted lang must drop entirely.
+    val planted = ((0L until 8L).map(i => (i, "en")) ++
+      Seq((100L, "zh"), (101L, "zh"), (200L, "xx"), (201L, "xx")))
+      .toDF("doc_id", "lang")
+    val kept = Curation.pipelineMixDf(planted).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == ((0L until 8L).map(i => (i, "en")) ++
+      Seq((100L, "zh"), (101L, "zh"))).toSet,
+      s"binding langs keep everything, untargeted drop: $kept")
+    // sub-binding fraction: adding 8 more zh docs makes en binding
+    // (caps: en 20, zh 25 → T = 20, zh fraction 0.8) — zh keeps a
+    // strict hash-gated subset, en still keeps all
+    val planted2 = ((0L until 8L).map(i => (i, "en")) ++
+      (100L until 110L).map(i => (i, "zh"))).toDF("doc_id", "lang")
+    val kept2 = Curation.pipelineMixDf(planted2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept2.filter(_._2 == "en").map(_._1) == (0L until 8L).toSet)
+    val zhKept = kept2.filter(_._2 == "zh")
+    assert(zhKept.size < 10 && zhKept.subsetOf(
+      (100L until 110L).map(i => (i, "zh")).toSet))
+    // partitioning invariance: the kept SET is a pure row function
+    assert(Curation.pipelineMixDf(planted2.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == kept2)
+    // corpus run agrees with an independent scalar replay of the
+    // water-line + threshold math over collected per-lang counts
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Curation.MixTargetsPpm.toMap
+    val caps = counts.collect { case (l, n) if targets.contains(l) =>
+      l -> n * 1000000L / targets(l) }
+    val t = caps.values.min
+    val thresh = caps.map { case (l, _) =>
+      l -> math.floor(math.min(1.0,
+        (targets(l).toDouble * t.toDouble) /
+          (counts(l).toDouble * 1000000.0)) * 1048576).toLong }
+    val expected = docs.select(col("doc_id"), col("lang"))
+      .withColumn("b", pmod(graft.functions.PortableHash.h60(
+        concat(lit("mix#"), col("doc_id").cast("string"))), lit(1048576L)))
+      .collect()
+      .filter(r => thresh.get(r.getString(1)).exists(r.getLong(2) < _))
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val corpus = Curation.pipelineMix(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(corpus == expected && corpus.nonEmpty)
+    // the achieved mix tracks the target within hash noise
+    val keptPerLang = corpus.groupBy(_._2).view.mapValues(_.size).toMap
+    val total = corpus.size.toDouble
+    keptPerLang.foreach { case (l, n) =>
+      val want = targets(l).toDouble / 1000000.0
+      assert(math.abs(n / total - want) < 4 * math.sqrt(want / total),
+        s"$l: got ${n / total}, target $want")
+    }
+  }
+
   test("non-distinct shingles keep duplicates; distinct variant is the set") {
     val df = Seq((0L, "x y x y")).toDF("doc_id", "text")
     val all = df.select(graft.functions.ShingleCol.nGramShingles(

@@ -83,7 +83,7 @@ class ExplainSpec extends SparkSpecBase {
       "text_fingerprint", "text_lm_score", "text_langid", "text_entropy",
       "text_tfidf", "pipeline_clean", "pipeline_pack", "text_repetition",
       "text_gopher", "pipeline_decontam", "pipeline_pii",
-      "sample_stratified", "sample_weighted",
+      "sample_stratified", "sample_weighted", "pipeline_mix",
       "mm_frame_sample", "mm_resize", "mm_features", "mm_dedup",
       "snapshot_diff", "avro_roundtrip",
       "q_event_window", "q_sessionize", "q_range_join", "q_funnel",
