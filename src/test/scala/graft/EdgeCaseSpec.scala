@@ -144,4 +144,16 @@ class EdgeCaseSpec extends SparkSpecBase {
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(3), x.getDouble(4)))
     assert(r.toSeq == Seq((0L, 1L, 1.0, 1.0)))
   }
+
+  test("pipelineMix: empty and all-untargeted corpora yield empty, not errors") {
+    // empty corpus: the counts aggregate is empty, so no thresholds
+    // exist and the inner join keeps nothing — no NULL water-line
+    // path ever evaluates
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(graft.operators.Curation.pipelineMixDf(empty).isEmpty)
+    // a corpus whose langs are all absent from the target map drops
+    // entirely (weight 0) — the documented fail-closed behavior
+    val untargeted = Seq((0L, "xx"), (1L, "yy")).toDF("doc_id", "lang")
+    assert(graft.operators.Curation.pipelineMixDf(untargeted).isEmpty)
+  }
 }
