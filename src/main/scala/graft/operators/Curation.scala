@@ -260,13 +260,25 @@ object Curation {
   def pipelineMix(spark: SparkSession, dir: String): DataFrame =
     pipelineMixDf(Tables(spark, dir).documents)
 
-  def pipelineMixDf(docs: DataFrame): DataFrame = {
+  def pipelineMixDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(mixThresholds(docs)), Seq("lang"))
+      .filter(mixBucket < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+      .sortWithinPartitions("doc_id")
+
+  /** The water-line thresholds alone, (lang, thresh): derived from a
+    * standing corpus, broadcastable over any frame — the batch
+    * sampler and the stream-static admission gate
+    * ([[graft.streaming.Streams.mixStream]]) consume the SAME
+    * derivation, so the membership rule cannot drift between the
+    * twins. */
+  private[graft] def mixThresholds(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val targets = MixTargetsPpm.toDF("lang", "w_ppm")
-    val d = docs.select(col("doc_id"), col("lang"))
     // inner join: only targeted-AND-present langs contribute capacity
-    val tc = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val tc = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
       .join(broadcast(targets), Seq("lang"))
       .select(col("lang"), col("n_lang"), col("w_ppm"),
         when(col("n_lang") > MixMaxLangCount,
@@ -279,20 +291,19 @@ object Curation {
     // forced-double fraction, identical op order in the oracle; the
     // least(1.0, …) guards the binding lang against a half-ulp
     // overshoot of exactly 1
-    val thresholds = tc.crossJoin(broadcast(tmax))
+    tc.crossJoin(broadcast(tmax))
       .select(col("lang"),
         floor(least(lit(1.0),
           (col("w_ppm").cast("double") * col("t_total").cast("double"))
             / (col("n_lang").cast("double") * lit(1000000.0)))
           * 1048576).cast("long").as("thresh"))
-    val bucket = pmod(
-      PortableHash.h60(concat(lit("mix#"), col("doc_id").cast("string"))),
-      lit(1048576L))
-    d.join(broadcast(thresholds), Seq("lang"))
-      .filter(bucket < col("thresh"))
-      .select(col("doc_id"), col("lang"))
-      .sortWithinPartitions("doc_id")
   }
+
+  /** The row-local membership bucket — the other half of the rule
+    * both twins share. */
+  private[graft] def mixBucket: org.apache.spark.sql.Column = pmod(
+    PortableHash.h60(concat(lit("mix#"), col("doc_id").cast("string"))),
+    lit(1048576L))
 
   /** Generated DuckDB oracle for [[pipelineMix]] — targets inlined
     * from [[MixTargetsPpm]] so operator and oracle share the mix by

@@ -465,6 +465,27 @@ object Streams {
       .withColumn("contaminated", col("n_hits") > 0L)
   }
 
+  /** Stream–static MIXTURE admission gate: stream documents through
+    * the water-line thresholds a batch
+    * [[graft.operators.Curation.pipelineMix]] derives from the
+    * standing corpus — the continuous-ingest shape: yesterday's
+    * corpus sets the per-language water line, today's arrivals are
+    * admitted statelessly (the membership rule is row-local: hash
+    * bucket vs broadcast threshold — no aggregation state however
+    * fast documents arrive; mix drift is absorbed by re-deriving
+    * thresholds at the next batch run, exactly how the standing
+    * benchmark set works in [[decontamStream]]). Both halves of the
+    * rule — threshold derivation AND bucket — are the batch
+    * operator's own private helpers, so stream ≡ batch on the same
+    * rows by construction (StreamingSpec pins it). */
+  def mixStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.operators.{Curation => C}
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(C.mixThresholds(corpus)), Seq("lang"))
+      .filter(C.mixBucket < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Streaming twin of the reference's flagship wordcount: running
     * word counts over a document stream (complete-mode aggregation —
     * the state is the count table itself, exactly the reducer's

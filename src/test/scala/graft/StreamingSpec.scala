@@ -508,6 +508,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("stream-static mix gate admits exactly the batch kept set") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_mix_stream")
+    Files.copy(Paths.get(s"$Sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // static side: the standing corpus sets the water line; the
+    // stream replays the same docs, so the admitted set must equal
+    // the batch sampler's kept set row for row
+    val corpus = graft.core.Tables(spark, Sf).documents
+    val stream = Streams.runToMemory(
+      Streams.mixStream(Streams.readDocuments(spark, dir.toString), corpus),
+      "mix_stream", OutputMode.Append())
+    val got = stream.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = graft.operators.Curation.pipelineMix(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming wordcount matches the batch flagship job") {
     import java.nio.file._
     val dir = Files.createTempDirectory("graft_wc_stream")
