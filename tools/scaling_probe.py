@@ -20,7 +20,7 @@ SRC = "/root/testdata/sf0.1"
 
 os.makedirs(OUT, exist_ok=True)
 for t in ("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "embeddings"):
+          "embeddings"):
     dst = f"{OUT}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
@@ -48,4 +48,25 @@ evs = "\nUNION ALL\n".join(
 con.execute(f"COPY ({evs}) TO '{OUT}/events.parquet' (FORMAT PARQUET)")
 ne = con.execute(
     f"SELECT count(*) FROM read_parquet('{OUT}/events.parquet')").fetchone()[0]
-print(f"wrote {OUT}: {n} docs, {ne} events (K={K})")
+# the trading graph scales by replicating the FACT tables with salted
+# keys (orderkey +k*1e9, custkey/suppkey +k*1e7): K disjoint trading
+# graphs — co-supply pairs and rank flow cannot cross replicas, so
+# per-round shuffle volume doubles while component diameters (and so
+# loop round counts) stay fixed — the natural-growth regime for the
+# iterative graph family. suppkey offsets stay far under the sweep's
+# 2^44 node-id headroom.
+li = "\nUNION ALL\n".join(
+    f"""SELECT * REPLACE (l_orderkey + {k * 1000000000} AS l_orderkey,
+               l_suppkey + {k * 10000000} AS l_suppkey)
+        FROM read_parquet('{SRC}/lineitem.parquet')"""
+    for k in range(K))
+con.execute(f"COPY ({li}) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)")
+od = "\nUNION ALL\n".join(
+    f"""SELECT * REPLACE (o_orderkey + {k * 1000000000} AS o_orderkey,
+               o_custkey + {k * 10000000} AS o_custkey)
+        FROM read_parquet('{SRC}/orders.parquet')"""
+    for k in range(K))
+con.execute(f"COPY ({od}) TO '{OUT}/orders.parquet' (FORMAT PARQUET)")
+nl = con.execute(
+    f"SELECT count(*) FROM read_parquet('{OUT}/lineitem.parquet')").fetchone()[0]
+print(f"wrote {OUT}: {n} docs, {ne} events, {nl} lineitems (K={K})")

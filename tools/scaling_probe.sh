@@ -20,6 +20,14 @@ if [ "$MODE" = "quick" ]; then
   KS="1 2"
   OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment}
   REPS=${SCALING_REPS:-1}
+elif [ "$MODE" = "graph" ]; then
+  # iterative-graph family on K disjoint trading-graph replicas
+  # (salted fact keys): per-round shuffle doubles, round counts stay
+  # fixed, so linear-with-floor is the expected slope; an accidental
+  # cross-join in pair generation would blow up ~K^2
+  KS="1 2"
+  OPS=${SCALING_OPS:-graph_triangles,graph_components,graph_kcore,graph_kcore_weighted,graph_pagerank,graph_pagerank_weighted,graph_pagerank_resume,graph_communities,graph_communities_sweep}
+  REPS=${SCALING_REPS:-1}
 else
   KS="1 2 4"
   OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment,text_tfidf,pipeline_clean,mr_wordcount,pipeline_decontam,q_sessionize,q_funnel,q_range_join,q_asof_join,q_gap_fill,events_markov,events_retention,events_attribution,events_changepoint,events_rfm,events_paths}
@@ -40,7 +48,7 @@ done
 MODE="$MODE" python3 - <<'EOF'
 import json, os, sys
 quick = os.environ["MODE"] == "quick"
-ks = (1, 2) if quick else (1, 2, 4)
+ks = (1, 2, 4) if os.environ["MODE"] == "full" else (1, 2)
 runs = {k: json.load(open(f"/tmp/scale_bench_{k}.json")) for k in ks}
 qs = sorted(runs[1]["queries"])
 hdr = " ".join(f"{k}x".rjust(7) for k in ks)
