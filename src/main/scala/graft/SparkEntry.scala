@@ -121,6 +121,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "snapshot_diff" -> (Snapshot.snapshotDiff _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
+    "emb_kmeans_resume" -> ((s: SparkSession, d: String) => Cluster.embKmeansResume(s, d)),
     "emb_coreset" -> ((s: SparkSession, d: String) => Cluster.embCoreset(s, d)),
     "q_skyline" -> (Skyline.qSkyline _),
     "q_set_ops" -> (Relational.qSetOps _),
@@ -1643,6 +1644,11 @@ object SparkEntry {
     // generated unrolled-CTE Lloyd's rounds (the PageRank trick):
     // same quantization, seeds, and truncating-integer updates
     "emb_kmeans" -> graft.operators.Cluster.kmeansOracleSql(),
+    // resume(2 cold + 2 warm) is BIT-identical to the straight 3-round
+    // run (the warm phase's first assignment replays the cold run's
+    // last), so the oracle IS the cold query's generated unroll at the
+    // combined round count — the strongest possible resume statement
+    "emb_kmeans_resume" -> graft.operators.Cluster.kmeansOracleSql(8, 3),
     // same CTE chain + DOUBLE quota arithmetic + bottom-m-by-hash
     "emb_coreset" -> graft.operators.Cluster.coresetOracleSql(),
     // Per-(label, dim) means over the embedding corpus; DOUBLE[] cast

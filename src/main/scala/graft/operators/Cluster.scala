@@ -201,36 +201,78 @@ object Cluster {
     * and any cluster-routed downstream. */
   def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = quantized(embeddings).cache()
-    try {
-      // deterministic seeds: k smallest portable hashes, cid in that order
-      var cents: Array[Array[Long]] = e
-        .withColumn("h", PortableHash.h60(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id"))
-        .limit(k)
-        .select(col("q"))
-        .collect()
-        .map(_.getSeq[Long](0).toArray)
-      var assigned: DataFrame = null
-      for (r <- 1 to iters) {
-        assigned = e.withColumn("a", assignCol(col("q"), cents))
-          .select(col("vec_id"), col("q"),
-            col("a.cid").as("cid"), col("a.dist").as("dist"))
-        if (r < iters) {
-          // (cid, dim) sums collapse map-side to ≤ k·dim rows per task
-          val sums = assigned
-            .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
-            .groupBy(col("cid"), col("d"))
-            .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-            .collect()
-          val next = cents.map(_.clone()) // empty cluster keeps its centroid
-          sums.foreach { row =>
-            next(row.getInt(0))(row.getInt(1)) =
-              row.getLong(2) / row.getLong(3) // truncating ≡ DuckDB //
-          }
-          cents = next
+    try kmeansLoop(e, hashSeeds(e, k), iters)._1
+    finally e.unpersist()
+  }
+
+  /** Deterministic seeds: the k smallest portable hashes, cid in that
+    * order (k×dim driver round-trip, bounded by construction). */
+  private def hashSeeds(e: DataFrame, k: Int): Array[Array[Long]] = e
+    .withColumn("h", PortableHash.h60(col("vec_id").cast("string")))
+    .orderBy(col("h"), col("vec_id"))
+    .limit(k)
+    .select(col("q"))
+    .collect()
+    .map(_.getSeq[Long](0).toArray)
+
+  /** The Lloyd's rounds from an EXPLICIT round-0 codebook — the loop
+    * body [[kmeansAssign]] and the warm-start resume share. Returns
+    * the final assignment and the codebook the loop ENDED holding
+    * (the post-update centroids of round iters−1 — the state a
+    * resumed run continues from: seeding the next call with it makes
+    * `cold(a) then warm(b)` assign-for-assign identical to
+    * `cold(a+b−1)`, because the warm phase's first assignment replays
+    * the cold run's last). Exact-integer arithmetic makes the whole
+    * trajectory a pure function of (corpus, codebook), so resume is
+    * BIT-exact — the pagerank warm-start argument applied to ML. */
+  private[graft] def kmeansLoop(e: DataFrame, seed: Array[Array[Long]],
+      iters: Int): (DataFrame, Array[Array[Long]]) = {
+    var cents = seed
+    var assigned: DataFrame = null
+    for (r <- 1 to iters) {
+      assigned = e.withColumn("a", assignCol(col("q"), cents))
+        .select(col("vec_id"), col("q"),
+          col("a.cid").as("cid"), col("a.dist").as("dist"))
+      if (r < iters) {
+        // (cid, dim) sums collapse map-side to ≤ k·dim rows per task
+        val sums = assigned
+          .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
+          .groupBy(col("cid"), col("d"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone()) // empty cluster keeps its centroid
+        sums.foreach { row =>
+          next(row.getInt(0))(row.getInt(1)) =
+            row.getLong(2) / row.getLong(3) // truncating ≡ DuckDB //
         }
+        cents = next
       }
-      assigned.select(col("vec_id"), col("cid"), col("dist"))
+    }
+    (assigned.select(col("vec_id"), col("cid"), col("dist")), cents)
+  }
+
+  /** WARM-START k-means — the third iterative loop to gain a resume
+    * path (after pagerank and components): run `itersCold` rounds
+    * from the canonical hash seeds, persist nothing but the k×dim
+    * codebook, and resume `itersWarm` rounds from it. Because the
+    * trajectory is exact-integer, the resumed run is BIT-identical
+    * to the straight `itersCold + itersWarm − 1`-round run (the warm
+    * phase's first assignment replays the cold run's last — the
+    * overlap round is the price of restarting from a codebook rather
+    * than a mid-round assignment), so the oracle is the SAME
+    * generated unrolled CTE as the cold query at the combined round
+    * count. The production read: yesterday's codebook seeds today's
+    * run on the grown corpus and the clustering picks up where it
+    * converged instead of re-walking from hash seeds. */
+  def embKmeansResume(spark: SparkSession, dir: String, k: Int = 8,
+      itersCold: Int = 2, itersWarm: Int = 2): DataFrame = {
+    val e = quantized(Tables(spark, dir).embeddings).cache()
+    try {
+      val (_, codebook) = kmeansLoop(e, hashSeeds(e, k), itersCold)
+      kmeansLoop(e, codebook, itersWarm)._1
+        .groupBy(col("cid").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+        .orderBy("cluster_id")
     } finally e.unpersist()
   }
 

@@ -78,4 +78,20 @@ class WarmStartSpec extends SparkSpecBase {
     assert(comps(Dedup.ngramComponentsResumed(spark, Sf))
       == comps(Dedup.ngramComponents(spark, Sf)))
   }
+
+  test("kmeans resume: any codebook split lands on the cold trajectory") {
+    import graft.operators.Cluster
+    // the third iterative loop's warm start: resuming from the k×dim
+    // codebook is BIT-exact (integer trajectory), and the split point
+    // must not matter — cold(a)+warm(b) ≡ cold(a+b−1) for every split
+    // (the warm phase's first assignment replays the cold run's last)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cold = rows(Cluster.embKmeans(spark, Sf)) // 3 rounds
+    assert(rows(Cluster.embKmeansResume(spark, Sf, itersCold = 2,
+      itersWarm = 2)) == cold)
+    assert(rows(Cluster.embKmeansResume(spark, Sf, itersCold = 3,
+      itersWarm = 1)) == cold)
+    assert(cold.nonEmpty)
+  }
 }
