@@ -30,6 +30,11 @@ class ConcurrencySpec extends SparkSpecBase {
     "graph_pagerank" -> (() => Graph.pagerank(spark, Sf)),
     "graph_kcore" -> (() => Graph.kcore(spark, Sf)),
     "q1_agg" -> (() => Relational.q1Agg(spark, Sf)),
+    // r8: the sweep shares the co-supply base with communities AND
+    // runs a driver-side probe + one fused propagation loop — the
+    // newest PlanCache consumer, racing the single-threshold view
+    "graph_communities" -> (() => Graph.supplierCommunities(spark, Sf)),
+    "graph_communities_sweep" -> (() => Graph.supplierCommunitySweep(spark, Sf)),
   )
 
   private def rows(df: DataFrame): Seq[String] =
