@@ -128,6 +128,7 @@ object SparkEntry {
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "graph_kcore_weighted" -> ((s: SparkSession, d: String) => Graph.kcoreWeighted(s, d)),
     "events_forecast" -> (Events.qForecast _),
+    "events_forecast_filled" -> (Events.qForecastFilled _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
@@ -1611,6 +1612,35 @@ object SparkEntry {
                 CAST(sum(cnt) AS BIGINT) AS total_events,
                 CAST((1000 * sum(cnt)) // count(*) AS BIGINT) AS forecast_milli
          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    // gap-filled twin: absent days count as zeros; days ≡ r (mod 7)
+    // in [a, b] via the closed form (b−r)//7 − (a−r+6)//7 + 1 — no
+    // calendar explosion on either engine
+    "events_forecast_filled" ->
+      """WITH d AS (SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, min(day) AS a, max(day) AS b
+               FROM d GROUP BY 1),
+         r AS (SELECT unnest(range(7)) AS dow),
+         pd AS (SELECT s.event_type, r.dow,
+                  (s.b - r.dow) // 7 - (s.a - r.dow + 6) // 7 + 1
+                    AS n_days_span
+                FROM s CROSS JOIN r),
+         agg AS (SELECT event_type, day % 7 AS dow,
+                   count(*) AS n_days_present,
+                   CAST(sum(cnt) AS BIGINT) AS total_events
+                 FROM d GROUP BY 1, 2)
+         SELECT pd.event_type, pd.dow,
+                coalesce(agg.n_days_present, 0) AS n_days_present,
+                coalesce(agg.total_events, 0) AS total_events,
+                pd.n_days_span,
+                CAST((1000 * coalesce(agg.total_events, 0)) // pd.n_days_span
+                  AS BIGINT) AS forecast_milli
+         FROM pd LEFT JOIN agg
+           ON pd.event_type = agg.event_type AND pd.dow = agg.dow
+         WHERE pd.n_days_span > 0
+         ORDER BY 1, 2""",
     "q_set_ops" ->
       """WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
                       WHERE year(o_orderdate) = 1997),

@@ -452,6 +452,50 @@ object Events {
           .as("forecast_milli"))
       .orderBy("event_type", "dow") // bounded: types × 7
 
+  /** [[qForecast]] with silent calendar holes filled: the mean
+    * divides by EVERY day of that weekday inside the type's observed
+    * [min_day, max_day] span — absent days count as explicit zeros,
+    * so a type that skips weekends forecasts weekends near zero
+    * instead of not at all, and a sparse type's mean is not inflated
+    * by only-counting-active-days (the standard seasonal-naive bias).
+    * The span count needs NO calendar explosion (q_gap_fill's
+    * sequence-generate shape): days ≡ r (mod 7) in [a, b] has the
+    * closed form `(b−r) div 7 − (a−r+6) div 7 + 1`, pure integer
+    * `div` on both engines — per-(type, dow) it is one expression
+    * over the min/max aggregate, O(types × 7) however long the span.
+    * Weekdays with a zero-day span for the type (span < 7 days can
+    * miss a weekday entirely) are emitted by the present-day rows
+    * only — a dow with NO days in span and no events simply has no
+    * row, same as the unfilled variant. */
+  def qForecastFilled(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS BIGINT) div 86400").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(min(col("day")).as("a"), max(col("day")).as("b"),
+        // per-dow present-day stats carried through one aggregate:
+        // (dow, n_present, total) triples via conditional sums keep
+        // the whole derivation in a single grouped pass
+        array((0 to 6).map { r =>
+          struct(lit(r.toLong).as("dow"),
+            sum(when(col("day") % 7 === r, 1L).otherwise(0L)).as("n_present"),
+            sum(when(col("day") % 7 === r, col("cnt")).otherwise(0L))
+              .as("total"))
+        }: _*).as("per_dow"))
+      .select(col("event_type"), col("a"), col("b"),
+        explode(col("per_dow")).as("pd"))
+      .select(col("event_type"), col("pd.dow").as("dow"),
+        col("pd.n_present").as("n_days_present"),
+        col("pd.total").as("total_events"),
+        expr("(b - dow) div 7 - (a - dow + 6) div 7 + 1").as("n_days_span"))
+      .filter(col("n_days_span") > 0)
+      .select(col("event_type"), col("dow"), col("n_days_present"),
+        col("total_events"), col("n_days_span"),
+        expr("CAST((1000 * total_events) div n_days_span AS BIGINT)")
+          .as("forecast_milli"))
+      .orderBy("event_type", "dow") // bounded: types × 7
+
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")

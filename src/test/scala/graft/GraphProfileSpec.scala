@@ -518,6 +518,66 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(corpus == expect)
   }
 
+  test("forecast filled: spans count silent zero days, closed form exact") {
+    import spark.implicits._
+    def at(day: Long, i: Int) =
+      new java.sql.Timestamp(day * 86400000L + i * 1000L)
+    // one type spanning days 0..14 (dow 0 Thursdays: 0, 7, 14) with
+    // events ONLY on days 0 and 14 of dow 0 (3 each) and day 1 (2):
+    // filled mean for dow 0 divides by span 3 (6 div 3 = 2000 milli)
+    // where the unfilled variant divides by presence 2 (3000 milli) —
+    // the bias the fill exists to remove. dow 1's span is 2 (days 1,
+    // 8), presence 1. dows 2..6 have span 2, zero events → forecast 0
+    // rows the unfilled variant doesn't emit at all.
+    val rows =
+      (0 until 3).map(i => (1L, at(0, i), i.toLong, "tick", 1.0, "{}")) ++
+        (0 until 3).map(i => (1L, at(14, i), 50L + i, "tick", 1.0, "{}")) ++
+        (0 until 2).map(i => (1L, at(1, i), 90L + i, "tick", 1.0, "{}"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    val got = df
+      .groupBy(col("event_type"), expr("CAST(ts AS BIGINT) div 86400").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(min(col("day")).as("a"), max(col("day")).as("b"),
+        array((0 to 6).map { r =>
+          struct(lit(r.toLong).as("dow"),
+            sum(when(col("day") % 7 === r, 1L).otherwise(0L)).as("n_present"),
+            sum(when(col("day") % 7 === r, col("cnt")).otherwise(0L)).as("total"))
+        }: _*).as("per_dow"))
+      .select(col("event_type"), col("a"), col("b"), explode(col("per_dow")).as("pd"))
+      .select(col("event_type"), col("pd.dow").as("dow"),
+        col("pd.n_present").as("n_days_present"), col("pd.total").as("total_events"),
+        expr("(b - dow) div 7 - (a - dow + 6) div 7 + 1").as("n_days_span"))
+      .filter(col("n_days_span") > 0)
+      .select(col("dow"), col("n_days_present"), col("total_events"),
+        col("n_days_span"),
+        expr("CAST((1000 * total_events) div n_days_span AS BIGINT)").as("fm"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((2L, 6L, 3L, 2000L)), s"dow0: ${got(0L)}") // not 3000
+    assert(got(1L) == ((1L, 2L, 2L, 1000L)), s"dow1: ${got(1L)}")
+    (2L to 6L).foreach { r =>
+      assert(got(r) == ((0L, 0L, 2L, 0L)), s"dow$r: ${got(r)}")
+    }
+    // corpus: filled and unfilled agree exactly where presence == span
+    val filled = graft.operators.Events.qForecastFilled(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val unfilled = graft.operators.Events.qForecast(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(filled.nonEmpty)
+    filled.foreach { case (k, (np, te, span, fm)) =>
+      unfilled.get(k) match {
+        case Some((n, t, f)) =>
+          assert(np == n && te == t, s"$k: present stats must agree")
+          if (np == span) assert(fm == f, s"$k: no holes ⇒ same mean")
+          else assert(fm <= f, s"$k: filling holes can only lower the mean")
+        case None => assert(te == 0L, s"$k: filled-only rows carry zero events")
+      }
+    }
+  }
+
   test("communities sweep: one-loop hierarchy equals the per-threshold runs") {
     // the sweep runs ALL levels in one disjoint-union propagation
     // (level-encoded BIGINT keys); this pins it row-identical to
