@@ -201,9 +201,22 @@ object Graph {
     * checkable form of the warm-start contract. */
   def pagerankResume(spark: SparkSession, dir: String,
       coldIters: Int = 3, moreIters: Int = 2): DataFrame = {
-    val edges = tradeEdges(spark, dir)
-    val mid = pagerankRanksOf(edges, coldIters, assumeNoSinks = true)
-    pagerankResumedOf(edges, mid, moreIters, assumeNoSinks = true)
+    // prepare ONCE, run twice: both loop invocations share the same
+    // src-partitioned edge cache and node count — the cross-job resume
+    // APIs above can't share (the warm job starts cold), but a
+    // split-trajectory demo inside one session shouldn't pay the
+    // edge exchange + node derivation twice. Trajectory is identical
+    // either way: prepare affects layout, never values.
+    val b = prepareRanks(
+      tradeEdges(spark, dir).withColumn("w", lit(1L)), assumeNoSinks = true)
+    if (b.n == 0) {
+      b.release()
+      return b.nodes.withColumn("pr", lit(0L)).select(col("node"), col("pr"))
+    }
+    val mid = runRanks(b, coldIters, seed = null)
+    val out = top100(runRanks(b, moreIters, seed = mid))
+    b.release()
+    out
   }
 
   /** Presentation slice shared by the public pagerank views: the 100
@@ -221,6 +234,37 @@ object Graph {
   private def pagerankLoop(edgeList: DataFrame, iters: Int,
       assumeNoSinks: Boolean, weightBound: Long = Long.MaxValue,
       seed: DataFrame = null): DataFrame = {
+    val b = prepareRanks(edgeList, assumeNoSinks, weightBound)
+    // empty edge set (or all-filtered weighted input): no nodes, no
+    // ranks — return the empty (node, pr) frame instead of letting
+    // the base computation divide by zero
+    if (b.n == 0) {
+      b.release()
+      return b.nodes.withColumn("pr", lit(0L)).select(col("node"), col("pr"))
+    }
+    val out = runRanks(b, iters, seed)
+    b.release()
+    out
+  }
+
+  /** The loop-static state one PageRank invocation prepares exactly
+    * once and every round reads: the src-partitioned cached edge set
+    * (out-weight totals riding the same partitioning), the
+    * checkpointed node set, the dangling set (null when proven or
+    * found empty), and the node count. Split from [[runRanks]] so a
+    * caller that runs SEVERAL round batches over one graph — the
+    * resume demo, or a service answering "k more rounds" requests —
+    * prepares once instead of once per batch. `release()` when the
+    * last batch's result has materialized (the final round's eager
+    * checkpoint makes the result independent of the cache). */
+  private final case class RankBase(edges: DataFrame, nodes: DataFrame,
+      dangling: DataFrame, hasDangling: Boolean, n: Long) {
+    def release(): Unit = edges.unpersist(blocking = false)
+  }
+
+  private def prepareRanks(edgeList: DataFrame,
+      assumeNoSinks: Boolean,
+      weightBound: Long = Long.MaxValue): RankBase = {
     // one exchange builds the whole loop input: repartition by src,
     // then the outgoing-weight total rides the SAME partitioning as a
     // window sum (the GraphX-style "edge carries source degree"
@@ -257,17 +301,12 @@ object Graph {
     val nodes = (if (hasDangling) srcNodes.unionAll(dangling) else srcNodes)
       .localCheckpoint(eager = false)
     val n = nodes.count()
-    // empty edge set (or all-filtered weighted input): no nodes, no
-    // ranks — return the empty (node, pr) frame instead of letting
-    // the base computation divide by zero
-    if (n == 0) {
-      edges.unpersist(blocking = false)
-      return nodes.withColumn("pr", lit(0L)).select(col("node"), col("pr"))
-    }
     // fail-fast overflow gate for weighted callers: reads the cached
     // edge blocks (materialized by the count above), costs one tiny
     // aggregate, and stops before any round can hit pr·w overflow
-    if (weightBound != Long.MaxValue) {
+    // (skipped on the empty graph — there is no weight to probe and
+    // no round to protect)
+    if (n > 0 && weightBound != Long.MaxValue) {
       val maxW = edges.agg(max(col("w"))).head().getLong(0)
       if (maxW > weightBound) {
         // release the just-materialized edge cache before failing: a
@@ -280,6 +319,16 @@ object Graph {
             "rescale the weights — only their ratios affect the ranking")
       }
     }
+    RankBase(edges, nodes, dangling, hasDangling, n)
+  }
+
+  /** `iters` rounds over a prepared [[RankBase]], from the uniform
+    * seed (seed = null) or a caller-supplied prior vector. Returns
+    * the FULL (node, pr) vector, eager-checkpointed — valid after
+    * the base is released. Requires b.n > 0. */
+  private def runRanks(b: RankBase, iters: Int,
+      seed: DataFrame): DataFrame = {
+    import b.{edges, nodes, dangling, hasDangling, n}
     val base = (Scale * 15 / 100) / n
     // round-0 state: the uniform value, or (warm start) the caller's
     // prior vector with uniform fill for nodes the seed doesn't cover
@@ -303,9 +352,10 @@ object Graph {
             else round(edges, pr, base, nodes))
         .localCheckpoint(eager = i == iters)
     }
-    edges.unpersist(blocking = false)
     // FULL vector out — presentation slicing (top100) is the public
-    // views' concern; the resume path needs every node's rank
+    // views' concern; the resume path needs every node's rank.
+    // The base stays persisted: the CALLER releases it, so a resume
+    // demo can run another batch of rounds over the same cache first.
     pr.select(col("node"), col("pr"))
   }
 
