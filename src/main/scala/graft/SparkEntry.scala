@@ -112,6 +112,7 @@ object SparkEntry {
     "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
     "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
     "graph_communities_sweep" -> ((s: SparkSession, d: String) => Graph.supplierCommunitySweep(s, d)),
+    "graph_sssp" -> ((s: SparkSession, d: String) => Graph.sssp(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
     // maxDf passed explicitly: the 100 TB operating configuration of
@@ -1297,6 +1298,7 @@ object SparkEntry {
     // warm resume from the full round-3 vector must be bit-identical
     // to 5 straight rounds — the hash match IS the resume proof
     "graph_pagerank_resume" -> pagerankSql,
+    "graph_sssp" -> graft.operators.Graph.ssspOracleSql(),
     // id-ordered 3-way self-join: orientation in the Spark plan only
     // changes where each triangle is FOUND, never the per-node census
     "graph_triangles" ->

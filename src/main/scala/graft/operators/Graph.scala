@@ -862,4 +862,147 @@ object Graph {
          FROM (SELECT a AS n FROM lf UNION ALL SELECT b AS n FROM lf)
          GROUP BY n ORDER BY node"""
   }
+
+  /** Encode unit of the SSSP distance: a path's (hops, cost) pair
+    * packs into one BIGINT as `hops · 2⁴⁴ + cost`, so the loop's
+    * single `min` aggregate IS the lexicographic minimum — fewest
+    * hops first, cheapest total edge weight among those. Valid while
+    * every reachable path's cost stays under 2⁴⁴, which [[ssspOf]]
+    * enforces fail-fast from max(w) · rounds (same probe discipline
+    * as [[MaxEdgeWeight]] and the sweep's [[NodeSpan]] guard). */
+  val HopSpan: Long = 1L << 44
+
+  /** Hop-bounded single-source shortest paths over an arbitrary
+    * DIRECTED (src, dst, w) edge set — the min-plus relaxation
+    * (Bellman-Ford's round form), which is the formulation that
+    * scales: each round is ONE shuffle (relaxed candidates grouped by
+    * node, map-side partial `min`) plus a SHUFFLE_HASH join of the
+    * distance vector against the src-partitioned cached edge set —
+    * the pagerank loop's exact join discipline, so the full edge set
+    * is exchanged once for the whole loop, never per round. After
+    * `rounds` rounds the result is exact over all paths of ≤ `rounds`
+    * edges: dist is monotone under relaxation and `min` is
+    * merge-order-invariant, so the output is partition-invariant and
+    * hash-gateable, and rounds past the graph's diameter are
+    * idempotent.
+    *
+    * `state` is the decoded frontier (node, hops, cost) — the
+    * round-0 distances. A cold run passes its sources at (0, 0); a
+    * WARM run passes a prior invocation's output verbatim, and
+    * because relaxation is monotone from any over-estimate of the
+    * final distances, resuming after an edge-additive delta lands on
+    * the same fixed point the cold rerun converges to (the
+    * [[Dedup.components]] seeding argument, applied to min-plus).
+    * Chained resumes must keep TOTAL hops · max(w) under [[HopSpan]];
+    * the per-call probe enforces the single-call bound and the
+    * resume contract documents the rest.
+    *
+    * Output: (node, hops, cost) for every node reachable within the
+    * round budget — hops = fewest edges from a source, cost =
+    * cheapest Σw among fewest-hop paths. Integer weights only; w < 0
+    * is rejected (it would borrow from the hop unit and break the
+    * lexicographic encode), w = 0 is fine. */
+  def ssspOf(edgeList: DataFrame, state: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    val edges = edgeList
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src"))
+      .cache()
+    // one block-read aggregate materializes the cache AND probes both
+    // weight bounds before any round can corrupt the encode
+    val wRow = edges.agg(min(col("w")), max(col("w"))).head()
+    if (!wRow.isNullAt(0)) {
+      require(wRow.getLong(0) >= 0,
+        s"sssp: negative edge weight ${wRow.getLong(0)} would break " +
+          "the (hops, cost) lexicographic encode — shift weights to ≥ 0")
+      require(wRow.getLong(1) <= (HopSpan - 1) / math.max(rounds, 1),
+        s"sssp: max edge weight ${wRow.getLong(1)} × $rounds rounds " +
+          s"exceeds the 2^44 cost headroom — rescale the weights")
+    }
+    var dist = state
+      .select(col("node"),
+        (col("hops") * HopSpan + col("cost")).as("dist"))
+      .localCheckpoint(eager = false)
+    for (i <- 1 to rounds) {
+      // relax: every edge proposes source-dist + (1 hop, w); the
+      // standing distances ride the same shuffle as zero-delta rows.
+      // No per-round action — rounds pipeline into one job, lineage
+      // truncated by the lazy checkpoints (the pagerank discipline).
+      dist = edges
+        .join(dist.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("dst").as("node"),
+          (col("dist") + lit(HopSpan) + col("w")).as("dist"))
+        .unionAll(dist)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = i == rounds)
+    }
+    edges.unpersist(blocking = false)
+    dist.select(col("node"),
+        expr(s"dist div $HopSpan").as("hops"),
+        expr(s"dist % $HopSpan").as("cost"))
+      .sortWithinPartitions("node")
+  }
+
+  /** The `graph_sssp` query: supply-chain proximity from the
+    * lowest-numbered supplier in the strong-tie co-supply graph
+    * ([[coSupplyEdgesW]], same memoized base as triangles/communities
+    * — a session running any of them pays the pair derivation once).
+    * Edge length = the pair's co-supplied-order count w, so `cost`
+    * reads as the total relationship volume along the closest chain;
+    * `hops` is the plain BFS distance the lexicographic encode puts
+    * first. Source choice (min node id) is corpus-deterministic. */
+  def sssp(spark: SparkSession, dir: String, minOrders: Int = 5,
+      rounds: Int = 4): DataFrame = {
+    val ew = coSupplyEdgesW(spark, dir, minOrders)
+    val sym = ew.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst"), col("w")),
+        struct(col("v").as("src"), col("u").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.w").as("w"))
+    // min over the canonical u < v pairs is the global min node; the
+    // aggregate reads the PlanCache-memoized (Spark-cached) pair base,
+    // not the corpus. Empty graph (possible at tiny SFs / tight
+    // thresholds) → empty result, typed like the loop's output.
+    val srcRow = ew.agg(min(col("u"))).head()
+    if (srcRow.isNullAt(0))
+      return spark.range(0).select(col("id").as("node"),
+        col("id").as("hops"), col("id").as("cost"))
+    val s = srcRow.getLong(0)
+    ssspOf(sym,
+      spark.range(1).select(lit(s).as("node"),
+        lit(0L).as("hops"), lit(0L).as("cost")),
+      rounds)
+  }
+
+  /** Generated DuckDB oracle for [[sssp]]: the same min-plus rounds
+    * unrolled as chained CTEs over the same encoded BIGINT distance —
+    * integer-exact on both engines, so the chain hash-matches. */
+  def ssspOracleSql(minOrders: Int = 5, rounds: Int = 4): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d${r - 1}
+             UNION ALL
+             SELECT e.b, p.dist + $HopSpan + e.w
+             FROM d${r - 1} p JOIN ed e ON p.node = e.a)
+           GROUP BY node)"""
+    }.mkString(",\n         ")
+    s"""WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e0 AS MATERIALIZED (SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+                       count(*) AS w
+                FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2 HAVING count(*) >= $minOrders),
+         ed AS MATERIALIZED (SELECT u AS a, v AS b, w FROM e0
+                UNION ALL SELECT v, u, w FROM e0),
+         -- empty-graph-safe source row: no aggregate-over-empty NULL
+         d0 AS MATERIALIZED (SELECT DISTINCT u AS node,
+                       CAST(0 AS BIGINT) AS dist
+                FROM e0 WHERE u = (SELECT min(u) FROM e0)),
+         $steps
+         SELECT CAST(node AS BIGINT) AS node,
+                CAST(dist // $HopSpan AS BIGINT) AS hops,
+                CAST(dist % $HopSpan AS BIGINT) AS cost
+         FROM d$rounds ORDER BY node"""
+  }
 }
