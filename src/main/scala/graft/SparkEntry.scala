@@ -113,6 +113,7 @@ object SparkEntry {
     "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
     "graph_communities_sweep" -> ((s: SparkSession, d: String) => Graph.supplierCommunitySweep(s, d)),
     "graph_sssp" -> ((s: SparkSession, d: String) => Graph.sssp(s, d)),
+    "graph_coreness" -> ((s: SparkSession, d: String) => Graph.coreness(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
     // maxDf passed explicitly: the 100 TB operating configuration of
@@ -1299,6 +1300,7 @@ object SparkEntry {
     // to 5 straight rounds — the hash match IS the resume proof
     "graph_pagerank_resume" -> pagerankSql,
     "graph_sssp" -> graft.operators.Graph.ssspOracleSql(),
+    "graph_coreness" -> graft.operators.Graph.corenessOracleSql(),
     // id-ordered 3-way self-join: orientation in the Spark plan only
     // changes where each triangle is FOUND, never the per-node census
     "graph_triangles" ->
