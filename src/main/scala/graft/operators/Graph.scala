@@ -891,12 +891,13 @@ object Graph {
     * convergence are valid UPPER bounds on coreness that later rounds
     * only tighten, so a capped run is a monotone over-estimate (the
     * round log says which happened; the trading graph converges in
-    * ≤ 6 rounds at every test SF). The oracle matches either way —
+    * ≤ 6 rounds at every test SF, with budget 8 for headroom). The
+    * oracle matches either way —
     * both engines walk the identical trajectory.
     *
     * `edgeList` must be SYMMETRIC (both directions present), one row
     * per directed edge, no self-loops — the [[tradeEdges]] shape. */
-  def corenessOf(edgeList: DataFrame, maxRounds: Int = 6): DataFrame = {
+  def corenessOf(edgeList: DataFrame, maxRounds: Int = 8): DataFrame = {
     val edges = edgeList.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
     // c₀ = degree: rides the edge partitioning, no extra exchange
@@ -944,7 +945,7 @@ object Graph {
     * [[kcore]] answers a single threshold. Shares the memoized pair
     * base with the pageranks and both cores. */
   def coreness(spark: SparkSession, dir: String,
-      maxRounds: Int = 6): DataFrame =
+      maxRounds: Int = 8): DataFrame =
     corenessOf(tradeEdges(spark, dir), maxRounds)
 
   /** Generated DuckDB oracle for [[coreness]]: the same h-index
@@ -953,7 +954,7 @@ object Graph {
     * max(least(value, cum))), integer-exact on both engines. A
     * Spark early exit cannot diverge: both engines walk the same
     * trajectory and post-convergence rounds are idempotent. */
-  def corenessOracleSql(rounds: Int = 6): String = {
+  def corenessOracleSql(rounds: Int = 8): String = {
     val steps = (1 to rounds).map { r =>
       s"""nb$r AS MATERIALIZED (SELECT e.b AS node, p.c AS c,
                 count(*) AS cnt
