@@ -169,6 +169,7 @@ object SparkEntry {
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_weighted" -> (Curation.sampleWeighted _),
     "pipeline_mix" -> (Curation.pipelineMix _),
+    "pipeline_shuffle" -> (Curation.pipelineShuffle _),
     "pipeline_pii" -> (Curation.pipelinePii _),
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_entropy" -> (TextOps.textEntropy _),
@@ -2057,6 +2058,7 @@ object SparkEntry {
     // forced-DOUBLE fraction in the identical IEEE op order, the
     // same portable-hash membership gate.
     "pipeline_mix" -> graft.operators.Curation.mixOracleSql,
+    "pipeline_shuffle" -> graft.operators.Curation.shuffleOracleSql,
     // Generated from the same Curation.PiiPatterns strings, applied
     // in the same order; DuckDB needs the explicit 'g' flag to match
     // Spark's replace-all default.

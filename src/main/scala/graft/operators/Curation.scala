@@ -334,4 +334,56 @@ object Curation {
        SELECT h.doc_id, h.lang FROM h JOIN th ON th.lang = h.lang
        WHERE h.b < th.thresh ORDER BY h.doc_id"""
   }
+
+  /** Shard count for [[pipelineShuffle]] — the operator's knob in
+    * production (one shard per training-reader stream); fixed here so
+    * the generated oracle shares it by construction. */
+  val ShuffleShards: Int = 16
+
+  /** Deterministic GLOBAL SHUFFLE assignment — the step a training
+    * pipeline ends with ("write the curated corpus as N shards in a
+    * reproducible pseudo-random order, reshuffled each epoch") with
+    * no rand(), no global sort, no coordination. Each document gets a
+    * 60-bit portable-hash key salted by the epoch
+    * (`skey = h60("shuf#e{epoch}#" + doc_id)`) and a shard
+    * (`skey mod N`): the key IS the position — readers consume a
+    * shard in `(skey, doc_id)` order (doc_id breaks the rare 60-bit
+    * collision), so the permutation is a pure row-local function of
+    * (doc_id, epoch). A different epoch re-salts the hash and yields
+    * an independent permutation; the same epoch is bit-stable across
+    * engines, retries, and partitionings — resumable mid-epoch from
+    * just (epoch, last skey).
+    *
+    * Scale shape: the assignment is MAP-ONLY — one codegen'd
+    * projection, no exchange, no window. Dense per-shard positions
+    * are deliberately NOT materialized: a row_number per shard would
+    * funnel each shard through one task, serializing exactly the
+    * corpus-sized path this operator exists to parallelize. The order
+    * lives in the sort key; [[graft.sources.IO.writeShuffledShards]]
+    * lays files out in that order (sorted runs per file — k sorted
+    * files merge in O(n) at read), so no dense rank is ever needed. */
+  def pipelineShuffle(spark: SparkSession, dir: String): DataFrame =
+    pipelineShuffleDf(Tables(spark, dir).documents)
+
+  def pipelineShuffleDf(docs: DataFrame, epoch: Int = 0): DataFrame =
+    docs.select(col("doc_id"), shuffleKey(epoch).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(ShuffleShards.toLong)))
+      .select(col("doc_id"), col("shard"), col("skey"))
+      .sortWithinPartitions("doc_id")
+
+  /** The epoch-salted shuffle key — shared by the batch assignment
+    * and the shard writer so the two cannot drift. */
+  private[graft] def shuffleKey(epoch: Int): org.apache.spark.sql.Column =
+    PortableHash.h60(
+      concat(lit(s"shuf#e$epoch#"), col("doc_id").cast("string")))
+
+  /** Generated DuckDB oracle for [[pipelineShuffle]] — the same hash
+    * expression and shard modulus inlined, epoch 0 (the query's
+    * setting). */
+  def shuffleOracleSql: String =
+    s"""WITH h AS (SELECT doc_id,
+             CAST(('0x' || substring(md5('shuf#e0#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+           FROM documents)
+       SELECT doc_id, skey % $ShuffleShards AS shard, skey
+       FROM h ORDER BY doc_id"""
 }

@@ -88,6 +88,29 @@ object IO {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Shard layout for the deterministic training shuffle
+    * ([[graft.operators.Curation.pipelineShuffle]]): rows carrying
+    * (shard, skey) land in one directory per shard, each file sorted
+    * by (skey, doc_id) — so a training reader streams a shard in the
+    * epoch's permutation order by merging its sorted files (O(n),
+    * k-way heap over file heads; with the default one file per shard,
+    * a plain scan). `filesPerShard > 1` splits each shard across
+    * subfiles by `skey mod filesPerShard` for write parallelism at
+    * scale — each subfile is still a sorted run, so the merge
+    * contract holds. One exchange total (the repartition), the sort
+    * is per-partition — no global sort, no per-shard row_number. */
+  def writeShuffledShards(df: DataFrame, path: String,
+      filesPerShard: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val parted =
+      if (filesPerShard > 1)
+        df.repartition(col("shard"),
+          pmod(col("skey"), lit(filesPerShard.toLong)))
+      else df.repartition(col("shard"))
+    parted.sortWithinPartitions("shard", "skey", "doc_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

@@ -84,6 +84,7 @@ class ExplainSpec extends SparkSpecBase {
       "text_tfidf", "pipeline_clean", "pipeline_pack", "text_repetition",
       "text_gopher", "pipeline_decontam", "pipeline_pii",
       "sample_stratified", "sample_weighted", "pipeline_mix",
+      "pipeline_shuffle",
       "mm_frame_sample", "mm_resize", "mm_features", "mm_dedup",
       "snapshot_diff", "avro_roundtrip",
       "q_event_window", "q_sessionize", "q_range_join", "q_funnel",
@@ -197,6 +198,13 @@ class ExplainSpec extends SparkSpecBase {
       s"expected filter directly over the scan:\n$pre")
     assert(!pre.substring(filterIdx, scanIdx).contains("Exchange"),
       s"no exchange may sit between scan and filter:\n$pre")
+  }
+
+  test("shuffle assignment is map-only: no exchange anywhere in the plan") {
+    val df = graft.operators.Curation.pipelineShuffle(spark, Sf)
+    val pre = df.queryExecution.sparkPlan.toString
+    assert(!pre.contains("Exchange"),
+      s"the epoch-shuffle assignment must stay a pure projection:\n$pre")
   }
 
   test("profiler is one scan: a single parquet read feeds the melt") {
