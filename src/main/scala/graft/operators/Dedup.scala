@@ -322,11 +322,31 @@ object Dedup {
   }
 
   def incrementalDf(existing: DataFrame, fresh: DataFrame,
-      tau: Double, k: Int = 32, bands: Int = 8): DataFrame = {
+      tau: Double, k: Int = 32, bands: Int = 8): DataFrame =
+    probeIncremental(standingIndex(existing, k, bands), fresh, tau, k, bands)
+
+  /** The standing near-dup index [[incrementalDf]] probes — the
+    * existing corpus's gram sets and band buckets, cached: built
+    * ONCE, probed by many shards (batch) or micro-batches
+    * ([[graft.streaming.Streams.incrementalDedupStream]]). In
+    * production this is persisted and appended per admitted shard. */
+  private[graft] def standingIndex(existing: DataFrame, k: Int = 32,
+      bands: Int = 8): (DataFrame, DataFrame) = {
     val ge = docGrams(existing).cache()
+    (ge, bandBuckets(ge, k, bands).cache())
+  }
+
+  /** One asymmetric probe of a [[standingIndex]]: fresh docs get a
+    * verdict + deterministic best match against the index, never
+    * against each other — which is exactly why any micro-batch split
+    * of `fresh` yields the same verdicts as one shot. */
+  private[graft] def probeIncremental(index: (DataFrame, DataFrame),
+      fresh: DataFrame, tau: Double, k: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val (ge, eBuckets) = index
     val gf = docGrams(fresh).cache()
     val cands = bandBuckets(gf, k, bands).as("f")
-      .join(bandBuckets(ge, k, bands).as("e"), col("f.bk") === col("e.bk"))
+      .join(eBuckets.as("e"), col("f.bk") === col("e.bk"))
       .select(col("f.doc_id").as("dn"), col("e.doc_id").as("de"))
       .distinct()
     val scored = cands

@@ -895,6 +895,13 @@ object Graph {
     * oracle matches either way —
     * both engines walk the identical trajectory.
     *
+    * No warm-start overload, deliberately: the h-operator converges
+    * from any UPPER bound on coreness, and after an edge-additive
+    * delta yesterday's coreness is a LOWER bound (new edges only
+    * raise it) — the only always-valid seed is the new degree, which
+    * IS the cold start. Unlike pagerank/components/sssp/kmeans,
+    * resuming here would be unsound, not just unimplemented.
+    *
     * `edgeList` must be SYMMETRIC (both directions present), one row
     * per directed edge, no self-loops — the [[tradeEdges]] shape. */
   def corenessOf(edgeList: DataFrame, maxRounds: Int = 8): DataFrame = {

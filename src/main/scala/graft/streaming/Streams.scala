@@ -486,6 +486,34 @@ object Streams {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Stream–static NEAR-DUP admission gate —
+    * [[graft.operators.Dedup.incremental]]'s philosophy at ingest
+    * time: arriving documents are MinHash-LSH probed against a
+    * STANDING index built ONCE from the existing corpus
+    * (`Dedup.standingIndex`: cached gram sets + band buckets; in
+    * production, persisted and appended per admitted shard). Each
+    * micro-batch runs the batch operator's own probe inside
+    * foreachBatch — the stream-static reuse shape — so stream ≡
+    * batch by construction: a doc's verdict depends only on (doc,
+    * standing corpus), never on other arrivals, hence the union of
+    * verdicts over ANY micro-batch split equals the one-shot batch
+    * run (StreamingSpec pins a forced 2-batch split against
+    * [[graft.operators.Dedup.incrementalDf]]). Zero streaming state:
+    * the per-batch probe is bounded by the batch, the index by the
+    * standing corpus. Drains synchronously. */
+  def incrementalDedupStream(docs: DataFrame, existing: DataFrame,
+      outPath: String, tau: Double = 0.5): Unit = {
+    val index = graft.operators.Dedup.standingIndex(existing)
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.probeIncremental(index, batch, tau)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming twin of the reference's flagship wordcount: running
     * word counts over a document stream (complete-mode aggregation —
     * the state is the count table itself, exactly the reducer's

@@ -528,6 +528,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("stream-static near-dup gate: 2-batch split equals one-shot batch") {
+    import java.nio.file._
+    val docs = graft.core.Tables(spark, Sf).documents
+    // the batch query's own shard boundary: every 10th doc is fresh
+    val existing = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    // stage the fresh side as TWO files; maxFilesPerTrigger=1 forces
+    // two micro-batches, so the union-over-splits contract is load-bearing
+    val in = Files.createTempDirectory("graft_incdedup_in").toString
+    fresh.filter(col("doc_id") % 20 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/a")
+    fresh.filter(col("doc_id") % 20 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b")
+    val staged = Files.createTempDirectory("graft_incdedup_docs")
+    var i = 0
+    for (sub <- Seq("a", "b");
+         f <- new java.io.File(s"$in/$sub").listFiles
+           if f.getName.endsWith(".parquet")) {
+      Files.copy(f.toPath, staged.resolve(s"part$i.parquet")); i += 1
+    }
+    assert(i == 2, s"expected 2 staged files, got $i")
+    val out = Files.createTempDirectory("graft_incdedup_out").toString
+    Streams.incrementalDedupStream(
+      spark.readStream.schema(Streams.documentsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString),
+      existing, out)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3))
+    val got = spark.read.parquet(out)
+      .select("doc_id", "is_dup", "best_match", "best_jaccard")
+      .collect().map(key).toSet
+    val want = graft.operators.Dedup.incremental(spark, Sf).collect()
+      .map(key).toSet
+    assert(got == want)
+    assert(want.exists(_._2), "planted corpus must contain near-dups")
+  }
+
   test("streaming wordcount matches the batch flagship job") {
     import java.nio.file._
     val dir = Files.createTempDirectory("graft_wc_stream")
