@@ -922,15 +922,20 @@ object Graph {
         .join(c.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy(col("dst"), col("c")).agg(count(lit(1)).as("cnt"))
       // h-index over the collapsed profile: cumulative neighbor count
-      // down the sorted distinct values (ties impossible — grouped)
-      val h = nb
+      // down the sorted distinct values (ties impossible — grouped).
+      // The textbook update is c ← min(c, H(neighbors)), but the min
+      // is provably redundant from the degree start: H ≤ degree = c₀,
+      // and H is monotone in its inputs, so unrolling gives
+      // c_t = min(c₀, H₀, …, H_{t−1}) = H_{t−1} — each round's
+      // h-frame IS the next state. Dropping the min drops a whole
+      // per-round state join (and the oracle does the same, so the
+      // trajectories stay bit-identical).
+      val next = nb
         .withColumn("cum", sum(col("cnt")).over(
           Window.partitionBy(col("dst")).orderBy(col("c").desc)))
         .groupBy(col("dst"))
-        .agg(max(least(col("c"), col("cum"))).as("h"))
+        .agg(max(least(col("c"), col("cum"))).as("c"))
         .withColumnRenamed("dst", "node")
-      val next = c.join(h.hint("shuffle_hash"), Seq("node"))
-        .select(col("node"), least(col("c"), col("h")).as("c"))
         .localCheckpoint(eager = false)
       // the convergence aggregate materializes the lazy checkpoint —
       // one extra tiny job per round, no separate scan. Σ unchanged
@@ -967,14 +972,12 @@ object Graph {
                 count(*) AS cnt
               FROM ed e JOIN c${r - 1} p ON e.a = p.node
               GROUP BY 1, 2),
-         h$r AS MATERIALIZED (SELECT node, max(least(c, cum)) AS h
+         c$r AS MATERIALIZED (SELECT node, max(least(c, cum)) AS c
               FROM (SELECT node, c,
                       sum(cnt) OVER (PARTITION BY node
                                      ORDER BY c DESC) AS cum
                     FROM nb$r)
-              GROUP BY node),
-         c$r AS MATERIALIZED (SELECT p.node, least(p.c, h.h) AS c
-              FROM c${r - 1} p JOIN h$r h ON p.node = h.node)"""
+              GROUP BY node)"""
     }.mkString(",\n         ")
     s"""WITH pairs AS (SELECT DISTINCT
              'C' || CAST(o_custkey AS VARCHAR) AS c,
