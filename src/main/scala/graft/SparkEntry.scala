@@ -98,6 +98,7 @@ object SparkEntry {
     "events_paths" -> ((s, d) => Events.qPaths(s, d)),
     "profile_fd" -> (Profile.fdProfile _),
     "profile_qsketch" -> ((s: SparkSession, d: String) => Profile.qsketchProfile(s, d)),
+    "profile_kmv_overlap" -> (Profile.kmvOverlap _),
     "profile_mad" -> ((s, d) => Profile.madProfile(s, d)),
     "profile_numeric" -> (Profile.numericProfile _),
     "profile_hll_users" -> (Profile.hllUsers _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "snapshot_diff" -> (Snapshot.snapshotDiff _),
+    "snapshot_agg_delta" -> (Snapshot.aggDelta _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
     "emb_kmeans_resume" -> ((s: SparkSession, d: String) => Cluster.embKmeansResume(s, d)),
     "emb_coreset" -> ((s: SparkSession, d: String) => Cluster.embCoreset(s, d)),
@@ -1729,6 +1731,24 @@ object SparkEntry {
          FROM base FULL OUTER JOIN curr ON b_key = n_key
          WHERE (b_key IS NULL OR n_key IS NULL OR old_cents != new_cents)
          ORDER BY c_custkey""",
+    // IVM contract probed from the other side: Spark folds the CDC
+    // delta into yesterday's aggregate; the oracle recomputes the
+    // aggregate from the NEW snapshot directly. A hash match means
+    // fold(old_agg, delta) == agg(new) — the incremental refresh is
+    // indistinguishable from a full rescan.
+    "snapshot_agg_delta" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+                  ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 20 AS hv
+           FROM customer),
+         curr AS (SELECT c_nationkey,
+                         CASE WHEN hv % 7 = 3 THEN cents + 100
+                              ELSE cents END AS new_cents
+                  FROM c WHERE hv != 1)
+         SELECT c_nationkey, count(*) AS n_cust,
+                CAST(sum(new_cents) AS BIGINT) AS sum_cents
+         FROM curr GROUP BY c_nationkey ORDER BY c_nationkey""",
     // SimHash over the portable 60-bit base hash: bit-identical
     // signatures (votes per bit, sign-packed), 4×16-bit chunk
     // buckets, bit_count(xor) Hamming verify.
@@ -2071,6 +2091,10 @@ object SparkEntry {
     // generated from the same CASE chains the Spark plan runs — the
     // bucket/rank/midpoint rules have one Scala source of truth
     "profile_qsketch" -> graft.operators.Profile.qsketchOracleSql,
+    // KMV overlap: the oracle rebuilds the identical bottom-k sketch
+    // from the same portable hash and derives the same exact-in-DOUBLE
+    // estimator — an approximate operator under the exact hash gate.
+    "profile_kmv_overlap" -> graft.operators.Profile.kmvOverlapOracleSql,
     // identical IEEE double bucket arithmetic; max clamps into the
     // last bucket, constant columns collapse to bucket 0
     "profile_histogram" ->

@@ -350,6 +350,90 @@ object Profile {
       .orderBy("l_returnflag") // bounded: one row per flag
   }
 
+  /** Set-overlap estimation between two user populations (clickers
+    * vs viewers) from ONE bottom-k (KMV) sketch of the union — the
+    * "how much do these corpora overlap" question a 100 TB pipeline
+    * answers before a join or a decontamination pass, at bounded
+    * state. The KMV theorem makes this mergeable: the bottom-k of a
+    * union is the bottom-k of the per-partition bottom-k's, so every
+    * partition contributes ≤ k (hash, flags) entries and the
+    * membership flags ride along — one sketch answers |A∪B| (the
+    * (k−1)·2⁶⁰/h₍ₖ₎ KMV estimator over [[PortableHash.h60]]'s 60-bit
+    * key space), the Jaccard (the fraction of sketch members in
+    * both, ±1/√k), and the intersection (their product). When the
+    * union is smaller than k the sketch IS the population and every
+    * figure is exact.
+    *
+    * Shape: one user-keyed aggregate folds each user's event rows to
+    * two membership flags (shuffle ∝ distinct users, map-side
+    * partials), then a TakeOrdered caps the wire at k rows — no
+    * global sort exchange. Everything after is a 1-row fold.
+    * Deterministic under ANY partitioning / merge order: the sketch
+    * is a pure multiset function (bottom-k of injective-keyed
+    * hashes), which is what lets an approximate estimator sit under
+    * the exact cross-engine hash gate. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapDf(Tables(spark, dir).events)
+
+  private[graft] val KmvK = 256
+
+  private[graft] def kmvOverlapDf(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("in_a"),
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("in_b"))
+      .filter(col("in_a") === 1 || col("in_b") === 1)
+    val sketch = users.select(
+        PortableHash.h60(concat(lit("kmv#"), col("user_id").cast("string")))
+          .as("h"),
+        col("in_a"), col("in_b"))
+      .orderBy(col("h")).limit(KmvK)
+    val folded = sketch.agg(
+      count(lit(1)).as("k_used"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("matches"),
+      max(col("h")).as("kth"))
+    // 2⁶⁰ is exact in DOUBLE and (k−1) ≤ 255 keeps the product exact,
+    // so the estimator is ONE IEEE division — bit-identical in DuckDB
+    val uEst = when(col("k_used") < KmvK, col("k_used").cast("double"))
+      .otherwise((col("k_used") - 1).cast("double") *
+        lit(1152921504606846976.0) / col("kth").cast("double"))
+    folded.select(
+      col("k_used"), col("matches"),
+      expr("matches * 1000000 div k_used").as("jaccard_ppm"),
+      round(uEst, 6).as("union_est"),
+      round(uEst * col("matches").cast("double") /
+        col("k_used").cast("double"), 6).as("inter_est"))
+  }
+
+  /** Generated DuckDB oracle for [[kmvOverlap]] — the same carve:
+    * per-user membership flags, bottom-k by the portable hash, the
+    * same exact-in-DOUBLE estimator expression. */
+  def kmvOverlapOracleSql: String = {
+    val est = s"CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE) " +
+      "ELSE CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0 / " +
+      "CAST(kth AS DOUBLE) END"
+    s"""WITH u AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_b
+          FROM events GROUP BY user_id),
+        s AS (
+          SELECT ('0x' || substring(md5('kmv#' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                 in_a, in_b
+          FROM u WHERE in_a = 1 OR in_b = 1
+          ORDER BY h LIMIT $KmvK),
+        f AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_used,
+                 CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+                 max(h) AS kth
+          FROM s)
+        SELECT k_used, matches,
+               matches * 1000000 // k_used AS jaccard_ppm,
+               round($est, 6) AS union_est,
+               round(($est) * CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS inter_est
+        FROM f"""
+  }
+
   /** Generated DuckDB oracle for [[qsketchProfile]] — the same
     * bucket / rank / midpoint CASE chains rendered with DuckDB's
     * `//` integer division (window sums CAST from HUGEINT). */

@@ -32,6 +32,31 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(rows.length < n / 2, s"diff ${rows.length} rows vs table $n")
   }
 
+  test("snapshot_agg_delta: folding the delta equals a full recompute") {
+    // the IVM contract, probed inside Spark (the DuckDB gate probes it
+    // cross-engine): fold(agg(old), delta) == agg(new), where the
+    // expected side here is a FULL RECOMPUTE of the new snapshot —
+    // the computation path the incremental refresh exists to avoid
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"),
+        pmod(conv(substring(md5(col("c_custkey").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(20L)).as("hv"))
+    val expected = cust.filter(col("hv") =!= 1)
+      .select(col("c_nationkey"),
+        when(col("hv") % 7 === 3, col("cents") + 100)
+          .otherwise(col("cents")).as("new_cents"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum("new_cents").as("sum_cents"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = Snapshot.aggDelta(spark, Sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, "incremental fold must equal the fresh scan")
+    // and the view is keyed + presentation-sorted
+    val keys = Snapshot.aggDelta(spark, Sf).collect().map(_.getInt(0))
+    assert(keys.sameElements(keys.sorted))
+  }
+
   test("markov: transitions conserve mass and probabilities are exact ppm") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     // user 1: a->b->a->c   user 2: b->b
