@@ -172,6 +172,7 @@ object SparkEntry {
     "sample_weighted" -> (Curation.sampleWeighted _),
     "pipeline_mix" -> (Curation.pipelineMix _),
     "pipeline_shuffle" -> (Curation.pipelineShuffle _),
+    "pipeline_zorder" -> (Layout.zorderManifest _),
     "pipeline_pii" -> (Curation.pipelinePii _),
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_entropy" -> (TextOps.textEntropy _),
@@ -2079,6 +2080,10 @@ object SparkEntry {
     // same portable-hash membership gate.
     "pipeline_mix" -> graft.operators.Curation.mixOracleSql,
     "pipeline_shuffle" -> graft.operators.Curation.shuffleOracleSql,
+    // z-order manifest: bucket, interleave, and file expressions all
+    // render from one Scala source into both dialects — integer math
+    // on non-negatives, so div ≡ // and the manifest hash-matches
+    "pipeline_zorder" -> graft.operators.Layout.zorderOracleSql,
     // Generated from the same Curation.PiiPatterns strings, applied
     // in the same order; DuckDB needs the explicit 'g' flag to match
     // Spark's replace-all default.
