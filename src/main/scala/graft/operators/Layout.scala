@@ -71,22 +71,31 @@ object Layout {
       .select(col("o_custkey").as("x"),
         expr("CAST(o_orderdate AS BIGINT) div 86400").as("y")))
 
+  /** Attach the z key to any frame with non-negative integral
+    * columns `x` and `y`: one ungrouped bounds aggregate broadcast
+    * back over the scan, then map-side bucket + interleave. Shared
+    * by the manifest query and [[graft.sources.IO.writeZOrdered]],
+    * so the two cannot drift. */
+  private[graft] def zorderKey(df: DataFrame, x: String, y: String)
+      : DataFrame = {
+    val bounds = df.agg(min(x).as("zo_xmin"), max(x).as("zo_xmax"),
+      min(y).as("zo_ymin"), max(y).as("zo_ymax"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("zo_bx", expr(bucketSql(x, "zo_xmin", "zo_xmax", "div")))
+      .withColumn("zo_by", expr(bucketSql(y, "zo_ymin", "zo_ymax", "div")))
+      .withColumn("z", expr(zSql("zo_bx", "zo_by", "div")))
+      .drop("zo_xmin", "zo_xmax", "zo_ymin", "zo_ymax", "zo_bx", "zo_by")
+  }
+
   /** Core over any (x, y) BIGINT frame (both non-negative). */
-  private[graft] def zorderManifestDf(xy: DataFrame): DataFrame = {
-    val bounds = xy.agg(min("x").as("xmin"), max("x").as("xmax"),
-      min("y").as("ymin"), max("y").as("ymax"))
-    xy.crossJoin(broadcast(bounds))
-      .select(col("x"), col("y"),
-        expr(bucketSql("x", "xmin", "xmax", "div")).as("bx"),
-        expr(bucketSql("y", "ymin", "ymax", "div")).as("by"))
-      .withColumn("z", expr(zSql("bx", "by", "div")))
+  private[graft] def zorderManifestDf(xy: DataFrame): DataFrame =
+    zorderKey(xy, "x", "y")
       .withColumn("file_id", expr(s"z div $FileDiv"))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("x").as("min_custkey"), max("x").as("max_custkey"),
         min("y").as("min_day"), max("y").as("max_day"))
       .orderBy("file_id") // bounded: ZFiles rows
-  }
 
   /** Generated DuckDB oracle for [[zorderManifest]] — the same
     * bucket / interleave / file expressions rendered with `//`. */

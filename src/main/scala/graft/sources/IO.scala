@@ -111,6 +111,25 @@ object IO {
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
   }
 
+  /** Z-order clustered layout ([[graft.operators.Layout]]): rows are
+    * ranged into `files` contiguous z intervals and sorted by z
+    * within each, so every output file covers a disjoint z range and
+    * parquet footer min/max prune on BOTH clustered dimensions. One
+    * exchange (the range repartition), per-partition sorts only —
+    * the same cost shape as [[writeSorted]], buying two-dimensional
+    * pruning instead of one. The z key is kept in the output: it is
+    * the table's clustering key (re-sorting on ingest, merge-on-read
+    * compaction) and costs 8 bytes/row. `x`/`y` must be non-negative
+    * integral columns. */
+  def writeZOrdered(df: DataFrame, path: String, x: String, y: String,
+      files: Int = graft.operators.Layout.ZFiles): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Layout.zorderKey(df, x, y)
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

@@ -48,6 +48,35 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("zorder writer: files cover disjoint z ranges, sorted within") {
+    val xy = spark.range(20000).select(
+      pmod(col("id") * 37L, lit(1009L)).as("x"),
+      pmod(col("id") * 11L, lit(997L)).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zord").toFile
+    graft.sources.IO.writeZOrdered(xy, dir.getAbsolutePath, "x", "y")
+    val back = spark.read.parquet(dir.getAbsolutePath)
+      .select(input_file_name().as("f"), col("z"), col("x"), col("y"))
+    assert(back.count() == 20000, "layout must not drop or duplicate rows")
+    // disjoint z intervals per file — the contract parquet footer
+    // pruning needs: a z-range predicate touches ≤ its share of files
+    val ranges = back.groupBy("f")
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file z ranges overlap: hi $hi1 vs next lo $lo2")
+      case _ =>
+    }
+    // sorted runs within each file: collect preserves per-file read
+    // order, and Scala groupBy preserves encounter order per group
+    val byFile = back.select("f", "z").collect()
+      .groupBy(_.getString(0)).values
+    byFile.foreach { rows =>
+      val zs = rows.map(_.getLong(1))
+      assert(zs.sameElements(zs.sorted), "z must be non-decreasing per file")
+    }
+  }
+
   test("zorder: manifest is partition-invariant") {
     val xy = spark.range(10000).select(
       pmod(col("id") * 37L, lit(501L)).as("x"),
