@@ -78,7 +78,26 @@ object Snapshot {
     * snapshot directly — a genuinely different computation path, so
     * a hash match is exactly the IVM contract: fold(old_agg, delta)
     * ≡ agg(new). */
-  def aggDelta(spark: SparkSession, dir: String): DataFrame = {
+  def aggDelta(spark: SparkSession, dir: String): DataFrame =
+    foldView(standingView(spark, dir),
+      contributions(cdcRows(spark, dir))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("d_cnt")).as("d_cnt"),
+          sum(col("d_cents")).as("d_cents")))
+
+  /** Yesterday's standing view — in production a materialized table,
+    * not a scan; the refresh path never reads the base snapshot. */
+  private[graft] def standingView(spark: SparkSession, dir: String)
+      : DataFrame =
+    carve(spark, dir).filter(col("hv") =!= 0)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("sum_cents"))
+
+  /** The CDC feed with the group key aboard: change-typed rows
+    * (c_nationkey, change, old_cents, new_cents) — what a CDC
+    * connector delivers, and what [[graft.streaming.Streams]]'s IVM
+    * twin consumes as a stream. */
+  private[graft] def cdcRows(spark: SparkSession, dir: String): DataFrame = {
     val cust = carve(spark, dir)
     val base = cust.filter(col("hv") =!= 0)
       .select(col("c_custkey").as("b_key"), col("c_nationkey").as("b_nat"),
@@ -87,23 +106,33 @@ object Snapshot {
       .select(col("c_custkey").as("n_key"), col("c_nationkey").as("n_nat"),
         when(col("hv") % 7 === 3, col("cents") + 100)
           .otherwise(col("cents")).as("new_cents"))
-    // yesterday's standing view (in production this is a materialized
-    // table, not a scan — the refresh below never reads `base` again)
-    val standing = base.groupBy(col("b_nat").as("c_nationkey"))
-      .agg(count(lit(1)).as("n_cust"), sum(col("old_cents")).as("sum_cents"))
-    // the CDC delta, each row reduced to its signed group contribution
-    val delta = base.join(curr, col("b_key") === col("n_key"), "full_outer")
+    base.join(curr, col("b_key") === col("n_key"), "full_outer")
       .filter(col("b_key").isNull || col("n_key").isNull ||
         col("old_cents") =!= col("new_cents"))
       .select(coalesce(col("b_nat"), col("n_nat")).as("c_nationkey"),
-        when(col("b_key").isNull, 1L).when(col("n_key").isNull, -1L)
-          .otherwise(0L).as("d_cnt"),
-        (coalesce(col("new_cents"), lit(0L)) -
-          coalesce(col("old_cents"), lit(0L))).as("d_cents"))
-      .groupBy(col("c_nationkey"))
-      .agg(sum(col("d_cnt")).as("d_cnt"), sum(col("d_cents")).as("d_cents"))
-    // the refresh: group-sized ⋈ churn-group-sized, zero corpus reads
-    standing.join(delta, Seq("c_nationkey"), "full_outer")
+        when(col("b_key").isNull, "insert")
+          .when(col("n_key").isNull, "delete")
+          .otherwise("update").as("change"),
+        col("old_cents"), col("new_cents"))
+  }
+
+  /** Each CDC row reduced to its signed group contribution — insert
+    * (+1, +new), delete (−1, −old), update (0, new−old). Shared by
+    * the batch fold and the streaming twin so they cannot drift. */
+  private[graft] def contributions(cdc: DataFrame): DataFrame =
+    cdc.select(col("c_nationkey"),
+      when(col("change") === "insert", 1L)
+        .when(col("change") === "delete", -1L)
+        .otherwise(0L).as("d_cnt"),
+      (coalesce(col("new_cents"), lit(0L)) -
+        coalesce(col("old_cents"), lit(0L))).as("d_cents"))
+
+  /** The refresh itself: standing view ⋈ aggregated delta — two
+    * group-sized frames, zero corpus reads. Groups whose count
+    * reaches zero leave the view. */
+  private[graft] def foldView(standing: DataFrame, deltaAgg: DataFrame)
+      : DataFrame =
+    standing.join(deltaAgg, Seq("c_nationkey"), "full_outer")
       .select(col("c_nationkey"),
         (coalesce(col("n_cust"), lit(0L)) +
           coalesce(col("d_cnt"), lit(0L))).as("n_cust"),
@@ -111,5 +140,4 @@ object Snapshot {
           coalesce(col("d_cents"), lit(0L))).as("sum_cents"))
       .filter(col("n_cust") > 0)
       .orderBy(col("c_nationkey"))
-  }
 }

@@ -514,6 +514,34 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming incremental view maintenance — the stream twin of
+    * [[graft.operators.Snapshot.aggDelta]]: CDC rows (insert/delete/
+    * update with old/new payloads) arrive as a stream, a running
+    * grouped sum folds their signed contributions (state = two longs
+    * per group, bounded by group count — the only state contract an
+    * unbounded CDC feed supports), and each trigger refreshes the
+    * materialized view by folding the running delta into the standing
+    * aggregate (complete-mode foreachBatch → overwrite, the
+    * view-refresh sink shape). The contribution projection and the
+    * fold are the batch operator's OWN private helpers, so the twins
+    * cannot drift; because sum/count are self-maintainable, the view
+    * after draining equals the batch refresh under ANY micro-batch
+    * split of the feed (StreamingSpec pins a forced 2-batch split).
+    * Drains synchronously. */
+  def ivmStream(cdc: DataFrame, standing: DataFrame, outPath: String): Unit = {
+    import graft.operators.{Snapshot => S}
+    val deltaAgg = S.contributions(cdc)
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("d_cnt")).as("d_cnt"), sum(col("d_cents")).as("d_cents"))
+    val q = deltaAgg.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        S.foldView(standing, batch).write.mode("overwrite").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming twin of the reference's flagship wordcount: running
     * word counts over a document stream (complete-mode aggregation —
     * the state is the count table itself, exactly the reducer's

@@ -528,6 +528,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("streaming IVM: view refreshed over a split CDC feed equals the batch fold") {
+    import java.nio.file._
+    val cdc = graft.operators.Snapshot.cdcRows(spark, Sf)
+    // two part-files + maxFilesPerTrigger=1 → two micro-batches: the
+    // self-maintainability claim (any split folds to the same view)
+    // is load-bearing, not vacuously one-shot
+    val in = Files.createTempDirectory("graft_ivm_in").toString
+    cdc.repartition(2).write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft_ivm_out").toString + "/view"
+    Streams.ivmStream(
+      spark.readStream.schema(cdc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      graft.operators.Snapshot.standingView(spark, Sf), out)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2))
+    val got = spark.read.parquet(out).collect().map(key).toSet
+    val want = graft.operators.Snapshot.aggDelta(spark, Sf)
+      .collect().map(key).toSet
+    assert(got == want, "streamed view must equal the batch refresh")
+    assert(want.nonEmpty)
+  }
+
   test("stream-static near-dup gate: 2-batch split equals one-shot batch") {
     import java.nio.file._
     val docs = graft.core.Tables(spark, Sf).documents
