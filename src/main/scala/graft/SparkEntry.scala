@@ -110,6 +110,7 @@ object SparkEntry {
     "graph_pagerank_weighted" -> ((s, d) => Graph.pagerankWeighted(s, d)),
     "graph_pagerank_resume" -> ((s: SparkSession, d: String) => Graph.pagerankResume(s, d)),
     "graph_triangles" -> (Graph.supplierTriangles _),
+    "graph_assortativity" -> (Graph.assortativity _),
     "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
     "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
     "graph_communities_sweep" -> ((s: SparkSession, d: String) => Graph.supplierCommunitySweep(s, d)),
@@ -1320,6 +1321,35 @@ object SparkEntry {
                SELECT b FROM t UNION ALL SELECT c FROM t)
          SELECT suppkey, count(*) AS n_tri FROM n
          GROUP BY suppkey ORDER BY suppkey""",
+    // same co-supply edges + degree join, exact BIGINT moment sums
+    // (DuckDB's HUGEINT sums cast back), and the identical one-shot
+    // double Pearson expression — NULL on a variance-free graph
+    "graph_assortativity" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+               FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                AND a.l_suppkey < b.l_suppkey
+               GROUP BY 1, 2 HAVING count(*) >= 5),
+         d AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+               FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+               GROUP BY n),
+         j AS (SELECT du.deg AS du, dv.deg AS dv
+               FROM e JOIN d du ON du.n = e.u JOIN d dv ON dv.n = e.v),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                      CAST(sum(du + dv) AS BIGINT) AS s_deg,
+                      CAST(sum(du * du + dv * dv) AS BIGINT) AS s_deg2,
+                      CAST(sum(du * dv * 2) AS BIGINT) AS s_degprod
+               FROM j)
+         SELECT m * 2 AS n, s_deg, s_deg2, s_degprod,
+                round(CASE WHEN CAST(m * 2 AS DOUBLE) * CAST(s_deg2 AS DOUBLE)
+                                - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE) = 0
+                           THEN NULL
+                           ELSE (CAST(m * 2 AS DOUBLE) * CAST(s_degprod AS DOUBLE)
+                                 - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE))
+                                / (CAST(m * 2 AS DOUBLE) * CAST(s_deg2 AS DOUBLE)
+                                   - CAST(s_deg AS DOUBLE) * CAST(s_deg AS DOUBLE)) END,
+                      6) AS assortativity
+         FROM s""",
     // same co-supply edge derivation as graph_triangles, then a
     // recursive-CTE transitive closure labels each supplier with the
     // min reachable suppkey — the oracle for the generic min-label

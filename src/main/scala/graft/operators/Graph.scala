@@ -514,6 +514,50 @@ object Graph {
   def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOf(coSupplyEdges(spark, dir))
 
+  /** Degree assortativity of the strong-tie supplier graph — do
+    * well-connected suppliers trade with each other (r > 0, a core
+    * that densifies under growth) or with the periphery (r < 0, a
+    * hub-and-spoke graph whose hubs are the skew the salting/AQE
+    * machinery exists for)? The one scalar a graph profiler reports
+    * before anyone picks a partitioning strategy.
+    *
+    * Pearson correlation of (deg(u), deg(v)) over both orientations
+    * of every edge, computed from exact BIGINT moment sums (counts
+    * and degree products — the same moments discipline as
+    * profile_corr) with ONE final double expression, identical in
+    * both engines. Shape: the triangles degree join (two keyed joins
+    * onto the edge set) feeding one ungrouped 1-row aggregate —
+    * nothing after the joins grows with the graph. A
+    * degree-degenerate graph (all degrees equal) has no variance and
+    * reports NULL, not a 0/0. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(coSupplyEdges(spark, dir))
+
+  /** Core over any canonical (u < v, one row per undirected edge)
+    * edge frame. */
+  def assortativityOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val sums = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("m"),
+        sum(col("du") + col("dv")).as("s_deg"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("s_deg2"),
+        sum(col("du") * col("dv") * 2).as("s_degprod"))
+    val nD = (col("m") * 2).cast("double")
+    val sxD = col("s_deg").cast("double")
+    val num = nD * col("s_degprod").cast("double") - sxD * sxD
+    val den = nD * col("s_deg2").cast("double") - sxD * sxD
+    sums.select((col("m") * 2).as("n"),
+      col("s_deg"), col("s_deg2"), col("s_degprod"),
+      // functions.round spelled out: Graph.round is the pagerank step
+      org.apache.spark.sql.functions.round(
+        when(den === 0.0, lit(null)).otherwise(num / den), 6)
+        .as("assortativity"))
+  }
+
   /** Connected components of the strong-tie supplier graph — trading
     * communities: suppliers linked (transitively) by ≥ `minOrders`
     * co-supplied orders share a component, labeled by the component's

@@ -216,6 +216,30 @@ class GraphProfileSpec extends SparkSpecBase {
       Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("assortativity: closed forms (star −1, cycle NULL, barbell mixes)") {
+    import spark.implicits._
+    def r(pairs: Seq[(Long, Long)]) =
+      Graph.assortativityOf(pairs.toDF("u", "v")).head()
+    // star K1,3: every edge joins the deg-3 hub to a deg-1 leaf —
+    // perfectly disassortative, r = −1 exactly
+    val star = r(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(star.getLong(0) == 6L, "n = both orientations of 3 edges")
+    assert(star.getDouble(4) == -1.0, s"star must be exactly −1, got $star")
+    // 4-cycle: all degrees equal → zero degree variance → NULL, not 0/0
+    val cyc = r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    assert(cyc.isNullAt(4), s"degree-degenerate graph must report NULL: $cyc")
+    // two triangles joined by a bridge: bridge ends have deg 3, others
+    // deg 2 — mixed but not extremal: −1 < r < 0 for this shape
+    val barbell = r(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)))
+    assert(barbell.getDouble(4) > -1.0 && barbell.getDouble(4) < 0.0,
+      s"barbell should be mildly disassortative, got $barbell")
+    // moment sums are exact integers: star has s_deg = 3·(3+1) = 12,
+    // s_deg2 = 3·(9+1) = 30, s_degprod = 3·2·3 = 18
+    assert((star.getLong(1), star.getLong(2), star.getLong(3)) ==
+      ((12L, 30L, 18L)))
+  }
+
   test("co-supply edge derivation is memoized across its consumers") {
     // triangles, components, kcore, and communities all slice the
     // weighted base; in one process the 2-exchange derivation must
