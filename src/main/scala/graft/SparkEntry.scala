@@ -99,6 +99,7 @@ object SparkEntry {
     "profile_fd" -> (Profile.fdProfile _),
     "profile_qsketch" -> ((s: SparkSession, d: String) => Profile.qsketchProfile(s, d)),
     "profile_kmv_overlap" -> (Profile.kmvOverlap _),
+    "profile_skew" -> (Profile.skewProfile _),
     "profile_mad" -> ((s, d) => Profile.madProfile(s, d)),
     "profile_numeric" -> (Profile.numericProfile _),
     "profile_hll_users" -> (Profile.hllUsers _),
@@ -2130,6 +2131,25 @@ object SparkEntry {
     // from the same portable hash and derives the same exact-in-DOUBLE
     // estimator — an approximate operator under the exact hash gate.
     "profile_kmv_overlap" -> graft.operators.Profile.kmvOverlapOracleSql,
+    // per-key-column count histogram folded to max/distinct/total;
+    // all-integer ppm ratios (div ≡ // on non-negatives)
+    "profile_skew" ->
+      """WITH m AS (
+           SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+           UNION ALL
+           SELECT 'l_partkey', l_partkey FROM lineitem
+           UNION ALL
+           SELECT 'l_suppkey', l_suppkey FROM lineitem),
+         c AS (SELECT key_col, k, count(*) AS cnt FROM m GROUP BY 1, 2),
+         f AS (SELECT key_col,
+                      CAST(sum(cnt) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS n_distinct,
+                      CAST(max(cnt) AS BIGINT) AS max_cnt
+               FROM c GROUP BY key_col)
+         SELECT key_col, n_rows, n_distinct, max_cnt,
+                max_cnt * 1000000 // n_rows AS hot_share_ppm,
+                max_cnt * n_distinct * 1000000 // n_rows AS skew_ratio_ppm
+         FROM f ORDER BY key_col""",
     // identical IEEE double bucket arithmetic; max clamps into the
     // last bucket, constant columns collapse to bucket 0
     "profile_histogram" ->

@@ -350,6 +350,46 @@ object Profile {
       .orderBy("l_returnflag") // bounded: one row per flag
   }
 
+  /** Join-key skew diagnosis over lineitem's three join keys — the
+    * numeric answer to "does this key need salting / AQE skew
+    * handling before it becomes the shuffle bottleneck": per key
+    * column, the row count, distinct-key count, hottest-key count,
+    * and two exact ppm ratios — the hottest key's share of all rows
+    * (what one reducer would receive) and the skew ratio
+    * max·distinct/total (1e6 ≡ perfectly uniform; the factor by
+    * which the hottest partition exceeds the uniform ideal).
+    *
+    * Shape: one stack melt (single scan for all three keys), one
+    * keyed groupBy whose map-side partials collapse the melt, then a
+    * per-column fold over key-count rows — shuffle ∝ distinct keys,
+    * output 3 rows. All-integer arithmetic under the documented
+    * BIGINT headroom (max_cnt·distinct·10⁶ needs ≲ 9.2·10¹⁸ — holds
+    * to ~10⁶ distinct × 10⁶-row hot keys; beyond that the ratio
+    * should move to the hot-share form which only needs
+    * max_cnt·10⁶). */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    skewFold(Tables(spark, dir).lineitem.selectExpr(
+      s"stack(${keys.length}, " +
+        keys.map(c => s"'$c', $c").mkString(", ") + ") as (key_col, k)"))
+  }
+
+  /** Fold over a melted (key_col, k) frame — split out so specs can
+    * plant closed-form key distributions. */
+  private[graft] def skewFold(melted: DataFrame): DataFrame =
+    melted.groupBy(col("key_col"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("key_col"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("key_col"), col("n_rows"), col("n_distinct"),
+        col("max_cnt"),
+        expr("max_cnt * 1000000 div n_rows").as("hot_share_ppm"),
+        expr("max_cnt * n_distinct * 1000000 div n_rows")
+          .as("skew_ratio_ppm"))
+      .orderBy("key_col") // bounded: one row per profiled key
+
   /** Set-overlap estimation between two user populations (clickers
     * vs viewers) from ONE bottom-k (KMV) sketch of the union — the
     * "how much do these corpora overlap" question a 100 TB pipeline

@@ -116,6 +116,28 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(row.getLong(5) == 9000L, "mean after = 9.000 events/day")
   }
 
+  test("skew profile: planted hot key yields the closed-form ratios") {
+    import spark.implicits._
+    // one key taking half the rows among 51 distinct: hot share is
+    // exactly 50%, skew ratio 25.5× uniform
+    val melted = ((1 to 50).map(_ => 0L) ++ (1L to 50L))
+      .map(k => ("hot", k)).toDF("key_col", "k")
+      .unionAll(
+        // a perfectly uniform column: ratio lands exactly on 1e6
+        (1L to 100L).map(k => ("uni", k)).toDF("key_col", "k"))
+    val got = Profile.skewFold(melted).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("hot") == ((100L, 51L, 50L, 500000L, 25500000L)))
+    assert(got("uni") == ((100L, 100L, 1L, 10000L, 1000000L)))
+    // corpus invariant: skew ratio can never fall below uniform
+    // (max_cnt >= avg ⇒ max·distinct >= total ⇒ ppm >= 1e6)
+    Profile.skewProfile(spark, Sf).collect().foreach { r =>
+      assert(r.getLong(5) >= 1000000L, s"sub-uniform skew ratio: $r")
+    }
+  }
+
   test("fd profile: holds is exactly the n_pairs == n_lhs case") {
     val rows = Profile.fdProfile(spark, Sf).collect()
     assert(rows.length == Profile.FdPairs.length)
