@@ -336,6 +336,33 @@ object Dedup {
     (ge, bandBuckets(ge, k, bands).cache())
   }
 
+  /** Persist a [[standingIndex]] as two parquet tables — the
+    * operational decoupling an ingest service needs: building the
+    * index is one heavy batch job over the standing corpus; probing
+    * is many cheap jobs (or stream restarts) that LOAD it instead of
+    * re-deriving grams + buckets from 100 TB of text each time. */
+  def saveStandingIndex(index: (DataFrame, DataFrame), path: String): Unit = {
+    index._1.write.mode("overwrite").parquet(s"$path/grams")
+    index._2.write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  def loadStandingIndex(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/grams").cache(),
+      spark.read.parquet(s"$path/buckets").cache())
+
+  /** Fold admitted documents into a persisted index — the append
+    * step that closes the ingest loop (probe → admit non-dups →
+    * index them so the NEXT shard dedups against them too). Cost ∝
+    * the admitted shard, never the standing corpus. */
+  def appendToStandingIndex(docs: DataFrame, path: String, k: Int = 32,
+      bands: Int = 8): Unit = {
+    val g = docGrams(docs).cache()
+    g.write.mode("append").parquet(s"$path/grams")
+    bandBuckets(g, k, bands).write.mode("append").parquet(s"$path/buckets")
+    g.unpersist()
+  }
+
   /** One asymmetric probe of a [[standingIndex]]: fresh docs get a
     * verdict + deterministic best match against the index, never
     * against each other — which is exactly why any micro-batch split

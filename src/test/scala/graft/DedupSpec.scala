@@ -54,6 +54,36 @@ class DedupSpec extends SparkSpecBase {
     assert(rows(12L) == ((false, -1L, 0.0)))
   }
 
+  test("standing index persists: load≡build, and appends close the ingest loop") {
+    val existing = corpus.filter($"doc_id" <= 2L)
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank " +
+        "while the sun sets slowly behind the tall green hills in the evening"),
+      (11L, "entirely novel text with no overlap whatsoever regarding graph " +
+        "partitioning strategies for distributed pagerank computation runs"),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupidx").toString
+    Dedup.saveStandingIndex(Dedup.standingIndex(existing), dir)
+    val loaded = Dedup.loadStandingIndex(spark, dir)
+    def verdicts(idx: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame), docs: org.apache.spark.sql.DataFrame) =
+      Dedup.probeIncremental(idx, docs, tau = 0.5).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
+    // a reloaded index probes identically to the in-memory build
+    assert(verdicts(loaded, fresh) ==
+      verdicts(Dedup.standingIndex(existing), fresh))
+    // the admitted non-dup (11) is appended; the NEXT shard's copy of
+    // it must now flag against the grown index — the ingest loop
+    Dedup.appendToStandingIndex(fresh.filter($"doc_id" === 11L), dir)
+    val next = Seq((20L, "entirely novel text with no overlap whatsoever " +
+      "regarding graph partitioning strategies for distributed pagerank " +
+      "computation runs")).toDF("doc_id", "text")
+    val grown = verdicts(Dedup.loadStandingIndex(spark, dir), next)
+    assert(grown(20L)._1 && grown(20L)._2 == 11L,
+      s"appended doc must gate the next shard: ${grown(20L)}")
+  }
+
   test("simhash finds exact dups at hamming 0 and correlates with similarity") {
     val pairs = Dedup.simhashDf(corpus, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
