@@ -147,6 +147,7 @@ object SparkEntry {
     "ann_lsh" -> (Ann.lsh _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "ann_quantized" -> (Ann.quantized _),
+    "ann_pq" -> (Ann.pq _),
     "emb_centroids" -> (Ann.centroidStats _),
     "ann_knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
     "ann_range" -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
@@ -1602,6 +1603,11 @@ object SparkEntry {
     // recall@5 = 1.0; the margin dwarfs the ~1e-2 quantization noise
     // on cosine) — so the brute-force top-k IS its oracle.
     "ann_quantized" -> BruteforceTopkSql,
+    // full-pipeline PQ oracle (not the bruteforce shortcut): the
+    // approximate path is integer-exact end to end, so codes, ADC
+    // ordering, and the rerank all hash-match by construction rather
+    // than by recall luck
+    "ann_pq" -> operators.Ann.pqOracleSql,
     // IVF is pure SQL end-to-end: deterministic codebook (every 29th
     // vector), nearest-cell argmax (csim desc, cent_id asc — the same
     // tie-break as the Spark argmax over the broadcast codebook),

@@ -290,6 +290,131 @@ object Ann {
     topkPerQuery(exact)
   }
 
+  // --- product quantization ----------------------------------------
+
+  private[graft] val PqM = 8       // subspaces
+  private[graft] val PqK = 16      // centroids per subspace (4-bit codes)
+  private[graft] val PqDsub = 8    // dims per subspace (corpus dim 64)
+  private val PqMargin = TopK * 10 // exact-rerank candidate margin
+
+  /** Product-quantization ANN — the memory tier below int8: each
+    * vector stores [[PqM]] 4-bit codes (+ one shared [[PqK]]×dim
+    * codebook) instead of d floats or d int8s — 4 bytes/vector here
+    * vs 256 for the floats, the compression that lets a 100 TB
+    * corpus' index live in RAM. Search is ADC (asymmetric distance):
+    * the query stays unquantized-by-codes and scores against each
+    * vector's RECONSTRUCTION (the concatenation of its codebook
+    * entries — query-time math over the broadcast codebook, never
+    * stored), then the exact-cosine rerank over a [[PqMargin]]
+    * candidate margin restores ranking quality, the same
+    * coarse-score → exact-rerank discipline as [[quantized]].
+    *
+    * Every step is EXACT INTEGER (the [[Cluster]] fixed-point
+    * discipline): vectors quantize to `floor(x·2²⁰)`, the codebook is
+    * hash-seeded (the [[Cluster]] kmeans seed rule — the [[PqK]]
+    * lowest-portable-hash vectors, sliced per subspace; a production
+    * deployment would refine it with the Lloyd loop next door, which
+    * changes the codebook, not the mechanics), encoding is the fused
+    * [[NearestCentroidSq]] argmin kernel per subspace (first-minimum
+    * tie-break ≡ the oracle's ORDER BY dist, cid), and ADC distances
+    * are integer sums — so the whole approximate pipeline
+    * hash-matches a generated pure-SQL oracle by construction, not by
+    * recall luck. Scale shape: codebook collect is PqK×dim driver
+    * bytes (the bounded round-trip the IVF codebook already takes);
+    * encode is map-only; candidate generation is the broadcast-query
+    * scan with the bounded-heap top-k — no window, no corpus shuffle. */
+  def pq(spark: SparkSession, dir: String): DataFrame = {
+    val qcorp = Cluster.quantized(emb(spark, dir)).cache()
+    val seedRows = qcorp
+      .select(col("vec_id"), col("q"),
+        graft.functions.PortableHash.h60(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    val dim = seedRows.head.length
+    require(dim == PqM * PqDsub,
+      s"PQ codebook layout expects dim ${PqM * PqDsub}, got $dim")
+    val dsub = PqDsub
+    val subCents: Array[Array[Array[Long]]] = Array.tabulate(PqM)(s =>
+      seedRows.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    var coded = qcorp
+    for (s <- 0 until PqM)
+      coded = coded.withColumn(s"c$s",
+        Cluster.assignCol(slice(col("q"), s * dsub + 1, dsub), subCents(s))
+          .getField("cid"))
+    val cbLits: Array[Column] = subCents.map(cb =>
+      array(cb.map(c => array(c.map(lit(_)): _*)): _*))
+    val recon = coded
+      .withColumn("recon", flatten(array((0 until PqM).map(s =>
+        element_at(cbLits(s), col(s"c$s") + 1)): _*)))
+      .select(col("vec_id"), col("recon"))
+    val qq = Cluster.quantized(queriesDf(spark, dir)
+        .select(col("qid").as("vec_id"), col("qe").as("embedding")))
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val cand = recon.crossJoin(broadcast(qq))
+      .select(col("qid"), col("vec_id"),
+        expr("aggregate(zip_with(qq, recon, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("pqdist"))
+      .groupBy(col("qid"))
+      .agg(TopKScoreAgg.topk(-col("pqdist").cast("double"), col("vec_id"),
+        PqMargin).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("vec_id"))
+    val exact = cand
+      .join(emb(spark, dir), Seq("vec_id"))
+      .join(broadcast(queriesDf(spark, dir)), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
+    topkPerQuery(exact)
+  }
+
+  /** Generated DuckDB oracle for [[pq]]: the identical quantization,
+    * seed rule, per-subspace argmin codes, reconstruction, integer
+    * ADC, double-cast candidate cut, and exact-cosine rerank. */
+  def pqOracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CASE WHEN isnan(x) OR abs(x) >= 128
+                      THEN CAST(error('pq: non-finite or out-of-range embedding component') AS BIGINT)
+                      ELSE CAST(floor(x * ${Cluster.Scale}) AS BIGINT) END) AS q
+             FROM embeddings),
+       x AS (SELECT vec_id, unnest(q) AS v,
+                    unnest(range(len(q))) AS d FROM e),
+       seeds AS (SELECT vec_id, row_number() OVER (ORDER BY
+                   ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                   vec_id) - 1 AS cid
+                 FROM e QUALIFY cid < $PqK),
+       cb AS (SELECT s.cid, x.d, x.v
+              FROM seeds s JOIN x ON s.vec_id = x.vec_id),
+       sd AS (SELECT x.vec_id, x.d // $PqDsub AS s, cb.cid,
+                     CAST(sum((x.v - cb.v) * (x.v - cb.v)) AS BIGINT) AS dist
+              FROM x JOIN cb ON x.d = cb.d GROUP BY 1, 2, 3),
+       codes AS (SELECT vec_id, s, cid FROM sd
+              QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY dist, cid) = 1),
+       recon AS (SELECT c.vec_id, cb.d, cb.v
+              FROM codes c JOIN cb ON cb.cid = c.cid
+               AND cb.d // $PqDsub = c.s),
+       adc AS (SELECT xq.vec_id AS qid, r.vec_id,
+                      CAST(sum((xq.v - r.v) * (xq.v - r.v)) AS BIGINT) AS pqdist
+               FROM (SELECT * FROM x WHERE vec_id < $NumQueries) xq
+               JOIN recon r ON xq.d = r.d GROUP BY 1, 2),
+       cand AS (SELECT qid, vec_id FROM adc
+              QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY CAST(pqdist AS DOUBLE), vec_id) <= $PqMargin),
+       scored AS (SELECT c.qid, c.vec_id,
+                    round(list_cosine_similarity(
+                      CAST(e2.embedding AS DOUBLE[]),
+                      CAST(q2.embedding AS DOUBLE[])), 6) AS cosine
+              FROM cand c
+              JOIN embeddings e2 ON e2.vec_id = c.vec_id
+              JOIN embeddings q2 ON q2.vec_id = c.qid),
+       ranked AS (SELECT qid, vec_id, cosine,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored)
+       SELECT qid, rank, vec_id, cosine FROM ranked
+       WHERE rank <= $TopK ORDER BY qid, rank"""
+
   /** Per-(label, dimension) embedding statistics — the input a coarse
     * quantizer / codebook trainer consumes (and the standard sanity
     * sweep over an embedding corpus: per-cluster means, coverage).
