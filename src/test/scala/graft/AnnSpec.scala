@@ -105,7 +105,8 @@ class AnnSpec extends SparkSpecBase {
         "bruteforce" -> Ann.bruteforce(spark, Sf),
         "lsh" -> Ann.lsh(spark, Sf),
         "ivf" -> Ann.ivf(spark, Sf),
-        "quantized" -> Ann.quantized(spark, Sf))) {
+        "quantized" -> Ann.quantized(spark, Sf),
+        "pq" -> Ann.pq(spark, Sf))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Window"),
         s"$name still funnels the scored corpus through a window:\n$p")
