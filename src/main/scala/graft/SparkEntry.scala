@@ -135,6 +135,7 @@ object SparkEntry {
     "graph_kcore_weighted" -> ((s: SparkSession, d: String) => Graph.kcoreWeighted(s, d)),
     "events_forecast" -> (Events.qForecast _),
     "events_forecast_filled" -> (Events.qForecastFilled _),
+    "events_forecast_eval" -> (Events.qForecastEval _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
@@ -1657,6 +1658,31 @@ object SparkEntry {
                 CAST(sum(cnt) AS BIGINT) AS total_events,
                 CAST((1000 * sum(cnt)) // count(*) AS BIGINT) AS forecast_milli
          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    // backtest: trailing-week holdout, fit on the rest, per-type MAE
+    // in exact milli-units; only the non-negative abs total is ever
+    // divided (div ≡ // only on non-negatives), signed bias stays a
+    // total
+    "events_forecast_eval" ->
+      """WITH d AS (SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT max(day) - 6 AS s FROM d),
+         f AS (SELECT event_type, day % 7 AS dow,
+                      CAST((1000 * sum(cnt)) // count(*) AS BIGINT) AS forecast_milli
+               FROM d, g WHERE day < s GROUP BY 1, 2),
+         t AS (SELECT d.event_type, d.cnt, f.forecast_milli
+               FROM d, g, f
+               WHERE d.day >= g.s AND f.event_type = d.event_type
+                 AND f.dow = d.day % 7)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_test_days,
+                CAST(sum(abs(1000 * cnt - forecast_milli)) AS BIGINT)
+                  AS total_abs_err_milli,
+                CAST(sum(abs(1000 * cnt - forecast_milli)) AS BIGINT)
+                  // count(*) AS mae_milli,
+                CAST(sum(1000 * cnt - forecast_milli) AS BIGINT)
+                  AS total_err_milli
+         FROM t GROUP BY event_type ORDER BY event_type""",
     // gap-filled twin: absent days count as zeros; days ≡ r (mod 7)
     // in [a, b] via the closed form (b−r)//7 − (a−r+6)//7 + 1 — no
     // calendar explosion on either engine

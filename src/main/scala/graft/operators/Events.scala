@@ -496,6 +496,51 @@ object Events {
           .as("forecast_milli"))
       .orderBy("event_type", "dow") // bounded: types × 7
 
+  /** Backtest of the seasonal-naive forecast — the out-of-sample
+    * evaluation that turns [[qForecast]] from a claim into a score:
+    * hold out the trailing week, fit the per-(type, dow) mean on
+    * everything before it, and report per type the test-day count,
+    * total/mean absolute error and the signed total error, all in
+    * exact milli-units. MAE divides a non-negative total
+    * (truncating `div` ≡ `//` holds only on non-negatives — the
+    * repo-wide dialect rule), while the SIGNED bias is reported as a
+    * total, never divided, so no negative integer division can
+    * diverge between engines. Evaluation rows are the observed test
+    * (type, day) pairs inner-joined to the model — a type needs
+    * training history to be scored (same presence convention as the
+    * unfilled forecast).
+    *
+    * Scale shape: one daily-count aggregate (map-side collapse,
+    * shuffle ∝ types × days) feeds BOTH the fit and the holdout via
+    * one broadcast 1-row split day; the model is types × 7 rows; the
+    * eval join and final fold are group-sized. */
+  def qForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS BIGINT) div 86400").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val split = daily.agg((max(col("day")) - 6).as("s"))
+    val train = daily.crossJoin(broadcast(split)).filter(col("day") < col("s"))
+    val model = train
+      .groupBy(col("event_type"), expr("day % 7").as("dow"))
+      .agg(expr("CAST((1000 * sum(cnt)) div count(1) AS BIGINT)")
+        .as("forecast_milli"))
+    daily.crossJoin(broadcast(split)).filter(col("day") >= col("s"))
+      .withColumn("dow", expr("day % 7"))
+      .join(model, Seq("event_type", "dow"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test_days"),
+        sum(abs(lit(1000L) * col("cnt") - col("forecast_milli")))
+          .as("total_abs_err_milli"),
+        sum(lit(1000L) * col("cnt") - col("forecast_milli"))
+          .as("total_err_milli"))
+      .select(col("event_type"), col("n_test_days"),
+        col("total_abs_err_milli"),
+        expr("total_abs_err_milli div n_test_days").as("mae_milli"),
+        col("total_err_milli"))
+      .orderBy("event_type") // bounded: one row per type
+  }
+
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")

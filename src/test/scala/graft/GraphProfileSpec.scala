@@ -542,6 +542,34 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(corpus == expect)
   }
 
+  test("forecast eval: corpus backtest matches an independent scalar replay") {
+    // replay the whole holdout protocol in plain Scala over collected
+    // scalars: trailing 7 days held out, per-(type, dow) truncating
+    // milli-mean on the rest, inner-join evaluation, exact error sums
+    val daily = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("event_type"), expr("CAST(ts AS BIGINT) div 86400").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val s = daily.keys.map(_._2).max - 6
+    val model = daily.toSeq.collect { case ((t, d), c) if d < s => (t, d % 7) -> c }
+      .groupBy(_._1).view.mapValues(xs =>
+        1000L * xs.map(_._2).sum / xs.size).toMap
+    val expect = daily.toSeq
+      .collect { case ((t, d), c) if d >= s && model.contains((t, d % 7)) =>
+        t -> (1000L * c - model((t, d % 7))) }
+      .groupBy(_._1).view.mapValues { xs =>
+        val errs = xs.map(_._2)
+        (errs.size.toLong, errs.map(math.abs).sum,
+          errs.map(math.abs).sum / errs.size, errs.sum)
+      }.toMap
+    val got = graft.operators.Events.qForecastEval(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"backtest must equal the scalar replay")
+    assert(got.nonEmpty && got.forall(_._2._1 == 7L),
+      "every type has a full held-out week on this corpus")
+  }
+
   test("forecast filled: spans count silent zero days, closed form exact") {
     import spark.implicits._
     def at(day: Long, i: Int) =
