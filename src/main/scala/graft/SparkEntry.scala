@@ -112,6 +112,7 @@ object SparkEntry {
     "graph_pagerank_resume" -> ((s: SparkSession, d: String) => Graph.pagerankResume(s, d)),
     "graph_triangles" -> (Graph.supplierTriangles _),
     "graph_assortativity" -> (Graph.assortativity _),
+    "graph_clustering" -> (Graph.clustering _),
     "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
     "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
     "graph_communities_sweep" -> ((s: SparkSession, d: String) => Graph.supplierCommunitySweep(s, d)),
@@ -1324,6 +1325,30 @@ object SparkEntry {
                SELECT b FROM t UNION ALL SELECT c FROM t)
          SELECT suppkey, count(*) AS n_tri FROM n
          GROUP BY suppkey ORDER BY suppkey""",
+    // triangles census + degrees, wedge-normalized in exact ppm;
+    // deg >= 2 rows only, triangle-free nodes report 0
+    "graph_clustering" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+               FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                AND a.l_suppkey < b.l_suppkey
+               GROUP BY 1, 2 HAVING count(*) >= 5),
+         t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM e e1 JOIN e e2 ON e1.v = e2.u
+               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         n AS (SELECT a AS suppkey FROM t UNION ALL
+               SELECT b FROM t UNION ALL SELECT c FROM t),
+         tri AS (SELECT suppkey, CAST(count(*) AS BIGINT) AS n_tri
+                 FROM n GROUP BY suppkey),
+         d AS (SELECT nn, CAST(count(*) AS BIGINT) AS deg
+               FROM (SELECT u AS nn FROM e UNION ALL SELECT v FROM e)
+               GROUP BY nn)
+         SELECT d.nn AS suppkey, d.deg,
+                coalesce(tri.n_tri, 0) AS n_tri,
+                CAST((2000000 * coalesce(tri.n_tri, 0))
+                     // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+         FROM d LEFT JOIN tri ON tri.suppkey = d.nn
+         WHERE d.deg >= 2 ORDER BY suppkey""",
     // same co-supply edges + degree join, exact BIGINT moment sums
     // (DuckDB's HUGEINT sums cast back), and the identical one-shot
     // double Pearson expression — NULL on a variance-free graph

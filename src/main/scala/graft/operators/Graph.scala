@@ -514,6 +514,39 @@ object Graph {
   def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOf(coSupplyEdges(spark, dir))
 
+  /** Local clustering coefficient per node of the strong-tie graph —
+    * triangles normalized by wedges: cc = 2·tri / (deg·(deg−1)), in
+    * exact ppm (truncating integer division, both engines). The
+    * per-node companion of [[assortativity]]'s one global scalar:
+    * where assortativity says WHO hubs attach to, clustering says
+    * whether a node's neighborhood is a clique (dense co-supply
+    * block) or a star (a broker) — the two numbers a partitioner and
+    * a community pipeline read together. Nodes need deg ≥ 2 to have
+    * a wedge; triangle-free nodes report 0, not absence. Shape: the
+    * memoized edge base + the triangles census (shared derivation)
+    * + one degree aggregate and a left join — output ∝ nodes,
+    * within-partition presentation order only. ppm numerator
+    * 2·10⁶·tri needs tri < 4.6·10¹² for BIGINT headroom — a node on
+    * 4.6 trillion triangles implies a ≥ 3-million-degree hub, far
+    * past where the degree-ordered census itself is the binding
+    * cost. */
+  def clustering(spark: SparkSession, dir: String): DataFrame =
+    clusteringOf(coSupplyEdges(spark, dir))
+
+  /** Core over any canonical (u < v) edge frame. */
+  def clusteringOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(trianglesOf(edges).withColumnRenamed("suppkey", "n"), Seq("n"), "left")
+      .select(col("n").as("suppkey"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("CAST((2000000 * coalesce(n_tri, 0)) div (deg * (deg - 1)) AS BIGINT)")
+          .as("cc_ppm"))
+      .sortWithinPartitions("suppkey")
+  }
+
   /** Degree assortativity of the strong-tie supplier graph — do
     * well-connected suppliers trade with each other (r > 0, a core
     * that densifies under growth) or with the periphery (r < 0, a

@@ -240,6 +240,26 @@ class GraphProfileSpec extends SparkSpecBase {
       ((12L, 30L, 18L)))
   }
 
+  test("clustering coefficient: closed forms (K4 clique, path broker, pendant)") {
+    import spark.implicits._
+    def cc(pairs: Seq[(Long, Long)]) =
+      Graph.clusteringOf(pairs.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    // K4: every node deg 3, 3 triangles ⇒ cc = 2·3/(3·2) = exactly 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(cc(k4).values.toSet == Set((3L, 3L, 1000000L)))
+    // path a-b-c: broker b has deg 2, no triangle → cc 0 (a row, not
+    // an absence); deg-1 endpoints have no wedge and no row
+    assert(cc(Seq((1L, 2L), (2L, 3L))) == Map(2L -> ((2L, 0L, 0L))))
+    // K4 + pendant on node 4: node 4's wedge count grows (deg 4) but
+    // its triangles don't ⇒ cc drops to 6/12 = 500000 ppm exactly
+    val got = cc(k4 :+ (4L, 9L))
+    assert(got(4L) == ((4L, 3L, 500000L)))
+    assert(got(1L) == ((3L, 3L, 1000000L)))
+    assert(!got.contains(9L), "pendant has deg 1 — no wedge, no row")
+  }
+
   test("co-supply edge derivation is memoized across its consumers") {
     // triangles, components, kcore, and communities all slice the
     // weighted base; in one process the 2-exchange derivation must
