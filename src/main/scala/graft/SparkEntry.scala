@@ -178,6 +178,7 @@ object SparkEntry {
     "pipeline_mix" -> (Curation.pipelineMix _),
     "pipeline_shuffle" -> (Curation.pipelineShuffle _),
     "pipeline_zorder" -> (Layout.zorderManifest _),
+    "sample_per_group" -> (Curation.samplePerGroup _),
     "pipeline_pii" -> (Curation.pipelinePii _),
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_entropy" -> (TextOps.textEntropy _),
@@ -2172,6 +2173,10 @@ object SparkEntry {
     // render from one Scala source into both dialects — integer math
     // on non-negatives, so div ≡ // and the manifest hash-matches
     "pipeline_zorder" -> graft.operators.Layout.zorderOracleSql,
+    // per-group bottom-k sample: same hash, same (hash, id) order,
+    // same cut — the window formulation is the oracle, the bounded
+    // aggregate is the plan
+    "sample_per_group" -> graft.operators.Curation.perGroupOracleSql,
     // Generated from the same Curation.PiiPatterns strings, applied
     // in the same order; DuckDB needs the explicit 'g' flag to match
     // Spark's replace-all default.

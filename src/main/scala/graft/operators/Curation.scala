@@ -179,6 +179,47 @@ object Curation {
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     sampleStratifiedDf(Tables(spark, dir).documents)
 
+  /** Sample size per group for [[samplePerGroup]] — fixed so the
+    * generated oracle shares it by construction. */
+  val PerGroupN: Int = 16
+
+  /** EXACT-SIZE per-group sample — "n examples per class", the
+    * third sampling contract ([[sampleStratified]] equalizes RATES
+    * to the minority, [[sampleWeighted]] follows a score; neither
+    * can hit an exact per-group count): each language keeps its
+    * [[PerGroupN]] lowest-portable-hash documents (all of them if
+    * the group is smaller). Bottom-k by a uniform hash IS a uniform
+    * sample, and the bounded [[graft.functions.BottomKSampleAgg]]
+    * buffer makes it one aggregate with ≤ n entries per partition
+    * per group on the wire — the distributed replacement for the
+    * `row_number() OVER (PARTITION BY ...) <= n` window, which
+    * funnels every group through one task. Deterministic across
+    * engines/retries/partitionings; doc_ids ride the buffer as
+    * DOUBLEs (exact below 2⁵³ — nine quadrillion documents of
+    * headroom). */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
+    samplePerGroupDf(Tables(spark, dir).documents)
+
+  def samplePerGroupDf(docs: DataFrame, n: Int = PerGroupN): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(graft.functions.BottomKSampleAgg.bottomk(
+        PortableHash.h60(concat(lit("spg#"), col("doc_id").cast("string"))),
+        col("doc_id").cast("double"), n).as("sample"))
+      .select(col("lang"), explode(col("sample")).as("d"))
+      .select(col("lang"), col("d").cast("long").as("doc_id"))
+      .orderBy("lang", "doc_id") // bounded: langs × n
+
+  /** Generated DuckDB oracle for [[samplePerGroup]] — the same hash,
+    * the same (hash, doc_id) order, the same cut. */
+  def perGroupOracleSql: String =
+    s"""WITH h AS (SELECT lang, doc_id,
+             ('0x' || substring(md5('spg#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+           FROM documents)
+       SELECT lang, doc_id FROM h
+       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+               <= $PerGroupN
+       ORDER BY lang, doc_id"""
+
   /** Weight-proportional deterministic sampling — the quality-aware
     * mixing step (upsample good documents, downsample boilerplate)
     * without `rand()`: doc d is kept iff

@@ -101,6 +101,24 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(5L) == ((1L, 0L, 0L, "reach [EMAIL] today", true)))
   }
 
+  test("samplePerGroup: exact n per large group, whole small group, invariant") {
+    val docs = ((1L to 5L).map(i => (i, "aa")) ++
+      (100L to 139L).map(i => (i, "bb")))
+      .toDF("doc_id", "lang")
+    val got = graft.operators.Curation.samplePerGroupDf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byLang = got.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // below n: the sample IS the group; above n: exactly n, a subset
+    assert(byLang("aa") == (1L to 5L))
+    assert(byLang("bb").size == graft.operators.Curation.PerGroupN)
+    assert(byLang("bb").forall(d => d >= 100L && d <= 139L))
+    assert(byLang("bb") == byLang("bb").sorted, "ids emitted ascending")
+    // pure multiset function: any partitioning picks the same sample
+    val again = graft.operators.Curation.samplePerGroupDf(docs.repartition(7))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("sampleWeighted: deterministic, and keep-rate tracks the weight") {
     val docs = graft.core.Tables(spark, Sf).documents
     val a = Curation.sampleWeightedDf(docs).collect().map(_.getLong(0)).toSeq

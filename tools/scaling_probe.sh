@@ -26,7 +26,7 @@ elif [ "$MODE" = "graph" ]; then
   # fixed, so linear-with-floor is the expected slope; an accidental
   # cross-join in pair generation would blow up ~K^2
   KS="1 2"
-  OPS=${SCALING_OPS:-graph_triangles,graph_components,graph_kcore,graph_kcore_weighted,graph_pagerank,graph_pagerank_weighted,graph_pagerank_resume,graph_communities,graph_communities_sweep,graph_sssp,graph_coreness,graph_assortativity}
+  OPS=${SCALING_OPS:-graph_triangles,graph_components,graph_kcore,graph_kcore_weighted,graph_pagerank,graph_pagerank_weighted,graph_pagerank_resume,graph_communities,graph_communities_sweep,graph_sssp,graph_coreness,graph_assortativity,graph_clustering}
   REPS=${SCALING_REPS:-1}
 else
   KS="1 2 4"
