@@ -302,8 +302,11 @@ class GraphProfileSpec extends SparkSpecBase {
   test("triangles: count invariant under partitioning and matches the id-ordered formula") {
     // the sf graph through the real operator vs the naive id-ordered
     // 3-way join — orientation must not change the census
+    // sortBy: the census contract is within-partition presentation
+    // order only (and the memoized cached frame's collect order is
+    // layout-dependent); the VALUES are the invariant
     val got = Graph.supplierTriangles(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     val e = graft.operators.Graph.coSupplyEdges(spark, Sf)
     e.createOrReplaceTempView("tri_e")
     val naive = spark.sql(
