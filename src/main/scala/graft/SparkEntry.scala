@@ -150,6 +150,7 @@ object SparkEntry {
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "ann_quantized" -> (Ann.quantized _),
     "ann_pq" -> (Ann.pq _),
+    "ann_pq_trained" -> ((s: SparkSession, d: String) => Ann.pqTrained(s, d)),
     "emb_centroids" -> (Ann.centroidStats _),
     "ann_knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
     "ann_range" -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
@@ -1635,6 +1636,9 @@ object SparkEntry {
     // ordering, and the rerank all hash-match by construction rather
     // than by recall luck
     "ann_pq" -> operators.Ann.pqOracleSql,
+    // the trained twin comes from the SAME generator at PqTrainRounds,
+    // so the two oracles replay one codebook-trajectory definition
+    "ann_pq_trained" -> operators.Ann.pqTrainedOracleSql,
     // IVF is pure SQL end-to-end: deterministic codebook (every 29th
     // vector), nearest-cell argmax (csim desc, cent_id asc — the same
     // tie-break as the Spark argmax over the broadcast codebook),

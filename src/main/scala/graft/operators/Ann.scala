@@ -296,6 +296,10 @@ object Ann {
   private[graft] val PqK = 16      // centroids per subspace (4-bit codes)
   private[graft] val PqDsub = 8    // dims per subspace (corpus dim 64)
   private val PqMargin = TopK * 10 // exact-rerank candidate margin
+  // assignment rounds for the TRAINED variant: round-0 hash seeds +
+  // 2 truncating-integer Lloyd updates (diminishing returns past 2 on
+  // the near-uniform corpus; the knob is explicit for clustered data)
+  private[graft] val PqTrainRounds = 3
 
   /** Product-quantization ANN — the memory tier below int8: each
     * vector stores [[PqM]] 4-bit codes (+ one shared [[PqK]]×dim
@@ -323,8 +327,47 @@ object Ann {
     * bytes (the bounded round-trip the IVF codebook already takes);
     * encode is map-only; candidate generation is the broadcast-query
     * scan with the bounded-heap top-k — no window, no corpus shuffle. */
-  def pq(spark: SparkSession, dir: String): DataFrame = {
-    val qcorp = Cluster.quantized(emb(spark, dir)).cache()
+  def pq(spark: SparkSession, dir: String): DataFrame =
+    pqSearch(spark, dir, rounds = 1)
+
+  /** [[pq]] with a Lloyd-REFINED codebook — the production codebook
+    * the untrained variant's doc promises: [[PqTrainRounds]]−1
+    * truncating-integer k-means updates per subspace before encoding,
+    * all [[PqM]] subspaces trained in ONE grouped pass per round (the
+    * per-(cell, dim) sums collapse map-side to ≤ PqK·dim rows — the
+    * [[Cluster.kmeansLoop]] shuffle shape, shared across subspaces
+    * instead of paid per subspace). The trajectory is exact-integer,
+    * so the trained pipeline hash-matches its generated oracle (the
+    * same unrolled-CTE rounds) exactly like the untrained one — and
+    * `rounds = 1` IS the untrained query, bit-for-bit (AnnSpec pins
+    * it), so the two surfaces cannot drift. */
+  def pqTrained(spark: SparkSession, dir: String,
+      rounds: Int = PqTrainRounds): DataFrame =
+    pqSearch(spark, dir, rounds)
+
+  /** Per-subspace 4-bit code columns `c0..c{M−1}` against an explicit
+    * codebook — the encode step, shared by search and training. */
+  private def pqEncode(qcorp: DataFrame,
+      subCents: Array[Array[Array[Long]]]): DataFrame = {
+    var coded = qcorp
+    for (s <- 0 until PqM)
+      coded = coded.withColumn(s"c$s",
+        Cluster.assignCol(slice(col("q"), s * PqDsub + 1, PqDsub), subCents(s))
+          .getField("cid"))
+    coded
+  }
+
+  /** Subspace codebooks: hash-seeded round 0, then `rounds − 1`
+    * truncating-integer Lloyd updates. One update = one encode pass +
+    * one (cell, dim) grouped sum over ALL subspaces together (the
+    * global dim index carries the subspace, so the k·dim update rows
+    * come back from a single map-side-combined aggregate; ≤ PqK·dim
+    * driver rows per round — the bounded codebook round-trip). Empty
+    * cells keep their centroid, division truncates toward zero —
+    * byte-for-byte the [[Cluster.kmeansLoop]] discipline, so the
+    * generated oracle replays the identical trajectory. */
+  private[graft] def pqCodebooks(qcorp: DataFrame,
+      rounds: Int): Array[Array[Array[Long]]] = {
     val seedRows = qcorp
       .select(col("vec_id"), col("q"),
         graft.functions.PortableHash.h60(col("vec_id").cast("string")).as("h"))
@@ -333,14 +376,34 @@ object Ann {
     val dim = seedRows.head.length
     require(dim == PqM * PqDsub,
       s"PQ codebook layout expects dim ${PqM * PqDsub}, got $dim")
-    val dsub = PqDsub
-    val subCents: Array[Array[Array[Long]]] = Array.tabulate(PqM)(s =>
-      seedRows.map(v => v.slice(s * dsub, (s + 1) * dsub)))
-    var coded = qcorp
-    for (s <- 0 until PqM)
-      coded = coded.withColumn(s"c$s",
-        Cluster.assignCol(slice(col("q"), s * dsub + 1, dsub), subCents(s))
-          .getField("cid"))
+    var subCents: Array[Array[Array[Long]]] = Array.tabulate(PqM)(s =>
+      seedRows.map(v => v.slice(s * PqDsub, (s + 1) * PqDsub)))
+    for (_ <- 1 until rounds) {
+      val sums = pqEncode(qcorp, subCents)
+        .select(array((0 until PqM).map(s => col(s"c$s")): _*).as("cids"),
+          posexplode(col("q")).as(Seq("d", "v")))
+        .select(
+          element_at(col("cids"), (col("d") / PqDsub).cast("int") + 1).as("cid"),
+          col("d"), col("v"))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = subCents.map(_.map(_.clone())) // empty cell keeps its centroid
+      sums.foreach { row =>
+        val d = row.getInt(1)
+        next(d / PqDsub)(row.getInt(0))(d % PqDsub) =
+          row.getLong(2) / row.getLong(3) // truncating ≡ DuckDB //
+      }
+      subCents = next
+    }
+    subCents
+  }
+
+  private def pqSearch(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val qcorp = Cluster.quantized(emb(spark, dir)).cache()
+    val subCents = pqCodebooks(qcorp, rounds)
+    val coded = pqEncode(qcorp, subCents)
     val cbLits: Array[Column] = subCents.map(cb =>
       array(cb.map(c => array(c.map(lit(_)): _*)): _*))
     val recon = coded
@@ -370,7 +433,36 @@ object Ann {
   /** Generated DuckDB oracle for [[pq]]: the identical quantization,
     * seed rule, per-subspace argmin codes, reconstruction, integer
     * ADC, double-cast candidate cut, and exact-cosine rerank. */
-  def pqOracleSql: String =
+  def pqOracleSql: String = pqOracleSqlWith(rounds = 1)
+
+  /** Oracle for [[pqTrained]] — the SAME generator, so the trained
+    * and untrained oracles cannot drift. */
+  def pqTrainedOracleSql: String = pqOracleSqlWith(PqTrainRounds)
+
+  /** The codebook-trajectory CTEs: cb0 = hash-seed slices, then per
+    * round an assignment (per-(vec, subspace) argmin, first-minimum
+    * tie-break ≡ ORDER BY dist, cid) and a truncating-mean update
+    * with empty cells keeping their centroid (coalesce) — the
+    * [[Cluster.kmeansAssignCtes]] shape with the global dim index
+    * carrying the subspace. */
+  private def pqOracleSqlWith(rounds: Int): String = {
+    val updates = (1 until rounds).map { r =>
+      s"""sd$r AS (SELECT x.vec_id, x.d // $PqDsub AS s, cb.cid,
+                     CAST(sum((x.v - cb.v) * (x.v - cb.v)) AS BIGINT) AS dist
+              FROM x JOIN cb${r - 1} cb ON x.d = cb.d GROUP BY 1, 2, 3),
+       codes$r AS (SELECT vec_id, s, cid FROM sd$r
+              QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY dist, cid) = 1),
+       u$r AS (SELECT c.cid, x.d,
+                     CAST(sum(x.v) // count(*) AS BIGINT) AS v
+              FROM codes$r c JOIN x ON c.vec_id = x.vec_id
+               AND x.d // $PqDsub = c.s GROUP BY 1, 2),
+       cb$r AS (SELECT p.cid, p.d, coalesce(u.v, p.v) AS v
+              FROM cb${r - 1} p LEFT JOIN u$r u
+                ON p.cid = u.cid AND p.d = u.d),
+       """
+    }.mkString
+    val fin = rounds - 1 // the codebook the final codes refer to
     s"""WITH e AS (SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]),
                  x -> CASE WHEN isnan(x) OR abs(x) >= 128
@@ -383,16 +475,16 @@ object Ann {
                    ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
                    vec_id) - 1 AS cid
                  FROM e QUALIFY cid < $PqK),
-       cb AS (SELECT s.cid, x.d, x.v
+       cb0 AS (SELECT s.cid, x.d, x.v
               FROM seeds s JOIN x ON s.vec_id = x.vec_id),
-       sd AS (SELECT x.vec_id, x.d // $PqDsub AS s, cb.cid,
+       ${updates}sd AS (SELECT x.vec_id, x.d // $PqDsub AS s, cb.cid,
                      CAST(sum((x.v - cb.v) * (x.v - cb.v)) AS BIGINT) AS dist
-              FROM x JOIN cb ON x.d = cb.d GROUP BY 1, 2, 3),
+              FROM x JOIN cb$fin cb ON x.d = cb.d GROUP BY 1, 2, 3),
        codes AS (SELECT vec_id, s, cid FROM sd
               QUALIFY row_number() OVER (PARTITION BY vec_id, s
                                          ORDER BY dist, cid) = 1),
        recon AS (SELECT c.vec_id, cb.d, cb.v
-              FROM codes c JOIN cb ON cb.cid = c.cid
+              FROM codes c JOIN cb$fin cb ON cb.cid = c.cid
                AND cb.d // $PqDsub = c.s),
        adc AS (SELECT xq.vec_id AS qid, r.vec_id,
                       CAST(sum((xq.v - r.v) * (xq.v - r.v)) AS BIGINT) AS pqdist
@@ -414,6 +506,7 @@ object Ann {
               FROM scored)
        SELECT qid, rank, vec_id, cosine FROM ranked
        WHERE rank <= $TopK ORDER BY qid, rank"""
+  }
 
   /** Per-(label, dimension) embedding statistics — the input a coarse
     * quantizer / codebook trainer consumes (and the standard sanity
