@@ -113,6 +113,7 @@ object SparkEntry {
     "graph_triangles" -> (Graph.supplierTriangles _),
     "graph_assortativity" -> (Graph.assortativity _),
     "graph_clustering" -> (Graph.clustering _),
+    "graph_linkpred" -> ((s: SparkSession, d: String) => Graph.linkPrediction(s, d)),
     "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
     "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
     "graph_communities_sweep" -> ((s: SparkSession, d: String) => Graph.supplierCommunitySweep(s, d)),
@@ -1351,6 +1352,32 @@ object SparkEntry {
                      // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
          FROM d LEFT JOIN tri ON tri.suppkey = d.nn
          WHERE d.deg >= 2 ORDER BY suppkey""",
+    // part co-purchase edges (co-ordered >= 2); wedge pairs from the
+    // id-ordered neighbor self-join (≡ the Spark side's sorted-array
+    // pair generation), per-wedge truncating 10^6 // deg(z) for
+    // resource allocation, anti-join drops existing edges, top-100
+    // by (jaccard, cn, u, v)
+    "graph_linkpred" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+               FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         nb AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
+         d AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY n),
+         w AS (SELECT a.m AS u, b.m AS v, a.n AS z
+               FROM nb a JOIN nb b ON a.n = b.n AND a.m < b.m),
+         s AS (SELECT w.u, w.v, CAST(count(*) AS BIGINT) AS cn,
+                      CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_ppm
+               FROM w JOIN d ON d.n = w.z GROUP BY 1, 2),
+         c AS (SELECT s.* FROM s LEFT JOIN e
+                 ON e.u = s.u AND e.v = s.v WHERE e.u IS NULL)
+         SELECT c.u, c.v, c.cn,
+                CAST(1000000 * c.cn // (du.deg + dv.deg - c.cn) AS BIGINT)
+                  AS jac_ppm,
+                c.ra_ppm
+         FROM c JOIN d du ON du.n = c.u JOIN d dv ON dv.n = c.v
+         ORDER BY jac_ppm DESC, cn DESC, u, v LIMIT 100""",
     // same co-supply edges + degree join, exact BIGINT moment sums
     // (DuckDB's HUGEINT sums cast back), and the identical one-shot
     // double Pearson expression — NULL on a variance-free graph

@@ -559,6 +559,80 @@ object Graph {
       .sortWithinPartitions("suppkey")
   }
 
+  /** Part co-purchase edges `(u, v)` — part pairs appearing together
+    * in ≥ `minOrders` distinct orders: the market-basket graph, the
+    * second independently-derived edge set (after co-supply) the
+    * generic graph API consumes. Same 2-exchange derivation
+    * discipline as [[coSupplyEdgesW]]: per-order sorted part sets
+    * (collect_set partials bounded by lines-per-order, a schema
+    * constant ~7), pairs exploded map-side, one shuffle to pair
+    * counts. Memoized like its sibling. */
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String,
+      minOrders: Int = 2): DataFrame =
+    shared.getOrBuild(spark, s"$dir#copurchase$minOrders") {
+      val byOrder = Tables(spark, dir).lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      byOrder.select(arrayPairs(col("ps")).as("p"))
+        .select(col("p.u"), col("p.v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= minOrders)
+        .select(col("u"), col("v"))
+    }
+
+  /** Link prediction over the part co-purchase graph ("frequently
+    * bought together", co-ordered ≥ 2 times): score every
+    * NON-adjacent pair with ≥ 1 common neighbor by the three classic
+    * neighborhood-overlap indices — common-neighbor count, Jaccard
+    * (exact ppm), and resource allocation Σ 1/deg(z) (Zhou et al.
+    * 2009; Adamic-Adar's integer-friendly sibling — per-wedge
+    * `10⁶ div deg(z)` truncates identically in both engines, so the
+    * approximate-looking index sits under the exact gate). Top-`topN`
+    * by (jaccard, cn, u, v) — bounded output, so the global sort is a
+    * TakeOrdered, not a range exchange. (The co-SUPPLY graph is the
+    * wrong substrate for this op: it is a union of per-order supplier
+    * cliques, so at gate SFs every wedge pair is already an edge and
+    * the candidate set is structurally empty — the basket graph's
+    * thresholded edges leave genuine non-adjacent wedges at every SF.)
+    *
+    * Shape: wedge pairs are generated map-side from per-node sorted
+    * neighbor arrays (the [[trianglesOf]] discipline — one shuffle to
+    * adjacency, pairs exploded after it), one shuffle to (u, v)
+    * scores, an anti-join drops existing edges, two degree joins
+    * finish Jaccard. Cost is Σ deg(z)² — inherent to common-neighbor
+    * link prediction; at 100 TB the standard mitigation is a degree
+    * cap on z (hub wedges carry ~no signal — RA already downweights
+    * them by 1/deg), left as an explicit knob upstream rather than a
+    * silent default here. */
+  def linkPrediction(spark: SparkSession, dir: String,
+      topN: Int = 100): DataFrame =
+    linkPredictionOf(coPurchaseEdges(spark, dir), topN)
+
+  /** Core over any canonical (u < v, one row per undirected edge)
+    * edge frame. */
+  def linkPredictionOf(edges: DataFrame, topN: Int = 100): DataFrame = {
+    val nbrs = edges.select(col("u").as("n"), col("v").as("m"))
+      .unionAll(edges.select(col("v").as("n"), col("u").as("m")))
+    val byNode = nbrs.groupBy(col("n"))
+      .agg(sort_array(collect_set(col("m"))).as("ns"))
+    val wedges = byNode
+      .select(size(col("ns")).cast("long").as("dz"), arrayPairs(col("ns")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"), col("dz"))
+    val scored = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("CAST(1000000 AS BIGINT) div dz")).as("ra_ppm"))
+    val deg = nbrs.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    scored.join(edges, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        expr("CAST(1000000 * cn AS BIGINT) div (du + dv - cn)").as("jac_ppm"),
+        col("ra_ppm"))
+      .orderBy(col("jac_ppm").desc, col("cn").desc, col("u"), col("v"))
+      .limit(topN)
+  }
+
   /** Degree assortativity of the strong-tie supplier graph — do
     * well-connected suppliers trade with each other (r > 0, a core
     * that densifies under growth) or with the periphery (r < 0, a

@@ -260,6 +260,32 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(!got.contains(9L), "pendant has deg 1 — no wedge, no row")
   }
 
+  test("link prediction: closed forms (path, star, square), edges excluded, order deterministic") {
+    import spark.implicits._
+    def lp(pairs: Seq[(Long, Long)]) =
+      Graph.linkPredictionOf(pairs.toDF("u", "v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4))))
+    // path a-b-c: one candidate (a, c) via broker b (deg 2):
+    // cn 1, jaccard 10^6·1/(1+1−1), ra 10^6 div 2
+    assert(lp(Seq((1L, 2L), (2L, 3L))).toMap ==
+      Map((1L, 3L) -> ((1L, 1000000L, 500000L))))
+    // star: 3 leaves through a deg-3 hub — every leaf pair scores
+    // cn 1, jaccard 10^6, ra 10^6 div 3 (truncating)
+    val star = lp(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(star.length == 3)
+    star.foreach { case (_, s) => assert(s == ((1L, 1000000L, 333333L))) }
+    // square 1-2-4-3-1: both diagonals see TWO deg-2 common
+    // neighbors: cn 2, jaccard 10^6·2/(2+2−2), ra 2·(10^6 div 2);
+    // the 4 edges themselves must not appear
+    val sq = lp(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    assert(sq.toMap == Map(
+      (1L, 4L) -> ((2L, 1000000L, 1000000L)),
+      (2L, 3L) -> ((2L, 1000000L, 1000000L))))
+    // determinism: ties broken by (u, v) — collect order is stable
+    assert(sq.map(_._1).toSeq == Seq((1L, 4L), (2L, 3L)))
+  }
+
   test("co-supply edge derivation is memoized across its consumers") {
     // triangles, components, kcore, and communities all slice the
     // weighted base; in one process the 2-exchange derivation must
