@@ -97,6 +97,7 @@ object SparkEntry {
     "events_rfm" -> (Events.qRfm _),
     "events_paths" -> ((s, d) => Events.qPaths(s, d)),
     "profile_fd" -> (Profile.fdProfile _),
+    "profile_mi" -> (Profile.miProfile _),
     "profile_qsketch" -> ((s: SparkSession, d: String) => Profile.qsketchProfile(s, d)),
     "profile_kmv_overlap" -> (Profile.kmvOverlap _),
     "profile_skew" -> (Profile.skewProfile _),
@@ -2217,6 +2218,10 @@ object SparkEntry {
     "profile_corr" -> corrSql,
     // generated from the same FdPairs list the Spark sweep uses
     "profile_fd" -> graft.operators.Profile.fdOracleSql,
+    // generated from the same MiPairs list; per-factor micro-nat log
+    // quantization (the collocations PMI rule) keeps the cell sums
+    // exact BIGINTs in both engines
+    "profile_mi" -> graft.operators.Profile.miOracleSql,
     // generated from the same CASE chains the Spark plan runs — the
     // bucket/rank/midpoint rules have one Scala source of truth
     "profile_qsketch" -> graft.operators.Profile.qsketchOracleSql,

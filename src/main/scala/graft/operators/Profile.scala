@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -304,6 +304,106 @@ object Profile {
            CAST(max(k) = 1 AS INT) AS holds
          FROM (SELECT $a, count(DISTINCT $b) AS k FROM orders GROUP BY $a)"""
   }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY lhs, rhs")
+
+  /** Column pairs the mutual-information sweep scores — SQL
+    * expressions, so derived categoricals (a date's year) profile
+    * like raw columns. Curated and directed, like [[FdPairs]]. */
+  private[graft] val MiPairs = Seq(
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("lineitem", "year(l_shipdate)", "l_returnflag"),
+    ("lineitem", "year(l_shipdate)", "l_linestatus"),
+    ("orders", "o_orderstatus", "o_orderpriority"))
+
+  /** Mutual information / Theil's U for categorical column pairs —
+    * the SOFT companion of [[fdProfile]]'s hard dependency bit: where
+    * FD answers "does A determine B exactly", MI answers "how many
+    * nats of B does knowing A buy", and `theil_u` = MI/H(rhs)
+    * normalizes that to [0, 1] (1 ⇔ the FD holds, 0 ⇔ independent) —
+    * the dependency-strength matrix a schema profiler reports.
+    *
+    * Exactness discipline: the [[graft.operators.TextOps]]
+    * collocations PMI rule — each log factor is quantized ONCE to
+    * integer micro-nats (`round(ln(c)·10⁶)`), so every per-cell term
+    * `n_xy·(lm(n_xy) + lm(N) − lm(n_x) − lm(n_y))` is an exact BIGINT
+    * and the cell sum is aggregation-order-proof; both engines
+    * evaluate the identical quantization, so the approximate-looking
+    * statistic sits under the exact hash gate. BIGINT headroom: a
+    * term is ≤ N·4·ln(N)·10⁶ — safe through N ≈ 7·10¹⁰ rows per
+    * profiled table, past which the micro-nat scale (not the
+    * algorithm) needs one fewer digit.
+    *
+    * Shape: one map-side-combined groupBy per pair to the joint cell
+    * table (≤ |X|·|Y| rows — tiny for categoricals BY DEFINITION),
+    * marginals re-aggregated FROM the cells (never a second corpus
+    * scan), one broadcast 1-row N. A constant rhs has H = 0 ⇒
+    * `theil_u` NULL, not 0/0. */
+  def miProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    MiPairs.map { case (tbl, x, y) =>
+      miOne(if (tbl == "lineitem") t.lineitem else t.orders, tbl, x, y)
+    }.reduce(_ unionAll _).orderBy("tbl", "lhs", "rhs")
+  }
+
+  private def lMicro(c: Column): Column =
+    round(log(c.cast("double")) * 1e6, 0).cast("long")
+
+  private[graft] def miOne(df: DataFrame, tbl: String,
+      xe: String, ye: String): DataFrame = {
+    val joint = df.groupBy(expr(xe).as("x"), expr(ye).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = joint.groupBy("x").agg(sum("nxy").as("nx"))
+    val my = joint.groupBy("y").agg(sum("nxy").as("ny"))
+    val nTot = joint.agg(sum("nxy").as("n"))
+    val miSum = joint.join(mx, "x").join(my, "y").crossJoin(broadcast(nTot))
+      .select(col("nxy"),
+        (col("nxy") * (lMicro(col("nxy")) + lMicro(col("n"))
+          - lMicro(col("nx")) - lMicro(col("ny")))).as("t"))
+      .agg(sum("nxy").as("n"), count(lit(1)).as("k_joint"),
+        sum("t").as("mi_micro"))
+    val hSum = my.crossJoin(broadcast(nTot))
+      .select((col("ny") * (lMicro(col("n")) - lMicro(col("ny")))).as("h"))
+      .agg(sum("h").as("h_micro"))
+    miSum.crossJoin(hSum)
+      .select(lit(tbl).as("tbl"), lit(xe).as("lhs"), lit(ye).as("rhs"),
+        col("n"), col("k_joint"),
+        round(col("mi_micro").cast("double")
+          / (col("n").cast("double") * 1e6), 6).as("mi_nats"),
+        when(col("h_micro") === 0, lit(null).cast("double"))
+          .otherwise(round(col("mi_micro").cast("double")
+            / col("h_micro").cast("double"), 6)).as("theil_u"))
+  }
+
+  /** Generated DuckDB oracle for [[miProfile]] — same [[MiPairs]]
+    * list, same per-factor micro-nat quantization. */
+  def miOracleSql: String = MiPairs.map { case (tbl, x, y) =>
+    def lm(c: String) =
+      s"CAST(round(ln(CAST($c AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+    s"""SELECT '$tbl' AS tbl, '$x' AS lhs, '$y' AS rhs, m.n, m.k_joint,
+           round(CAST(m.mi_micro AS DOUBLE) / (CAST(m.n AS DOUBLE) * 1e6), 6)
+             AS mi_nats,
+           CASE WHEN h.h_micro = 0 THEN NULL
+                ELSE round(CAST(m.mi_micro AS DOUBLE)
+                           / CAST(h.h_micro AS DOUBLE), 6) END AS theil_u
+         FROM
+         (SELECT CAST(sum(nxy) AS BIGINT) AS n, count(*) AS k_joint,
+                 CAST(sum(nxy * (${lm("nxy")} + ${lm("tot.n")}
+                   - ${lm("mx.nx")} - ${lm("my.ny")})) AS BIGINT) AS mi_micro
+          FROM (SELECT $x AS x, $y AS y, count(*) AS nxy
+                FROM $tbl GROUP BY 1, 2) j
+          JOIN (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+                FROM (SELECT $x AS x, $y AS y, count(*) AS nxy
+                      FROM $tbl GROUP BY 1, 2) GROUP BY x) mx ON mx.x = j.x
+          JOIN (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+                FROM (SELECT $x AS x, $y AS y, count(*) AS nxy
+                      FROM $tbl GROUP BY 1, 2) GROUP BY y) my ON my.y = j.y
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM $tbl) tot) m
+         CROSS JOIN
+         (SELECT CAST(sum(ny * (${lm("tot.n")} - ${lm("ny")})) AS BIGINT)
+            AS h_micro
+          FROM (SELECT $y AS y, CAST(count(*) AS BIGINT) AS ny
+                FROM $tbl GROUP BY 1) my
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM $tbl) tot) h"""
+  }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl, lhs, rhs")
 
   /** Approximate p50/p90/p99 of cent-scaled `l_extendedprice` per
     * return flag via the MERGEABLE quantile sketch

@@ -437,6 +437,25 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(rows.exists(_.getLong(2) == 0L), "no gaps were filled")
   }
 
+  test("mutual information: closed forms (copy ln2/U=1, independent 0, constant rhs NULL)") {
+    import spark.implicits._
+    import graft.operators.Profile
+    def mi(rows: Seq[(String, String)]) =
+      Profile.miOne(rows.toDF("a", "b"), "t", "a", "b").head()
+    // Y is a copy of X, uniform on {a,b}: MI = H(Y) = ln 2 exactly
+    // (the micro-nat terms cancel to round(ln2*1e6) per row), U = 1
+    val copy = mi(Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")))
+    assert(copy.getLong(3) == 4 && copy.getLong(4) == 2)
+    assert(copy.getDouble(5) == 0.693147)
+    assert(copy.getDouble(6) == 1.0)
+    // independent uniform 2x2: every cell term is exactly zero
+    val ind = mi(Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")))
+    assert(ind.getDouble(5) == 0.0 && ind.getDouble(6) == 0.0)
+    // constant rhs: H(Y) = 0 — Theil's U must be NULL, not 0/0
+    val const = mi(Seq(("a", "c"), ("b", "c")))
+    assert(const.getDouble(5) == 0.0 && const.isNullAt(6))
+  }
+
   test("corr profiler: agrees with Spark's corr() and is partitioning-invariant") {
     val rows = Profile.corrProfile(spark, Sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
