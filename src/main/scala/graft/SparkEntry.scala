@@ -115,6 +115,7 @@ object SparkEntry {
     "graph_assortativity" -> (Graph.assortativity _),
     "graph_clustering" -> (Graph.clustering _),
     "graph_linkpred" -> ((s: SparkSession, d: String) => Graph.linkPrediction(s, d)),
+    "basket_rules" -> ((s: SparkSession, d: String) => Graph.basketRules(s, d)),
     "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
     "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
     "graph_communities_sweep" -> ((s: SparkSession, d: String) => Graph.supplierCommunitySweep(s, d)),
@@ -1379,6 +1380,31 @@ object SparkEntry {
                 c.ra_ppm
          FROM c JOIN d du ON du.n = c.u JOIN d dv ON dv.n = c.v
          ORDER BY jac_ppm DESC, cn DESC, u, v LIMIT 100""",
+    // same thresholded co-purchase pairs; truncating integer ppm for
+    // support/confidence, one rounded double for lift
+    "basket_rules" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+                      CAST(count(*) AS BIGINT) AS w
+               FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         pc AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS np
+                FROM sl GROUP BY 1),
+         nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+                FROM lineitem),
+         d AS (SELECT u AS ant, v AS cons, w FROM e
+               UNION ALL SELECT v, u, w FROM e)
+         SELECT d.ant, d.cons, d.w AS n_both, pa.np AS n_ant,
+                pb.np AS n_cons, nb.n AS n_baskets,
+                CAST(1000000 * d.w // nb.n AS BIGINT) AS support_ppm,
+                CAST(1000000 * d.w // pa.np AS BIGINT) AS conf_ppm,
+                round(CAST(d.w AS DOUBLE) * CAST(nb.n AS DOUBLE)
+                      / (CAST(pa.np AS DOUBLE) * CAST(pb.np AS DOUBLE)), 6)
+                  AS lift
+         FROM d JOIN pc pa ON pa.p = d.ant
+                JOIN pc pb ON pb.p = d.cons CROSS JOIN nb
+         ORDER BY ant, cons""",
     // same co-supply edges + degree join, exact BIGINT moment sums
     // (DuckDB's HUGEINT sums cast back), and the identical one-shot
     // double Pearson expression — NULL on a variance-free graph

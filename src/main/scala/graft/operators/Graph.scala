@@ -567,7 +567,7 @@ object Graph {
     * (collect_set partials bounded by lines-per-order, a schema
     * constant ~7), pairs exploded map-side, one shuffle to pair
     * counts. Memoized like its sibling. */
-  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String,
+  private[graft] def coPurchaseEdgesW(spark: SparkSession, dir: String,
       minOrders: Int = 2): DataFrame =
     shared.getOrBuild(spark, s"$dir#copurchase$minOrders") {
       val byOrder = Tables(spark, dir).lineitem
@@ -578,8 +578,11 @@ object Graph {
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= minOrders)
-        .select(col("u"), col("v"))
     }
+
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String,
+      minOrders: Int = 2): DataFrame =
+    coPurchaseEdgesW(spark, dir, minOrders).select(col("u"), col("v"))
 
   /** Link prediction over the part co-purchase graph ("frequently
     * bought together", co-ordered ≥ 2 times): score every
@@ -631,6 +634,55 @@ object Graph {
         col("ra_ppm"))
       .orderBy(col("jac_ppm").desc, col("cn").desc, col("u"), col("v"))
       .limit(topN)
+  }
+
+  /** Association rules over the part co-purchase baskets — the
+    * market-basket classic (Agrawal/Srikant '94 shape, pair rules):
+    * for every directed pair (antecedent → consequent) co-ordered ≥
+    * `minOrders` times, support (ppm of baskets holding both),
+    * confidence (ppm of antecedent baskets that also hold the
+    * consequent), and lift (confidence / consequent base rate; > 1 ⇔
+    * genuinely associated). Support and confidence are truncating
+    * integer ppm — exact in both engines; lift is the one double
+    * (w·N and n_a·n_c overflow BIGINT·10⁶ at real basket counts) —
+    * same IEEE expression both sides, rounded 6dp.
+    *
+    * Shape: the MEMOIZED co-purchase pair base (shared with
+    * [[linkPrediction]] — a suite run pays the basket scan once),
+    * one distinct-(order, part) aggregate for the per-part basket
+    * counts, a broadcast 1-row basket total, two keyed joins. Output
+    * ∝ qualifying pairs ⇒ within-partition presentation order. */
+  def basketRules(spark: SparkSession, dir: String,
+      minOrders: Int = 2): DataFrame =
+    basketRulesOf(
+      Tables(spark, dir).lineitem
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+        .distinct(),
+      coPurchaseEdgesW(spark, dir, minOrders))
+
+  /** Core over any distinct (basket, item) frame plus its qualifying
+    * co-occurrence pairs `(u, v, w)` — split so the public op can
+    * feed the MEMOIZED pair base while specs plant both sides. */
+  private[graft] def basketRulesOf(sl: DataFrame, ew: DataFrame): DataFrame = {
+    val partN = sl.groupBy(col("item").as("p"))
+      .agg(count(lit(1)).as("np"))
+    val baskets = sl.agg(countDistinct(col("basket")).as("n_baskets"))
+    val directed = ew.select(col("u").as("ant"), col("v").as("cons"), col("w"))
+      .unionAll(ew.select(col("v").as("ant"), col("u").as("cons"), col("w")))
+    directed
+      .join(partN.select(col("p").as("ant"), col("np").as("n_ant")), "ant")
+      .join(partN.select(col("p").as("cons"), col("np").as("n_cons")), "cons")
+      .crossJoin(broadcast(baskets))
+      .select(col("ant"), col("cons"), col("w").as("n_both"),
+        col("n_ant"), col("n_cons"), col("n_baskets"),
+        expr("CAST(1000000 * w AS BIGINT) div n_baskets").as("support_ppm"),
+        expr("CAST(1000000 * w AS BIGINT) div n_ant").as("conf_ppm"),
+        // functions.round spelled out: Graph.round is the pagerank step
+        org.apache.spark.sql.functions.round(
+          col("w").cast("double") * col("n_baskets").cast("double")
+            / (col("n_ant").cast("double") * col("n_cons").cast("double")), 6)
+          .as("lift"))
+      .sortWithinPartitions("ant", "cons")
   }
 
   /** Degree assortativity of the strong-tie supplier graph — do

@@ -437,6 +437,23 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(rows.exists(_.getLong(2) == 0L), "no gaps were filled")
   }
 
+  test("basket rules: closed-form metrics, both directions, sub-threshold pairs absent") {
+    import spark.implicits._
+    // baskets: {A,B} {A,B} {A,C} {C} — only (A,B) reaches w >= 2
+    val sl = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "C")).toDF("basket", "item")
+    val ew = Seq(("A", "B", 2L)).toDF("u", "v", "w")
+    val got = Graph.basketRulesOf(sl, ew).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
+    // n_A=3, n_B=2, n=4: support 10^6*2/4, conf A->B = 10^6*2 div 3
+    // (truncating), lift both ways = 2*4/(3*2) = 1.333333
+    assert(got == Map(
+      ("A", "B") -> ((2L, 3L, 2L, 4L, 500000L, 666666L, 1.333333)),
+      ("B", "A") -> ((2L, 2L, 3L, 4L, 500000L, 1000000L, 1.333333))))
+  }
+
   test("mutual information: closed forms (copy ln2/U=1, independent 0, constant rhs NULL)") {
     import spark.implicits._
     import graft.operators.Profile
