@@ -339,18 +339,52 @@ object Profile {
     * `theil_u` NULL, not 0/0. */
   def miProfile(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val byTable = Map("lineitem" -> t.lineitem, "orders" -> t.orders)
+    // ONE corpus scan per table: the full cross-cell table over every
+    // profiled expression, COLLECTED — ≤ Π|distinct| rows, bounded by
+    // the definition of a categorical sweep (the codebook-collect
+    // discipline: a bounded driver round-trip that keeps the n-pair
+    // union from re-deriving the scan per branch — Spark plans are
+    // trees, so a shared heavy subframe re-executes under every
+    // consumer unless it is literal). All MI arithmetic then runs as
+    // Catalyst expressions over the literal cells, NOT driver-side
+    // scala.math — the micro-nat quantization must evaluate through
+    // the same engine expression path the oracle mirrors.
+    val cells = MiPairs.groupBy(_._1).map { case (tbl, ps) =>
+      val exprs = ps.flatMap(p => Seq(p._2, p._3)).distinct
+      val idx = exprs.zipWithIndex.toMap
+      val collected = byTable(tbl)
+        .groupBy(exprs.map(e => expr(e).cast("string").as(s"e${idx(e)}")): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+      val schema = org.apache.spark.sql.types.StructType(
+        exprs.map(e => org.apache.spark.sql.types.StructField(
+          s"e${idx(e)}", org.apache.spark.sql.types.StringType)) :+
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))
+      val local = byTable(tbl).sparkSession.createDataFrame(
+        java.util.Arrays.asList(collected: _*), schema)
+      (tbl, (local, idx))
+    }
     MiPairs.map { case (tbl, x, y) =>
-      miOne(if (tbl == "lineitem") t.lineitem else t.orders, tbl, x, y)
+      val (cellDf, idx) = cells(tbl)
+      jointMi(cellDf.groupBy(col(s"e${idx(x)}").as("x"),
+          col(s"e${idx(y)}").as("y"))
+        .agg(sum("cnt").as("nxy")), tbl, x, y)
     }.reduce(_ unionAll _).orderBy("tbl", "lhs", "rhs")
   }
 
   private def lMicro(c: Column): Column =
     round(log(c.cast("double")) * 1e6, 0).cast("long")
 
+  /** Single-pair entry over a raw frame (spec surface). */
   private[graft] def miOne(df: DataFrame, tbl: String,
+      xe: String, ye: String): DataFrame =
+    jointMi(df.groupBy(expr(xe).as("x"), expr(ye).as("y"))
+      .agg(count(lit(1)).as("nxy")), tbl, xe, ye)
+
+  private def jointMi(joint: DataFrame, tbl: String,
       xe: String, ye: String): DataFrame = {
-    val joint = df.groupBy(expr(xe).as("x"), expr(ye).as("y"))
-      .agg(count(lit(1)).as("nxy"))
     val mx = joint.groupBy("x").agg(sum("nxy").as("nx"))
     val my = joint.groupBy("y").agg(sum("nxy").as("ny"))
     val nTot = joint.agg(sum("nxy").as("n"))
