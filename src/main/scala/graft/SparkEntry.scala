@@ -146,6 +146,7 @@ object SparkEntry {
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.ngramComponents(s, d)),
+    "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBest(s, d)),
     "dedup_components_resume" -> ((s: SparkSession, d: String) => Dedup.ngramComponentsResumed(s, d)),
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
@@ -484,7 +485,11 @@ object SparkEntry {
     * → closure stays small). Shared VERBATIM with
     * `dedup_components_resume`: the warm-started loop must land on
     * the identical fixed point, so one oracle text gates both. */
-  private lazy val dedupComponentsSql: String =
+  /** The n-gram-LSH near-dup graph + transitive closure as a CTE
+    * prefix ending at `comp` = (doc_id, component) — shared by the
+    * components oracle and the keep-best oracle so the clustering
+    * trajectory has one SQL statement of truth. */
+  private lazy val dedupComponentsCtes: String =
     """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
            FROM documents),
@@ -521,8 +526,31 @@ object SparkEntry {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
          comp AS (
            SELECT a AS doc_id, least(a, min(b)) AS component
-           FROM reach GROUP BY a)
-         SELECT doc_id, component FROM comp ORDER BY doc_id"""
+           FROM reach GROUP BY a)"""
+
+  private lazy val dedupComponentsSql: String =
+    dedupComponentsCtes +
+      "\n         SELECT doc_id, component FROM comp ORDER BY doc_id"
+
+  /** Keep-best oracle: the same closure, then byte-length argmax per
+    * cluster (strlen = UTF-8 BYTES in DuckDB ≡ Spark octet_length —
+    * the codepoint/code-unit divergence the unicode gate exists to
+    * catch is avoided by construction). */
+  private lazy val dedupKeepBestSql: String =
+    dedupComponentsCtes + """,
+         base AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS blen
+                  FROM documents),
+         lab AS (SELECT b.doc_id,
+                        coalesce(c.component, b.doc_id) AS component,
+                        b.blen
+                 FROM base b LEFT JOIN comp c ON c.doc_id = b.doc_id),
+         cs AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                FROM lab GROUP BY 1),
+         keep AS (SELECT component, doc_id, blen FROM lab
+                  QUALIFY row_number() OVER (PARTITION BY component
+                    ORDER BY blen DESC, doc_id) = 1)
+         SELECT k.component, k.doc_id, k.blen, cs.csize
+         FROM keep k JOIN cs USING (component) ORDER BY component"""
 
   /** mr_cms_freq oracle: a Count-Min counter's content is "sum of
     * counts of every token in the bucket", so DuckDB rebuilds the
@@ -1560,6 +1588,7 @@ object SparkEntry {
     // Recursive-CTE transitive closure over the same pair set the
     // Spark side derives (tiny clusters → closure stays small).
     "dedup_components" -> dedupComponentsSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     // SAME oracle text as dedup_components: the resume query's
     // warm-started propagation must land on the identical fixed point
     // — the hash match IS the resume-correctness proof

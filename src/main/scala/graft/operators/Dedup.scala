@@ -559,6 +559,36 @@ object Dedup {
     // cached for dedup_ngram_jaccard/dedup_containment
     components(sharedJaccardPairs(spark, dir, tau))
 
+  /** Cluster-representative selection — the pipeline step AFTER
+    * near-dup clustering: from each `ngramComponents` cluster keep
+    * exactly ONE document (longest by UTF-8 BYTES — `octet_length` ≡
+    * DuckDB `strlen`, sidestepping the codepoint/code-unit divergence
+    * the unicode gate polices — tie broken by min doc_id);
+    * un-clustered docs pass through as their own singleton
+    * (`component` = own id, csize 1). Output is the KEPT corpus
+    * manifest: (component, kept doc_id, blen, csize) — what a
+    * curation pipeline joins against to materialize the deduped
+    * shard. Shape: the shared (cached) pair base + propagation loop,
+    * one left join to labels, one argmax-by-struct groupBy (map-side
+    * combined; no per-cluster window), within-partition presentation
+    * order. */
+  def keepBest(spark: SparkSession, dir: String,
+      tau: Double = 0.1): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), expr("CAST(octet_length(text) AS BIGINT)").as("blen"))
+    val labeled = docs
+      .join(ngramComponents(spark, dir, tau), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"), col("blen"))
+    labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"),
+        // struct max = (blen desc, -doc_id desc) ⇒ longest, then min id
+        max(struct(col("blen"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("component"), (-col("m.nd")).as("doc_id"),
+        col("m.blen").as("blen"), col("csize"))
+      .sortWithinPartitions("component")
+  }
+
   /** The `dedup_components_resume` query: warm-start label propagation
     * — converge a deterministic "yesterday" subset of the near-dup
     * pairs (those whose lower doc_id is even — an arbitrary but

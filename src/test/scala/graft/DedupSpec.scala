@@ -221,6 +221,31 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("keep-best: one representative per cluster (longest bytes, min-id tie), singletons pass through") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val tables = graft.core.Tables(spark, Sf)
+    val blen = tables.documents
+      .select(col("doc_id"), expr("CAST(octet_length(text) AS BIGINT)").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = Dedup.ngramComponents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Dedup.keepBest(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // replay the whole contract driver-side from components + lengths
+    val clusters = blen.keys.groupBy(d => comp.getOrElse(d, d))
+    assert(kept.keySet == clusters.keySet, "one output row per cluster key")
+    clusters.foreach { case (c, members) =>
+      val (doc, b, csize) = kept(c)
+      assert(csize == members.size, s"cluster $c size")
+      val best = members.minBy(d => (-blen(d), d))
+      assert(doc == best && b == blen(best),
+        s"cluster $c kept $doc, expected $best")
+    }
+    // total kept = clusters; dropped = corpus - clusters
+    assert(kept.size == clusters.size && kept.size <= blen.size)
+  }
+
   test("sketch signatures are map-side kernels (no explode+aggregate in plan)") {
     val docs = graft.core.Tables(spark, Sf).documents
     val mh = Dedup.minhashLshDf(docs, tau = 0.5)
