@@ -98,6 +98,7 @@ object SparkEntry {
     "events_paths" -> ((s, d) => Events.qPaths(s, d)),
     "profile_fd" -> (Profile.fdProfile _),
     "profile_mi" -> (Profile.miProfile _),
+    "profile_benford" -> (Profile.benfordProfile _),
     "profile_qsketch" -> ((s: SparkSession, d: String) => Profile.qsketchProfile(s, d)),
     "profile_kmv_overlap" -> (Profile.kmvOverlap _),
     "profile_skew" -> (Profile.skewProfile _),
@@ -155,6 +156,7 @@ object SparkEntry {
     "ann_quantized" -> (Ann.quantized _),
     "ann_pq" -> (Ann.pq _),
     "ann_pq_trained" -> ((s: SparkSession, d: String) => Ann.pqTrained(s, d)),
+    "ann_ivf_pq" -> ((s: SparkSession, d: String) => Ann.ivfPq(s, d)),
     "emb_centroids" -> (Ann.centroidStats _),
     "ann_knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
     "ann_range" -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
@@ -1722,6 +1724,9 @@ object SparkEntry {
     // the trained twin comes from the SAME generator at PqTrainRounds,
     // so the two oracles replay one codebook-trajectory definition
     "ann_pq_trained" -> operators.Ann.pqTrainedOracleSql,
+    // two-level IVF-PQ: coarse cosine cells + integer residual codes,
+    // probed-cell ADC, exact rerank — all integer-exact end to end
+    "ann_ivf_pq" -> operators.Ann.ivfPqOracleSql,
     // IVF is pure SQL end-to-end: deterministic codebook (every 29th
     // vector), nearest-cell argmax (csim desc, cent_id asc — the same
     // tie-break as the Spark argmax over the broadcast codebook),
@@ -2277,6 +2282,9 @@ object SparkEntry {
     // quantization (the collocations PMI rule) keeps the cell sums
     // exact BIGINTs in both engines
     "profile_mi" -> graft.operators.Profile.miOracleSql,
+    // same column list and ppm literals; the chi-square quantizes
+    // each term to micro-units so the 9-term sum is order-proof
+    "profile_benford" -> graft.operators.Profile.benfordOracleSql,
     // generated from the same CASE chains the Spark plan runs — the
     // bucket/rank/midpoint rules have one Scala source of truth
     "profile_qsketch" -> graft.operators.Profile.qsketchOracleSql,

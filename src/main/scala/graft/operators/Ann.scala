@@ -508,6 +508,169 @@ object Ann {
        WHERE rank <= $TopK ORDER BY qid, rank"""
   }
 
+  /** IVF-PQ: the two-level composition production ANN engines ship —
+    * the coarse quantizer routes each vector to a cell ([[ivf]]'s
+    * cosine argmax over the broadcast codebook), PQ codes the RESIDUAL
+    * (vector − its cell centroid, where codes on raw vectors would
+    * waste bits re-encoding the cell's position), and a probe scores
+    * only the probed cells' members by residual ADC before the exact
+    * rerank. Memory: 4 PQ bytes + 1 cell id per vector.
+    *
+    * Exactness: residuals are INTEGER (both the vector and its
+    * centroid quantize through the same floor-2²⁰ rule — centroids
+    * are corpus vectors, so their quantized forms already exist), the
+    * subspace codebook is hash-seeded residual slices, encode is the
+    * fused integer argmin kernel, ADC is integer sums — the whole
+    * two-level pipeline hash-matches its generated oracle like [[pq]].
+    * The centroid frame rides a broadcast JOIN (≤ |codebook| rows),
+    * not expression literals — a 2¹⁴-cell production codebook as plan
+    * literals would bloat the plan, and the join is the same
+    * zero-corpus-shuffle shape. Residual components span ≤ 2× the
+    * quantizer gate: still 2⁴⁰ per-dim headroom under the kernel's
+    * Long bound at [[Cluster.MaxDim]]. */
+  def ivfPq(spark: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
+    val cb = codebook(spark, dir)
+    val qcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qc",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
+    val qcRows: Seq[org.apache.spark.sql.Row] = cb.toSeq.map { case (cid, v) =>
+      org.apache.spark.sql.Row(cid,
+        v.toSeq.map(x => math.floor(x.toDouble * Cluster.Scale).toLong))
+    }
+    val qcDf = spark.createDataFrame(
+      java.util.Arrays.asList(qcRows: _*), qcSchema)
+    val cells = emb(spark, dir)
+      .select(col("vec_id"), cellOf(col("embedding"), cb).as("cell"))
+    val corp = Cluster.quantized(emb(spark, dir))
+      .join(cells, "vec_id")
+      .join(broadcast(qcDf), "cell")
+      .withColumn("r", expr("zip_with(q, qc, (a, b) -> a - b)"))
+      .cache()
+    val seedRes = corp
+      .select(col("vec_id"), col("r"),
+        graft.functions.PortableHash.h60(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .select(col("r")).collect().map(_.getSeq[Long](0).toArray)
+    require(seedRes.head.length == PqM * PqDsub,
+      s"IVF-PQ layout expects dim ${PqM * PqDsub}, got ${seedRes.head.length}")
+    val subCents: Array[Array[Array[Long]]] = Array.tabulate(PqM)(s =>
+      seedRes.map(v => v.slice(s * PqDsub, (s + 1) * PqDsub)))
+    var coded = corp
+    for (s <- 0 until PqM)
+      coded = coded.withColumn(s"c$s",
+        Cluster.assignCol(slice(col("r"), s * PqDsub + 1, PqDsub), subCents(s))
+          .getField("cid"))
+    val cbLits: Array[Column] = subCents.map(sc =>
+      array(sc.map(c2 => array(c2.map(lit(_)): _*)): _*))
+    val recon = coded
+      .withColumn("recon", flatten(array((0 until PqM).map(s =>
+        element_at(cbLits(s), col(s"c$s") + 1)): _*)))
+      .select(col("vec_id"), col("cell"), col("recon"))
+    val qq = Cluster.quantized(queriesDf(spark, dir)
+        .select(col("qid").as("vec_id"), col("qe").as("embedding")))
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val probes = queriesDf(spark, dir)
+      .select(col("qid"), explode(nearestCells(col("qe"), cb, nprobe)).as("cell"))
+      .join(qq, "qid")
+      .join(broadcast(qcDf), "cell")
+      .select(col("qid"), col("cell"),
+        expr("zip_with(qq, qc, (a, b) -> a - b)").as("rq"))
+    val cand = recon.join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        expr("aggregate(zip_with(rq, recon, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("d2"))
+      .groupBy(col("qid"))
+      .agg(TopKScoreAgg.topk(-col("d2").cast("double"), col("vec_id"),
+        PqMargin).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("vec_id"))
+    val exact = cand
+      .join(emb(spark, dir), Seq("vec_id"))
+      .join(broadcast(queriesDf(spark, dir)), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
+    topkPerQuery(exact)
+  }
+
+  /** Generated DuckDB oracle for [[ivfPq]] — the identical coarse
+    * cells ([[ivf]]'s argmax rule), integer residuals (centroids are
+    * corpus vectors, so their quantized components come from the same
+    * `x` CTE), hash-seed residual codebook, per-subspace argmin
+    * codes, probed-cell residual ADC, and exact-cosine rerank. */
+  def ivfPqOracleSql: String =
+    s"""WITH ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+       cf AS (SELECT vec_id AS cent_id, emb AS ce FROM ef
+              WHERE vec_id % $CentroidStride = 0),
+       cl AS (SELECT vec_id, cell FROM (
+                SELECT ef.vec_id, cf.cent_id AS cell,
+                       row_number() OVER (PARTITION BY ef.vec_id
+                         ORDER BY list_cosine_similarity(ef.emb, cf.ce) DESC,
+                                  cf.cent_id) AS rn
+                FROM ef CROSS JOIN cf) WHERE rn = 1),
+       e AS (SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CASE WHEN isnan(x) OR abs(x) >= 128
+                      THEN CAST(error('ivfpq: non-finite or out-of-range embedding component') AS BIGINT)
+                      ELSE CAST(floor(x * ${Cluster.Scale}) AS BIGINT) END) AS q
+             FROM embeddings),
+       x AS (SELECT vec_id, unnest(q) AS v,
+                    unnest(range(len(q))) AS d FROM e),
+       resid AS (SELECT x.vec_id, c.cell, x.d, x.v - qc.v AS rv
+                 FROM x JOIN cl c ON c.vec_id = x.vec_id
+                 JOIN x qc ON qc.vec_id = c.cell AND qc.d = x.d),
+       seeds AS (SELECT vec_id, row_number() OVER (ORDER BY
+                   ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                   vec_id) - 1 AS cid
+                 FROM e QUALIFY cid < $PqK),
+       cb AS (SELECT s.cid, r.d, r.rv AS v
+              FROM seeds s JOIN resid r ON r.vec_id = s.vec_id),
+       sd AS (SELECT r.vec_id, r.d // $PqDsub AS s, cb.cid,
+                     CAST(sum((r.rv - cb.v) * (r.rv - cb.v)) AS BIGINT) AS dist
+              FROM resid r JOIN cb ON r.d = cb.d GROUP BY 1, 2, 3),
+       codes AS (SELECT vec_id, s, cid FROM sd
+              QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY dist, cid) = 1),
+       recon AS (SELECT c.vec_id, cb.d, cb.v
+              FROM codes c JOIN cb ON cb.cid = c.cid
+               AND cb.d // $PqDsub = c.s),
+       qf AS (SELECT vec_id AS qid, emb AS qe FROM ef
+              WHERE vec_id < $NumQueries),
+       probes AS (SELECT qid, cell FROM (
+                SELECT qf.qid, cf.cent_id AS cell,
+                       row_number() OVER (PARTITION BY qf.qid
+                         ORDER BY list_cosine_similarity(qf.qe, cf.ce) DESC,
+                                  cf.cent_id) AS rn
+                FROM qf CROSS JOIN cf) WHERE rn <= $NProbe),
+       rq AS (SELECT p.qid, p.cell, x.d, x.v - qc.v AS rv
+              FROM probes p JOIN x ON x.vec_id = p.qid
+              JOIN x qc ON qc.vec_id = p.cell AND qc.d = x.d),
+       adc AS (SELECT rq.qid, m.vec_id,
+                      CAST(sum((rq.rv - re.v) * (rq.rv - re.v)) AS BIGINT) AS d2
+               FROM rq JOIN cl m ON m.cell = rq.cell
+               JOIN recon re ON re.vec_id = m.vec_id AND re.d = rq.d
+               GROUP BY 1, 2),
+       cand AS (SELECT qid, vec_id FROM adc
+              QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY CAST(d2 AS DOUBLE), vec_id) <= $PqMargin),
+       scored AS (SELECT c.qid, c.vec_id,
+                    round(list_cosine_similarity(
+                      CAST(e2.embedding AS DOUBLE[]),
+                      CAST(q2.embedding AS DOUBLE[])), 6) AS cosine
+              FROM cand c
+              JOIN embeddings e2 ON e2.vec_id = c.vec_id
+              JOIN embeddings q2 ON q2.vec_id = c.qid),
+       ranked AS (SELECT qid, vec_id, cosine,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored)
+       SELECT qid, rank, vec_id, cosine FROM ranked
+       WHERE rank <= $TopK ORDER BY qid, rank"""
+
   /** Per-(label, dimension) embedding statistics — the input a coarse
     * quantizer / codebook trainer consumes (and the standard sanity
     * sweep over an embedding corpus: per-cluster means, coverage).

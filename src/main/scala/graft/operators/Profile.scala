@@ -407,6 +407,108 @@ object Profile {
             / col("h_micro").cast("double"), 6)).as("theil_u"))
   }
 
+  /** Money columns the Benford sweep audits (wide-range positive
+    * values — the distribution the first-digit law applies to). */
+  private[graft] val BenfordCols = Seq(
+    ("orders", "o_totalprice"), ("lineitem", "l_extendedprice"))
+
+  /** Expected first-digit frequencies `log10(1 + 1/d)` in ppm —
+    * computed ONCE here in Scala and emitted as literals into BOTH
+    * engines' plans, so no runtime log10 can diverge. */
+  private[graft] val BenfordPpm: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  /** Benford first-digit audit of the money columns — the
+    * fraud/quality screen a profiler runs over financial-ish fields:
+    * observed first-significant-digit counts vs the Benford
+    * expectation, with a chi-square distance per column. First digit
+    * via exact cents (`round(v·100)` BIGINT — the moneySum rule) and
+    * the integer's CANONICAL decimal string (identical in both
+    * engines; no runtime log10 of the value, whose floor at exact
+    * powers of ten is libm-dependent). The chi-square sum quantizes
+    * each term to micro-units first, so the 9-term sum is an exact
+    * BIGINT — aggregation-order-proof. Zero-count digits still
+    * contribute their expected mass (left join onto the literal digit
+    * frame). One scan per audited column; everything after the
+    * 9-row count table is constant-sized. */
+  def benfordProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byTable = Map("lineitem" -> t.lineitem, "orders" -> t.orders)
+    BenfordCols.map { case (tbl, c) =>
+      benfordOne(byTable(tbl), tbl, c)
+    }.reduce(_ unionAll _).orderBy("tbl", "col_name", "digit")
+  }
+
+  /** Single-column census + chi-square (spec surface). ONE scan: the
+    * ≤ 9-row digit census is collected (bounded by construction —
+    * the MI-cells discipline) so the downstream chi-square never
+    * re-derives the scan per branch. The chi-square ARITHMETIC stays
+    * in Catalyst expressions over the literal frame: +·/ on doubles
+    * are exact IEEE everywhere, but round-half-up must evaluate
+    * through the same engine expression the oracle mirrors. */
+  private[graft] def benfordOne(df: DataFrame, tbl: String,
+      c: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts: Map[Int, Long] = df
+      .select(round(col(c) * 100, 0).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ntot = counts.values.sum
+    val full = BenfordPpm
+      .map { case (d, p) => (d, counts.getOrElse(d, 0L), p, ntot) }
+      .toDF("digit", "n", "exp_ppm", "ntot")
+    val expN = col("ntot").cast("double") * col("exp_ppm").cast("double") / 1e6
+    val diff = col("n").cast("double") - expN
+    val chi = full
+      .select(round(diff * diff / expN * 1e6, 0).cast("long").as("tm"))
+      .agg((sum(col("tm")).cast("double") / 1e6).as("chi2"))
+    full.crossJoin(broadcast(chi))
+      .select(lit(tbl).as("tbl"), lit(c).as("col_name"),
+        col("digit"), col("n"), col("exp_ppm"), col("chi2"))
+  }
+
+  /** Generated DuckDB oracle for [[benfordProfile]] — same column
+    * list, same ppm literals, same micro-quantized chi-square. */
+  def benfordOracleSql: String = {
+    val values = BenfordPpm.map { case (d, p) => s"($d, CAST($p AS BIGINT))" }
+      .mkString(", ")
+    BenfordCols.map { case (tbl, c) =>
+      s"""SELECT '$tbl' AS tbl, '$c' AS col_name, f.digit, f.n, f.exp_ppm,
+             x.chi2
+           FROM
+           (SELECT d.digit, coalesce(cnt.n, 0) AS n, d.exp_ppm, t.ntot
+            FROM (VALUES $values) AS d(digit, exp_ppm)
+            LEFT JOIN (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM (SELECT CAST(round($c * 100, 0) AS BIGINT) AS cents
+                             FROM $tbl)
+                       WHERE cents > 0 GROUP BY 1) cnt ON cnt.digit = d.digit
+            CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS ntot
+                        FROM (SELECT CAST(round($c * 100, 0) AS BIGINT) AS cents
+                              FROM $tbl) WHERE cents > 0) t) f
+           CROSS JOIN
+           (SELECT CAST(sum(CAST(round(
+                     (CAST(n AS DOUBLE) - CAST(ntot AS DOUBLE) * CAST(exp_ppm AS DOUBLE) / 1e6)
+                     * (CAST(n AS DOUBLE) - CAST(ntot AS DOUBLE) * CAST(exp_ppm AS DOUBLE) / 1e6)
+                     / (CAST(ntot AS DOUBLE) * CAST(exp_ppm AS DOUBLE) / 1e6)
+                     * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 AS chi2
+            FROM (SELECT d.digit, coalesce(cnt.n, 0) AS n, d.exp_ppm, t.ntot
+                  FROM (VALUES $values) AS d(digit, exp_ppm)
+                  LEFT JOIN (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+                                    CAST(count(*) AS BIGINT) AS n
+                             FROM (SELECT CAST(round($c * 100, 0) AS BIGINT) AS cents
+                                   FROM $tbl)
+                             WHERE cents > 0 GROUP BY 1) cnt ON cnt.digit = d.digit
+                  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS ntot
+                              FROM (SELECT CAST(round($c * 100, 0) AS BIGINT) AS cents
+                                    FROM $tbl) WHERE cents > 0) t)) x"""
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl, col_name, digit")
+  }
+
   /** Generated DuckDB oracle for [[miProfile]] — same [[MiPairs]]
     * list, same per-factor micro-nat quantization. */
   def miOracleSql: String = MiPairs.map { case (tbl, x, y) =>

@@ -112,6 +112,19 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("ivf-pq recall@5 vs bruteforce") {
+    val approx = topk(Ann.ivfPq(spark, Sf))
+    val recall = recallOf(approx)
+    info(s"ivf-pq recall@5 = $recall")
+    // two approximations compound (nprobe=8 cell pruning × 4-bit
+    // residual codes) — the floor sits under both parents' measured
+    // values (ivf 0.76, pq 0.58) on the worst-case corpus
+    assert(recall >= 0.3, s"ivf-pq recall $recall below floor")
+    approx.foreach { case (q, ids) =>
+      assert(ids.size == 5 && ids.distinct.size == 5, s"query $q: $ids")
+    }
+  }
+
   test("lsh recall@5 vs bruteforce") {
     val approx = topk(Ann.lsh(spark, Sf))
     val recall = recallOf(approx)
@@ -152,7 +165,8 @@ class AnnSpec extends SparkSpecBase {
         "ivf" -> Ann.ivf(spark, Sf),
         "quantized" -> Ann.quantized(spark, Sf),
         "pq" -> Ann.pq(spark, Sf),
-        "pq_trained" -> Ann.pqTrained(spark, Sf))) {
+        "pq_trained" -> Ann.pqTrained(spark, Sf),
+        "ivf_pq" -> Ann.ivfPq(spark, Sf))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Window"),
         s"$name still funnels the scored corpus through a window:\n$p")

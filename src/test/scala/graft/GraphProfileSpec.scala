@@ -437,6 +437,29 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(rows.exists(_.getLong(2) == 0L), "no gaps were filled")
   }
 
+  test("benford: digit census closed form, zero/negative excluded, chi2 replayed") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // one value per digit 1..9 (uniform — maximally non-Benford),
+    // plus a zero and a negative that must not count
+    val vals = (1 to 9).map(d => d * 1.11) ++ Seq(0.0, -5.0)
+    val got = Profile.benfordOne(vals.toDF("v"), "t", "v").collect()
+      .map(r => (r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to 9))
+    assert(got.forall(_._2 == 1L), "one observation per digit")
+    // chi2 replay: term_micro = round(((1 - 9p)^2 / (9p)) * 1e6)
+    val expect = Profile.BenfordPpm.map { case (_, ppm) =>
+      val e = 9.0 * ppm.toDouble / 1e6
+      val d = 1.0 - e
+      BigDecimal(d * d / e * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum.toDouble / 1e6
+    assert(got.forall(_._4 == expect), s"chi2 ${got.head._4} vs $expect")
+    // ppm literals are the Benford law, and they ~sum to one million
+    assert(math.abs(Profile.BenfordPpm.map(_._2).sum - 1000000L) <= 5)
+  }
+
   test("basket rules: closed-form metrics, both directions, sub-threshold pairs absent") {
     import spark.implicits._
     // baskets: {A,B} {A,B} {A,C} {C} — only (A,B) reaches w >= 2
