@@ -130,6 +130,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "snapshot_diff" -> (Snapshot.snapshotDiff _),
+    "snapshot_scd2" -> (Snapshot.scd2 _),
     "snapshot_agg_delta" -> (Snapshot.aggDelta _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
     "emb_kmeans_resume" -> ((s: SparkSession, d: String) => Cluster.embKmeansResume(s, d)),
@@ -1913,6 +1914,48 @@ object SparkEntry {
          FROM base FULL OUTER JOIN curr ON b_key = n_key
          WHERE (b_key IS NULL OR n_key IS NULL OR old_cents != new_cents)
          ORDER BY c_custkey""",
+    // same carved versions, same gaps-and-islands fold: lag flags a
+    // new interval on first-row / version-gap / value-change, the
+    // running flag sum is the island id, min/max version per island
+    // become the validity stamps
+    "snapshot_scd2" ->
+      """WITH c AS (
+           SELECT c_custkey,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+                  ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 20 AS hv
+           FROM customer),
+         rows_ AS (
+           SELECT c_custkey, 1 AS ver, cents FROM c WHERE hv != 0
+           UNION ALL
+           SELECT c_custkey, 2,
+                  cents + CASE WHEN hv % 7 = 3 THEN 100 ELSE 0 END
+           FROM c WHERE hv != 1 AND hv != 5
+           UNION ALL
+           SELECT c_custkey, 3,
+                  cents + CASE WHEN hv % 7 = 3 THEN 100 ELSE 0 END
+                        + CASE WHEN hv % 5 = 4 THEN 50 ELSE 0 END
+           FROM c WHERE hv != 1 AND hv != 2),
+         f AS (SELECT c_custkey, ver, cents,
+                      CASE WHEN lag(ver) OVER w IS NULL
+                             OR ver != lag(ver) OVER w + 1
+                             OR cents != lag(cents) OVER w
+                           THEN 1 ELSE 0 END AS newint
+               FROM rows_
+               WINDOW w AS (PARTITION BY c_custkey ORDER BY ver)),
+         isl AS (SELECT c_custkey, ver, cents,
+                        sum(newint) OVER (PARTITION BY c_custkey
+                          ORDER BY ver ROWS UNBOUNDED PRECEDING) AS isl
+                 FROM f),
+         runs AS (SELECT c_custkey, isl,
+                         CAST(min(cents) AS BIGINT) AS cents,
+                         CAST(min(ver) AS BIGINT) AS valid_from,
+                         max(ver) AS last_ver
+                  FROM isl GROUP BY 1, 2)
+         SELECT c_custkey, cents, valid_from,
+                CASE WHEN last_ver = 3 THEN NULL
+                     ELSE CAST(last_ver + 1 AS BIGINT) END AS valid_to,
+                CAST(last_ver = 3 AS INT) AS is_current
+         FROM runs ORDER BY c_custkey, valid_from""",
     // IVM contract probed from the other side: Spark folds the CDC
     // delta into yesterday's aggregate; the oracle recomputes the
     // aggregate from the NEW snapshot directly. A hash match means

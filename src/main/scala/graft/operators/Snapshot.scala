@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -37,6 +37,65 @@ object Snapshot {
         round(col("c_acctbal") * 100, 0).cast("long").as("cents"),
         pmod(PortableHash.h60(col("c_custkey").cast("string")),
           lit(Buckets.toLong)).as("hv"))
+
+  /** SCD-2 dimension-history build — the warehouse step downstream of
+    * CDC: fold a SEQUENCE of keyed snapshots into one validity-interval
+    * row per (key, value run): `valid_from`/`valid_to` version stamps
+    * (`valid_to` NULL = still open) and an `is_current` flag. Three
+    * deterministically carved versions exercise every transition:
+    * inserts (bucket 0 joins at v2), deletes (bucket 1 at v2, bucket 2
+    * at v3), updates (the v2 `+100` and v3 `+50` bump buckets), and a
+    * DISAPPEAR-THEN-RETURN key (bucket 5 skips v2) — the gap case that
+    * breaks naive lag-only implementations: its v1 interval must CLOSE
+    * at v2 even though the value never changed.
+    *
+    * Gaps-and-islands shape: one union of version slices (each a
+    * filter+projection of the carved base — no joins), a per-key
+    * window (lag → change/gap flag, running sum → island id; ≤ one
+    * row per key per version, so partitions are version-count-sized —
+    * millions of tiny key partitions is the one shape where a window
+    * is scale-correct, the tfidf argument), one groupBy(key, island).
+    * Output ∝ value runs ⇒ within-partition presentation order. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val cust = carve(spark, dir)
+    val maxVer = 3
+    def slice(n: Int, present: Column, cents: Column) =
+      cust.filter(present)
+        .select(col("c_custkey"), lit(n).as("ver"), cents.as("cents"))
+    val b2 = col("cents") +
+      when(col("hv") % 7 === 3, 100L).otherwise(0L)
+    val b3 = b2 + when(col("hv") % 5 === 4, 50L).otherwise(0L)
+    scd2Fold(
+      slice(1, col("hv") =!= 0, col("cents"))
+        .unionAll(slice(2, col("hv") =!= 1 && col("hv") =!= 5, b2))
+        .unionAll(slice(3, col("hv") =!= 1 && col("hv") =!= 2, b3)),
+      maxVer)
+  }
+
+  /** The gaps-and-islands fold over any (c_custkey, ver, cents)
+    * version-row frame (spec surface). */
+  private[graft] def scd2Fold(rows: DataFrame, maxVer: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("ver"))
+    val flagged = rows
+      .withColumn("pver", lag(col("ver"), 1).over(w))
+      .withColumn("pcents", lag(col("cents"), 1).over(w))
+      .withColumn("newint",
+        when(col("pver").isNull || col("ver") =!= col("pver") + 1
+          || col("cents") =!= col("pcents"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("newint")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    flagged.groupBy(col("c_custkey"), col("isl"))
+      .agg(min(col("cents")).as("cents"), // constant within an island
+        min(col("ver")).as("valid_from"), max(col("ver")).as("last_ver"))
+      .select(col("c_custkey"), col("cents"),
+        col("valid_from").cast("long").as("valid_from"),
+        when(col("last_ver") === maxVer, lit(null).cast("long"))
+          .otherwise(col("last_ver") + 1L).as("valid_to"),
+        (col("last_ver") === maxVer).cast("int").as("is_current"))
+      .sortWithinPartitions("c_custkey", "valid_from")
+  }
 
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val cust = carve(spark, dir)

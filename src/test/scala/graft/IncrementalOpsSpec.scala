@@ -32,6 +32,32 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(rows.length < n / 2, s"diff ${rows.length} rows vs table $n")
   }
 
+  test("scd2: validity intervals cover every transition incl. disappear-then-return") {
+    import spark.implicits._
+    // (key, ver, cents): stable, update, delete-after-v1, late insert,
+    // gap (present v1 and v3 only), update-then-revert
+    val rows = Seq(
+      (10L, 1, 100L), (10L, 2, 100L), (10L, 3, 100L),
+      (20L, 1, 100L), (20L, 2, 200L), (20L, 3, 200L),
+      (30L, 1, 100L),
+      (40L, 2, 100L), (40L, 3, 100L),
+      (50L, 1, 100L), (50L, 3, 100L),
+      (60L, 1, 100L), (60L, 2, 200L), (60L, 3, 100L)
+    ).toDF("c_custkey", "ver", "cents")
+    val got = graft.operators.Snapshot.scd2Fold(rows, maxVer = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.toSeq == Seq(
+      (10L, 100L, 1L, -1L, 1),                      // one open run
+      (20L, 100L, 1L, 2L, 0), (20L, 200L, 2L, -1L, 1),
+      (30L, 100L, 1L, 2L, 0),                       // deleted: closed
+      (40L, 100L, 2L, -1L, 1),                      // late insert
+      (50L, 100L, 1L, 2L, 0), (50L, 100L, 3L, -1L, 1), // gap closes + reopens
+      (60L, 100L, 1L, 2L, 0), (60L, 200L, 2L, 3L, 0),
+      (60L, 100L, 3L, -1L, 1)))                     // revert = new run
+  }
+
   test("snapshot_agg_delta: folding the delta equals a full recompute") {
     // the IVM contract, probed inside Spark (the DuckDB gate probes it
     // cross-engine): fold(agg(old), delta) == agg(new), where the
