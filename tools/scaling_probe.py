@@ -19,7 +19,7 @@ OUT = sys.argv[2]
 SRC = "/root/testdata/sf0.1"
 
 os.makedirs(OUT, exist_ok=True)
-for t in ("region", "nation", "customer", "supplier", "part",
+for t in ("region", "nation", "supplier", "part",
           "embeddings"):
     dst = f"{OUT}/{t}.parquet"
     if not os.path.exists(dst):
@@ -55,9 +55,15 @@ ne = con.execute(
 # loop round counts) stay fixed — the natural-growth regime for the
 # iterative graph family. suppkey offsets stay far under the sweep's
 # 2^44 node-id headroom.
+# l_partkey salts too: the basket family (co-purchase pairs, rules,
+# link prediction) needs K disjoint basket universes — shared parts
+# would inflate pair co-occurrence counts K-fold and change the
+# thresholded graph's density, measuring semantics drift instead of
+# scaling. No probed operator joins lineitem to the part table.
 li = "\nUNION ALL\n".join(
     f"""SELECT * REPLACE (l_orderkey + {k * 1000000000} AS l_orderkey,
-               l_suppkey + {k * 10000000} AS l_suppkey)
+               l_suppkey + {k * 10000000} AS l_suppkey,
+               l_partkey + {k * 10000000} AS l_partkey)
         FROM read_parquet('{SRC}/lineitem.parquet')"""
     for k in range(K))
 con.execute(f"COPY ({li}) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)")
@@ -67,6 +73,14 @@ od = "\nUNION ALL\n".join(
         FROM read_parquet('{SRC}/orders.parquet')"""
     for k in range(K))
 con.execute(f"COPY ({od}) TO '{OUT}/orders.parquet' (FORMAT PARQUET)")
+# customer replicates with the SAME custkey salt orders carries, so
+# referential integrity holds per replica and the snapshot/SCD ops
+# (keyed on custkey) see K disjoint dimension universes
+cu = "\nUNION ALL\n".join(
+    f"""SELECT * REPLACE (c_custkey + {k * 10000000} AS c_custkey)
+        FROM read_parquet('{SRC}/customer.parquet')"""
+    for k in range(K))
+con.execute(f"COPY ({cu}) TO '{OUT}/customer.parquet' (FORMAT PARQUET)")
 nl = con.execute(
     f"SELECT count(*) FROM read_parquet('{OUT}/lineitem.parquet')").fetchone()[0]
 print(f"wrote {OUT}: {n} docs, {ne} events, {nl} lineitems (K={K})")

@@ -20,6 +20,15 @@ if [ "$MODE" = "quick" ]; then
   KS="1 2"
   OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment}
   REPS=${SCALING_REPS:-1}
+elif [ "$MODE" = "basket" ]; then
+  # basket family on K disjoint basket universes (salted partkeys):
+  # per-order pair generation is map-side from bounded basket arrays,
+  # so the pair volume and every downstream aggregate double with K —
+  # linear-with-floor expected; a quadratic wedge or candidate blowup
+  # would show ~K^2
+  KS="1 2"
+  OPS=${SCALING_OPS:-graph_linkpred,basket_rules,snapshot_scd2,profile_mi,profile_benford}
+  REPS=${SCALING_REPS:-1}
 elif [ "$MODE" = "graph" ]; then
   # iterative-graph family on K disjoint trading-graph replicas
   # (salted fact keys): per-round shuffle doubles, round counts stay
