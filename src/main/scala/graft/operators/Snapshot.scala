@@ -97,6 +97,57 @@ object Snapshot {
       .sortWithinPartitions("c_custkey", "valid_from")
   }
 
+  /** ONE version's incremental SCD-2 merge against the standing
+    * history — the maintenance step a dimension service runs per
+    * arriving snapshot, and the streaming twin's per-batch fold
+    * ([[graft.streaming.Streams.scd2Stream]]): closed rows pass
+    * through; open rows matching the new version unchanged stay open;
+    * open rows whose key changed value or disappeared CLOSE at `v`;
+    * new or changed keys OPEN at `v`. Equivalent, version by version,
+    * to the batch gaps-and-islands fold ([[scd2Fold]]) when versions
+    * arrive complete and in order — StreamingSpec pins stream ≡
+    * batch on the carved versions. Cost per version ∝ |history ∪
+    * version| with one co-partitioned full-outer join — the
+    * snapshot_diff shape applied to maintenance. */
+  private[graft] def scd2Step(hist: DataFrame, version: DataFrame,
+      v: Long): DataFrame = {
+    val outCols = Seq(col("c_custkey"), col("cents"), col("valid_from"),
+      col("valid_to"), col("is_current"))
+    val closed = hist.filter(col("is_current") === 0).select(outCols: _*)
+    val open = hist.filter(col("is_current") === 1)
+      .select(col("c_custkey"), col("cents"), col("valid_from"))
+    val cur = version.select(col("c_custkey"), col("cents").as("vcents"))
+    val j = open.join(cur, Seq("c_custkey"), "full_outer")
+    // open-side presence = valid_from non-NULL (cents is non-NULL by
+    // construction on both sides, so the join marker is unambiguous)
+    val still = j.filter(col("valid_from").isNotNull &&
+        col("vcents").isNotNull && col("cents") === col("vcents"))
+      .select(col("c_custkey"), col("cents"), col("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(1).as("is_current"))
+    val close = j.filter(col("valid_from").isNotNull &&
+        (col("vcents").isNull || col("cents") =!= col("vcents")))
+      .select(col("c_custkey"), col("cents"), col("valid_from"),
+        lit(v).as("valid_to"), lit(0).as("is_current"))
+    val opened = j.filter(col("vcents").isNotNull &&
+        (col("valid_from").isNull || col("cents") =!= col("vcents")))
+      .select(col("c_custkey"), col("vcents").as("cents"),
+        lit(v).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(1).as("is_current"))
+    closed.unionByName(still).unionByName(close).unionByName(opened)
+  }
+
+  /** Empty history frame with the SCD-2 schema (stream bootstrap). */
+  private[graft] def emptyScd2(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("cents", LongType),
+        StructField("valid_from", LongType),
+        StructField("valid_to", LongType),
+        StructField("is_current", IntegerType))))
+  }
+
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val cust = carve(spark, dir)
     val base = cust.filter(col("hv") =!= 0)

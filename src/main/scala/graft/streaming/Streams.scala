@@ -547,6 +547,60 @@ object Streams {
     * the state is the count table itself, exactly the reducer's
     * in-memory map in the reference, but partitioned and
     * fault-tolerant). StreamingSpec pins it to the batch wordcount. */
+  /** STREAMING SCD-2 dimension maintenance — the CDC family's third
+    * streaming surface: snapshot versions arrive as micro-batches
+    * (one COMPLETE version per batch — deletion detection is absence,
+    * which only a whole version can witness; a mixed batch fails
+    * fast), and each batch runs the SHARED incremental merge
+    * ([[graft.operators.Snapshot.scd2Step]] — the batch operator's
+    * own fold, so the twins cannot drift) against the standing
+    * history. The history lands under `outPath/ver=<v>` with
+    * overwrite: a REPLAYED version re-reads its predecessor dirs
+    * (all < v) and overwrites its own — the landIdempotent
+    * discipline, so at-least-once delivery converges to the same
+    * history. Readers take the max-version dir as current.
+    *
+    * Input schema: (c_custkey, ver, cents). */
+  def scd2Stream(versions: DataFrame, outPath: String,
+      checkpointPath: Option[String] = None): Unit = {
+    val writer = versions.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val vr = batch
+            .selectExpr("CAST(min(ver) AS BIGINT)", "CAST(max(ver) AS BIGINT)")
+            .head()
+          val (vLo, vHi) = (vr.getLong(0), vr.getLong(1))
+          require(vLo == vHi,
+            s"scd2Stream: micro-batch mixes versions $vLo..$vHi — " +
+              "deletion is witnessed by absence, so each batch must " +
+              "carry exactly one complete snapshot version")
+          val dir = new org.apache.hadoop.fs.Path(outPath)
+          val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val prior: Option[Long] =
+            if (!fs.exists(dir)) None
+            else fs.listStatus(dir).toSeq
+              .map(_.getPath.getName)
+              .filter(_.startsWith("ver="))
+              .map(_.stripPrefix("ver=").toLong)
+              .filter(_ < vLo)
+              .sorted.lastOption
+          val hist = prior
+            .map(p => spark.read.parquet(s"$outPath/ver=$p"))
+            .getOrElse(graft.operators.Snapshot.emptyScd2(spark))
+          graft.operators.Snapshot
+            .scd2Step(hist, batch.toDF(), vLo)
+            .write.mode("overwrite").parquet(s"$outPath/ver=$vLo")
+        }
+      }
+    val q = checkpointPath
+      .map(cp => writer.option("checkpointLocation", cp))
+      .getOrElse(writer)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   def wordcountStream(docs: DataFrame): DataFrame =
     docs
       .select(explode(graft.functions.TokenCol.letterTokens(col("text"))).as("word"))

@@ -550,6 +550,69 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("streaming scd2: per-version merges land on the batch fold; replayed version converges") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val planted = Seq(
+      (10L, 1, 100L), (10L, 2, 100L), (10L, 3, 100L),
+      (20L, 1, 100L), (20L, 2, 200L), (20L, 3, 200L),
+      (30L, 1, 100L),
+      (40L, 2, 100L), (40L, 3, 100L),
+      (50L, 1, 100L), (50L, 3, 100L),
+      (60L, 1, 100L), (60L, 2, 200L), (60L, 3, 100L))
+    val watch = Files.createTempDirectory("graft_scd2_in")
+    val out = Files.createTempDirectory("graft_scd2_out").toString + "/hist"
+    val cp = Files.createTempDirectory("graft_scd2_cp").toString
+    val schema = planted.toDF("c_custkey", "ver", "cents").schema
+    def stage(v: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_scd2_v").toString
+      planted.filter(_._2 == v).toDF("c_custkey", "ver", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = watch.resolve(s"v$v.parquet")
+      Files.copy(part.toPath, dst)
+      // distinct mod times pin the file source's oldest-first order
+      dst.toFile.setLastModified(1000000000000L + v * 60000L)
+    }
+    def run(): Unit = Streams.scd2Stream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString),
+      out, Some(cp))
+    def hist(v: Int): Seq[(Long, Long, Long, Long, Int)] =
+      spark.read.parquet(s"$out/ver=$v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    stage(1); run(); stage(2); run(); stage(3); run()
+    // final history == the batch gaps-and-islands fold, row for row
+    val want = graft.operators.Snapshot
+      .scd2Fold(planted.toDF("c_custkey", "ver", "cents"), maxVer = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(hist(3) == want, "stream history must equal the batch fold")
+    // replay convergence: re-running version 2's merge (at-least-once
+    // redelivery) overwrites ver=2 with identical content and leaves
+    // the ver=3 head untouched
+    val before2 = hist(2)
+    graft.operators.Snapshot.scd2Step(
+        spark.read.parquet(s"$out/ver=1"),
+        planted.filter(_._2 == 2).toDF("c_custkey", "ver", "cents"), 2L)
+      .write.mode("overwrite").parquet(s"$out/ver=2")
+    assert(hist(2) == before2, "replayed version must converge")
+    assert(hist(3) == want)
+    // a mixed-version batch is refused, not silently merged
+    val boom = intercept[Exception] {
+      Streams.scd2Stream(
+        spark.readStream.schema(schema).parquet(watch.toString),
+        out + "_mixed", None)
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("stream-static near-dup gate: 2-batch split equals one-shot batch") {
     import java.nio.file._
     val docs = graft.core.Tables(spark, Sf).documents
