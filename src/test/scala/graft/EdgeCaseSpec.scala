@@ -145,6 +145,38 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(r.toSeq == Seq((0L, 1L, 1.0, 1.0)))
   }
 
+  test("link prediction / basket rules: empty and wedge-free edge sets yield empty, not errors") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Graph.linkPredictionOf(empty).isEmpty)
+    // one isolated edge: a wedge needs a common neighbor — no rows
+    assert(Graph.linkPredictionOf(Seq((1L, 2L)).toDF("u", "v")).isEmpty)
+    // K3: every wedge pair is already an edge — candidates empty
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    assert(Graph.linkPredictionOf(k3).isEmpty)
+    // basket rules over an empty qualifying pair set: empty, defined
+    val sl = Seq((1L, "A"), (2L, "B")).toDF("basket", "item")
+    val noPairs = Seq.empty[(String, String, Long)].toDF("u", "v", "w")
+    assert(Graph.basketRulesOf(sl, noPairs).isEmpty)
+  }
+
+  test("scd2 fold: empty input and single-version histories are defined") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    val empty = Seq.empty[(Long, Int, Long)].toDF("c_custkey", "ver", "cents")
+    assert(Snapshot.scd2Fold(empty, maxVer = 3).isEmpty)
+    // a single v-3 row: open interval, current
+    val one = Snapshot.scd2Fold(
+      Seq((7L, 3, 100L)).toDF("c_custkey", "ver", "cents"), maxVer = 3)
+      .collect()
+    assert(one.length == 1 && one(0).isNullAt(3) && one(0).getInt(4) == 1)
+    // incremental step from empty history: everything opens
+    val opened = Snapshot.scd2Step(Snapshot.emptyScd2(spark),
+      Seq((7L, 1, 100L)).toDF("c_custkey", "ver", "cents"), 1L).collect()
+    assert(opened.length == 1 && opened(0).getInt(4) == 1)
+  }
+
   test("pipelineMix: empty and all-untargeted corpora yield empty, not errors") {
     // empty corpus: the counts aggregate is empty, so no thresholds
     // exist and the inner join keeps nothing — no NULL water-line
