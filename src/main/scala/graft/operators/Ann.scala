@@ -530,7 +530,18 @@ object Ann {
     * Long bound at [[Cluster.MaxDim]]. */
   def ivfPq(spark: SparkSession, dir: String,
       nprobe: Int = NProbe): DataFrame = {
-    val cb = codebook(spark, dir)
+    val (codes, subCents) = ivfPqCoded(spark, dir)
+    ivfPqSearch(spark, dir, reconOf(codes, subCents), nprobe)
+  }
+
+  /** Build products of the IVF-PQ index: the per-vector
+    * (vec_id, cell, c0..c{M−1}) code table and the subspace
+    * codebooks. */
+  /** The quantized coarse centroids as a broadcast-join frame —
+    * floor-2²⁰ of the float codebook, the same rule the corpus rows
+    * quantize through. */
+  private def qcFrame(spark: SparkSession,
+      cb: Array[(Long, Array[Float])]): DataFrame = {
     val qcSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.LongType),
@@ -541,8 +552,13 @@ object Ann {
       org.apache.spark.sql.Row(cid,
         v.toSeq.map(x => math.floor(x.toDouble * Cluster.Scale).toLong))
     }
-    val qcDf = spark.createDataFrame(
-      java.util.Arrays.asList(qcRows: _*), qcSchema)
+    spark.createDataFrame(java.util.Arrays.asList(qcRows: _*), qcSchema)
+  }
+
+  private def ivfPqCoded(spark: SparkSession,
+      dir: String): (DataFrame, Array[Array[Array[Long]]]) = {
+    val cb = codebook(spark, dir)
+    val qcDf = qcFrame(spark, cb)
     val cells = emb(spark, dir)
       .select(col("vec_id"), cellOf(col("embedding"), cb).as("cell"))
     val corp = Cluster.quantized(emb(spark, dir))
@@ -564,12 +580,28 @@ object Ann {
       coded = coded.withColumn(s"c$s",
         Cluster.assignCol(slice(col("r"), s * PqDsub + 1, PqDsub), subCents(s))
           .getField("cid"))
+    (coded.select(col("vec_id") +: col("cell") +:
+      (0 until PqM).map(s => col(s"c$s")): _*), subCents)
+  }
+
+  /** Reconstructions from a code table + subspace codebooks (the
+    * serve-time decode — codebooks are PqK×dim literals). */
+  private def reconOf(codes: DataFrame,
+      subCents: Array[Array[Array[Long]]]): DataFrame = {
     val cbLits: Array[Column] = subCents.map(sc =>
       array(sc.map(c2 => array(c2.map(lit(_)): _*)): _*))
-    val recon = coded
+    codes
       .withColumn("recon", flatten(array((0 until PqM).map(s =>
         element_at(cbLits(s), col(s"c$s") + 1)): _*)))
       .select(col("vec_id"), col("cell"), col("recon"))
+  }
+
+  /** The probe path over any (vec_id, cell, recon) frame — shared by
+    * the inline query and the pre-built index. */
+  private def ivfPqSearch(spark: SparkSession, dir: String,
+      recon: DataFrame, nprobe: Int): DataFrame = {
+    val cb = codebook(spark, dir)
+    val qcDf = qcFrame(spark, cb)
     val qq = Cluster.quantized(queriesDf(spark, dir)
         .select(col("qid").as("vec_id"), col("qe").as("embedding")))
       .select(col("vec_id").as("qid"), col("q").as("qq"))
@@ -594,6 +626,47 @@ object Ann {
       .select(col("qid"), col("vec_id"),
         round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
     topkPerQuery(exact)
+  }
+
+  /** Write-time IVF-PQ index: the code table laid out PARTITIONED BY
+    * CELL (a probe reads only its cells' files — dynamic partition
+    * pruning through the broadcast probe join, like [[buildIvfIndex]])
+    * plus the subspace codebooks as a tiny sidecar table. This is the
+    * whole serving representation: M 4-bit codes + a cell id per
+    * vector; the floats stay in the base corpus and are touched only
+    * by the rerank's semi-join. */
+  def buildIvfPqIndex(spark: SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val (codes, subCents) = ivfPqCoded(spark, dir)
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/codes")
+    val rows: Seq[org.apache.spark.sql.Row] = for {
+      s <- 0 until PqM; cid <- 0 until PqK
+    } yield org.apache.spark.sql.Row(s, cid, subCents(s)(cid).toSeq)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("vals",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+  }
+
+  /** Probe a pre-built IVF-PQ index: identical results to the inline
+    * [[ivfPq]] (same codebooks by construction), but the corpus side
+    * is a partition-pruned code read — no re-encode, no full scan. */
+  def ivfPqIndexed(spark: SparkSession, dir: String,
+      indexPath: String, nprobe: Int = NProbe): DataFrame = {
+    val cbRows = spark.read.parquet(s"$indexPath/codebook").collect()
+    val subCents = Array.fill(PqM, PqK)(Array.empty[Long])
+    cbRows.foreach { r =>
+      subCents(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray
+    }
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    ivfPqSearch(spark, dir, reconOf(codes, subCents), nprobe)
   }
 
   /** Generated DuckDB oracle for [[ivfPq]] — the identical coarse

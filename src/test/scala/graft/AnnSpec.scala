@@ -192,6 +192,21 @@ class AnnSpec extends SparkSpecBase {
       s"expected a partition-pruned index read:\n$plan")
   }
 
+  test("pre-built IVF-PQ index returns identical results with partition pruning") {
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq").toString
+    Ann.buildIvfPqIndex(spark, Sf, indexPath)
+    val indexed = Ann.ivfPqIndexed(spark, Sf, indexPath)
+    val got = indexed.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = Ann.ivfPq(spark, Sf).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == want, "indexed IVF-PQ must equal inline IVF-PQ")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
+      s"expected a partition-pruned code read:\n$plan")
+  }
+
   test("ivf recall@5 vs bruteforce") {
     val approx = topk(Ann.ivf(spark, Sf))
     val recall = recallOf(approx)
