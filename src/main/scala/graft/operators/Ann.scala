@@ -661,6 +661,11 @@ object Ann {
   def ivfPqIndexed(spark: SparkSession, dir: String,
       indexPath: String, nprobe: Int = NProbe): DataFrame = {
     val cbRows = spark.read.parquet(s"$indexPath/codebook").collect()
+    // fail fast on a truncated sidecar: a missing (s, cid) entry
+    // would otherwise decode through an empty centroid silently
+    require(cbRows.length == PqM * PqK,
+      s"IVF-PQ codebook at $indexPath is incomplete: " +
+        s"${cbRows.length} of ${PqM * PqK} entries")
     val subCents = Array.fill(PqM, PqK)(Array.empty[Long])
     cbRows.foreach { r =>
       subCents(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray

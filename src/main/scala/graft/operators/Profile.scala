@@ -463,8 +463,12 @@ object Profile {
       .toDF("digit", "n", "exp_ppm", "ntot")
     val expN = col("ntot").cast("double") * col("exp_ppm").cast("double") / 1e6
     val diff = col("n").cast("double") - expN
+    // empty column ⇒ chi2 NULL, not a NaN→0 cast artifact (Spark
+    // casts NaN to 0L silently; DuckDB errors on it — the oracle
+    // carries the same ntot guard so neither path is reachable)
     val chi = full
-      .select(round(diff * diff / expN * 1e6, 0).cast("long").as("tm"))
+      .select(when(col("ntot") === 0, lit(null).cast("long"))
+        .otherwise(round(diff * diff / expN * 1e6, 0).cast("long")).as("tm"))
       .agg((sum(col("tm")).cast("double") / 1e6).as("chi2"))
     full.crossJoin(broadcast(chi))
       .select(lit(tbl).as("tbl"), lit(c).as("col_name"),
@@ -491,11 +495,11 @@ object Profile {
                         FROM (SELECT CAST(round($c * 100, 0) AS BIGINT) AS cents
                               FROM $tbl) WHERE cents > 0) t) f
            CROSS JOIN
-           (SELECT CAST(sum(CAST(round(
+           (SELECT CAST(sum(CASE WHEN ntot = 0 THEN NULL ELSE CAST(round(
                      (CAST(n AS DOUBLE) - CAST(ntot AS DOUBLE) * CAST(exp_ppm AS DOUBLE) / 1e6)
                      * (CAST(n AS DOUBLE) - CAST(ntot AS DOUBLE) * CAST(exp_ppm AS DOUBLE) / 1e6)
                      / (CAST(ntot AS DOUBLE) * CAST(exp_ppm AS DOUBLE) / 1e6)
-                     * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 AS chi2
+                     * 1e6, 0) AS BIGINT) END) AS DOUBLE) / 1e6 AS chi2
             FROM (SELECT d.digit, coalesce(cnt.n, 0) AS n, d.exp_ppm, t.ntot
                   FROM (VALUES $values) AS d(digit, exp_ppm)
                   LEFT JOIN (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,

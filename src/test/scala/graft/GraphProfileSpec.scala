@@ -458,6 +458,11 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(got.forall(_._4 == expect), s"chi2 ${got.head._4} vs $expect")
     // ppm literals are the Benford law, and they ~sum to one million
     assert(math.abs(Profile.BenfordPpm.map(_._2).sum - 1000000L) <= 5)
+    // an all-nonpositive column yields zero counts and a NULL chi2
+    // (not a NaN-cast-to-0 artifact)
+    val degenerate = Profile.benfordOne(
+      Seq(0.0, -1.0).toDF("v"), "t", "v").collect()
+    assert(degenerate.forall(r => r.getLong(3) == 0L && r.isNullAt(5)))
   }
 
   test("basket rules: closed-form metrics, both directions, sub-threshold pairs absent") {
