@@ -663,7 +663,7 @@ object Graph {
   /** Core over any distinct (basket, item) frame plus its qualifying
     * co-occurrence pairs `(u, v, w)` — split so the public op can
     * feed the MEMOIZED pair base while specs plant both sides. */
-  private[graft] def basketRulesOf(sl: DataFrame, ew: DataFrame): DataFrame = {
+  def basketRulesOf(sl: DataFrame, ew: DataFrame): DataFrame = {
     val partN = sl.groupBy(col("item").as("p"))
       .agg(count(lit(1)).as("np"))
     val baskets = sl.agg(countDistinct(col("basket")).as("n_baskets"))

@@ -378,7 +378,7 @@ object Profile {
     round(log(c.cast("double")) * 1e6, 0).cast("long")
 
   /** Single-pair entry over a raw frame (spec surface). */
-  private[graft] def miOne(df: DataFrame, tbl: String,
+  def miOne(df: DataFrame, tbl: String,
       xe: String, ye: String): DataFrame =
     jointMi(df.groupBy(expr(xe).as("x"), expr(ye).as("y"))
       .agg(count(lit(1)).as("nxy")), tbl, xe, ye)
@@ -446,7 +446,7 @@ object Profile {
     * in Catalyst expressions over the literal frame: +·/ on doubles
     * are exact IEEE everywhere, but round-half-up must evaluate
     * through the same engine expression the oracle mirrors. */
-  private[graft] def benfordOne(df: DataFrame, tbl: String,
+  def benfordOne(df: DataFrame, tbl: String,
       c: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

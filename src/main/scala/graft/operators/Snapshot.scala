@@ -74,7 +74,7 @@ object Snapshot {
 
   /** The gaps-and-islands fold over any (c_custkey, ver, cents)
     * version-row frame (spec surface). */
-  private[graft] def scd2Fold(rows: DataFrame, maxVer: Int): DataFrame = {
+  def scd2Fold(rows: DataFrame, maxVer: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_custkey")).orderBy(col("ver"))
     val flagged = rows
@@ -109,7 +109,7 @@ object Snapshot {
     * batch on the carved versions. Cost per version ∝ |history ∪
     * version| with one co-partitioned full-outer join — the
     * snapshot_diff shape applied to maintenance. */
-  private[graft] def scd2Step(hist: DataFrame, version: DataFrame,
+  def scd2Step(hist: DataFrame, version: DataFrame,
       v: Long): DataFrame = {
     val outCols = Seq(col("c_custkey"), col("cents"), col("valid_from"),
       col("valid_to"), col("is_current"))

@@ -79,7 +79,8 @@ class ExplainSpec extends SparkSpecBase {
       "dedup_substring", "dedup_embedding", "dedup_semantic",
       "graph_triangles", "graph_kcore", "graph_kcore_weighted",
       "graph_communities_sweep", "graph_sssp", "graph_coreness",
-      "graph_clustering", "basket_rules",
+      "graph_clustering", "basket_rules", "dedup_keep_best",
+      "snapshot_scd2",
       "text_quality", "text_tokens", "text_readability",
       "text_fingerprint", "text_lm_score", "text_langid", "text_entropy",
       "text_tfidf", "pipeline_clean", "pipeline_pack", "text_repetition",
