@@ -446,15 +446,23 @@ object Profile {
     * in Catalyst expressions over the literal frame: +·/ on doubles
     * are exact IEEE everywhere, but round-half-up must evaluate
     * through the same engine expression the oracle mirrors. */
+  /** First significant digit of a money value via exact cents and
+    * the integer's canonical decimal string — shared by the batch
+    * audit and the streaming drift monitor. NULL for non-positive
+    * values (they carry no Benford digit). */
+  def firstDigit(c: Column): Column = {
+    val cents = round(c * 100, 0).cast("long")
+    when(cents > 0,
+      substring(cents.cast("string"), 1, 1).cast("int"))
+  }
+
   def benfordOne(df: DataFrame, tbl: String,
       c: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val counts: Map[Int, Long] = df
-      .select(round(col(c) * 100, 0).cast("long").as("cents"))
-      .filter(col("cents") > 0)
-      .select(substring(col("cents").cast("string"), 1, 1)
-        .cast("int").as("digit"))
+      .select(firstDigit(col(c)).as("digit"))
+      .filter(col("digit").isNotNull)
       .groupBy("digit").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val ntot = counts.values.sum

@@ -81,6 +81,25 @@ object Streams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming Benford drift monitor: the per-day first-digit census
+    * of the money stream — the fraud/quality screen
+    * ([[graft.operators.Profile.benfordProfile]]) as a standing
+    * monitor. The digit expression IS the batch profiler's own
+    * ([[graft.operators.Profile.firstDigit]] — exact cents, canonical
+    * decimal string), so the twins cannot drift; per-window state is
+    * ≤ 9 counters regardless of traffic, a merge-exact aggregate
+    * under any micro-batch split. A consumer compares the window's
+    * shares against `Profile.BenfordPpm` to score drift. */
+  def benfordWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"),
+        graft.operators.Profile.firstDigit(col("value")).as("digit"))
+      .filter(col("digit").isNotNull)
+      .groupBy(window(col("ts"), "1 day"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col("digit"), col("n"))
+
   /** Streaming Count-Min: a per-6-hour-window user-activity sketch,
     * built by the same [[graft.functions.CountMinAgg]] the batch
     * path uses — TypedImperativeAggregates merge partial buffers,

@@ -220,6 +220,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("streaming benford census equals the batch digit census per day") {
+    import graft.operators.Profile
+    val stream = Streams.runToMemory(
+      Streams.benfordWindow(Streams.readEvents(spark, path)), "benford_win")
+    val got = stream.collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = graft.core.Tables(spark, Sf).events
+      .select(window(col("ts"), "1 day").getField("start").as("day"),
+        Profile.firstDigit(col("value")).as("digit"))
+      .filter(col("digit").isNotNull)
+      .groupBy("day", "digit").count()
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    // every digit the law scores is a valid key; state <= 9 per window
+    assert(got.keys.forall { case (_, d) => d >= 1 && d <= 9 })
+    assert(stream.groupBy("day").count().collect()
+      .forall(_.getLong(1) <= 9))
+  }
+
   test("streaming session_window counts match the batch sessionizer") {
     val stream = Streams.runToMemory(
       Streams.sessionCounts(Streams.readEvents(spark, path)), "sess_counts")
