@@ -407,6 +407,56 @@ object Profile {
             / col("h_micro").cast("double"), 6)).as("theil_u"))
   }
 
+  /** Key columns the sequence-continuity audit sweeps. */
+  private[graft] val SeqCols = Seq(
+    ("orders", "o_orderkey"), ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"), ("customer", "c_custkey"))
+
+  /** ID-continuity audit — the ingestion screen for keyed feeds: per
+    * key column, row/distinct counts, the id span, `missing` =
+    * span − distinct (holes a dropped shard or filtered extract
+    * leaves), and `dups` = rows − distinct (a replayed shard or a
+    * fan-out join leak). All exact BIGINTs from ONE
+    * map-side-combined aggregate per column; the verdict columns are
+    * pure arithmetic over the aggregate row, so the audit costs a
+    * scan per column and nothing downstream grows. NULL keys count
+    * as rows but not ids (n vs n_distinct+missing disambiguates). */
+  def seqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byTable = Map("lineitem" -> t.lineitem, "orders" -> t.orders,
+      "customer" -> t.customer)
+    SeqCols.map { case (tbl, c) => seqOne(byTable(tbl), tbl, c) }
+      .reduce(_ unionAll _).orderBy("tbl", "col_name")
+  }
+
+  /** Single-column continuity audit (spec surface / generic API). */
+  def seqOne(df: DataFrame, tbl: String, c: String): DataFrame =
+    df.agg(
+      lit(tbl).as("tbl"), lit(c).as("col_name"),
+      count(lit(1)).as("n"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("long").as("min_id"),
+      max(col(c)).cast("long").as("max_id"))
+      .select(col("tbl"), col("col_name"), col("n"), col("n_distinct"),
+        col("min_id"), col("max_id"),
+        (col("max_id") - col("min_id") + 1L - col("n_distinct"))
+          .as("missing"),
+        (col("n") - col("n_distinct")).as("dups"))
+
+  /** Generated DuckDB oracle for [[seqProfile]] — same column list,
+    * same arithmetic. */
+  def seqOracleSql: String = SeqCols.map { case (tbl, c) =>
+    s"""SELECT '$tbl' AS tbl, '$c' AS col_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           CAST(min($c) AS BIGINT) AS min_id,
+           CAST(max($c) AS BIGINT) AS max_id,
+           CAST(max($c) - min($c) + 1 - count(DISTINCT $c) AS BIGINT)
+             AS missing,
+           CAST(count(*) - count(DISTINCT $c) AS BIGINT) AS dups
+         FROM $tbl"""
+  }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl, col_name")
+
   /** Money columns the Benford sweep audits (wide-range positive
     * values — the distribution the first-digit law applies to). */
   private[graft] val BenfordCols = Seq(

@@ -465,6 +465,18 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(degenerate.forall(r => r.getLong(3) == 0L && r.isNullAt(5)))
   }
 
+  test("seq gaps: planted holes and duplicates land on the closed forms") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // ids 1,2,2,5: span 5, distinct 3 -> missing 2 (ids 3,4), dups 1
+    val r = Profile.seqOne(Seq(1L, 2L, 2L, 5L).toDF("id"), "t", "id").head()
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), r.getLong(7)) == ((4L, 3L, 1L, 5L, 2L, 1L)))
+    // a dense unique sequence audits clean
+    val d = Profile.seqOne((1L to 9L).toDF("id"), "t", "id").head()
+    assert(d.getLong(6) == 0L && d.getLong(7) == 0L)
+  }
+
   test("basket rules: closed-form metrics, both directions, sub-threshold pairs absent") {
     import spark.implicits._
     // baskets: {A,B} {A,B} {A,C} {C} — only (A,B) reaches w >= 2
