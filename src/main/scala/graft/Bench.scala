@@ -40,6 +40,12 @@ import org.apache.spark.sql.SparkSession
   *   loadavg reads idle — observed as a loadavg-0.36 capture with
   *   100+ stolen seconds and 3× spikes on deterministic queries.
   *   High steal ⇒ rerun before reading any per-query delta.
+  * - `canary_sec` / `canary_end_sec`: median of a fixed-cost 1-row
+  *   noop-sink query timed before and after the median phase — the
+  *   constant per-query harness overhead, separable from engine
+  *   cost. A uniform drift across unrelated queries with a flat
+  *   canary is engine/session-wide; a drifting canary pins it on
+  *   harness/GC/host overhead.
   * - `suite_sec`: ONE sequential pass over the whole suite with
   *   caches retained — the pipeline-shaped total where shared
   *   derived frames ([[graft.core.PlanCache]]: dedup's postings
@@ -90,6 +96,27 @@ object Bench {
   }
   private val Failed = QTimes(Array.empty)
 
+  /** Fixed-cost canary: a 1-row scan through the identical noop-sink
+    * path the real queries use. Its cost is pure per-query harness
+    * overhead — job scheduling, codegen dispatch, noop commit — and
+    * is independent of SF and of every operator. Timed at the start
+    * and again at the end of the median phase, it separates constant
+    * per-query overhead from engine cost in the JSON: a uniform
+    * +Δ across 133 unrelated queries with a flat canary is engine-
+    * or-session-wide; a canary that drifts with them is harness/GC/
+    * host overhead, not any operator's regression (the exact
+    * ambiguity that made the r8 comparable-set drift unadjudicable). */
+  private def canaryMedian(spark: SparkSession, reps: Int): Double = {
+    import spark.implicits._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      Seq(1L).toDF("x").write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm untimed, same discipline as the real queries
+    Array.fill(math.max(reps, 3))(once()).sorted.apply(math.max(reps, 3) / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -135,6 +162,7 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val loadStart = loadavg1()
     val stealStart = stealJiffies()
+    val canaryStart = canaryMedian(spark, reps)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         filter.forall(_.exists(name.startsWith)) }
@@ -172,12 +200,16 @@ object Bench {
         name -> Failed
       }
     }
+    // canary rerun AFTER the median phase: start-vs-end drift measures
+    // how much constant per-query overhead the long run itself accretes
+    // (GC pressure, status-store growth, host noise ramping mid-run)
+    val canaryEnd = canaryMedian(spark, reps)
     // crash-safety checkpoint: the per-query medians are the judged
     // headline, so they land on disk BEFORE the (minutes-long) suite
     // pass — a harness timeout mid-suite then truncates the honesty
     // extras, not the round's bench (the r3 parsed:null class)
     writeAndPrint(results, Nil, -1.0, loadStart, loadavg1(), stealStart,
-      sfDir, reps, filter, printToStdout = false)
+      canaryStart, canaryEnd, sfDir, reps, filter, printToStdout = false)
     // pipeline-shaped suite pass: cold caches at the start, retained
     // across queries so PlanCache-shared frames are built once
     spark.catalog.clearCache()
@@ -198,7 +230,8 @@ object Bench {
     }
     val suiteSec = (System.nanoTime() - suiteT0) / 1e9
     writeAndPrint(results, suiteTimes, suiteSec, loadStart, loadavg1(),
-      stealStart, sfDir, reps, filter, printToStdout = true)
+      stealStart, canaryStart, canaryEnd, sfDir, reps, filter,
+      printToStdout = true)
     spark.stop()
     // A query that passed its timed reps but broke during the
     // cache-retained suite pass (a PlanCache-interaction-only failure)
@@ -214,6 +247,7 @@ object Bench {
   private def writeAndPrint(results: Seq[(String, QTimes)],
       suiteTimes: Seq[(String, Double)], suiteSec: Double,
       loadStart: String, loadEnd: String, stealStart: Long,
+      canaryStart: Double, canaryEnd: Double,
       sfDir: String, reps: Int,
       filter: Option[Seq[String]], printToStdout: Boolean): Unit = {
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
@@ -273,6 +307,7 @@ object Bench {
       filterField +
         s""""total_min":$totalMin,"total_cpu_med":$totalCpuMed,$suiteScalar""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+        s""""canary_sec":${r3(canaryStart)},"canary_end_sec":${r3(canaryEnd)},""" +
         s""""steal_sec":$stealSec"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -168,6 +168,8 @@ object SparkEntry {
     "mm_resize" -> (Multimodal.resizeSpecs _),
     "mm_features" -> (Multimodal.byteFeatures _),
     "mm_dedup" -> (Multimodal.nearDupMedia _),
+    "mm_decode_meta" -> (Multimodal.decodeMetaReal _),
+    "mm_decode_hist" -> (Multimodal.pixelHistReal _),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_readability" -> (TextOps.textReadability _),
@@ -2071,6 +2073,13 @@ object SparkEntry {
          CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) bn
          LEFT JOIN g ON g.doc_id = d.doc_id AND g.bin = bn.bin
          ORDER BY 1, 2""",
+    // REAL-decode pair: the Spark side renders genuine BMP bytes and
+    // decodes them with javax.imageio; these oracles recompute what
+    // the decode MUST yield from the planted geometry (generated from
+    // Multimodal's single source of truth — BMP is lossless, so a
+    // stride/padding/row-order bug on either side fails the hash).
+    "mm_decode_meta" -> Multimodal.decodeMetaRealOracleSql,
+    "mm_decode_hist" -> Multimodal.pixelHistRealOracleSql,
     // Same 16-bit-limb bucket arithmetic as TextOps.splitAssignment —
     // equal to (doc_id * 2654435761) % 2^32 but overflow-free for
     // doc_id beyond ~3.5e9 on both engines.

@@ -29,6 +29,14 @@ object Ann {
   private val NumQueries = 10
   private val TopK = 5
 
+  // Derived-corpus memo (the Graph/Dedup discipline): pq, pq_trained
+  // and ivf_pq each consume a quantized/residual corpus frame; ad-hoc
+  // .cache() here never unpersisted, so a full-suite Verify run
+  // accumulated three redundant cached corpora in executor memory.
+  // LRU-bounded getOrBuild shares the frame across the family AND
+  // releases evicted blocks.
+  private val shared = new graft.core.PlanCache(6)
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
 
@@ -161,11 +169,11 @@ object Ann {
     * oracle-checked (unlike the query-set ops, no recall argument is
     * needed — the bucket rule IS the semantics). */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val keyed = withBuckets(emb(spark, dir), "embedding")
-      .select(col("vec_id"), col("embedding"),
-        explode(array((0 until NTables).map(t =>
-          concat(lit(s"$t#"), col(s"b$t").cast("string"))): _*)).as("bucket"))
-      .cache()
+    val keyed = shared.getOrBuild(spark, s"$dir#lshkeyed") {
+      withBuckets(emb(spark, dir), "embedding")
+        .select(col("vec_id"), col("embedding"),
+          explode(array((0 until NTables).map(t =>
+            concat(lit(s"$t#"), col(s"b$t").cast("string"))): _*)).as("bucket")) }
     val scored = keyed.as("a")
       .join(keyed.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -266,12 +274,13 @@ object Ann {
     * recall vs [[bruteforce]]. */
   def quantized(spark: SparkSession, dir: String): DataFrame = {
     val rerankMargin = TopK * 10
-    val corpus = emb(spark, dir)
-      .withColumn("scale", Vectors.quantScale(col("embedding")))
-      .withColumn("codes", Vectors.quantize(col("embedding"), col("scale")))
-      // real deployments persist codes+scale and drop the floats;
-      // keep the floats here for the exact rerank join below
-      .cache()
+    val corpus = shared.getOrBuild(spark, s"$dir#int8corp") {
+      emb(spark, dir)
+        .withColumn("scale", Vectors.quantScale(col("embedding")))
+        .withColumn("codes", Vectors.quantize(col("embedding"), col("scale")))
+        // real deployments persist codes+scale and drop the floats;
+        // keep the floats here for the exact rerank join below
+    }
     val q = queriesDf(spark, dir)
     val candidates = corpus
       .crossJoin(broadcast(q))
@@ -401,7 +410,8 @@ object Ann {
 
   private def pqSearch(spark: SparkSession, dir: String,
       rounds: Int): DataFrame = {
-    val qcorp = Cluster.quantized(emb(spark, dir)).cache()
+    val qcorp = shared.getOrBuild(spark, s"$dir#qcorp") {
+      Cluster.quantized(emb(spark, dir)) }
     val subCents = pqCodebooks(qcorp, rounds)
     val coded = pqEncode(qcorp, subCents)
     val cbLits: Array[Column] = subCents.map(cb =>
@@ -561,11 +571,11 @@ object Ann {
     val qcDf = qcFrame(spark, cb)
     val cells = emb(spark, dir)
       .select(col("vec_id"), cellOf(col("embedding"), cb).as("cell"))
-    val corp = Cluster.quantized(emb(spark, dir))
-      .join(cells, "vec_id")
-      .join(broadcast(qcDf), "cell")
-      .withColumn("r", expr("zip_with(q, qc, (a, b) -> a - b)"))
-      .cache()
+    val corp = shared.getOrBuild(spark, s"$dir#ivfpqres") {
+      Cluster.quantized(emb(spark, dir))
+        .join(cells, "vec_id")
+        .join(broadcast(qcDf), "cell")
+        .withColumn("r", expr("zip_with(q, qc, (a, b) -> a - b)")) }
     val seedRes = corp
       .select(col("vec_id"), col("r"),
         graft.functions.PortableHash.h60(col("vec_id").cast("string")).as("h"))

@@ -340,27 +340,71 @@ object Dedup {
     * operational decoupling an ingest service needs: building the
     * index is one heavy batch job over the standing corpus; probing
     * is many cheap jobs (or stream restarts) that LOAD it instead of
-    * re-deriving grams + buckets from 100 TB of text each time. */
-  def saveStandingIndex(index: (DataFrame, DataFrame), path: String): Unit = {
-    index._1.write.mode("overwrite").parquet(s"$path/grams")
-    index._2.write.mode("overwrite").parquet(s"$path/buckets")
-  }
+    * re-deriving grams + buckets from 100 TB of text each time.
+    *
+    * Commit protocol (shared with [[appendToStandingIndex]]): each
+    * shard lives in its own `shard-<id>/` directory holding BOTH
+    * tables plus a `_COMMITTED` marker written LAST — a single atomic
+    * file-create is the only visibility switch, so a failure between
+    * the grams and buckets writes can never publish a half-shard
+    * (docs present in grams but invisible to the bucket join would
+    * silently miss their near-dups). [[loadStandingIndex]] reads only
+    * committed shards. */
+  def saveStandingIndex(index: (DataFrame, DataFrame), path: String): Unit =
+    writeShard(index._1, index._2, path, "base", overwriteCommitted = true)
 
   def loadStandingIndex(spark: SparkSession, path: String)
-      : (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/grams").cache(),
-      spark.read.parquet(s"$path/buckets").cache())
+      : (DataFrame, DataFrame) = {
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = hfs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")))
+      .map(_.toString).sorted
+    require(shards.nonEmpty,
+      s"loadStandingIndex($path): no committed shard directories found")
+    (spark.read.parquet(shards.map(s => s"$s/grams").toSeq: _*).cache(),
+      spark.read.parquet(shards.map(s => s"$s/buckets").toSeq: _*).cache())
+  }
 
   /** Fold admitted documents into a persisted index — the append
     * step that closes the ingest loop (probe → admit non-dups →
     * index them so the NEXT shard dedups against them too). Cost ∝
-    * the admitted shard, never the standing corpus. */
-  def appendToStandingIndex(docs: DataFrame, path: String, k: Int = 32,
-      bands: Int = 8): Unit = {
+    * the admitted shard, never the standing corpus.
+    *
+    * `shardId` is the caller's STABLE ingest-batch identity, and with
+    * the `_COMMITTED` protocol it makes the append exactly-once under
+    * at-least-once execution: a retry of an already-committed shard is
+    * a no-op (not a double-append), a retry of a half-written shard
+    * deletes the leftover and rewrites, and nothing is visible to
+    * [[loadStandingIndex]] until the marker lands after BOTH tables. */
+  def appendToStandingIndex(docs: DataFrame, path: String, shardId: String,
+      k: Int = 32, bands: Int = 8): Unit = {
+    require(shardId.nonEmpty && shardId != "base" &&
+      shardId.matches("[A-Za-z0-9._-]+"),
+      s"appendToStandingIndex: invalid shardId '$shardId'")
     val g = docGrams(docs).cache()
-    g.write.mode("append").parquet(s"$path/grams")
-    bandBuckets(g, k, bands).write.mode("append").parquet(s"$path/buckets")
+    writeShard(g, bandBuckets(g, k, bands), path, shardId,
+      overwriteCommitted = false)
     g.unpersist()
+  }
+
+  /** Write one shard's grams + buckets, then its `_COMMITTED` marker.
+    * `overwriteCommitted = true` is the save path (a rebuild replaces
+    * the base shard); `false` is the append path (a committed shard
+    * id is already fully admitted — retry is a no-op). */
+  private def writeShard(grams: DataFrame, buckets: DataFrame,
+      path: String, shardId: String, overwriteCommitted: Boolean): Unit = {
+    val spark = grams.sparkSession
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDir = new org.apache.hadoop.fs.Path(s"$path/shard-$shardId")
+    val marker = new org.apache.hadoop.fs.Path(shardDir, "_COMMITTED")
+    if (hfs.exists(marker) && !overwriteCommitted) return
+    if (hfs.exists(shardDir)) hfs.delete(shardDir, true)
+    grams.write.mode("overwrite").parquet(s"$shardDir/grams")
+    buckets.write.mode("overwrite").parquet(s"$shardDir/buckets")
+    hfs.create(marker, false).close()
   }
 
   /** One asymmetric probe of a [[standingIndex]]: fresh docs get a

@@ -75,13 +75,27 @@ object Layout {
     * columns `x` and `y`: one ungrouped bounds aggregate broadcast
     * back over the scan, then map-side bucket + interleave. Shared
     * by the manifest query and [[graft.sources.IO.writeZOrdered]],
-    * so the two cannot drift. */
+    * so the two cannot drift.
+    *
+    * The non-negative precondition is ENFORCED, not just documented
+    * (the [[graft.operators.Cluster]] quantizer-gate discipline): a
+    * negative dimension would silently yield negative buckets and a
+    * meaningless Morton key — a complete but UNCLUSTERED layout that
+    * no downstream check catches (the files exist, min/max just never
+    * prune). Fail fast instead. */
   private[graft] def zorderKey(df: DataFrame, x: String, y: String)
       : DataFrame = {
     val bounds = df.agg(min(x).as("zo_xmin"), max(x).as("zo_xmax"),
       min(y).as("zo_ymin"), max(y).as("zo_ymax"))
     df.crossJoin(broadcast(bounds))
-      .withColumn("zo_bx", expr(bucketSql(x, "zo_xmin", "zo_xmax", "div")))
+      .withColumn("zo_bx",
+        when(col(x) < 0 || col(y) < 0,
+          raise_error(concat(
+            lit(s"zorderKey: negative dimension ($x="), col(x).cast("string"),
+            lit(s", $y="), col(y).cast("string"),
+            lit(") — z-order buckets require non-negative inputs")))
+            .cast("long"))
+          .otherwise(expr(bucketSql(x, "zo_xmin", "zo_xmax", "div"))))
       .withColumn("zo_by", expr(bucketSql(y, "zo_ymin", "zo_ymax", "div")))
       .withColumn("z", expr(zSql("zo_bx", "zo_by", "div")))
       .drop("zo_xmin", "zo_xmax", "zo_ymin", "zo_ymax", "zo_bx", "zo_by")

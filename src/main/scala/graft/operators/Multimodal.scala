@@ -167,6 +167,172 @@ object Multimodal {
       .sortWithinPartitions("doc_id", "bin")
   }
 
+  // ==================================================================
+  // REAL DECODE — a genuine pure-JVM image codec path (javax.imageio,
+  // BMP): the corpus is rendered as real 24-bit BMP files whose
+  // dimensions and pixels are deterministic functions of the row, so
+  // the decoder is REAL (ImageIO parses actual headers, strides, and
+  // bottom-up row order) while the oracle stays generated: DuckDB
+  // recomputes what the decode MUST yield from the planted parameters
+  // (BMP is lossless by construction). The stub path above is kept as
+  // the integration cross-reference for codecs that don't ship in a
+  // JRE (video/audio).
+  // ==================================================================
+
+  /** Planted image geometry — ONE Scala source of truth shared by the
+    * renderer, the Spark queries, and the generated DuckDB oracles.
+    * Width rides doc_id, height rides the codepoint text length
+    * (computed engine-side by `length(text)` so both engines count
+    * codepoints), pixels are a linear congruential gradient. */
+  private[graft] def plantedW(docId: Long): Int = (8 + docId % 24).toInt
+  private[graft] def plantedH(tlen: Int): Int = 8 + tlen % 16
+  private[graft] def plantedGray(docId: Long, x: Int, y: Int): Int =
+    ((x * 7L + y * 13L + docId * 31L) % 256L).toInt
+
+  /** Minimal 24-bit uncompressed BMP encoder (BITMAPINFOHEADER,
+    * bottom-up rows, 4-byte row padding, B-G-R pixel order) — pure
+    * JVM, so the decode side exercises a REAL codec without any
+    * native library. `pix(x, y)` is top-origin gray (B = G = R). */
+  private[graft] def bmpBytes(w: Int, h: Int,
+      pix: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = (3 * w + 3) / 4 * 4
+    val fileSize = 54 + rowSize * h
+    val out = new Array[Byte](fileSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, fileSize); le32(10, 54)           // data offset
+    le32(14, 40)                              // BITMAPINFOHEADER
+    le32(18, w); le32(22, h)                  // positive h = bottom-up
+    out(26) = 1                               // planes
+    out(28) = 24                              // bpp
+    le32(30, 0)                               // BI_RGB
+    le32(34, rowSize * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize // bottom-up file order
+      var x = 0
+      while (x < w) {
+        val g = (pix(x, y) & 0xff).toByte
+        out(rowOff + 3 * x) = g               // B
+        out(rowOff + 3 * x + 1) = g           // G
+        out(rowOff + 3 * x + 2) = g           // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The rendered image corpus: one real BMP per document, generated
+    * map-side (at 100 TB this column arrives from `binaryFile`
+    * ingestion — [[graft.sources.IO]]; rendering here plants a
+    * corpus whose decode is provable). No shuffle, bytes never reach
+    * the driver. */
+  def imageBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id"), length(col("text")).cast("int").as("tlen"))
+      .as[(Long, Int)]
+      .map { case (id, tlen) =>
+        MediaBlob(id, "image",
+          bmpBytes(plantedW(id), plantedH(tlen), plantedGray(id, _, _)))
+      }
+  }
+
+  /** REAL batched decode: javax.imageio parses each BMP's header and
+    * pixel grid. Same batch integration contract as the stub
+    * [[decodeBatch]] — swap-in point for any other codec. */
+  private[graft] def decodeImageBatch(batch: Seq[MediaBlob]): Seq[MediaMeta] =
+    batch.map { b =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b.payload))
+      require(img != null, s"mm_decode: undecodable image, doc ${b.doc_id}")
+      MediaMeta(b.doc_id, b.fmt, img.getWidth, img.getHeight,
+        n_frames = 1, size_bytes = b.payload.length.toLong)
+    }
+
+  /** REAL batched pixel decode → 8-bin gray histogram per image (the
+    * feature-extraction stand-in over genuine decoded pixels; gray =
+    * blue channel, images are rendered achromatic). */
+  private[graft] def pixelHistBatch(batch: Seq[MediaBlob]): Seq[ByteHist] =
+    batch.map { b =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b.payload))
+      require(img != null, s"mm_decode: undecodable image, doc ${b.doc_id}")
+      val bins = new Array[Long](8)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          bins((img.getRGB(x, y) & 0xff) / 32) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      ByteHist(b.doc_id, bins)
+    }
+
+  /** Per-shard metadata stats over the REALLY-decoded corpus — widths
+    * and heights read back out of actual BMP headers by ImageIO, then
+    * declarative aggregation. Oracle-checked BY CONSTRUCTION: DuckDB
+    * recomputes the planted geometry (and the BMP file-size formula
+    * `54 + h·rowSize`, which doubles as a check on the encoder's
+    * stride math). Map-side decode, one tiny 4-group aggregate. */
+  def decodeMetaReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageBlobs(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeImageBatch))
+      .groupBy((col("doc_id") % 4).as("shard"))
+      .agg(count(lit(1)).as("n"),
+        round(avg("width"), 6).as("avg_w"),
+        round(avg("height"), 6).as("avg_h"),
+        sum("size_bytes").as("total_bytes"))
+      .orderBy("shard")
+  }
+
+  /** Corpus-wide gray histogram over REALLY-decoded pixels: batched
+    * map-side decode → fixed-size per-image bins → one 8-group
+    * aggregate. The oracle regenerates every pixel from the planted
+    * gradient (lossless BMP ⇒ exact), so a single off-by-one in
+    * stride, padding, or bottom-up row order fails the hash. */
+  def pixelHistReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageBlobs(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(pixelHistBatch))
+      .select(posexplode(col("bins")))
+      .select(col("pos").cast("int").as("bin"), col("col").as("cnt"))
+      .groupBy("bin")
+      .agg(sum("cnt").as("n_px"))
+      .orderBy("bin")
+  }
+
+  /** Generated DuckDB oracle for [[decodeMetaReal]]: the planted
+    * geometry + the BMP size formula. */
+  def decodeMetaRealOracleSql: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+              8 + length(text) % 16 AS h FROM documents)
+       SELECT doc_id % 4 AS shard, count(*) AS n,
+              round(avg(w), 6) AS avg_w, round(avg(h), 6) AS avg_h,
+              CAST(sum(54 + h * ((3 * w + 3) // 4 * 4)) AS BIGINT) AS total_bytes
+       FROM d GROUP BY shard ORDER BY shard"""
+
+  /** Generated DuckDB oracle for [[pixelHistReal]]: regenerate every
+    * planted pixel (bounded series cross join, filtered to each
+    * image's true extent) and histogram it. */
+  def pixelHistRealOracleSql: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+              8 + length(text) % 16 AS h FROM documents),
+       p AS (SELECT ((x * 7 + y * 13 + doc_id * 31) % 256) // 32 AS bin
+             FROM d, generate_series(0, 30) gx(x), generate_series(0, 22) gy(y)
+             WHERE x < w AND y < h)
+       SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_px
+       FROM p GROUP BY bin ORDER BY bin"""
+
   /** Quantized-histogram signature for one image: per-mille bin
     * shares floored to buckets of `q` per-mille, absent bins skipped,
     * joined `-` in bin order. Pure integer arithmetic — the DuckDB

@@ -353,10 +353,9 @@ object Profile {
     val cells = MiPairs.groupBy(_._1).map { case (tbl, ps) =>
       val exprs = ps.flatMap(p => Seq(p._2, p._3)).distinct
       val idx = exprs.zipWithIndex.toMap
-      val collected = byTable(tbl)
+      val collected = guardedCensus(byTable(tbl)
         .groupBy(exprs.map(e => expr(e).cast("string").as(s"e${idx(e)}")): _*)
-        .agg(count(lit(1)).as("cnt"))
-        .collect()
+        .agg(count(lit(1)).as("cnt")), s"miProfile($tbl)")
       val schema = org.apache.spark.sql.types.StructType(
         exprs.map(e => org.apache.spark.sql.types.StructField(
           s"e${idx(e)}", org.apache.spark.sql.types.StringType)) :+
@@ -372,6 +371,28 @@ object Profile {
           col(s"e${idx(y)}").as("y"))
         .agg(sum("cnt").as("nxy")), tbl, x, y)
     }.reduce(_ unionAll _).orderBy("tbl", "lhs", "rhs")
+  }
+
+  /** Hard ceiling on the MI joint-cell census a single driver collect
+    * may carry. The declared [[MiPairs]] are categorical by curation
+    * (tens of cells); the guard exists for the mis-declared case — a
+    * high-cardinality expression in the pair list would otherwise
+    * collect corpus-scale rows onto the driver. */
+  private[graft] val MiMaxCells = 100000
+
+  /** Fail-fast census collect: `limit(MiMaxCells + 1)` bounds the
+    * driver transfer BY CONSTRUCTION (the probe is the collect — no
+    * second aggregation pass), and one row over the ceiling raises
+    * instead of silently materializing a corpus-scale cell table
+    * (the [[graft.operators.Graph]] MaxEdgeWeight probe discipline). */
+  private[graft] def guardedCensus(cells: DataFrame,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = cells.limit(MiMaxCells + 1).collect()
+    require(rows.length <= MiMaxCells,
+      s"$what: joint cell census exceeds MiMaxCells=$MiMaxCells — the " +
+        "profiled expressions are not categorical; refusing the driver " +
+        "collect (declare lower-cardinality expressions in MiPairs)")
+    rows
   }
 
   private def lMicro(c: Column): Column =
@@ -720,11 +741,16 @@ object Profile {
       .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("in_a"),
         max(when(col("event_type") === "view", 1).otherwise(0)).as("in_b"))
       .filter(col("in_a") === 1 || col("in_b") === 1)
+    // tie-break on user_id after the hash, matching the BottomKSampleAgg
+    // / PQ-seed discipline: a 60-bit collision straddling the k boundary
+    // between users with different flags would otherwise make the sketch
+    // partitioning/engine-dependent
     val sketch = users.select(
         PortableHash.h60(concat(lit("kmv#"), col("user_id").cast("string")))
           .as("h"),
-        col("in_a"), col("in_b"))
-      .orderBy(col("h")).limit(KmvK)
+        col("user_id"), col("in_a"), col("in_b"))
+      .orderBy(col("h"), col("user_id")).limit(KmvK)
+      .drop("user_id")
     val folded = sketch.agg(
       count(lit(1)).as("k_used"),
       sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
@@ -759,7 +785,7 @@ object Profile {
           SELECT ('0x' || substring(md5('kmv#' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
                  in_a, in_b
           FROM u WHERE in_a = 1 OR in_b = 1
-          ORDER BY h LIMIT $KmvK),
+          ORDER BY h, user_id LIMIT $KmvK),
         f AS (
           SELECT CAST(count(*) AS BIGINT) AS k_used,
                  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS matches,

@@ -605,6 +605,17 @@ object Streams {
               .map(_.stripPrefix("ver=").toLong)
               .filter(_ < vLo)
               .sorted.lastOption
+          // contiguity gate, same fail-fast contract as the mixed-batch
+          // guard above: merging against ver = vLo−2 (a silently
+          // dropped/skipped version) yields a history that diverges
+          // from the batch gaps-and-islands fold — a version gap must
+          // CLOSE unchanged-value runs, which a non-adjacent merge
+          // cannot witness. A replay (prior == vLo−1 already landed)
+          // passes; a gap raises instead of corrupting quietly.
+          prior.foreach(p => require(p == vLo - 1,
+            s"scd2Stream: version gap — batch carries ver=$vLo but the " +
+              s"latest prior landed version is ver=$p (expected ver=${vLo - 1}); " +
+              "replay the missing versions in order"))
           val hist = prior
             .map(p => spark.read.parquet(s"$outPath/ver=$p"))
             .getOrElse(graft.operators.Snapshot.emptyScd2(spark))

@@ -75,13 +75,26 @@ class DedupSpec extends SparkSpecBase {
       verdicts(Dedup.standingIndex(existing), fresh))
     // the admitted non-dup (11) is appended; the NEXT shard's copy of
     // it must now flag against the grown index — the ingest loop
-    Dedup.appendToStandingIndex(fresh.filter($"doc_id" === 11L), dir)
+    Dedup.appendToStandingIndex(fresh.filter($"doc_id" === 11L), dir, "s1")
     val next = Seq((20L, "entirely novel text with no overlap whatsoever " +
       "regarding graph partitioning strategies for distributed pagerank " +
       "computation runs")).toDF("doc_id", "text")
     val grown = verdicts(Dedup.loadStandingIndex(spark, dir), next)
     assert(grown(20L)._1 && grown(20L)._2 == 11L,
       s"appended doc must gate the next shard: ${grown(20L)}")
+    // at-least-once retry of a committed shard id is a NO-OP, not a
+    // double-append (the _COMMITTED protocol's idempotence contract)
+    Dedup.appendToStandingIndex(fresh.filter($"doc_id" === 11L), dir, "s1")
+    val reloaded = Dedup.loadStandingIndex(spark, dir)
+    assert(reloaded._1.filter($"doc_id" === 11L).count() == 1L,
+      "retried append must not duplicate the shard")
+    // a half-written shard (tables present, marker absent) is invisible
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/shard-s1/_COMMITTED"), false)
+    assert(Dedup.loadStandingIndex(spark, dir)._1
+      .filter($"doc_id" === 11L).count() == 0L,
+      "uncommitted shard must be invisible to load")
   }
 
   test("simhash finds exact dups at hamming 0 and correlates with similarity") {

@@ -93,6 +93,50 @@ class MultimodalSpec extends SparkSpecBase {
       Multimodal.histSig(Array(400L, 0, 0, 0, 0, 0, 400L, 0), 25))
   }
 
+  test("REAL decode: a known BMP fixture decodes to known pixels") {
+    // 3x2 gradient, gray(x, y) = 10x + 100y — hand-checkable
+    val bytes = Multimodal.bmpBytes(3, 2, (x, y) => 10 * x + 100 * y)
+    // encoder math: 54-byte header + 2 rows of (3*3 -> padded 12) bytes
+    assert(bytes.length == 54 + 2 * 12)
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JRE ImageIO must decode the generated BMP")
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    // top-origin pixel grid round-trips exactly (bottom-up file order
+    // inverted back by the decoder); gray rides all three channels
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val px = img.getRGB(x, y)
+      val expected = 10 * x + 100 * y
+      assert((px & 0xff) == expected, s"($x,$y) blue")
+      assert(((px >> 8) & 0xff) == expected, s"($x,$y) green")
+      assert(((px >> 16) & 0xff) == expected, s"($x,$y) red")
+    }
+  }
+
+  test("REAL decode: batched ImageIO metadata matches the planted geometry") {
+    val blobs = Multimodal.imageBlobs(spark, Sf).collect().take(20)
+    val metas = Multimodal.decodeImageBatch(blobs.toSeq)
+    metas.zip(blobs).foreach { case (m, b) =>
+      assert(m.width == Multimodal.plantedW(b.doc_id),
+        s"doc ${b.doc_id} width")
+      assert(m.size_bytes == b.payload.length.toLong)
+      // BMP size formula doubles as a stride check
+      val rowSize = (3 * m.width + 3) / 4 * 4
+      assert(m.size_bytes == 54L + rowSize.toLong * m.height)
+    }
+    // pixel histogram over real decoded pixels ≡ the planted gradient
+    val hists = Multimodal.pixelHistBatch(blobs.toSeq)
+    hists.zip(blobs).foreach { case (h, b) =>
+      val w = Multimodal.plantedW(b.doc_id)
+      val hh = (h.bins.sum / w).toInt
+      val expected = new Array[Long](8)
+      for (y <- 0 until hh; x <- 0 until w)
+        expected(Multimodal.plantedGray(b.doc_id, x, y) / 32) += 1L
+      assert(h.bins.toSeq == expected.toSeq, s"doc ${b.doc_id} histogram")
+    }
+  }
+
   test("mm_dedup groups only multi-member signatures; keep_id is the min member") {
     val got = Multimodal.nearDupMedia(spark, Sf).collect()
     assert(got.nonEmpty)

@@ -61,7 +61,29 @@ if [ "$1" != "quick" ]; then
       exit 2
     fi
   fi
-  echo "=== bench sf0.1 (loadavg_start $load) ==="
+  # steal guard: loadavg only sees THIS VM's run queue — every r8
+  # capture carried 88-687 stolen CPU-seconds from host neighbors and
+  # the round's per-query deltas were unattributable. Sample
+  # /proc/stat steal (col 9, USER_HZ=100) over 30 s; > 1 steal-sec in
+  # the window ⇒ the host is noisy right now — one cooldown retry,
+  # then refuse, same contract as the loadavg gate.
+  steal_rate() {
+    s0=$(awk '/^cpu /{print $9; exit}' /proc/stat); sleep 30
+    s1=$(awk '/^cpu /{print $9; exit}' /proc/stat)
+    awk -v a="$s0" -v b="$s1" 'BEGIN { printf "%.2f", (b-a)/100 }'
+  }
+  steal=$(steal_rate)
+  if ! awk -v s="$steal" 'BEGIN { exit !(s <= 1.0) }'; then
+    echo "steal ${steal}s/30s > 1.0 — cooling down 180 s before the closing bench"
+    sleep 180
+    steal=$(steal_rate)
+    if ! awk -v s="$steal" 'BEGIN { exit !(s <= 1.0) }'; then
+      echo "REFUSING to stamp closing bench: steal still ${steal}s/30s" \
+        "— rerun 'tools/gate.sh' when the host is quiet"
+      exit 2
+    fi
+  fi
+  echo "=== bench sf0.1 (loadavg_start $load, steal_30s $steal) ==="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_OUT=/tmp/gate_bench.json \
     sbt -batch "runMain graft.Bench" > /dev/null 2>&1
