@@ -190,8 +190,10 @@ object SparkEntry {
     "pipeline_shuffle" -> (Curation.pipelineShuffle _),
     "pipeline_zorder" -> (Layout.zorderManifest _),
     "sample_per_group" -> (Curation.samplePerGroup _),
+    "sample_importance" -> (Curation.sampleImportance _),
     "pipeline_pii" -> (Curation.pipelinePii _),
     "text_lm_score" -> (TextOps.textLmScore _),
+    "text_bpe_merges" -> (TextOps.textBpeMerges _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextOps.textTfidf(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TextOps.textBm25(s, d)),
@@ -2322,6 +2324,10 @@ object SparkEntry {
     // same cut — the window formulation is the oracle, the bounded
     // aggregate is the plan
     "sample_per_group" -> graft.operators.Curation.perGroupOracleSql,
+    // DSIR importance resampling: hashed-unigram likelihood ratios in
+    // exact micro-nats, integer log-u keep gate (no exp/float
+    // boundary anywhere) — generated from the same constants
+    "sample_importance" -> graft.operators.Curation.importanceOracleSql,
     // Generated from the same Curation.PiiPatterns strings, applied
     // in the same order; DuckDB needs the explicit 'g' flag to match
     // Spark's replace-all default.
@@ -2562,6 +2568,10 @@ object SparkEntry {
                       END, 6) AS entropy_nats
          FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
          ORDER BY d.doc_id""",
+    // BPE merge learning: 8-round unrolled exact-integer trajectory,
+    // (cnt DESC, a, b) tie order, triple-replace greedy merge — the
+    // CTE chain is generated from the same constants as the operator
+    "text_bpe_merges" -> TextOps.bpeOracleSql,
     "text_lm_score" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t

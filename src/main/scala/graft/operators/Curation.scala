@@ -263,6 +263,112 @@ object Curation {
       .sortWithinPartitions("doc_id")
   }
 
+  /** Hashed-feature buckets for [[sampleImportance]] — small enough
+    * that the likelihood-ratio table is a broadcast literal, fixed so
+    * the generated oracle shares it by construction. */
+  val DsirBuckets: Int = 256
+
+  /** DSIR-style IMPORTANCE RESAMPLING toward a target domain — the
+    * data-mixing team's "make the crawl look like the target corpus"
+    * step (Xie et al., Data Selection via Importance Resampling):
+    * hashed word-unigram features, a per-bucket log likelihood ratio
+    * `ln p̂_tgt(b) − ln p̂_prop(b)` between the target distribution
+    * (here: the `lang = 'en'` sub-corpus) and the proposal (the whole
+    * corpus), each document scored by the sum of its tokens' ratios,
+    * and a keep decision with probability `min(1, exp(r̄_d))` where
+    * r̄_d is the per-token average ratio (length-tempered — the
+    * geometric-mean variant, so a long document can't win on bulk).
+    *
+    * Exactness discipline: both Laplace-smoothed distributions reduce
+    * to integer counts, so each bucket's ratio quantizes ONCE to
+    * BIGINT micro-nats (the [[graft.operators.TextOps]] collocations
+    * rule) and every per-doc score is an exact integer sum. The keep
+    * rule itself never computes exp: with u uniform from the
+    * portable-hash bucket, `P(ln u < r̄) = min(1, e^r̄)`, and
+    * `ln u · n_tok < lw` compares two exact BIGINTs —
+    * `lnu_micro = lMicro(2·bu + 1) − lMicro(2²¹)` is integer-log
+    * quantized like everything else. No transcendental ever meets a
+    * float boundary, so the kept SET is engine/retry/partitioning-
+    * invariant and the hash gate proves it.
+    *
+    * Scale shape: two map-side-combined bucket aggregates (shuffle ∝
+    * [[DsirBuckets]]), the ratio table broadcast back over the token
+    * stream, one partial-aggregating groupBy(doc_id), and a row-local
+    * hash gate. Nothing scales with the corpus except the scans. */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame =
+    sampleImportanceDf(Tables(spark, dir).documents)
+
+  def sampleImportanceDf(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    def lMicro(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")) * 1e6, 0).cast("long")
+    val b = DsirBuckets.toLong
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        pmod(PortableHash.h60(concat(lit("dsir#"), col("w"))), lit(b)).as("b"))
+    val allCnt = toks.groupBy(col("b")).agg(count(lit(1)).as("c_all"))
+    val tgtCnt = toks.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val nAll = allCnt.agg(sum(col("c_all")).as("n_all"))
+    val nTgt = tgtCnt.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt"))
+    // a bucket absent from the corpus has no tokens to score; absent
+    // from the TARGET it still scores via the +1 smoothing
+    val lr = allCnt.join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(nAll)).crossJoin(broadcast(nTgt))
+      .select(col("b"),
+        (lMicro(coalesce(col("c_tgt"), lit(0L)) + lit(1L))
+          - lMicro(col("n_tgt") + lit(b))
+          - lMicro(col("c_all") + lit(1L))
+          + lMicro(col("n_all") + lit(b))).as("lr_micro"))
+    val scored = toks.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lr_micro")).as("lw_micro"))
+    val bu = pmod(
+      PortableHash.h60(concat(lit("dsirk#"), col("doc_id").cast("string"))),
+      lit(1048576L))
+    val lnuMicro = lMicro(bu * 2 + 1) - lMicro(lit(2097152L))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .filter(lnuMicro * col("n_tok") < col("lw_micro"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("lw_micro"))
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[sampleImportance]] — the same
+    * tokenizer, hash buckets, smoothed micro-nat ratios, and the
+    * integer log-u keep gate. */
+  def importanceOracleSql: String = {
+    def lm(x: String) = s"CAST(round(ln($x) * 1000000, 0) AS BIGINT)"
+    val b = DsirBuckets
+    s"""WITH toks AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substring(md5('dsir#' || w), 1, 15)) AS BIGINT)
+                   % $b AS b
+          FROM (SELECT doc_id, lang,
+                       unnest(string_split_regex(trim(text, ' '), '\\s+')) AS w
+                FROM documents)),
+        allc AS (SELECT b, count(*) AS c_all FROM toks GROUP BY b),
+        tgtc AS (SELECT b, count(*) AS c_tgt FROM toks
+                 WHERE lang = 'en' GROUP BY b),
+        na AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM allc),
+        nt AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS BIGINT) AS n_tgt FROM tgtc),
+        lr AS (SELECT a.b,
+                 ${lm("coalesce(t.c_tgt, 0) + 1")} - ${lm(s"n_tgt + $b")}
+                 - ${lm("a.c_all + 1")} + ${lm(s"n_all + $b")} AS lr_micro
+               FROM allc a LEFT JOIN tgtc t ON a.b = t.b
+               CROSS JOIN na CROSS JOIN nt),
+        scored AS (SELECT toks.doc_id, count(*) AS n_tok,
+                          CAST(sum(lr.lr_micro) AS BIGINT) AS lw_micro
+                   FROM toks JOIN lr ON toks.b = lr.b GROUP BY toks.doc_id),
+        k AS (SELECT d.doc_id, d.lang, s.n_tok, s.lw_micro,
+                CAST(('0x' || substring(md5('dsirk#' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1048576 AS bu
+              FROM documents d JOIN scored s ON s.doc_id = d.doc_id)
+        SELECT doc_id, lang, n_tok, lw_micro FROM k
+        WHERE (${lm("bu * 2 + 1")} - ${lm("2097152")}) * n_tok < lw_micro
+        ORDER BY doc_id"""
+  }
+
   /** Target language mix for [[pipelineMix]], parts-per-million. The
     * operator's knob in production; fixed here so the generated
     * oracle shares it by construction. */

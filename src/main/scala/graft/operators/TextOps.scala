@@ -473,6 +473,129 @@ object TextOps {
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
     textEntropyDf(Tables(spark, dir).documents)
 
+  /** Merge rounds for [[textBpeMerges]] — fixed so the generated
+    * oracle unrolls the same trajectory by construction. */
+  val BpeRounds: Int = 8
+
+  /** BPE TOKENIZER-MERGE LEARNING — the iterative loop a tokenizer
+    * team runs over the corpus: start from characters (plus an
+    * end-of-word marker), repeatedly merge the most frequent adjacent
+    * symbol pair, emit the learned merge table. [[collocationsDf]]
+    * mines merge CANDIDATES; this is the loop itself.
+    *
+    * Exact-integer trajectory: pair counts are BIGINT sums of word
+    * frequencies, ties break on the (cnt DESC, a ASC, b ASC) total
+    * order, so every round's winner is engine-reproducible and the
+    * whole trajectory sits under the hash gate — the oracle unrolls
+    * the same [[BpeRounds]] rounds as a generated CTE chain (the
+    * kmeans/pagerank discipline).
+    *
+    * The merge application is THREE literal `replace` calls — both
+    * engines scan leftmost-first over non-overlapping occurrences,
+    * and the double-space separator encoding makes every greedy
+    * left-to-right merge (including adjacent occurrences, `a b a b`,
+    * and overlapping runs, `a a a`) a disjoint match: each boundary
+    * carries TWO spaces, a match consumes one from each side, so
+    * consecutive pair sites never share a character.
+    *
+    * Scale shape: BPE over a corpus operates on the word-TYPE table
+    * (freq-weighted), which is vocabulary-bounded — the corpus is
+    * scanned once for the vocab aggregate; each round is a pair-count
+    * aggregate over the vocab plus a 1-row driver round-trip for the
+    * winner (the codebook-collect discipline: k bounded rows total).
+    * Nothing else grows with the corpus. */
+  def textBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesDf(spark, Tables(spark, dir).documents)
+
+  def bpeMergesDf(spark: SparkSession, docs: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
+    val vocab0 = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(trim(regexp_replace(col("word"), "(.)", "$1 ")),
+        lit(" </w>")).as("w"), col("freq"))
+      .cache()
+    var v = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = v
+        .select(col("freq"), split(col("w"), " ").as("s"))
+        .select(col("freq"), col("s"), posexplode(col("s")).as(Seq("i", "a")))
+        // get() is 0-based and null past the end (ANSI-safe), so the
+        // last symbol simply produces no pair
+        .withColumn("b", get(col("s"), col("i") + 1))
+        .filter(col("b").isNotNull)
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        v = v.select(bpeMergeCol(col("w"), a, b).as("w"), col("freq"))
+        r += 1
+      }
+    }
+    vocab0.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("merge_idx", "pair_a", "pair_b", "cnt")
+      .select(col("merge_idx"), col("pair_a"), col("pair_b"),
+        concat(col("pair_a"), col("pair_b")).as("merged"), col("cnt"))
+      .orderBy("merge_idx")
+  }
+
+  /** One greedy merge of pair (a, b) over a single-space-joined
+    * symbol string — the double-space disjoint-match encoding. */
+  private def bpeMergeCol(w: Column, a: String, b: String): Column =
+    trim(replace(
+      replace(
+        replace(concat(lit(" "), w, lit(" ")), lit(" "), lit("  ")),
+        lit(s" $a  $b "), lit(s" $a$b ")),
+      lit("  "), lit(" ")))
+
+  /** Generated DuckDB oracle for [[textBpeMerges]] — the identical
+    * vocab carve and [[BpeRounds]]-round unrolled trajectory: per
+    * round a pair-count CTE, a 1-row (cnt DESC, a, b) winner, and the
+    * same triple-replace merge application. */
+  def bpeOracleSql: String = bpeOracleSqlWith(BpeRounds)
+
+  private[graft] def bpeOracleSqlWith(rounds: Int): String = {
+    def pairs(i: Int) =
+      s"""p$i AS (SELECT s[i] AS a, s[i+1] AS b,
+               CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT string_split(w, ' ') AS s, freq FROM v${i - 1}) t,
+                  unnest(range(1, len(s))) AS r(i)
+             GROUP BY s[i], s[i+1]),
+         t$i AS (SELECT a, b, cnt FROM p$i
+                 ORDER BY cnt DESC, a, b LIMIT 1)"""
+    def applyMerge(i: Int) =
+      s"""v$i AS (SELECT trim(replace(replace(replace(
+                 ' ' || v.w || ' ', ' ', '  '),
+                 ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' '),
+                 '  ', ' ')) AS w, v.freq
+               FROM v${i - 1} v, t$i t)"""
+    val chain = (1 to rounds).map { i =>
+      pairs(i) + (if (i < rounds) ",\n         " + applyMerge(i) else "")
+    }.mkString(",\n         ")
+    val out = (1 to rounds).map { i =>
+      s"SELECT $i AS merge_idx, a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM t$i"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH vw AS (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split_regex(trim(text, ' '), '\\s+')) AS w
+                FROM documents)
+          WHERE w <> '' GROUP BY w),
+         v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS w,
+                       freq
+                FROM vw),
+         $chain
+         SELECT * FROM ($out) ORDER BY merge_idx"""
+  }
+
   def textEntropyDf(docs: DataFrame): DataFrame =
     // one fused map-side pass per row (CharMoments) — the exploded
     // per-character formulation shuffled the whole corpus's

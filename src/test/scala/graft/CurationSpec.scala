@@ -215,6 +215,32 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("sampleImportance: resampling provably moves the mix toward the target") {
+    import org.apache.spark.sql.functions._
+    // disjoint vocabularies: target-domain docs speak alpha/beta/...,
+    // off-domain docs speak zulu/yankee/... — the hashed-unigram
+    // likelihood ratio is strongly positive for the first and strongly
+    // negative for the second, so the keep gate must separate them
+    val enText = "alpha beta gamma delta epsilon alpha beta gamma delta epsilon"
+    val xxText = "zulu yankee xray whiskey victor zulu yankee xray whiskey victor"
+    val docs = ((0L until 20L).map(i => (i, "en", enText)) ++
+      (100L until 160L).map(i => (i, "xx", xxText)))
+      .toDF("doc_id", "lang", "text")
+    val kept = graft.operators.Curation.sampleImportanceDf(docs).collect()
+    val keptEn = kept.count(_.getString(1) == "en")
+    val keptXx = kept.count(_.getString(1) == "xx")
+    // every target doc scores avg ratio ln(n_all/n_tgt) > 0 -> kept
+    assert(keptEn == 20, s"all target-domain docs must survive, got $keptEn")
+    // off-domain docs score strongly negative -> nearly all dropped
+    assert(keptXx < 10, s"off-domain docs must be mostly dropped, got $keptXx")
+    // the kept mix moved toward the target: en fraction rose from 25%
+    val frac = keptEn.toDouble / (keptEn + keptXx)
+    assert(frac > 0.6, s"resampled target fraction $frac must exceed input 0.25")
+    // deterministic: a rerun keeps the identical set
+    assert(graft.operators.Curation.sampleImportanceDf(docs).collect()
+      .map(_.getLong(0)).toSet == kept.map(_.getLong(0)).toSet)
+  }
+
   test("non-distinct shingles keep duplicates; distinct variant is the set") {
     val df = Seq((0L, "x y x y")).toDF("doc_id", "text")
     val all = df.select(graft.functions.ShingleCol.nGramShingles(

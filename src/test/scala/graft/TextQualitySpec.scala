@@ -152,4 +152,35 @@ class TextQualitySpec extends SparkSpecBase {
     val b = TextOps.textEntropy(sp2, Sf).collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("bpeMerges: the classic low/lower/new trajectory, hand-computed") {
+    import spark.implicits._
+    val docs = Seq((0L, "low low low lower lower new")).toDF("doc_id", "text")
+    val got = TextOps.bpeMergesDf(spark, docs, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // pairs round 1: (l,o)=5 (o,w)=5 -> tie breaks to 'l'; then the
+    // merged symbols chain: lo+w, low+</w>, then the cnt-2 tie to e+r
+    assert(got.toSeq == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "low", "</w>", 3L), (4, "e", "r", 2L)), got.toSeq.toString)
+  }
+
+  test("bpeMerges: greedy left-to-right on overlapping runs (aaa) and chains (abab)") {
+    import spark.implicits._
+    // aaa -> a a a </w>: (a,a) counted twice, merged GREEDILY left-first
+    // to [aa, a], so round 2 sees (aa,a) and (a,</w>) at 1 each and the
+    // tie breaks to a='a' — a right-to-left merge would yield (a,aa)
+    val aaa = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val g1 = TextOps.bpeMergesDf(spark, aaa, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(g1.toSeq == Seq((1, "a", "a", 2L), (2, "a", "</w>", 1L)),
+      g1.toSeq.toString)
+    // abab: adjacent non-overlapping sites must BOTH merge in one round
+    // (the double-space disjoint-match encoding) -> [ab, ab, </w>]
+    val abab = Seq((0L, "abab")).toDF("doc_id", "text")
+    val g2 = TextOps.bpeMergesDf(spark, abab, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(g2.toSeq == Seq((1, "a", "b", 2L), (2, "ab", "</w>", 1L)),
+      g2.toSeq.toString)
+  }
 }
