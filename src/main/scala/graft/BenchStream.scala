@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streams
+
+/** Streaming throughput micro-bench: sustained events/second for
+  * representative streaming surfaces, measured by replaying the
+  * `events` (and `documents`) tables through a multi-file parquet
+  * stream with `Trigger.AvailableNow` + `maxFilesPerTrigger`, i.e. a
+  * fixed micro-batch ladder ending in a clean drain. The correctness
+  * of every surface is pinned by StreamingSpec (stream ≡ batch); this
+  * main adds the missing PERFORMANCE evidence — prints ONE JSON line
+  * and writes it to BENCH_STREAM.json (or SPARK_GRAFT_STREAM_OUT).
+  *
+  * The measured quantity is engine capacity, not source pacing: every
+  * input file is already on disk when the query starts, so the run is
+  * back-to-back micro-batches with no trigger idle time. `rows_per_sec`
+  * = input rows / wall seconds across the whole drain, amortizing
+  * per-batch planning overhead over [[BenchStream.NFiles]] batches —
+  * the number a capacity planner actually needs (micro-batch cadence
+  * at 100 TB/day is a config knob; per-row cost is the engine truth).
+  *
+  * Surfaces (one per streaming state family):
+  *  - `window_counts`   — watermarked tumbling-window aggregate
+  *  - `topk_window`     — bounded top-k aggregate per window
+  *  - `spacesaving_win` — Misra-Gries heavy-hitter summary per window
+  *  - `dedup_gate`      — dropDuplicatesWithinWatermark admission gate
+  *  - `sessionize`      — flatMapGroupsWithState custom sessionizer
+  *  - `wordcount`       — complete-mode global aggregate over documents
+  */
+object BenchStream {
+
+  /** Input files staged per table — also the micro-batch count (one
+    * file per trigger), so every surface pays ~NFiles rounds of batch
+    * planning, like a real 24/7 run does per day. */
+  val NFiles = 8
+
+  /** Stage a table as [[NFiles]] stream-input files. Tables with a
+    * `ts` column are sliced into CONSECUTIVE TIME RANGES written in
+    * order (increasing file mtimes → the file source replays them
+    * oldest-first): a real event stream arrives roughly time-ordered
+    * within the watermark tolerance, and the stateful surfaces'
+    * event-time timeouts are only defined under that contract — a
+    * random shuffle of history into micro-batches is not a stream,
+    * it's a corrupted replay. */
+  private def stage(spark: SparkSession, src: String, dst: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.parquet(src)
+    val n = raw.count()
+    if (raw.columns.contains("ts")) {
+      val df = graft.core.Tables.normalizeTs(raw, "ts")
+        .withColumn("tsd", col("ts").cast("double"))
+      val qs = df.stat.approxQuantile("tsd",
+        (1 until NFiles).map(_.toDouble / NFiles).toArray, 0.001)
+      val bounds = (Double.NegativeInfinity +: qs.toSeq) :+
+        Double.PositiveInfinity
+      bounds.sliding(2).zipWithIndex.foreach {
+        case (Seq(lo, hi), i) =>
+          df.filter(col("tsd") >= lo && col("tsd") < hi).drop("tsd")
+            .coalesce(1).write
+            .mode(if (i == 0) "overwrite" else "append").parquet(dst)
+        case _ =>
+      }
+    } else raw.repartition(NFiles).write.mode("overwrite").parquet(dst)
+    n
+  }
+
+  private def time(df: DataFrame, mode: String = "append"): Double = {
+    val q = df.writeStream.format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_bsck").toString)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val t0 = System.nanoTime()
+    try q.awaitTermination() finally q.stop()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bstream").toString
+    val nEvents = stage(spark, s"$sfDir/events.parquet", s"$tmp/events")
+    val nDocs = stage(spark, s"$sfDir/documents.parquet", s"$tmp/documents")
+    // the [[Streams.readEvents]] schema/normalize discipline, plus the
+    // per-trigger file cap that shapes the micro-batch ladder
+    def eventsCapped() = graft.core.Tables.normalizeTs(
+      spark.readStream
+        .schema(spark.read.parquet(s"$tmp/events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/events"), "ts")
+    def docsCapped() = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/documents").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/documents")
+    val surfaces: Seq[(String, () => DataFrame, Long, String)] = Seq(
+      ("window_counts",
+        () => Streams.windowCounts(eventsCapped()), nEvents, "append"),
+      ("topk_window",
+        () => Streams.topkWindowSpend(eventsCapped()), nEvents, "append"),
+      ("spacesaving_win",
+        () => Streams.spaceSavingWindow(eventsCapped()), nEvents, "append"),
+      ("dedup_gate",
+        () => Streams.dedupEvents(eventsCapped()), nEvents, "append"),
+      ("sessionize",
+        () => Streams.sessionizeWithState(spark, eventsCapped()), nEvents,
+        "append"),
+      // the reference's flagship wordcount as a stream: complete-mode
+      // global aggregate (the count table IS the state)
+      ("wordcount",
+        () => Streams.wordcountStream(docsCapped()), nDocs, "complete"))
+    // one untimed warmup drain absorbs codegen + state-store setup
+    time(Streams.windowCounts(eventsCapped()))
+    def r1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", v)
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", v)
+    val results = surfaces.map { case (name, build, rows, mode) =>
+      val sec = time(build(), mode)
+      (name, rows, sec)
+    }
+    val body = results.map { case (name, rows, sec) =>
+      s""""$name":{"rows":$rows,"sec":${r3(sec)},""" +
+        s""""rows_per_sec":${r1(rows / sec)}}"""
+    }.mkString(",")
+    val json =
+      s"""{"metric":"stream_throughput","unit":"rows_per_sec","files":$NFiles,""" +
+        s""""cpus":$cpus,"sf":"$sfDir","surfaces":{$body}}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "BENCH_STREAM.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -617,11 +617,23 @@ object Dedup {
     * combined; no per-cluster window), within-partition presentation
     * order. */
   def keepBest(spark: SparkSession, dir: String,
-      tau: Double = 0.1): DataFrame = {
-    val docs = Tables(spark, dir).documents
+      tau: Double = 0.1): DataFrame =
+    keepBestFrom(Tables(spark, dir).documents,
+      ngramComponents(spark, dir, tau))
+
+  /** [[keepBest]] over PRECOMPUTED component labels — the production
+    * split: a pipeline that has already run (and persisted) the
+    * clustering pass selects representatives without re-deriving the
+    * pair base and re-converging the loop. The bench's `dedup_keep_best`
+    * deliberately measures the full cold chain (pair base + loop +
+    * selection — within a suite run the shared PlanCache base amortizes
+    * it); this overload is the marginal-cost entry, and DedupSpec pins
+    * overload ≡ full chain. */
+  def keepBestFrom(documents: DataFrame, components: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), expr("CAST(octet_length(text) AS BIGINT)").as("blen"))
     val labeled = docs
-      .join(ngramComponents(spark, dir, tau), Seq("doc_id"), "left")
+      .join(components, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"), col("blen"))
     labeled.groupBy(col("component"))

@@ -257,6 +257,13 @@ class DedupSpec extends SparkSpecBase {
     }
     // total kept = clusters; dropped = corpus - clusters
     assert(kept.size == clusters.size && kept.size <= blen.size)
+    // the precomputed-components overload (the persisted-clustering
+    // production path) selects the identical manifest
+    val viaPrecomputed = Dedup.keepBestFrom(tables.documents,
+        Dedup.ngramComponents(spark, Sf)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(viaPrecomputed == kept)
   }
 
   test("sketch signatures are map-side kernels (no explode+aggregate in plan)") {

@@ -46,6 +46,14 @@ if [ "$1" != "quick" ]; then
   echo "=== scaling probe (2x quick) ==="
   tools/scaling_probe.sh quick | tail -12
 
+  # same tripwire over the basket-pair and iterative-graph families:
+  # wedge/candidate generation regressing to quadratic shows ~4x on
+  # 2x disjoint replicas and fails the gate the round it lands
+  echo "=== scaling probe (2x basket) ==="
+  tools/scaling_probe.sh basket | tail -9
+  echo "=== scaling probe (2x graph) ==="
+  tools/scaling_probe.sh graph | tail -17
+
   # contention guard: a closing bench stamped on a loaded box is not a
   # record anyone can compare across rounds (BENCH_r06's 122 s vs the
   # idle-box 69 s). Refuse to stamp when 1-min loadavg > 1.5, after one

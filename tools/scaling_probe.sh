@@ -12,6 +12,10 @@
 #   regression tripwire (exits nonzero if any 2x/1x min-wall ratio
 #   exceeds 3.0, where linear is ~2 and all-pairs is ~4); the full
 #   1x/2x/4x run stays the ad-hoc measurement tool.
+#   basket / graph = the same 1x/2x tripwire over the basket-pair and
+#   iterative-graph families (disjoint salted universes/replicas) —
+#   a quadratic wedge/candidate regression fails the gate the round
+#   it lands, same 3.0 trip line.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -56,7 +60,7 @@ done
 
 MODE="$MODE" python3 - <<'EOF'
 import json, os, sys
-quick = os.environ["MODE"] == "quick"
+quick = os.environ["MODE"] in ("quick", "basket", "graph")
 ks = (1, 2, 4) if os.environ["MODE"] == "full" else (1, 2)
 runs = {k: json.load(open(f"/tmp/scale_bench_{k}.json")) for k in ks}
 qs = sorted(runs[1]["queries"])
