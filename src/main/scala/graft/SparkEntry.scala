@@ -133,6 +133,7 @@ object SparkEntry {
     "snapshot_diff" -> (Snapshot.snapshotDiff _),
     "snapshot_scd2" -> (Snapshot.scd2 _),
     "snapshot_agg_delta" -> (Snapshot.aggDelta _),
+    "snapshot_asof" -> ((s: SparkSession, d: String) => Snapshot.asOf(s, d)),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
     "emb_kmeans_resume" -> ((s: SparkSession, d: String) => Cluster.embKmeansResume(s, d)),
     "emb_coreset" -> ((s: SparkSession, d: String) => Cluster.embCoreset(s, d)),
@@ -194,6 +195,7 @@ object SparkEntry {
     "pipeline_pii" -> (Curation.pipelinePii _),
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_bpe_merges" -> (TextOps.textBpeMerges _),
+    "text_bpe_vocab" -> (TextOps.textBpeVocab _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextOps.textTfidf(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TextOps.textBm25(s, d)),
@@ -1961,6 +1963,10 @@ object SparkEntry {
                      ELSE CAST(last_ver + 1 AS BIGINT) END AS valid_to,
                 CAST(last_ver = 3 AS INT) AS is_current
          FROM runs ORDER BY c_custkey, valid_from""",
+    // time-travel round-trip contract: Spark reconstructs version 2
+    // from the SCD-2 validity intervals; the oracle carves version 2
+    // directly from the base — match ⇔ reconstruct ≡ snapshot_v
+    "snapshot_asof" -> Snapshot.asOfOracleSql,
     // IVM contract probed from the other side: Spark folds the CDC
     // delta into yesterday's aggregate; the oracle recomputes the
     // aggregate from the NEW snapshot directly. A hash match means
@@ -2572,6 +2578,9 @@ object SparkEntry {
     // (cnt DESC, a, b) tie order, triple-replace greedy merge — the
     // CTE chain is generated from the same constants as the operator
     "text_bpe_merges" -> TextOps.bpeOracleSql,
+    // the encode side: post-merge subword frequency table off the
+    // same generated trajectory (final vocab state exploded)
+    "text_bpe_vocab" -> TextOps.bpeVocabOracleSql,
     "text_lm_score" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t

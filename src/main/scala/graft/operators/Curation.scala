@@ -299,39 +299,67 @@ object Curation {
     sampleImportanceDf(Tables(spark, dir).documents)
 
   def sampleImportanceDf(docs: DataFrame, targetLang: String = "en"): DataFrame = {
-    def lMicro(c: org.apache.spark.sql.Column) =
-      round(log(c.cast("double")) * 1e6, 0).cast("long")
-    val b = DsirBuckets.toLong
     val toks = docs.select(col("doc_id"), col("lang"),
         explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
-      .select(col("doc_id"), col("lang"),
-        pmod(PortableHash.h60(concat(lit("dsir#"), col("w"))), lit(b)).as("b"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("w")).as("b"))
+    val scored = toks.join(broadcast(importanceRatios(docs, targetLang)),
+        Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lr_micro")).as("lw_micro"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .filter(importanceKeep(col("doc_id"), col("n_tok"), col("lw_micro")))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("lw_micro"))
+      .sortWithinPartitions("doc_id")
+  }
+
+  private def dsirLMicro(c: org.apache.spark.sql.Column) =
+    round(log(c.cast("double")) * 1e6, 0).cast("long")
+
+  /** A token's hashed feature bucket — one half of the rule both the
+    * batch sampler and the stream gate share. */
+  private[graft] def dsirBucket(w: org.apache.spark.sql.Column) =
+    pmod(PortableHash.h60(concat(lit("dsir#"), w)), lit(DsirBuckets.toLong))
+
+  /** The per-bucket micro-nat likelihood-ratio table derived from a
+    * standing corpus — COMPLETE over all [[DsirBuckets]] buckets
+    * (spine left-join), so a consumer scoring documents the corpus
+    * has never seen (the stream-static gate) still gets the smoothed
+    * default ratio for unseen buckets. For corpus-internal scoring
+    * the completion is value-neutral: a corpus token's bucket is
+    * present by construction. */
+  private[graft] def importanceRatios(corpus: DataFrame,
+      targetLang: String = "en"): DataFrame = {
+    val b = DsirBuckets.toLong
+    val toks = corpus.select(col("lang"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("lang"), dsirBucket(col("w")).as("b"))
     val allCnt = toks.groupBy(col("b")).agg(count(lit(1)).as("c_all"))
     val tgtCnt = toks.filter(col("lang") === targetLang)
       .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
-    val nAll = allCnt.agg(sum(col("c_all")).as("n_all"))
+    val nAll = allCnt.agg(coalesce(sum(col("c_all")), lit(0L)).as("n_all"))
     val nTgt = tgtCnt.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt"))
-    // a bucket absent from the corpus has no tokens to score; absent
-    // from the TARGET it still scores via the +1 smoothing
-    val lr = allCnt.join(tgtCnt, Seq("b"), "left")
+    corpus.sparkSession.range(DsirBuckets).select(col("id").as("b"))
+      .join(allCnt, Seq("b"), "left")
+      .join(tgtCnt, Seq("b"), "left")
       .crossJoin(broadcast(nAll)).crossJoin(broadcast(nTgt))
       .select(col("b"),
-        (lMicro(coalesce(col("c_tgt"), lit(0L)) + lit(1L))
-          - lMicro(col("n_tgt") + lit(b))
-          - lMicro(col("c_all") + lit(1L))
-          + lMicro(col("n_all") + lit(b))).as("lr_micro"))
-    val scored = toks.join(broadcast(lr), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"), sum(col("lr_micro")).as("lw_micro"))
+        (dsirLMicro(coalesce(col("c_tgt"), lit(0L)) + lit(1L))
+          - dsirLMicro(col("n_tgt") + lit(b))
+          - dsirLMicro(coalesce(col("c_all"), lit(0L)) + lit(1L))
+          + dsirLMicro(col("n_all") + lit(b))).as("lr_micro"))
+  }
+
+  /** The row-local keep gate — the other shared half: `ln(u)·n_tok <
+    * lw` with both sides exact BIGINT micro-nats (see
+    * [[sampleImportance]]). */
+  private[graft] def importanceKeep(docId: org.apache.spark.sql.Column,
+      nTok: org.apache.spark.sql.Column,
+      lwMicro: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bu = pmod(
-      PortableHash.h60(concat(lit("dsirk#"), col("doc_id").cast("string"))),
+      PortableHash.h60(concat(lit("dsirk#"), docId.cast("string"))),
       lit(1048576L))
-    val lnuMicro = lMicro(bu * 2 + 1) - lMicro(lit(2097152L))
-    docs.select(col("doc_id"), col("lang"))
-      .join(scored, Seq("doc_id"))
-      .filter(lnuMicro * col("n_tok") < col("lw_micro"))
-      .select(col("doc_id"), col("lang"), col("n_tok"), col("lw_micro"))
-      .sortWithinPartitions("doc_id")
+    (dsirLMicro(bu * 2 + 1) - dsirLMicro(lit(2097152L))) * nTok < lwMicro
   }
 
   /** Generated DuckDB oracle for [[sampleImportance]] — the same

@@ -136,6 +136,41 @@ object Snapshot {
     closed.unionByName(still).unionByName(close).unionByName(opened)
   }
 
+  /** TIME-TRAVEL READ over the SCD-2 history — "the dimension as of
+    * version v": one validity-interval filter over the history table
+    * (`valid_from ≤ v < valid_to`, open intervals pass), no joins, no
+    * windows; at 100 TB the history is interval-partitioned and the
+    * filter prunes to the live slice. The oracle is the CONTRACT, not
+    * a mirror: it rebuilds version v's snapshot DIRECTLY from the
+    * carved base (a genuinely different computation path), so a hash
+    * match proves reconstruct(history, v) ≡ snapshot_v — the
+    * round-trip guarantee a lakehouse time-travel reader rests on
+    * (the IVM fold(old, delta) ≡ agg(new) discipline applied to
+    * SCD-2). */
+  def asOf(spark: SparkSession, dir: String, v: Long = 2L): DataFrame =
+    asOfFrom(scd2(spark, dir), v)
+
+  /** The interval filter over ANY SCD-2 history frame (the persisted-
+    * history production entry; [[asOf]] derives the history inline). */
+  def asOfFrom(hist: DataFrame, v: Long): DataFrame =
+    hist
+      .filter(col("valid_from") <= v &&
+        (col("valid_to").isNull || col("valid_to") > v))
+      .select(col("c_custkey"), col("cents"))
+      .sortWithinPartitions("c_custkey")
+
+  /** Generated DuckDB oracle for [[asOf]] (v = 2): version 2 carved
+    * straight from the base — the other side of the round-trip. */
+  def asOfOracleSql: String =
+    """WITH c AS (
+         SELECT c_custkey,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+                ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 20 AS hv
+         FROM customer)
+       SELECT c_custkey,
+              cents + CASE WHEN hv % 7 = 3 THEN 100 ELSE 0 END AS cents
+       FROM c WHERE hv != 1 AND hv != 5 ORDER BY c_custkey"""
+
   /** Empty history frame with the SCD-2 schema (stream bootstrap). */
   private[graft] def emptyScd2(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._

@@ -509,6 +509,20 @@ object TextOps {
 
   def bpeMergesDf(spark: SparkSession, docs: DataFrame,
       rounds: Int = BpeRounds): DataFrame = {
+    val (merges, _) = bpeLoop(docs, rounds)
+    import spark.implicits._
+    merges.toDF("merge_idx", "pair_a", "pair_b", "cnt")
+      .select(col("merge_idx"), col("pair_a"), col("pair_b"),
+        concat(col("pair_a"), col("pair_b")).as("merged"), col("cnt"))
+      .orderBy("merge_idx")
+  }
+
+  /** The shared merge loop: learned merges + the POST-MERGE vocab
+    * state (each word's symbol string after all rounds applied in
+    * learned order — which IS BPE encoding of the corpus, since the
+    * loop applies each merge greedily corpus-wide as it is learned). */
+  private def bpeLoop(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val vocab0 = docs
       .select(explode(tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -540,12 +554,31 @@ object TextOps {
         r += 1
       }
     }
+    // eager localCheckpoint cuts the returned frame's lineage off the
+    // cached vocab0 so it can be released here (the Ann PlanCache
+    // lesson: no ad-hoc cache outlives its operator) — the state is
+    // vocab-sized, so the materialization is trivial
+    val out = if (merges.isEmpty) v else v.localCheckpoint(true)
     vocab0.unpersist()
-    import spark.implicits._
-    merges.toSeq.toDF("merge_idx", "pair_a", "pair_b", "cnt")
-      .select(col("merge_idx"), col("pair_a"), col("pair_b"),
-        concat(col("pair_a"), col("pair_b")).as("merged"), col("cnt"))
-      .orderBy("merge_idx")
+    (merges.toSeq, out)
+  }
+
+  /** BPE ENCODE of the corpus — the consumer side of
+    * [[textBpeMerges]]: the post-merge symbol (subword) frequency
+    * table, i.e. what the token stream would look like under the
+    * learned merges. Bounded output (initial alphabet + one symbol
+    * per merge); `(n DESC, sym)` is a total order, so fully
+    * oracle-checked — the oracle unrolls the SAME trajectory and
+    * explodes the final vocab state. */
+  def textBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeVocabDf(spark, Tables(spark, dir).documents)
+
+  def bpeVocabDf(spark: SparkSession, docs: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
+    val (_, vN) = bpeLoop(docs, rounds)
+    vN.select(explode(split(col("w"), " ")).as("sym"), col("freq"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("sym"))
   }
 
   /** One greedy merge of pair (a, b) over a single-space-joined
@@ -563,7 +596,27 @@ object TextOps {
     * same triple-replace merge application. */
   def bpeOracleSql: String = bpeOracleSqlWith(BpeRounds)
 
+  /** Trajectory oracle for [[textBpeVocab]] — the SAME generated
+    * chain (merge application included for every round), final state
+    * exploded to the symbol frequency table. */
+  def bpeVocabOracleSql: String = {
+    val (chain, _) = bpeChain(BpeRounds, applyLast = true)
+    s"""WITH $chain
+       SELECT sym, CAST(sum(freq) AS BIGINT) AS n
+       FROM (SELECT unnest(string_split(w, ' ')) AS sym, freq FROM v$BpeRounds)
+       GROUP BY sym ORDER BY n DESC, sym"""
+  }
+
   private[graft] def bpeOracleSqlWith(rounds: Int): String = {
+    val (chain, out) = bpeChain(rounds, applyLast = false)
+    s"""WITH $chain
+       SELECT * FROM ($out) ORDER BY merge_idx"""
+  }
+
+  /** The shared CTE-chain generator: vocab carve + per-round pair
+    * count / winner / (optionally trailing) merge application, and
+    * the merge-table UNION. One source of truth for both oracles. */
+  private def bpeChain(rounds: Int, applyLast: Boolean): (String, String) = {
     def pairs(i: Int) =
       s"""p$i AS (SELECT s[i] AS a, s[i+1] AS b,
                CAST(sum(freq) AS BIGINT) AS cnt
@@ -579,12 +632,13 @@ object TextOps {
                  '  ', ' ')) AS w, v.freq
                FROM v${i - 1} v, t$i t)"""
     val chain = (1 to rounds).map { i =>
-      pairs(i) + (if (i < rounds) ",\n         " + applyMerge(i) else "")
+      pairs(i) + (if (i < rounds || applyLast) ",\n         " + applyMerge(i)
+        else "")
     }.mkString(",\n         ")
     val out = (1 to rounds).map { i =>
       s"SELECT $i AS merge_idx, a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM t$i"
     }.mkString("\n         UNION ALL ")
-    s"""WITH vw AS (
+    (s"""vw AS (
           SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
           FROM (SELECT unnest(string_split_regex(trim(text, ' '), '\\s+')) AS w
                 FROM documents)
@@ -592,8 +646,7 @@ object TextOps {
          v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS w,
                        freq
                 FROM vw),
-         $chain
-         SELECT * FROM ($out) ORDER BY merge_idx"""
+         $chain""", out)
   }
 
   def textEntropyDf(docs: DataFrame): DataFrame =

@@ -505,6 +505,39 @@ object Streams {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Stream–static IMPORTANCE-RESAMPLING admission gate — the DSIR
+    * sampler ([[graft.operators.Curation.sampleImportance]]) at
+    * ingest time: the standing corpus derives the per-bucket
+    * micro-nat likelihood-ratio table ONCE (256 rows, collected and
+    * shipped as an expression literal — the codebook-collect
+    * discipline), and each arriving document scores itself with a
+    * purely ROW-LOCAL fold over its own tokens — no explode, no
+    * groupBy, ZERO streaming state however fast documents arrive.
+    * The ratio table is COMPLETE over all buckets (the batch
+    * helper's spine join), so tokens the standing corpus never saw
+    * score the smoothed default instead of silently dropping out.
+    * Bucket hash, ratio derivation, and keep gate are the batch
+    * operator's own shared halves, and the row-local fold computes
+    * the identical integer sum the batch explode+groupBy computes —
+    * StreamingSpec pins stream ≡ batch on the same rows. */
+  def importanceStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.operators.{Curation => C}
+    val rows = C.importanceRatios(corpus).collect()
+    require(rows.length == C.DsirBuckets && !rows.exists(_.isNullAt(1)),
+      "importanceStream: standing corpus yields no ratio table " +
+        "(empty corpus?) — the gate needs a derivable distribution")
+    val arr = new Array[Long](C.DsirBuckets)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    val lrLit = array(arr.map(lit(_)).toSeq: _*)
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val lw = aggregate(toks, lit(0L), (acc, w) =>
+      acc + element_at(lrLit, (C.dsirBucket(w) + 1).cast("int")))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tok"), lw.as("lw_micro"))
+      .filter(C.importanceKeep(col("doc_id"), col("n_tok"), col("lw_micro")))
+  }
+
   /** Stream–static NEAR-DUP admission gate —
     * [[graft.operators.Dedup.incremental]]'s philosophy at ingest
     * time: arriving documents are MinHash-LSH probed against a

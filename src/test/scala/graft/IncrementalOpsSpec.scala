@@ -58,6 +58,28 @@ class IncrementalOpsSpec extends SparkSpecBase {
       (60L, 100L, 3L, -1L, 1)))                     // revert = new run
   }
 
+  test("snapshot_asof: interval reads reconstruct every version of the planted history") {
+    import spark.implicits._
+    // the same six-transition history as the scd2 spec above
+    val rows = Seq(
+      (10L, 1, 100L), (10L, 2, 100L), (10L, 3, 100L),
+      (20L, 1, 100L), (20L, 2, 200L), (20L, 3, 200L),
+      (30L, 1, 100L),
+      (40L, 2, 100L), (40L, 3, 100L),
+      (50L, 1, 100L), (50L, 3, 100L),
+      (60L, 1, 100L), (60L, 2, 200L), (60L, 3, 100L)
+    ).toDF("c_custkey", "ver", "cents")
+    val hist = graft.operators.Snapshot.scd2Fold(rows, maxVer = 3)
+    // round-trip: asOf(fold(versions), v) == version slice v, for EVERY v
+    for (v <- 1 to 3) {
+      val got = graft.operators.Snapshot.asOfFrom(hist, v).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = rows.filter($"ver" === v).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got == want, s"as-of $v: $got != $want")
+    }
+  }
+
   test("snapshot_agg_delta: folding the delta equals a full recompute") {
     // the IVM contract, probed inside Spark (the DuckDB gate probes it
     // cross-engine): fold(agg(old), delta) == agg(new), where the

@@ -549,6 +549,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("stream-static importance gate admits exactly the batch resampled set") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_dsir_stream")
+    Files.copy(Paths.get(s"$Sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // static side derives the complete ratio table; the stream replays
+    // the same docs through the row-local fold — the admitted rows
+    // (including the exact integer scores) must equal the batch
+    // sampler's explode+groupBy formulation row for row
+    val corpus = graft.core.Tables(spark, Sf).documents
+    val stream = Streams.runToMemory(
+      Streams.importanceStream(Streams.readDocuments(spark, dir.toString),
+        corpus),
+      "dsir_stream", OutputMode.Append())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val got = stream.collect().map(key).toSet
+    val want = graft.operators.Curation.sampleImportance(spark, Sf)
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming IVM: view refreshed over a split CDC feed equals the batch fold") {
     import java.nio.file._
     val cdc = graft.operators.Snapshot.cdcRows(spark, Sf)

@@ -165,6 +165,20 @@ class TextQualitySpec extends SparkSpecBase {
       (3, "low", "</w>", 3L), (4, "e", "r", 2L)), got.toSeq.toString)
   }
 
+  test("bpeVocab: post-merge subword table on the low/lower/new corpus, hand-computed") {
+    import spark.implicits._
+    val docs = Seq((0L, "low low low lower lower new")).toDF("doc_id", "text")
+    // after merges (l,o) (lo,w) (low,</w>) (e,r):
+    //   low   -> [low</w>] x3
+    //   lower -> [low, er, </w>] x2
+    //   new   -> [n, e, w, </w>] x1
+    val got = TextOps.bpeVocabDf(spark, docs, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("</w>", 3L), ("low</w>", 3L), ("er", 2L), ("low", 2L),
+      ("e", 1L), ("n", 1L), ("w", 1L)), got.toSeq.toString)
+  }
+
   test("bpeMerges: greedy left-to-right on overlapping runs (aaa) and chains (abab)") {
     import spark.implicits._
     // aaa -> a a a </w>: (a,a) counted twice, merged GREEDILY left-first
