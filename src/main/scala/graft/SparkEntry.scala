@@ -171,6 +171,8 @@ object SparkEntry {
     "mm_dedup" -> (Multimodal.nearDupMedia _),
     "mm_decode_meta" -> (Multimodal.decodeMetaReal _),
     "mm_decode_hist" -> (Multimodal.pixelHistReal _),
+    "mm_dhash" -> (Multimodal.mediaDhash _),
+    "mm_dedup_real" -> (Multimodal.nearDupDhash _),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_readability" -> (TextOps.textReadability _),
@@ -2088,6 +2090,11 @@ object SparkEntry {
     // stride/padding/row-order bug on either side fails the hash).
     "mm_decode_meta" -> Multimodal.decodeMetaRealOracleSql,
     "mm_decode_hist" -> Multimodal.pixelHistRealOracleSql,
+    // decode → 8x8 nearest-neighbor thumbnail → 56-bit dHash, all on
+    // genuine decoded pixels; oracle rebuilds every comparison bit
+    // through the same integer resample mapping
+    "mm_dhash" -> Multimodal.mediaDhashOracleSql,
+    "mm_dedup_real" -> Multimodal.nearDupDhashOracleSql,
     // Same 16-bit-limb bucket arithmetic as TextOps.splitAssignment —
     // equal to (doc_id * 2654435761) % 2^32 but overflow-free for
     // doc_id beyond ~3.5e9 on both engines.

@@ -311,6 +311,81 @@ object Multimodal {
       .orderBy("bin")
   }
 
+  /** REAL perceptual hash — the decode → resample → fingerprint chain
+    * every image-dedup pipeline runs, on genuine pixels: each decoded
+    * BMP is thumbnailed to a fixed 8×8 grid by nearest-neighbor
+    * (`src = thumb·dim div 8` — the integer resample that consumes
+    * [[resizeSpecs]]-style planning), then dHash'd: bit (x, y) = 1
+    * iff thumb(x+1, y) > thumb(x, y), 7×8 = 56 bits (BIGINT-safe).
+    * Per-image state is ONE long however large the payload; the
+    * whole chain is map-side batched decode, no shuffle. */
+  private[graft] def dhashBatch(batch: Seq[MediaBlob]): Seq[(Long, Long)] =
+    batch.map { b =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b.payload))
+      require(img != null, s"mm_dhash: undecodable image, doc ${b.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      def g(tx: Int, ty: Int): Int =
+        img.getRGB(tx * w / 8, ty * h / 8) & 0xff
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 7) {
+          if (g(x + 1, y) > g(x, y)) hash |= 1L << (y * 7 + x)
+          x += 1
+        }
+        y += 1
+      }
+      (b.doc_id, hash)
+    }
+
+  /** The dHash fingerprint table over the really-decoded corpus —
+    * joins into [[nearDupMedia]]-style grouping downstream (equal
+    * hashes ⇒ near-identical luminance structure). Oracle regenerates
+    * each of the 56 comparison bits from the planted gradient through
+    * the SAME integer thumbnail mapping. */
+  def mediaDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageBlobs(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(dhashBatch))
+      .toDF("doc_id", "dhash")
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** Near-duplicate detection over the REAL perceptual hashes — the
+    * [[nearDupMedia]] grouping shape applied to [[mediaDhash]]: equal
+    * 56-bit fingerprints (near-identical luminance structure in the
+    * genuinely decoded thumbnails) fall out of ONE groupBy; no
+    * pairwise compare, payloads never shuffle. */
+  def nearDupDhash(spark: SparkSession, dir: String): DataFrame =
+    mediaDhash(spark, dir)
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .sortWithinPartitions("dhash")
+
+  /** Generated DuckDB oracle for [[nearDupDhash]] — the dHash oracle
+    * regrouped. */
+  def nearDupDhashOracleSql: String =
+    s"""WITH h AS (${mediaDhashOracleSql.replace("ORDER BY doc_id", "")})
+       SELECT dhash, count(*) AS n_docs, min(doc_id) AS keep_id
+       FROM h GROUP BY dhash HAVING count(*) > 1 ORDER BY dhash"""
+
+  /** Generated DuckDB oracle for [[mediaDhash]]. */
+  def mediaDhashOracleSql: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+              8 + length(text) % 16 AS h FROM documents),
+       b AS (SELECT doc_id,
+               CASE WHEN (((x + 1) * w // 8) * 7 + (y * h // 8) * 13
+                          + doc_id * 31) % 256
+                       > ((x * w // 8) * 7 + (y * h // 8) * 13
+                          + doc_id * 31) % 256
+                    THEN (CAST(1 AS BIGINT) << (y * 7 + x)) ELSE 0 END AS bit
+             FROM d, generate_series(0, 6) gx(x), generate_series(0, 7) gy(y))
+       SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+       FROM b GROUP BY doc_id ORDER BY doc_id"""
+
   /** Generated DuckDB oracle for [[decodeMetaReal]]: the planted
     * geometry + the BMP size formula. */
   def decodeMetaRealOracleSql: String =

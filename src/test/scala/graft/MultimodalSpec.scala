@@ -137,6 +137,22 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("REAL dHash: monotonic gradients saturate, inversions zero, thumbnail maps 2:1") {
+    def hashOf(w: Int, h: Int, pix: (Int, Int) => Int): Long =
+      Multimodal.dhashBatch(Seq(Multimodal.MediaBlob(0L, "image",
+        Multimodal.bmpBytes(w, h, pix)))).head._2
+    // 8x8 identity thumbnail, gray strictly increasing in x -> every
+    // comparison bit set: 2^56 - 1
+    assert(hashOf(8, 8, (x, _) => x * 10) == (1L << 56) - 1)
+    // strictly decreasing -> no bit set
+    assert(hashOf(8, 8, (x, _) => 255 - x * 10) == 0L)
+    // 16x16 source: nearest-neighbor picks src column 2x — still
+    // strictly increasing in thumb x, so saturated again
+    assert(hashOf(16, 16, (x, _) => x * 5) == (1L << 56) - 1)
+    // constant image: strict > never fires
+    assert(hashOf(8, 8, (_, _) => 128) == 0L)
+  }
+
   test("mm_dedup groups only multi-member signatures; keep_id is the min member") {
     val got = Multimodal.nearDupMedia(spark, Sf).collect()
     assert(got.nonEmpty)
