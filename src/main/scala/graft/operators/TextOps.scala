@@ -625,11 +625,14 @@ object TextOps {
              GROUP BY s[i], s[i+1]),
          t$i AS (SELECT a, b, cnt FROM p$i
                  ORDER BY cnt DESC, a, b LIMIT 1)"""
+    // trim MUST be the explicit-space form: DuckDB's one-arg trim is
+    // unicode-aware and would strip a boundary U+3000 SYMBOL after
+    // eating the separator spaces (caught by the unicode gate)
     def applyMerge(i: Int) =
       s"""v$i AS (SELECT trim(replace(replace(replace(
                  ' ' || v.w || ' ', ' ', '  '),
                  ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' '),
-                 '  ', ' ')) AS w, v.freq
+                 '  ', ' '), ' ') AS w, v.freq
                FROM v${i - 1} v, t$i t)"""
     val chain = (1 to rounds).map { i =>
       pairs(i) + (if (i < rounds || applyLast) ",\n         " + applyMerge(i)
@@ -643,7 +646,8 @@ object TextOps {
           FROM (SELECT unnest(string_split_regex(trim(text, ' '), '\\s+')) AS w
                 FROM documents)
           WHERE w <> '' GROUP BY w),
-         v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS w,
+         v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g'), ' ')
+                         || ' </w>' AS w,
                        freq
                 FROM vw),
          $chain""", out)
