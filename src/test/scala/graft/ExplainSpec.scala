@@ -86,9 +86,10 @@ class ExplainSpec extends SparkSpecBase {
       "text_tfidf", "pipeline_clean", "pipeline_pack", "text_repetition",
       "text_gopher", "pipeline_decontam", "pipeline_pii",
       "sample_stratified", "sample_weighted", "pipeline_mix",
-      "pipeline_shuffle",
+      "pipeline_shuffle", "sample_importance",
       "mm_frame_sample", "mm_resize", "mm_features", "mm_dedup",
-      "snapshot_diff", "avro_roundtrip",
+      "mm_dhash", "mm_dedup_real",
+      "snapshot_diff", "snapshot_asof", "avro_roundtrip",
       "q_event_window", "q_sessionize", "q_range_join", "q_funnel",
       "q_gap_fill", "q_anomaly_days", "events_attribution", "events_rfm",
       "q_asof_join",
@@ -102,6 +103,23 @@ class ExplainSpec extends SparkSpecBase {
       assert(!p.contains("rangepartitioning"),
         s"$name: corpus-scaling output must not end in a global sort:\n$p")
     }
+  }
+
+  test("importance sampler broadcasts the ratio table; dhash plan has zero exchanges") {
+    // the 256-row likelihood-ratio table must ride a broadcast onto
+    // the token stream — a shuffled join here would exchange the
+    // whole exploded corpus on a 256-value key at 100 TB
+    val p = plan(graft.operators.Curation.sampleImportance(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"sample_importance: ratio join must broadcast:\n$p")
+    // the real-decode fingerprint chain is map-side end to end:
+    // render → decode → thumbnail → dhash → within-partition sort,
+    // with NO exchange anywhere (per-image state is one long)
+    val dh = SparkEntry.queries("mm_dhash")(spark, Sf)
+    dh.collect()
+    val dp = dh.queryExecution.executedPlan.toString
+    assert(!dp.contains("Exchange"),
+      s"mm_dhash: expected a shuffle-free map-side plan:\n$dp")
   }
 
   test("q1 keeps partial (map-side) aggregation before the shuffle") {
