@@ -177,6 +177,50 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(opened.length == 1 && opened(0).getInt(4) == 1)
   }
 
+  test("profile_mi census guard: a mis-declared high-cardinality pair fails fast") {
+    // the joint-cell collect is limit-bounded BY CONSTRUCTION
+    // (MiMaxCells + 1 rows max cross the driver) and one row over the
+    // ceiling raises instead of materializing a corpus-scale table
+    val wide = spark.range(graft.operators.Profile.MiMaxCells + 10L)
+      .selectExpr("id AS x", "id AS y")
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Profile.guardedCensus(wide, "edgecase")
+    }
+    assert(e.getMessage.contains("MiMaxCells"), e.getMessage)
+    // the declared categorical path is untouched
+    val ok = graft.operators.Profile.guardedCensus(
+      spark.range(5).selectExpr("id AS x")
+        .groupBy(col("x")).agg(count(lit(1)).as("cnt")), "edgecase")
+    assert(ok.length == 5)
+  }
+
+  test("bpe: empty/degenerate corpora produce defined merge tables, not errors") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.bpeMergesDf(spark, empty).collect().isEmpty)
+    assert(TextOps.bpeVocabDf(spark, empty).collect().isEmpty)
+    // whitespace-only corpus: the empty token is filtered out of the
+    // vocab carve, so there is nothing to merge — empty, not a crash
+    val blank = Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text")
+    assert(TextOps.bpeMergesDf(spark, blank).collect().isEmpty)
+    // single char + marker: exactly one mergeable pair, then done
+    val one = Seq((0L, "x")).toDF("doc_id", "text")
+    val m = TextOps.bpeMergesDf(spark, one, rounds = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(m.toSeq == Seq((1, "x", "</w>")), m.toSeq.toString)
+  }
+
+  test("sample_importance: degenerate docs flow through the gate with defined scores") {
+    val kept = Curation.sampleImportanceDf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // every doc has >= 1 token (the shared empty-token contract), so
+    // every kept row carries a defined (n_tok, lw_micro)
+    kept.values.foreach { case (n, _) => assert(n >= 1L) }
+    // target == corpus here (all 'en'), so ratios are ~0 and nothing
+    // can be strongly rejected — at least the multi-token doc survives
+    assert(kept.nonEmpty)
+  }
+
   test("pipelineMix: empty and all-untargeted corpora yield empty, not errors") {
     // empty corpus: the counts aggregate is empty, so no thresholds
     // exist and the inner join keeps nothing — no NULL water-line

@@ -85,4 +85,17 @@ class LayoutSpec extends SparkSpecBase {
     val b = Layout.zorderManifestDf(xy.repartition(7)).collect().toSeq
     assert(a == b, "pure multiset function of the input")
   }
+
+  test("zorder: negative dimensions fail fast instead of yielding an unclustered layout") {
+    import spark.implicits._
+    val bad = Seq((5L, 3L), (-1L, 2L)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Layout.zorderManifestDf(bad).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("zorderKey"),
+      s"expected the zorderKey guard, got: ${e.getMessage}")
+    // non-negative inputs are untouched by the guard
+    val ok = Seq((0L, 0L), (5L, 3L)).toDF("x", "y")
+    assert(Layout.zorderManifestDf(ok).collect().nonEmpty)
+  }
 }
