@@ -135,6 +135,7 @@ object SparkEntry {
     "snapshot_agg_delta" -> (Snapshot.aggDelta _),
     "snapshot_asof" -> ((s: SparkSession, d: String) => Snapshot.asOf(s, d)),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
+    "emb_pca" -> ((s: SparkSession, d: String) => Cluster.embPca(s, d)),
     "emb_kmeans_resume" -> ((s: SparkSession, d: String) => Cluster.embKmeansResume(s, d)),
     "emb_coreset" -> ((s: SparkSession, d: String) => Cluster.embCoreset(s, d)),
     "q_skyline" -> (Skyline.qSkyline _),
@@ -1873,6 +1874,9 @@ object SparkEntry {
     // generated unrolled-CTE Lloyd's rounds (the PageRank trick):
     // same quantization, seeds, and truncating-integer updates
     "emb_kmeans" -> graft.operators.Cluster.kmeansOracleSql(),
+    // power iteration on the second-moment matrix: exact-integer
+    // matvec + L-infinity renormalize rounds unrolled in HUGEINT
+    "emb_pca" -> graft.operators.Cluster.embPcaOracleSql(),
     // resume(2 cold + 2 warm) is BIT-identical to the straight 3-round
     // run (the warm phase's first assignment replays the cold run's
     // last), so the oracle IS the cold query's generated unroll at the

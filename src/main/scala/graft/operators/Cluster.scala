@@ -418,4 +418,122 @@ object Cluster {
                 round(CAST(q.n_c AS DOUBLE) / CAST(q.m_c AS DOUBLE), 6) AS weight
          FROM hr h JOIN quota q ON h.cid = q.cid
          WHERE h.rnk <= q.m_c ORDER BY vec_id"""
+
+  // --- dominant principal direction (power iteration) ---------------
+
+  /** Power-iteration rounds for [[embPca]] — fixed so the generated
+    * oracle unrolls the same trajectory by construction. */
+  val PcaRounds: Int = 8
+
+  /** Post-quantization downshift: `q div 2¹³` leaves 14-bit
+    * components, so a second-moment cell `Σ x_j·x_k` stays a plain
+    * BIGINT sum (≤ 2²⁸ per vector — headroom to 2³⁵ ≈ 34 billion
+    * vectors) with no decimal widening anywhere. The shift IS the
+    * spec: both engines aggregate the identical integers. */
+  private val PcaShift = 8192L
+
+  /** DOMINANT PRINCIPAL DIRECTION of the embedding corpus — the
+    * dimensionality-reduction / whitening primitive (top singular
+    * direction of the uncentered second-moment matrix `C = Σ x xᵀ`),
+    * by power iteration in EXACT integer arithmetic, so an iterative
+    * linear-algebra algorithm sits under the cross-engine hash gate
+    * like kmeans/pagerank do.
+    *
+    * Scale shape: the data-scaling work is ONE map-side outer-product
+    * explode (each vector emits its d² cell contributions — no join,
+    * no second corpus pass) into a (j, k)-grouped aggregate whose
+    * partials collapse map-side to d² cells; C (d² ≤ 4096 values) is
+    * a codebook-scale driver round-trip, and the iteration itself is
+    * d²-sized driver arithmetic on exact BigInt — the kmeans codebook
+    * discipline: collect what is bounded by construction, distribute
+    * what scales with the corpus.
+    *
+    * Exactness: quantize → downshift are truncating integer ops
+    * (Spark `div` ≡ DuckDB `//` ≡ Java/BigInt `/`, all toward zero);
+    * each round is `w = C·v` (exact), then L∞ renormalization
+    * `v' = (w·2²⁰) div max|w|` (truncating). Sign convention: the
+    * largest-|component| dimension (ties → smallest index) is made
+    * non-negative. The oracle walks the identical unrolled rounds in
+    * HUGEINT. */
+  def embPca(spark: SparkSession, dir: String): DataFrame =
+    embPcaDf(graft.core.Tables(spark, dir).embeddings)
+
+  def embPcaDf(embeddings: DataFrame, rounds: Int = PcaRounds): DataFrame = {
+    val spark = embeddings.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dim_idx",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    // map-side outer product: one exploded pass, d² struct rows per
+    // vector, partial-aggregated to the d² cell table
+    val cells = quantized(embeddings)
+      .select(expr(s"transform(q, x -> x div $PcaShift)").as("s"))
+      .select(explode(expr(
+        "flatten(transform(s, (xa, j) -> " +
+          "transform(s, (xb, k) -> struct(j, k, xa * xb AS p))))")).as("e"))
+      .groupBy(col("e.j"), col("e.k"))
+      .agg(sum(col("e.p")).as("c"))
+      .collect()
+    if (cells.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    val d = cells.map(_.getInt(0)).max + 1
+    val c = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; k <- 0 until d) c(i)(k) = BigInt(0)
+    cells.foreach(r => c(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2)))
+    var v = Array.fill(d)(BigInt(Scale))
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(d)(j =>
+        (0 until d).map(k => c(j)(k) * v(k)).sum)
+      val m = w.map(_.abs).max
+      if (m != 0) v = w.map(x => x * Scale / m) // BigInt / truncates
+    }
+    val jStar = (0 until d).minBy(j => (-v(j).abs, j))
+    val sign = if (v(jStar) < 0) BigInt(-1) else BigInt(1)
+    val rows: Seq[org.apache.spark.sql.Row] = (0 until d).map(j =>
+      org.apache.spark.sql.Row(j, (v(j) * sign).toLong))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      .orderBy("dim_idx") // bounded: d rows
+  }
+
+  /** The DuckDB oracle: identical quantize/downshift carve, C via a
+    * vec_id self-join (value-identical to the engine's map-side outer
+    * product), and [[PcaRounds]] unrolled matvec + L∞-renormalize
+    * rounds in HUGEINT with the same truncating division. */
+  def embPcaOracleSql(rounds: Int = PcaRounds): String = {
+    // MATERIALIZED is load-bearing: every round references its
+    // predecessor through BOTH the matvec and the max-abs scalar, so
+    // plain (inlined) CTEs re-evaluate the whole prefix 2^rounds
+    // times — the 8-round chain goes from minutes to milliseconds
+    val chain = (1 to rounds).map { r =>
+      s"""w$r AS MATERIALIZED (
+             SELECT c.cj AS j, sum(CAST(c.c AS HUGEINT) * v.v) AS w
+             FROM c JOIN v${r - 1} v ON c.ck = v.j GROUP BY c.cj),
+         m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+         v$r AS MATERIALIZED (
+                 SELECT j, CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)
+                                ELSE (w * $Scale) // m END AS v
+                 FROM w$r, m$r)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CASE WHEN isnan(x) OR abs(x) >= $MaxAbsComponent
+                      THEN CAST(error('emb_pca: non-finite or out-of-range embedding component') AS BIGINT)
+                      ELSE CAST(floor(x * $Scale) AS BIGINT) END) AS q
+             FROM embeddings),
+         x AS (SELECT vec_id, unnest(range(len(q))) AS j,
+                      unnest(q) // $PcaShift AS v FROM e),
+         c AS MATERIALIZED (
+               SELECT a.j AS cj, b.j AS ck, CAST(sum(a.v * b.v) AS BIGINT) AS c
+               FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         v0 AS (SELECT DISTINCT cj AS j, CAST($Scale AS HUGEINT) AS v FROM c),
+         $chain,
+         js AS (SELECT j FROM v$rounds ORDER BY abs(v) DESC, j LIMIT 1),
+         sg AS (SELECT CASE WHEN (SELECT v FROM v$rounds
+                                  WHERE j = (SELECT j FROM js)) < 0
+                            THEN -1 ELSE 1 END AS s)
+         SELECT CAST(f.j AS INT) AS dim_idx, CAST(f.v * sg.s AS BIGINT) AS v
+         FROM v$rounds f, sg ORDER BY dim_idx"""
+  }
 }

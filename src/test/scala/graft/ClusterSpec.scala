@@ -69,6 +69,31 @@ class ClusterSpec extends SparkSpecBase {
       s"two balanced clusters expected, got $out")
   }
 
+  test("emb_pca: recovers planted dominant directions in closed form") {
+    // axis-aligned corpus: the second-moment matrix has one nonzero
+    // cell, so the direction is exactly that axis at full scale, sign
+    // flipped positive by the convention
+    val axis = Seq(
+      (0L, Array(0f, 0f, 3f, 0f)),
+      (1L, Array(0f, 0f, -5f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val a = Cluster.embPcaDf(axis).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a == Map(0 -> 0L, 1 -> 0L, 2 -> 1048576L, 3 -> 0L), a.toString)
+    // collinear (3, 4) corpus: C ∝ [[9,12],[12,16]], whose dominant
+    // eigenvector L∞-normalizes to (3/4, 1) — the integer fixed point
+    // (786432, 1048576) lands in one round and stays
+    val ray = Seq(
+      (0L, Array(3f, 4f)), (1L, Array(-6f, -8f)), (2L, Array(1.5f, 2f)))
+      .toDF("vec_id", "embedding")
+    val b = Cluster.embPcaDf(ray).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(b == Map(0 -> 786432L, 1 -> 1048576L), b.toString)
+    // empty corpus: defined empty output, not a crash
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Cluster.embPcaDf(empty).collect().isEmpty)
+  }
+
   test("coreset: weighted sample is unbiased for the corpus total") {
     val rows = Cluster.embCoreset(spark, Sf).collect()
     val n = spark.read.parquet(s"$Sf/embeddings.parquet").count()
