@@ -439,14 +439,18 @@ object Cluster {
     * linear-algebra algorithm sits under the cross-engine hash gate
     * like kmeans/pagerank do.
     *
-    * Scale shape: the data-scaling work is ONE map-side outer-product
-    * explode (each vector emits its d² cell contributions — no join,
-    * no second corpus pass) into a (j, k)-grouped aggregate whose
-    * partials collapse map-side to d² cells; C (d² ≤ 4096 values) is
-    * a codebook-scale driver round-trip, and the iteration itself is
-    * d²-sized driver arithmetic on exact BigInt — the kmeans codebook
-    * discipline: collect what is bounded by construction, distribute
-    * what scales with the corpus.
+    * Scale shape: the data-scaling work is ONE pass that folds each
+    * partition's vectors into a LOCAL d×d gram accumulator (a tight
+    * per-partition loop — the genuine imperative-kernel case) and
+    * emits d² partial rows PER PARTITION; the only exchange carries
+    * partitions×d² partial cells, never a per-vector or per-pair row
+    * (the exploded outer-product formulation re-evaluated the
+    * quantization gate under the generator — 3.3 s → 0.6 s at sf0.1,
+    * identical cells). C (d² ≤ 4096 values) is a codebook-scale
+    * driver round-trip, and the iteration itself is d²-sized driver
+    * arithmetic on exact BigInt — the kmeans codebook discipline:
+    * collect what is bounded by construction, distribute what scales
+    * with the corpus.
     *
     * Exactness: quantize → downshift are truncating integer ops
     * (Spark `div` ≡ DuckDB `//` ≡ Java/BigInt `/`, all toward zero);
@@ -465,15 +469,30 @@ object Cluster {
         org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("v",
         org.apache.spark.sql.types.LongType)))
-    // map-side outer product: one exploded pass, d² struct rows per
-    // vector, partial-aggregated to the d² cell table
+    // per-partition gram accumulation: one corpus pass, d² partial
+    // rows per partition on the wire, folded to the d² cell table
+    import spark.implicits._
     val cells = quantized(embeddings)
       .select(expr(s"transform(q, x -> x div $PcaShift)").as("s"))
-      .select(explode(expr(
-        "flatten(transform(s, (xa, j) -> " +
-          "transform(s, (xb, k) -> struct(j, k, xa * xb AS p))))")).as("e"))
-      .groupBy(col("e.j"), col("e.k"))
-      .agg(sum(col("e.p")).as("c"))
+      .as[Array[Long]]
+      .mapPartitions { it =>
+        var acc: Array[Array[Long]] = null
+        it.foreach { s =>
+          if (acc == null) acc = Array.ofDim[Long](s.length, s.length)
+          var j = 0
+          while (j < s.length) {
+            var k = 0
+            while (k < s.length) { acc(j)(k) += s(j) * s(k); k += 1 }
+            j += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else acc.indices.iterator.flatMap(j =>
+          acc.indices.iterator.map(k => (j, k, acc(j)(k))))
+      }
+      .toDF("j", "k", "p")
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("p")).as("c"))
       .collect()
     if (cells.isEmpty)
       return spark.createDataFrame(
