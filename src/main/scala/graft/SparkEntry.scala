@@ -199,6 +199,7 @@ object SparkEntry {
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_bpe_merges" -> (TextOps.textBpeMerges _),
     "text_bpe_vocab" -> (TextOps.textBpeVocab _),
+    "text_bpe_tokens" -> (TextOps.textBpeTokens _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextOps.textTfidf(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => TextOps.textBm25(s, d)),
@@ -2592,6 +2593,10 @@ object SparkEntry {
     // the encode side: post-merge subword frequency table off the
     // same generated trajectory (final vocab state exploded)
     "text_bpe_vocab" -> TextOps.bpeVocabOracleSql,
+    // the apply side: per-doc subword counts under the learned
+    // merges; the oracle replays learn AND encode (computed winners
+    // feed per-round corpus re-encodings via 1-row cross joins)
+    "text_bpe_tokens" -> TextOps.bpeTokensOracleSql,
     "text_lm_score" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t

@@ -581,6 +581,73 @@ object TextOps {
       .orderBy(col("n").desc, col("sym"))
   }
 
+  /** TOKENIZER APPLICATION — the serving side of the BPE family:
+    * learn the merge table ([[bpeLoop]]), then ENCODE every document
+    * with it and report per-doc subword counts (the token-budget
+    * number `pipeline_pack`-style budgeting actually needs under a
+    * learned tokenizer, vs the whitespace proxy). The learned pairs
+    * ride the encode expression as LITERALS — the codebook-collect
+    * discipline — so encoding is one stateless codegen'd projection
+    * over the corpus: per word, the same spaced-symbol carve and the
+    * same [[bpeMergeCol]] triple-replace per merge, applied in
+    * learned order. Empty tokens (blank docs) count zero subwords.
+    * The oracle replays learn AND encode in one CTE chain: the
+    * trajectory CTEs feed per-round corpus re-encodings through
+    * 1-row cross joins, so the pairs are COMPUTED on the oracle side
+    * too — nothing is pinned by hand. */
+  def textBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    bpeTokensDf(spark, Tables(spark, dir).documents)
+
+  def bpeTokensDf(spark: SparkSession, docs: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
+    val (merges, _) = bpeLoop(docs, rounds)
+    def encode(w: Column): Column = {
+      val spaced = concat(trim(regexp_replace(w, "(.)", "$1 ")), lit(" </w>"))
+      merges.foldLeft(spaced) { case (s, (_, a, b, _)) => bpeMergeCol(s, a, b) }
+    }
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(filter(col("ws"), w => w =!= "")).cast("long").as("n_words"),
+        aggregate(col("ws"), lit(0L), (acc, w) =>
+          acc + when(w === "", 0L)
+            .otherwise(size(split(encode(w), " ")).cast("long")))
+          .as("n_subwords"))
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** Oracle for [[textBpeTokens]] — learn + encode in one generated
+    * chain: per round the corpus token table is re-encoded through a
+    * 1-row cross join with that round's computed winner. */
+  def bpeTokensOracleSql: String = {
+    val rounds = BpeRounds
+    val (chain, _) = bpeChain(rounds, applyLast = true)
+    val enc = (1 to rounds).map { i =>
+      s"""enc$i AS MATERIALIZED (
+             SELECT doc_id, trim(replace(replace(replace(
+                 ' ' || e.s || ' ', ' ', '  '),
+                 ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' '),
+                 '  ', ' '), ' ') AS s
+               FROM enc${i - 1} e, t$i t)"""
+    }.mkString(",\n         ")
+    s"""WITH $chain,
+         tok AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(text, ' '), '\\s+')) AS w
+                 FROM documents),
+         enc0 AS (SELECT doc_id,
+                    trim(regexp_replace(w, '(.)', '\\1 ', 'g'), ' ')
+                      || ' </w>' AS s
+                  FROM tok WHERE w <> ''),
+         $enc,
+         cnt AS (SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_subwords
+                 FROM enc$rounds GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
+                coalesce(c.n_subwords, 0) AS n_subwords
+         FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
+  }
+
   /** One greedy merge of pair (a, b) over a single-space-joined
     * symbol string — the double-space disjoint-match encoding. */
   private def bpeMergeCol(w: Column, a: String, b: String): Column =
@@ -617,19 +684,22 @@ object TextOps {
     * count / winner / (optionally trailing) merge application, and
     * the merge-table UNION. One source of truth for both oracles. */
   private def bpeChain(rounds: Int, applyLast: Boolean): (String, String) = {
+    // t/v are MATERIALIZED: the encode oracle references each round's
+    // winner AND state a second time, and inlined CTEs would
+    // re-evaluate the whole prefix per reference (the emb_pca lesson)
     def pairs(i: Int) =
       s"""p$i AS (SELECT s[i] AS a, s[i+1] AS b,
                CAST(sum(freq) AS BIGINT) AS cnt
              FROM (SELECT string_split(w, ' ') AS s, freq FROM v${i - 1}) t,
                   unnest(range(1, len(s))) AS r(i)
              GROUP BY s[i], s[i+1]),
-         t$i AS (SELECT a, b, cnt FROM p$i
+         t$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
                  ORDER BY cnt DESC, a, b LIMIT 1)"""
     // trim MUST be the explicit-space form: DuckDB's one-arg trim is
     // unicode-aware and would strip a boundary U+3000 SYMBOL after
     // eating the separator spaces (caught by the unicode gate)
     def applyMerge(i: Int) =
-      s"""v$i AS (SELECT trim(replace(replace(replace(
+      s"""v$i AS MATERIALIZED (SELECT trim(replace(replace(replace(
                  ' ' || v.w || ' ', ' ', '  '),
                  ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' '),
                  '  ', ' '), ' ') AS w, v.freq

@@ -179,6 +179,23 @@ class TextQualitySpec extends SparkSpecBase {
       ("e", 1L), ("n", 1L), ("w", 1L)), got.toSeq.toString)
   }
 
+  test("bpeTokens: encode counts hand-check and conserve the vocab total") {
+    import spark.implicits._
+    val docs = Seq((0L, "low low low lower lower new")).toDF("doc_id", "text")
+    // after the 4 learned merges: low -> 1 symbol, lower -> 3, new -> 4
+    val got = TextOps.bpeTokensDf(spark, docs, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 6L, 3L * 1 + 2 * 3 + 4L)), got.toSeq.toString)
+    // conservation on the real corpus: per-doc subword counts sum to
+    // the vocabulary table's total (learn+encode agree corpus-wide)
+    val corpus = graft.core.Tables(spark, Sf).documents
+    val perDoc = TextOps.bpeTokensDf(spark, corpus).collect()
+      .map(_.getLong(2)).sum
+    val vocabTotal = TextOps.bpeVocabDf(spark, corpus).collect()
+      .map(_.getLong(1)).sum
+    assert(perDoc == vocabTotal, s"$perDoc != $vocabTotal")
+  }
+
   test("bpeMerges: greedy left-to-right on overlapping runs (aaa) and chains (abab)") {
     import spark.implicits._
     // aaa -> a a a </w>: (a,a) counted twice, merged GREEDILY left-first
