@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.ngramComponents(s, d)),
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBest(s, d)),
     "dedup_components_resume" -> ((s: SparkSession, d: String) => Dedup.ngramComponentsResumed(s, d)),
+    "er_fuzzy_names" -> (Linkage.fuzzyNames _),
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
     "ann_lsh" -> (Ann.lsh _),
@@ -1607,6 +1608,20 @@ object SparkEntry {
     // warm-started propagation must land on the identical fixed point
     // — the hash match IS the resume-correctness proof
     "dedup_components_resume" -> dedupComponentsSql,
+    // Naive all-pairs at the dictionary level IS the ground truth:
+    // the Spark side only ever sees FastSS deletion-variant-blocked
+    // candidates, so the hash match proves the blocking complete
+    // (the q_salted_join contract). Dictionary-bounded: 64 distinct
+    // part names at every SF.
+    "er_fuzzy_names" ->
+      s"""WITH nm AS (SELECT p_name AS name, count(*) AS cnt
+                     FROM part GROUP BY 1)
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+                a.cnt AS cnt_a, b.cnt AS cnt_b
+         FROM nm a JOIN nm b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= ${Linkage.Tau}
+         ORDER BY name_a, name_b""",
     // same postings-hash pair derivation as dedup_ngram_jaccard; only
     // the scoring differs (both per-side containments, max-gated)
     "dedup_containment" ->
