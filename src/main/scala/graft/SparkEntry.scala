@@ -99,6 +99,7 @@ object SparkEntry {
     "profile_fd" -> (Profile.fdProfile _),
     "profile_mi" -> (Profile.miProfile _),
     "profile_benford" -> (Profile.benfordProfile _),
+    "profile_psi" -> (Profile.psiProfile _),
     "profile_seq_gaps" -> (Profile.seqProfile _),
     "profile_qsketch" -> ((s: SparkSession, d: String) => Profile.qsketchProfile(s, d)),
     "profile_kmv_overlap" -> (Profile.kmvOverlap _),
@@ -2377,6 +2378,10 @@ object SparkEntry {
     // same column list and ppm literals; the chi-square quantizes
     // each term to micro-units so the 9-term sum is order-proof
     "profile_benford" -> graft.operators.Profile.benfordOracleSql,
+    // PSI drift: same split constant and micro-nat ln quantization;
+    // per-type terms micro-quantized before the total so the sum is
+    // exact BIGINT on both engines
+    "profile_psi" -> graft.operators.Profile.psiOracleSql,
     "profile_seq_gaps" -> graft.operators.Profile.seqOracleSql,
     // generated from the same CASE chains the Spark plan runs — the
     // bucket/rank/midpoint rules have one Scala source of truth

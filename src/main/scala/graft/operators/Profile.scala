@@ -822,4 +822,83 @@ object Profile {
               CAST(${QS.midCaseSql("i99")} AS BIGINT) AS p99_cents
        FROM q ORDER BY l_returnflag"""
   }
+
+  /** Reference/current split point for the PSI drift audit —
+    * mid-corpus (events span 2024-01; a corpus-coupled constant like
+    * Bm25Query). */
+  val PsiSplitTs = "2024-01-16 00:00:00"
+
+  /** PSI (population stability index) drift audit of the event-type
+    * mix — the distribution-shift monitor a data pipeline runs
+    * between a reference window and the current one:
+    * `PSI = Σ_types (p_ref − p_cur)·ln(p_ref/p_cur)`, with per-type
+    * terms and the total. The ln of the count ratio is quantized
+    * ONCE per type to integer micro-nats (the mutual-information
+    * discipline, [[miProfile]]) and each term is micro-quantized
+    * before the total, so the sum is exact BIGINT —
+    * aggregation-order-proof. A type seen on only one side has no
+    * finite PSI term: its `psi_micro` is NULL (honest, pinned in
+    * EdgeCaseSpec) and the total sums the finite terms.
+    *
+    * Shape: ONE corpus scan → one map-side-combinable groupBy
+    * (conditional counts; output = |type dictionary| rows) + a 1-row
+    * broadcast of the totals. Output is dictionary-bounded, so the
+    * presentation sort is free. */
+  def psiProfile(spark: SparkSession, dir: String): DataFrame =
+    psiOf(Tables(spark, dir).events, to_timestamp(lit(PsiSplitTs)))
+
+  /** The PSI fold over any (ts, event_type) frame (spec surface). */
+  def psiOf(events: DataFrame, split: Column): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("ts") < split, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("ts") >= split, 1L).otherwise(0L)).as("n_cur"))
+    val tot = counts.agg(sum(col("n_ref")).as("nr"), sum(col("n_cur")).as("nc"))
+    val lrMicro = when(col("n_ref") > 0 && col("n_cur") > 0,
+      round(log((col("n_ref") * col("nc")).cast("double") /
+        (col("n_cur") * col("nr")).cast("double")) * 1e6, 0).cast("long"))
+    val dpq = col("n_ref").cast("double") / col("nr") -
+      col("n_cur").cast("double") / col("nc")
+    val perType = counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(dpq * lrMicro, 0).cast("long").as("psi_micro"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi_micro"),
+        round(col("psi_micro").cast("double") / 1e6, 6).as("psi"))
+    val total = perType.agg(sum(col("psi_micro")).as("sm"))
+      .crossJoin(broadcast(tot))
+      .select(lit("__total__").as("event_type"), col("nr").as("n_ref"),
+        col("nc").as("n_cur"), col("sm").as("psi_micro"),
+        round(col("sm").cast("double") / 1e6, 6).as("psi"))
+    perType.unionByName(total).orderBy(col("event_type"))
+  }
+
+  /** Generated DuckDB oracle for [[psiProfile]] — same split
+    * constant, same micro-nat quantization, same DOUBLE share
+    * differences, same NULL contract for single-sided types. */
+  def psiOracleSql: String =
+    s"""WITH c AS (
+          SELECT event_type,
+                 sum(CASE WHEN ts < TIMESTAMP '$PsiSplitTs' THEN 1 ELSE 0 END) AS n_ref,
+                 sum(CASE WHEN ts >= TIMESTAMP '$PsiSplitTs' THEN 1 ELSE 0 END) AS n_cur
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+                     CAST(sum(n_cur) AS BIGINT) AS nc FROM c),
+        s AS (
+          SELECT c.event_type, CAST(c.n_ref AS BIGINT) AS n_ref,
+                 CAST(c.n_cur AS BIGINT) AS n_cur,
+                 CAST(round(
+                   (CAST(c.n_ref AS DOUBLE) / t.nr - CAST(c.n_cur AS DOUBLE) / t.nc)
+                   * (CASE WHEN c.n_ref > 0 AND c.n_cur > 0 THEN
+                        CAST(round(ln(CAST(c.n_ref * t.nc AS DOUBLE)
+                                      / CAST(c.n_cur * t.nr AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                      END), 0) AS BIGINT) AS psi_micro
+          FROM c CROSS JOIN t)
+        SELECT event_type, n_ref, n_cur, psi_micro,
+               round(CAST(psi_micro AS DOUBLE) / 1e6, 6) AS psi
+        FROM s
+        UNION ALL
+        SELECT '__total__', t.nr, t.nc, x.sm,
+               round(CAST(x.sm AS DOUBLE) / 1e6, 6)
+        FROM t CROSS JOIN (SELECT CAST(sum(psi_micro) AS BIGINT) AS sm FROM s) x
+        ORDER BY event_type"""
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -99,6 +99,49 @@ object Streams {
       .groupBy(window(col("ts"), "1 day"), col("digit"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("day"), col("digit"), col("n"))
+
+  /** Streaming PSI drift monitor: each day's event-type mix scored
+    * against a DECLARED reference distribution (the
+    * [[graft.operators.Profile.psiProfile]] formula as a standing
+    * monitor — a drift alert reads `psi` per window). The reference
+    * is a design-time constant, so every per-type term is a
+    * row-local expression over literals: ONE stateful aggregate with
+    * |declared types|+1 counters per window however many events
+    * stream through, and the per-type micro-nat terms sum in a fixed
+    * literal order (exact BIGINT — micro-batch-split-proof). A
+    * declared type absent from a window has no finite PSI term: it
+    * is counted in `n_zero_types` and skipped, mirroring the batch
+    * NULL contract; undeclared types land in `n_other` (they can't
+    * enter PSI — the reference assigns them no mass). */
+  def psiWindow(events: DataFrame, refCounts: Map[String, Long]): DataFrame = {
+    require(refCounts.nonEmpty && refCounts.values.forall(_ > 0),
+      "psiWindow: reference distribution must be non-empty with positive counts")
+    val types = refCounts.keys.toSeq.sorted
+    val refTotal = refCounts.values.sum
+    val nCols = types.zipWithIndex.map { case (t, i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$i") }
+    val nOther = sum(when(!col("event_type").isin(types: _*), 1L)
+      .otherwise(0L)).as("n_other")
+    val agged = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(nCols.head, (nCols.tail :+ nOther): _*)
+      .withColumn("n_total", types.indices.map(i => col(s"n_$i")).reduce(_ + _))
+    def term(i: Int): Column = {
+      val rt = refCounts(types(i))
+      val lr = round(log((lit(rt) * col("n_total")).cast("double") /
+        (col(s"n_$i") * lit(refTotal)).cast("double")) * 1e6, 0).cast("long")
+      val dpq = lit(rt).cast("double") / lit(refTotal).cast("double") -
+        col(s"n_$i").cast("double") / col("n_total")
+      when(col(s"n_$i") > 0, round(dpq * lr, 0).cast("long"))
+    }
+    val psiMicro = types.indices.map(i => coalesce(term(i), lit(0L))).reduce(_ + _)
+    val nZero = types.indices.map(i =>
+      when(col(s"n_$i") === 0, 1L).otherwise(0L)).reduce(_ + _)
+    agged.select(col("window.start").as("day"), col("n_total"), col("n_other"),
+      nZero.as("n_zero_types"), psiMicro.as("psi_micro"),
+      round(psiMicro.cast("double") / 1e6, 6).as("psi"))
+  }
 
   /** Streaming Count-Min: a per-6-hour-window user-activity sketch,
     * built by the same [[graft.functions.CountMinAgg]] the batch

@@ -232,4 +232,24 @@ class EdgeCaseSpec extends SparkSpecBase {
     val untargeted = Seq((0L, "xx"), (1L, "yy")).toDF("doc_id", "lang")
     assert(graft.operators.Curation.pipelineMixDf(untargeted).isEmpty)
   }
+
+  test("profile_psi: single-sided types carry NULL psi, the total sums the finite terms") {
+    import java.sql.Timestamp
+    // 'gone' exists only before the split, 'new' only after — no
+    // finite PSI term exists for either; 'stable' is on both sides
+    val ev = Seq(
+      ("stable", Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("stable", Timestamp.valueOf("2024-01-20 00:00:00")),
+      ("gone", Timestamp.valueOf("2024-01-02 00:00:00")),
+      ("new", Timestamp.valueOf("2024-01-21 00:00:00")),
+    ).toDF("event_type", "ts")
+    val out = graft.operators.Profile
+      .psiOf(ev, to_timestamp(lit("2024-01-16 00:00:00")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("gone").isNullAt(3), "ref-only type must have NULL psi_micro")
+    assert(out("new").isNullAt(3), "cur-only type must have NULL psi_micro")
+    assert(!out("stable").isNullAt(3))
+    assert(out("__total__").getLong(3) == out("stable").getLong(3),
+      "total sums only the finite terms")
+  }
 }

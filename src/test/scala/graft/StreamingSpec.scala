@@ -241,6 +241,54 @@ class StreamingSpec extends SparkSpecBase {
       .forall(_.getLong(1) <= 9))
   }
 
+  test("streaming PSI drift monitor equals the batch formula per day") {
+    import graft.operators.Profile
+    // declared reference: the corpus's own global mix (any constant
+    // works; using real counts keeps psi near 0 and exercises signs)
+    val ref = graft.core.Tables(spark, Sf).events
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = Streams.runToMemory(
+      Streams.psiWindow(Streams.readEvents(spark, path), ref), "psi_win")
+    val got = stream.collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // batch replay of the identical formula over the same rows
+    val types = ref.keys.toSeq.sorted
+    val refTotal = ref.values.sum
+    val days = graft.core.Tables(spark, Sf).events
+      .select(window(col("ts"), "1 day").getField("start").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").count().collect()
+      .groupBy(_.getTimestamp(0))
+    val want = days.map { case (day, rows) =>
+      val n = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      val nTotal = types.map(t => n.getOrElse(t, 0L)).sum
+      def r0(x: Double): Long = BigDecimal(x)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val psiMicro = types.map { t =>
+        val ni = n.getOrElse(t, 0L)
+        if (ni == 0) 0L
+        else {
+          val lr = r0(math.log(
+            ref(t).toDouble * nTotal / (ni.toDouble * refTotal)) * 1e6)
+          r0((ref(t).toDouble / refTotal - ni.toDouble / nTotal) * lr)
+        }
+      }.sum
+      day -> (nTotal,
+        n.keys.count(!types.contains(_)).toLong + 0L, // no undeclared types here
+        types.count(t => n.getOrElse(t, 0L) == 0).toLong, psiMicro)
+    }
+    assert(got.keySet == want.keySet)
+    for ((day, (nt, _, nz, pm)) <- got) {
+      val (wnt, _, wnz, wpm) = want(day)
+      assert(nt == wnt, s"$day n_total")
+      assert(nz == wnz, s"$day n_zero_types")
+      assert(pm == wpm, s"$day psi_micro: stream $pm batch $wpm")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("streaming session_window counts match the batch sessionizer") {
     val stream = Streams.runToMemory(
       Streams.sessionCounts(Streams.readEvents(spark, path)), "sess_counts")
