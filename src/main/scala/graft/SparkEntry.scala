@@ -158,6 +158,7 @@ object SparkEntry {
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
     "ann_lsh" -> (Ann.lsh _),
+    "ann_eval" -> (Ann.evalLsh _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "ann_quantized" -> (Ann.quantized _),
     "ann_pq" -> (Ann.pq _),
@@ -292,6 +293,69 @@ object SparkEntry {
            FROM scored)
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  /** ann_eval oracle: the ann_lsh chain and the brute-force chain
+    * (both already hash-proven standalone) composed, then the
+    * overlap/recall/reciprocal-rank readout — id joins only, the
+    * reciprocal rank micro-quantized so the summary MRR numerator is
+    * an exact BIGINT sum. */
+  private lazy val annEvalSql: String = {
+    val probeKeys = (0 until 4)
+      .map(t => s"'$t#' || CAST(xor(b$t, m) AS VARCHAR)").mkString(", ")
+    val masks = operators.Ann.probeMasks.mkString("[", ", ", "]")
+    s"""WITH $lshBucketCte,
+         pm AS (SELECT unnest($masks) AS m),
+         pk AS (SELECT qid, unnest([$probeKeys]) AS k
+                FROM (SELECT vec_id AS qid, b0, b1, b2, b3 FROM b
+                      WHERE vec_id < 10)
+                CROSS JOIN pm),
+         cand AS (SELECT DISTINCT pk.qid, ck.vec_id
+                  FROM ck JOIN pk ON ck.k = pk.k),
+         scored_l AS (
+           SELECT c.qid, c.vec_id,
+                  round(list_cosine_similarity(ec.emb, eq.emb), 6) AS cosine
+           FROM cand c
+           JOIN e ec ON ec.vec_id = c.vec_id
+           JOIN e eq ON eq.vec_id = c.qid),
+         al AS (
+           SELECT qid, vec_id, rank FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, vec_id) AS rank
+             FROM scored_l) WHERE rank <= 5),
+         scored_b AS (
+           SELECT q.qid, c.vec_id,
+                  round(list_cosine_similarity(c.emb, q.emb), 6) AS cosine
+           FROM e c CROSS JOIN
+             (SELECT vec_id AS qid, emb FROM e WHERE vec_id < 10) q),
+         t AS (
+           SELECT qid, vec_id, rank FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, vec_id) AS rank
+             FROM scored_b) WHERE rank <= 5),
+         ov AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM t JOIN al ON al.qid = t.qid AND al.vec_id = t.vec_id
+                GROUP BY 1),
+         nn2 AS (SELECT qid, vec_id FROM t WHERE rank = 2),
+         nr AS (SELECT nn2.qid, CAST(al.rank AS BIGINT) AS nn_rank
+                FROM nn2 LEFT JOIN al
+                  ON al.qid = nn2.qid AND al.vec_id = nn2.vec_id),
+         per AS (
+           SELECT ov.qid, ov.n_overlap,
+                  round(CAST(ov.n_overlap AS DOUBLE) / 5.0, 6) AS recall,
+                  nr.nn_rank,
+                  coalesce(CAST(round(1e6 / nr.nn_rank, 0) AS BIGINT),
+                           CAST(0 AS BIGINT)) AS rr_micro
+           FROM ov JOIN nr ON nr.qid = ov.qid)
+         SELECT qid, n_overlap, recall, nn_rank, rr_micro FROM per
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(sum(n_overlap) AS BIGINT),
+                round(CAST(sum(n_overlap) AS DOUBLE) / (5.0 * count(*)), 6),
+                CAST(NULL AS BIGINT), CAST(sum(rr_micro) AS BIGINT)
+         FROM per
+         ORDER BY qid"""
   }
 
   /** ann_knn_join oracle: same bucket CTE, self-joined. */
@@ -1913,6 +1977,11 @@ object SparkEntry {
     // sign bits, same buckets, same Hamming-≤2 multiprobe ring, same
     // candidate set, exact cosine top-5.
     "ann_lsh" -> annLshSql,
+    // recall/MRR readout of ann_lsh vs the brute-force ground truth:
+    // the two proven CTE chains composed; metrics are id-join
+    // arithmetic with the reciprocal rank micro-quantized (exact
+    // BIGINT summary sum)
+    "ann_eval" -> annEvalSql,
     // Bucketed KNN self-join: deterministic given the planes, so the
     // bucket rule is the semantics and the oracle checks it exactly.
     "ann_knn_join" -> annKnnJoinSql,

@@ -802,4 +802,48 @@ object Ann {
         round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
     topkPerQuery(scored)
   }
+
+  // --- retrieval evaluation ------------------------------------------
+
+  /** ANN evaluation harness: score the LSH ranking against the
+    * exact brute-force ground truth — the recall/MRR readout a
+    * retrieval team runs before trusting an approximate index.
+    * Per query: `n_overlap` (approx∩truth in the top-k), `recall`
+    * (overlap/k), `nn_rank` (where the TRUE nearest non-self
+    * neighbor — truth rank 2; rank 1 is the self-match every probe
+    * trivially finds — lands in the approximate list, NULL if
+    * missed), and `rr_micro` (its reciprocal rank quantized once to
+    * micro-units — exact BIGINT, so the summary row's MRR numerator
+    * is an order-proof integer sum). Summary row `qid = -1`: total
+    * overlap, mean recall, Σ rr_micro (MRR = Σ/(10⁶·n_queries)).
+    *
+    * Both rankings are already oracle-proven surfaces; the eval is
+    * bounded arithmetic over 2·k·|queries| rows (joins on ids, never
+    * on floats), so the oracle composes the two proven CTE chains
+    * and the metrics hash-match end to end. Scale: the readout costs
+    * nothing beyond the two rankings it consumes. */
+  def evalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val truth = bruteforce(spark, dir).select(col("qid"), col("rank"), col("vec_id"))
+    val approx = lsh(spark, dir).select(col("qid"), col("rank"), col("vec_id"))
+    val overlap = truth.select("qid", "vec_id")
+      .join(approx.select("qid", "vec_id"), Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    val nn2 = truth.filter(col("rank") === 2)
+      .select(col("qid"), col("vec_id"))
+    val nnRank = nn2.join(approx, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rank").cast("long").as("nn_rank"))
+    val per = overlap.join(nnRank, Seq("qid"))
+      .select(col("qid"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / lit(TopK.toDouble), 6).as("recall"),
+        col("nn_rank"),
+        coalesce(round(lit(1e6) / col("nn_rank"), 0).cast("long"), lit(0L))
+          .as("rr_micro"))
+    val total = per.agg(sum(col("n_overlap")).as("n_overlap"),
+        count(lit(1)).as("nq"), sum(col("rr_micro")).as("rr_micro"))
+      .select(lit(-1L).as("qid"), col("n_overlap"),
+        round(col("n_overlap").cast("double") /
+          (lit(TopK.toDouble) * col("nq")), 6).as("recall"),
+        lit(null).cast("long").as("nn_rank"), col("rr_micro"))
+    per.unionByName(total).orderBy(col("qid"))
+  }
 }

@@ -231,6 +231,38 @@ class AnnSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"kernels diverge: ${bad.take(3).mkString(";")}")
   }
 
+  test("ann_eval: metrics equal the spec's own recall/rank readout; summary row sums the pers") {
+    val rows = Ann.evalLsh(spark, Sf).collect()
+    val (summary, per) = rows.partition(_.getLong(0) == -1L)
+    assert(summary.length == 1 && per.length == exact.size)
+    val approx = topk(Ann.lsh(spark, Sf))
+    // per-qid metrics replayed from the two rankings
+    per.foreach { r =>
+      val q = r.getLong(0)
+      val a = approx(q).toSet
+      val wantOverlap = exact(q).count(a.contains).toLong
+      assert(r.getLong(1) == wantOverlap, s"q$q n_overlap")
+      val nn2 = exact(q)(1) // truth rank-2: first non-self neighbor
+      val wantRank = approx(q).indexOf(nn2) match {
+        case -1 => None
+        case i  => Some(i + 1L)
+      }
+      val gotRank = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(gotRank == wantRank, s"q$q nn_rank")
+      if (r.isNullAt(3)) assert(r.getLong(4) == 0L, s"q$q rr_micro for a miss")
+      else assert(r.getLong(4) ==
+        BigDecimal(1e6 / r.getLong(3))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"q$q rr_micro")
+    }
+    // summary = exact sums of the per rows; mean recall == recallOf
+    val s = summary.head
+    assert(s.getLong(1) == per.map(_.getLong(1)).sum)
+    assert(s.getLong(4) == per.map(_.getLong(4)).sum)
+    assert(math.abs(s.getDouble(2) - recallOf(approx)) < 1e-6,
+      s"summary recall ${s.getDouble(2)} vs ${recallOf(approx)}")
+    assert(s.isNullAt(3))
+  }
+
   test("range search: threshold honored, no self-matches, consistent with brute-force top-k") {
     val rs = Ann.rangeSearch(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
