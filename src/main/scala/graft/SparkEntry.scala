@@ -135,6 +135,7 @@ object SparkEntry {
     "snapshot_scd2" -> (Snapshot.scd2 _),
     "snapshot_agg_delta" -> (Snapshot.aggDelta _),
     "snapshot_asof" -> ((s: SparkSession, d: String) => Snapshot.asOf(s, d)),
+    "snapshot_apply" -> (Snapshot.applyDiff _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
     "emb_pca" -> ((s: SparkSession, d: String) => Cluster.embPca(s, d)),
     "emb_kmeans_resume" -> ((s: SparkSession, d: String) => Cluster.embKmeansResume(s, d)),
@@ -2059,6 +2060,10 @@ object SparkEntry {
     // from the SCD-2 validity intervals; the oracle carves version 2
     // directly from the base — match ⇔ reconstruct ≡ snapshot_v
     "snapshot_asof" -> Snapshot.asOfOracleSql,
+    // merge round-trip: the oracle carves the post-merge snapshot
+    // directly from the base, so the hash match proves
+    // apply(base, diff(base, v2)) == v2
+    "snapshot_apply" -> Snapshot.applyOracleSql,
     // IVM contract probed from the other side: Spark folds the CDC
     // delta into yesterday's aggregate; the oracle recomputes the
     // aggregate from the NEW snapshot directly. A hash match means

@@ -183,6 +183,65 @@ object Snapshot {
         StructField("is_current", IntegerType))))
   }
 
+  /** CDC APPLY — the merge step downstream of [[snapshotDiff]]: fold
+    * a change set (insert/update/delete rows) into the base snapshot
+    * and emit the new snapshot. One co-partitioned full-outer join on
+    * the key (both sides shuffle once; the changeset is churn-sized,
+    * the base corpus-sized — at 100 TB AQE degrades this to a
+    * broadcast of the churn side when it fits), untouched keys pass
+    * through, updated/inserted keys take the new value, deleted keys
+    * drop. A changeset that contradicts the base fails FAST instead
+    * of silently merging garbage: an `insert` whose key already
+    * exists, or an `update`/`delete` whose key is absent, raises
+    * (the at-least-once replay / wrong-base-version mistakes a merge
+    * job actually sees).
+    *
+    * The oracle carves the new snapshot DIRECTLY from the base (no
+    * diff, no join — a genuinely different path), so the hash match
+    * proves `apply(base, diff(base, v2)) ≡ v2` — the merge
+    * round-trip contract, the [[asOf]]/IVM discipline applied to the
+    * row level. */
+  def applyDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = carve(spark, dir).filter(col("hv") =!= 0)
+      .select(col("c_custkey"), col("cents"))
+    applyChanges(base, snapshotDiff(spark, dir))
+  }
+
+  /** The merge fold over ANY (c_custkey, cents) base + typed change
+    * set (spec surface; [[applyDiff]] derives both inline). */
+  def applyChanges(base: DataFrame, changes: DataFrame): DataFrame = {
+    val j = base
+      .join(changes.select(col("c_custkey"), col("change"), col("new_cents")),
+        Seq("c_custkey"), "full_outer")
+    val checked = j.withColumn("change",
+      when(col("change") === "insert" && col("cents").isNotNull,
+        raise_error(concat(lit("applyChanges: insert for existing key "),
+          col("c_custkey").cast("string"))))
+        .when(col("change").isin("update", "delete") && col("cents").isNull,
+          raise_error(concat(lit("applyChanges: "), col("change"),
+            lit(" for absent key "), col("c_custkey").cast("string"))))
+        .otherwise(col("change")))
+    checked
+      .filter(col("change").isNull || col("change") =!= "delete")
+      .select(col("c_custkey"),
+        when(col("change").isNotNull, col("new_cents"))
+          .otherwise(col("cents")).as("cents"))
+      .sortWithinPartitions("c_custkey")
+  }
+
+  /** Generated DuckDB oracle for [[applyDiff]]: the post-merge
+    * snapshot carved straight from the base — the other side of the
+    * round-trip. */
+  def applyOracleSql: String =
+    """WITH c AS (
+         SELECT c_custkey,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+                ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 20 AS hv
+         FROM customer)
+       SELECT c_custkey,
+              cents + CASE WHEN hv % 7 = 3 THEN 100 ELSE 0 END AS cents
+       FROM c WHERE hv != 1 ORDER BY c_custkey"""
+
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val cust = carve(spark, dir)
     val base = cust.filter(col("hv") =!= 0)

@@ -32,6 +32,60 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(rows.length < n / 2, s"diff ${rows.length} rows vs table $n")
   }
 
+  test("snapshot_apply: planted merge folds every change type; untouched keys pass through") {
+    import spark.implicits._
+    val base = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("c_custkey", "cents")
+    val changes = Seq(
+      (2L, "update", Some(200L), Some(250L)),
+      (3L, "delete", Some(300L), None),
+      (4L, "insert", None, Some(400L)),
+    ).toDF("c_custkey", "change", "old_cents", "new_cents")
+    val got = Snapshot.applyChanges(base, changes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 100L, 2L -> 250L, 4L -> 400L))
+  }
+
+  test("snapshot_apply: a contradictory changeset fails fast, not a silent merge") {
+    import spark.implicits._
+    val base = Seq((1L, 100L)).toDF("c_custkey", "cents")
+    def bad(rows: Seq[(Long, String, Option[Long], Option[Long])]) = {
+      val ch = rows.toDF("c_custkey", "change", "old_cents", "new_cents")
+      intercept[Exception] { Snapshot.applyChanges(base, ch).collect() }
+    }
+    // replayed insert: key already present
+    val e1 = bad(Seq((1L, "insert", None, Some(150L))))
+    assert(e1.getMessage.contains("insert for existing key"), e1.getMessage)
+    // update/delete against the wrong base version: key absent
+    val e2 = bad(Seq((9L, "update", Some(1L), Some(2L))))
+    assert(e2.getMessage.contains("for absent key"), e2.getMessage)
+    val e3 = bad(Seq((9L, "delete", Some(1L), None)))
+    assert(e3.getMessage.contains("for absent key"), e3.getMessage)
+  }
+
+  test("snapshot_apply: applying the carved diff reproduces the carved v2 exactly") {
+    val applied = Snapshot.applyDiff(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reconstruct v2 independently: base keys minus deletes,
+    // plus inserts, with updates folded — from the diff itself and
+    // the raw table, not from applyChanges
+    val diff = Snapshot.snapshotDiff(spark, Sf).collect()
+    assert(diff.nonEmpty && applied.nonEmpty)
+    // every delete key is gone; every insert/update key carries the
+    // new value
+    diff.foreach { r =>
+      r.getString(1) match {
+        case "delete" => assert(!applied.contains(r.getLong(0)))
+        case "insert" | "update" =>
+          assert(applied(r.getLong(0)) == r.getLong(3))
+      }
+    }
+    // |v2| = |v1| + inserts - deletes (untouched keys pass through)
+    val nBase = Snapshot.asOf(spark, Sf, v = 1L).count()
+    assert(applied.size == nBase +
+      diff.count(_.getString(1) == "insert") -
+      diff.count(_.getString(1) == "delete"))
+  }
+
   test("scd2: validity intervals cover every transition incl. disappear-then-return") {
     import spark.implicits._
     // (key, ver, cents): stable, update, delete-after-v1, late insert,
