@@ -123,6 +123,8 @@ object SparkEntry {
     "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
     "graph_communities_sweep" -> ((s: SparkSession, d: String) => Graph.supplierCommunitySweep(s, d)),
     "graph_sssp" -> ((s: SparkSession, d: String) => Graph.sssp(s, d)),
+    "graph_backbone" -> (Graph.backbone _),
+    "graph_ktruss" -> (Graph.ktruss _),
     "graph_coreness" -> ((s: SparkSession, d: String) => Graph.coreness(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
@@ -1423,6 +1425,12 @@ object SparkEntry {
     // to 5 straight rounds — the hash match IS the resume proof
     "graph_pagerank_resume" -> pagerankSql,
     "graph_sssp" -> graft.operators.Graph.ssspOracleSql(),
+    // mutual-top-m sparsification: same co-supply CTE as the triangle
+    // family, (w desc, id) rank rule on both sides
+    "graph_backbone" -> graft.operators.Graph.backboneOracleSql(),
+    // synchronous support peel unrolled (extra rounds idempotent);
+    // final support recomputed on the surviving subgraph
+    "graph_ktruss" -> graft.operators.Graph.ktrussOracleSql(),
     "graph_coreness" -> graft.operators.Graph.corenessOracleSql(),
     // id-ordered 3-way self-join: orientation in the Spark plan only
     // changes where each triangle is FOUND, never the per-node census

@@ -1349,4 +1349,194 @@ object Graph {
                 CAST(dist % $HopSpan AS BIGINT) AS cost
          FROM d$rounds ORDER BY node"""
   }
+
+  // --- backbone extraction + k-truss ---------------------------------
+
+  /** Mutual neighbors kept per node in the backbone. */
+  val BackboneM = 6
+
+  /** k-truss tightness (support ≥ k−2 triangles per edge). */
+  val TrussK = 3
+
+  /** Truss peel round cap — the sf-range graphs converge in ≤ 2
+    * rounds (extra unrolled rounds are idempotent, the kcore
+    * argument). */
+  val TrussRounds = 4
+
+  /** GRAPH BACKBONE: the mutual-top-m sparsification of the weighted
+    * co-supply graph — keep edge (u,v) iff v is among u's m
+    * strongest partners AND u among v's (w desc, id tie-break). The
+    * standard density-independent backbone a visualization/community
+    * pipeline extracts before anything quadratic-in-degree runs: the
+    * raw co-supply graph saturates toward complete (91% dense at
+    * sf0.1), the backbone is ≤ m·|V|/2 edges at ANY corpus size.
+    * Per-node ranking rides the bounded-heap [[graft.functions.TopKScoreAgg]]
+    * (state ≤ m per node — never a window over the corpus-scaled
+    * edge set); mutuality is one self-equi-join of the m·|V|-bounded
+    * keep list. Memoized: [[ktruss]] consumes it. */
+  def backbone(spark: SparkSession, dir: String): DataFrame =
+    shared.getOrBuild(spark, s"$dir#backbone$BackboneM") {
+      backboneOf(coSupplyEdgesW(spark, dir), BackboneM)
+    }
+
+  /** The mutual-top-m filter over ANY canonical weighted edge list
+    * (u < v, one row per undirected edge; spec surface). */
+  def backboneOf(edgesW: DataFrame, m: Int): DataFrame = {
+    val sym = edgesW.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst"), col("w")),
+        struct(col("v").as("src"), col("u").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    val kept = sym.groupBy(col("src"))
+      .agg(graft.functions.TopKScoreAgg.topk(
+        col("w").cast("double"), col("dst"), m).as("top"))
+      .select(col("src"), explode(col("top")).as("e"))
+      .select(col("src"), col("e.id").as("dst"))
+    val rev = kept.select(col("dst").as("src"), col("src").as("dst"))
+    kept.join(rev, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .join(edgesW, Seq("u", "v"))
+      .sortWithinPartitions("u", "v")
+  }
+
+  /** Per-edge triangle support of a canonical (u < v) edge list —
+    * the same degree-ordered compact-forward wedge closure as
+    * [[trianglesOf]] (hub out-fan-out bounded O(√|E|)), but each
+    * found triangle credits its THREE edges instead of its three
+    * nodes. */
+  private def trussSupport(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    val srcFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(srcFirst, col("u")).otherwise(col("v")).as("src"),
+      when(srcFirst, col("v")).otherwise(col("u")).as("dst"))
+    val byNode = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+    val wedges = byNode
+      .select(col("src").as("x"), arrayPairs(col("ns")).as("p"))
+      .select(col("x"), col("p.u").as("n1"), col("p.v").as("n2"))
+    val tri = wedges.join(edges,
+        wedges("n1") === edges("u") && wedges("n2") === edges("v"))
+      .select(col("x"), col("n1"), col("n2"))
+    tri.select(explode(array(
+        struct(least(col("x"), col("n1")).as("u"),
+          greatest(col("x"), col("n1")).as("v")),
+        struct(least(col("x"), col("n2")).as("u"),
+          greatest(col("x"), col("n2")).as("v")),
+        struct(col("n1").as("u"), col("n2").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+  }
+
+  /** K-TRUSS of the backbone: iteratively peel every edge in fewer
+    * than k−2 triangles until stable — the edge-level cohesion
+    * sequel to [[kcore]]'s node-level peel (a k-truss is the
+    * strongest standard cohesive-subgraph notion short of cliques).
+    * Each round is one support census (the [[trianglesOf]] wedge
+    * plan) + an anti-join of the peel set; the loop early-exits on
+    * stability, and the unrolled-CTE oracle's extra rounds are
+    * idempotent (the kcore contract). Output: surviving edges with
+    * their support ON THE FINAL subgraph. */
+  def ktruss(spark: SparkSession, dir: String): DataFrame =
+    ktrussOf(backbone(spark, dir).select(col("u"), col("v")),
+      TrussK, TrussRounds)
+
+  /** The peel loop over ANY canonical (u < v) edge list (spec
+    * surface). */
+  def ktrussOf(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 3, s"ktruss: k must be >= 3, got $k")
+    val minSup = k - 2
+    var live = edges.select(col("u"), col("v"))
+      .repartition(col("u"))
+      .localCheckpoint(eager = false)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val bad = live
+        .join(trussSupport(live), Seq("u", "v"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) < minSup)
+        .select(col("u").as("bu"), col("v").as("bv"))
+        .localCheckpoint(eager = false)
+      if (bad.count() == 0) stable = true
+      else live = live
+        .join(bad, col("u") === col("bu") && col("v") === col("bv"),
+          "left_anti")
+        .localCheckpoint(eager = false)
+      rounds += 1
+      System.err.println(s"[graft] ktruss round $rounds: stable=$stable")
+    }
+    live.join(trussSupport(live), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+      .sortWithinPartitions("u", "v")
+  }
+
+  /** Shared backbone CTE prefix (ends at `mut` = the mutual-top-m
+    * edge set) — one SQL statement of truth for the backbone and
+    * truss oracles. */
+  private def backboneCtes(m: Int): String =
+    s"""sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         ed AS MATERIALIZED (SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+                count(*) AS w
+              FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+               AND a.l_suppkey < b.l_suppkey
+              GROUP BY 1, 2 HAVING count(*) >= 5),
+         sym AS (SELECT u AS src, v AS dst, w FROM ed
+                 UNION ALL SELECT v, u, w FROM ed),
+         rk AS (SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                         ORDER BY w DESC, dst) AS rn
+                FROM sym),
+         kept AS MATERIALIZED (SELECT src, dst FROM rk WHERE rn <= $m),
+         mut AS MATERIALIZED (
+           SELECT a.src AS u, a.dst AS v FROM kept a
+           JOIN kept b ON b.src = a.dst AND b.dst = a.src
+           WHERE a.src < a.dst)"""
+
+  /** Generated DuckDB oracle for [[backbone]]: same co-supply edge
+    * CTE as the triangle family, same (w desc, id) rank rule. */
+  def backboneOracleSql(m: Int = BackboneM): String =
+    s"""WITH ${backboneCtes(m)}
+         SELECT mut.u, mut.v, CAST(ed.w AS BIGINT) AS w
+         FROM mut JOIN ed ON ed.u = mut.u AND ed.v = mut.v
+         ORDER BY mut.u, mut.v"""
+
+  /** Generated DuckDB oracle for [[ktruss]]: the synchronous peel
+    * unrolled as chained MATERIALIZED CTEs (rounds past stability
+    * idempotent), final support recomputed on the surviving
+    * subgraph. */
+  def ktrussOracleSql(m: Int = BackboneM, k: Int = TrussK,
+      rounds: Int = TrussRounds): String = {
+    def supCte(src: String, tag: String): String =
+      s"""t$tag AS MATERIALIZED (
+             SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM $src e1 JOIN $src e2 ON e2.u = e1.u AND e2.v > e1.v
+             JOIN $src e3 ON e3.u = e1.v AND e3.v = e2.v),
+         s$tag AS MATERIALIZED (
+             SELECT u, v, count(*) AS sup FROM (
+               SELECT a AS u, b AS v FROM t$tag
+               UNION ALL SELECT a, c FROM t$tag
+               UNION ALL SELECT b, c FROM t$tag) GROUP BY 1, 2)"""
+    val steps = (1 to rounds).map { r =>
+      s"""${supCte(s"e${r - 1}", s"$r")},
+         e$r AS MATERIALIZED (
+             SELECT e.u, e.v FROM e${r - 1} e
+             JOIN s$r s ON s.u = e.u AND s.v = e.v
+             WHERE s.sup >= ${k - 2})"""
+    }.mkString(",\n         ")
+    s"""WITH ${backboneCtes(m)},
+         e0 AS MATERIALIZED (SELECT u, v FROM mut),
+         $steps,
+         ${supCte(s"e$rounds", "f")}
+         SELECT e.u, e.v,
+                CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+         FROM e$rounds e LEFT JOIN sf s ON s.u = e.u AND s.v = e.v
+         ORDER BY e.u, e.v"""
+  }
 }

@@ -233,6 +233,21 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(graft.operators.Curation.pipelineMixDf(untargeted).isEmpty)
   }
 
+  test("backbone/ktruss: empty and triangle-free edge sets yield empty, not errors") {
+    import graft.operators.Graph
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Graph.ktrussOf(empty, 3, 4).isEmpty)
+    val emptyW = Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+    assert(Graph.backboneOf(emptyW, 3).isEmpty)
+    // a path graph has no triangles: every edge peels at k=3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(Graph.ktrussOf(path, 3, 4).isEmpty)
+    // ktruss refuses a meaningless k
+    intercept[IllegalArgumentException] {
+      Graph.ktrussOf(path, 2, 4)
+    }
+  }
+
   test("profile_psi: single-sided types carry NULL psi, the total sums the finite terms") {
     import java.sql.Timestamp
     // 'gone' exists only before the split, 'new' only after — no

@@ -69,6 +69,59 @@ class RandomGraphSpec extends SparkSpecBase {
     }
   }
 
+  test("ktruss matches a synchronous sequential support peel on random graphs") {
+    val rnd = new Random(9191)
+    def support(live: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+      val es = live.toSet
+      live.map { case (u, v) =>
+        val sup = live.flatMap(e => Seq(e._1, e._2)).distinct.count(w =>
+          w != u && w != v &&
+            es((math.min(u, w), math.max(u, w))) &&
+            es((math.min(v, w), math.max(v, w))))
+        (u, v) -> sup.toLong
+      }.toMap
+    }
+    for (trial <- 1 to 3) {
+      val n = 14 + trial * 3
+      val k = 3 + (trial % 2) // alternate k=4/k=3
+      val edges = randomUndirected(rnd, n, 3 * n)
+      // reference: remove ALL below-support edges simultaneously
+      var live = edges
+      var stable = false
+      while (!stable && live.nonEmpty) {
+        val sup = support(live)
+        val bad = live.filter(e => sup(e) < k - 2)
+        if (bad.isEmpty) stable = true
+        else { val bs = bad.toSet; live = live.filterNot(bs) }
+      }
+      val expected = support(live)
+      val got = Graph.ktrussOf(edges.toDF("u", "v"), k, maxRounds = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"trial $trial k=$k: $edges")
+    }
+  }
+
+  test("backbone keeps exactly the mutual top-m edges on random weighted graphs") {
+    val rnd = new Random(5656)
+    for (trial <- 1 to 3) {
+      val n = 16 + trial * 4
+      val m = 2 + trial % 3
+      val edges = randomUndirected(rnd, n, 3 * n)
+        .map { case (u, v) => (u, v, 1L + rnd.nextInt(50).toLong) }
+      // reference: per-node (w desc, id asc) top-m keep lists,
+      // mutual intersection
+      val sym = edges.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+      val kept = sym.groupBy(_._1).view.mapValues(
+        _.sortBy(e => (-e._3, e._2)).take(m).map(_._2).toSet).toMap
+      val expected = edges.collect {
+        case (u, v, w) if kept(u)(v) && kept(v)(u) => (u, v, w)
+      }.toSet
+      val got = Graph.backboneOf(edges.toDF("u", "v", "w"), m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"trial $trial m=$m")
+    }
+  }
+
   test("triangle census matches the brute-force triple scan on random graphs") {
     val rnd = new Random(99123)
     for (trial <- 1 to 3) {
