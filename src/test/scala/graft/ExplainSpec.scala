@@ -80,7 +80,7 @@ class ExplainSpec extends SparkSpecBase {
       "graph_triangles", "graph_kcore", "graph_kcore_weighted",
       "graph_communities_sweep", "graph_sssp", "graph_coreness",
       "graph_clustering", "basket_rules", "dedup_keep_best",
-      "snapshot_scd2",
+      "snapshot_scd2", "graph_backbone", "graph_ktruss", "snapshot_apply",
       "text_quality", "text_tokens", "text_readability",
       "text_fingerprint", "text_lm_score", "text_langid", "text_entropy",
       "text_tfidf", "pipeline_clean", "pipeline_pack", "text_repetition",
@@ -120,6 +120,17 @@ class ExplainSpec extends SparkSpecBase {
     val dp = dh.queryExecution.executedPlan.toString
     assert(!dp.contains("Exchange"),
       s"mm_dhash: expected a shuffle-free map-side plan:\n$dp")
+  }
+
+  test("backbone ranks per-node via the bounded heap, never a Window") {
+    // a window over the symmetric edge set would sort the
+    // corpus-scaled edges per node at 100 TB; the mutual-top-m keep
+    // list must come from the TopKScoreAgg bounded heap
+    val df = SparkEntry.queries("graph_backbone")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"graph_backbone: per-node ranking must use the bounded heap:\n$p")
   }
 
   test("q1 keeps partial (map-side) aggregation before the shuffle") {
