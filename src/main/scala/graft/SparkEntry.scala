@@ -187,6 +187,7 @@ object SparkEntry {
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "pipeline_clean" -> (TextOps.pipelineClean _),
+    "text_normalize" -> (TextOps.textNormalize _),
     "pipeline_split" -> (TextOps.pipelineSplit _),
     "pipeline_pack" -> ((s: SparkSession, d: String) => TextOps.pipelinePack(s, d)),
     "text_langid" -> (TextOps.textLangid _),
@@ -2312,6 +2313,21 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(translate(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
          FROM documents ORDER BY doc_id""",
+    // NFC + SIMPLE casefold: utf8proc lower is the 1:1 UnicodeData
+    // mapping, the same semantics as the Spark kernel's per-codepoint
+    // Character.toLowerCase (İ → i, never i + combining dot); NFC
+    // first on both sides; trim is explicit-ASCII (the one-arg trap)
+    "text_normalize" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+                  regexp_replace(trim(lower(nfc_normalize(text)), ' '),
+                                 '\s+', ' ', 'g') AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text,
+                length(text) AS n_before,
+                length(norm_text) AS n_after,
+                CAST(norm_text <> text AS INT) AS changed
+         FROM n ORDER BY doc_id""",
     "pipeline_clean" ->
       """WITH q AS (
            SELECT doc_id, text,

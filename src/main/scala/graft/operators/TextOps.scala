@@ -135,6 +135,30 @@ object TextOps {
       .sortWithinPartitions("keep_id")
   }
 
+  /** text_normalize: unicode canonicalization of the corpus — NFC +
+    * SIMPLE (1:1, locale-free) casefold via the fused
+    * [[graft.functions.NormalizeText]] codegen kernel, then the
+    * engine-portable ASCII `\s+` collapse and ASCII-space trim (the
+    * one-arg-trim trap class: Spark's one-arg trim strips ' ' only;
+    * the oracle says `trim(x, ' ')` explicitly). The step a pipeline
+    * runs BEFORE any content keying, so decomposed accents, fullwidth
+    * forms kept verbatim, and İ-dot hazards stop forking dedup keys.
+    * Map-only at any corpus size: one projection, no exchange;
+    * per-doc before/after code-point counts and a changed flag ride
+    * along for the audit. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(
+      trim(graft.functions.Normalize.normalizeText(col("text"))),
+      "\\s+", " ")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), norm.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("text")).as("n_before"),
+        length(col("norm_text")).as("n_after"),
+        (col("norm_text") =!= col("text")).cast("int").as("changed"))
+      .sortWithinPartitions("doc_id")
+  }
+
   /** Deterministic train/val/test split — the assignment must be a
     * pure function of the stable id (multiplicative Knuth hash), so
     * any executor, any retry, any engine derives the same split:

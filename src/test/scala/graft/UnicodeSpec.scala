@@ -92,4 +92,38 @@ class UnicodeSpec extends SparkSpecBase {
       .head().getString(0)
     assert(pred == "en")
   }
+
+  test("normalizeText: NFC + SIMPLE casefold — 1:1, locale-free, composed keys") {
+    import graft.functions.Normalize.normalizeText
+    def norm(s: String): String =
+      Seq(s).toDF("t").select(normalizeText(col("t"))).head().getString(0)
+    // decomposed and composed forms land on ONE key
+    val composed = "\u00e9l\u00e8ve"      // élève, precomposed
+    val decomposed = "e\u0301le\u0300ve"  // e+combining-acute, e+combining-grave
+    assert(norm(decomposed) == norm(composed))
+    assert(norm(decomposed) == composed)
+    // simple mapping: İ folds to a SINGLE 'i' (the full mapping would
+    // append U+0307 and fork the key from utf8proc's answer)
+    assert(norm("İstanbul") == "istanbul")
+    assert(norm("İstanbul").length == 8)
+    // ß has no uppercase-to-fold here and stays; SS folds to ss
+    assert(norm("STRASSE ß") == "strasse ß")
+    // no-lowercase code points pass through (CJK, astral math, emoji)
+    assert(norm("数据 𝕊 🚀") == "数据 𝕊 🚀")
+    // fullwidth Latin has a simple mapping
+    assert(norm("ＤＡＴＡ") == "ｄａｔａ")
+    // idempotent: a normalized string is a fixed point
+    val hostile = "Élève  DONNÉES  İstanbul straße ＤＡＴＡ 数据"
+    assert(norm(norm(hostile)) == norm(hostile))
+  }
+
+  test("text_normalize collapses ASCII whitespace only — U+3000 is content") {
+    import graft.functions.Normalize.normalizeText
+    val out = Seq((1L, "  A \t B　C  "))
+      .toDF("doc_id", "text")
+      .select(regexp_replace(trim(normalizeText(col("text"))), "\\s+", " ")
+        .as("n"))
+      .head().getString(0)
+    assert(out == "a b　c", out.map(_.toInt).mkString(","))
+  }
 }
