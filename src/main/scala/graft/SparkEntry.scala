@@ -199,6 +199,7 @@ object SparkEntry {
     "sample_weighted" -> (Curation.sampleWeighted _),
     "pipeline_mix" -> (Curation.pipelineMix _),
     "pipeline_shuffle" -> (Curation.pipelineShuffle _),
+    "pipeline_curriculum" -> (Curation.pipelineCurriculum _),
     "pipeline_zorder" -> (Layout.zorderManifest _),
     "sample_per_group" -> (Curation.samplePerGroup _),
     "sample_importance" -> (Curation.sampleImportance _),
@@ -2448,6 +2449,10 @@ object SparkEntry {
     // same portable-hash membership gate.
     "pipeline_mix" -> graft.operators.Curation.mixOracleSql,
     "pipeline_shuffle" -> graft.operators.Curation.shuffleOracleSql,
+    // decile stages from the portable bottom-k sample (the
+    // profile_quantiles rank rule at pct = 10·i) over a declared
+    // integer quality composite — no NTILE window over the corpus
+    "pipeline_curriculum" -> graft.operators.Curation.curriculumOracleSql,
     // z-order manifest: bucket, interleave, and file expressions all
     // render from one Scala source into both dialects — integer math
     // on non-negatives, so div ≡ // and the manifest hash-matches

@@ -561,4 +561,99 @@ object Curation {
            FROM documents)
        SELECT doc_id, skey % $ShuffleShards AS shard, skey
        FROM h ORDER BY doc_id"""
+
+  // --- curriculum staging ---------------------------------------------
+
+  /** Bottom-k sample size for the curriculum's decile edges. */
+  val CurriculumSampleK = 1000
+
+  /** Curriculum staging: assign every document a quality DECILE stage
+    * (0 = weakest tenth … 9) and emit the per-stage manifest (doc and
+    * token budgets) a curriculum-ordered training run consumes. The
+    * quality score is a declared integer composite —
+    * `round(10⁶·distinct_ratio) + round(10⁶·stopword_ratio)` per
+    * micro-unit, both ratios the proven text_quality expressions —
+    * and the decile CUT POINTS come from the portable bottom-k-by-hash
+    * sample ([[graft.functions.BottomKSampleAgg]], the
+    * profile_quantiles rank rule at pct = 10·i), so the stage
+    * assignment is reproducible across engines, runs, and
+    * partitionings — no global sort, no NTILE window over the corpus.
+    * Shape: one exploded token aggregate (the text_quality plan), one
+    * k-bounded sample aggregate, a 1-row edge broadcast, one
+    * stage groupBy — every stage map-side-combinable; output = ≤ 10
+    * manifest rows at any corpus size. */
+  def pipelineCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val stopHits = StopWordList.map(w => when(col("tok") === w, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(stopHits).as("stop_hits"))
+      .select(col("doc_id"), col("n_tok"),
+        (round(lit(1e6) * col("n_distinct").cast("double") / col("n_tok"), 0)
+          .cast("long") +
+          round(lit(1e6) * col("stop_hits").cast("double") / col("n_tok"), 0)
+            .cast("long")).as("q_micro"))
+    val edgesRow = scored
+      .agg(graft.functions.BottomKSampleAgg.bottomk(
+        PortableHash.h60(concat(lit("cur#"), col("doc_id").cast("string"))),
+        col("q_micro").cast("double"), CurriculumSampleK).as("s"))
+      .select(array((1 to 9).map(i =>
+        element_at(col("s"),
+          (floor(lit(i * 10) / lit(100.0) * (size(col("s")) - 1)) + 1)
+            .cast("int"))): _*).as("edges"))
+    scored.crossJoin(broadcast(edgesRow))
+      .select(col("n_tok"), col("q_micro"),
+        size(filter(col("edges"),
+          x => col("q_micro").cast("double") >= x)).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("budget_tokens"),
+        min(col("q_micro")).as("q_min"), max(col("q_micro")).as("q_max"))
+      .orderBy(col("stage"))
+  }
+
+  /** Generated DuckDB oracle for [[pipelineCurriculum]]: same token
+    * ratios, same bottom-k sample and pct = 10·i rank rule, same
+    * edge-count stage fold. */
+  def curriculumOracleSql: String = {
+    val stops = StopWordList.map("'" + _ + "'").mkString(", ")
+    s"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS t
+           FROM documents),
+         q AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+                  CAST(round(1e6 * CAST(len(list_distinct(t)) AS DOUBLE)
+                             / len(t), 0) AS BIGINT)
+                  + CAST(round(1e6 * CAST(len(list_filter(t,
+                               x -> x IN ($stops))) AS DOUBLE)
+                               / len(t), 0) AS BIGINT) AS q_micro
+           FROM toks),
+         m AS (SELECT q_micro,
+                      CAST(('0x' || substring(md5('cur#' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM q),
+         r AS (SELECT q_micro,
+                      row_number() OVER (ORDER BY h, q_micro) AS rn
+               FROM m),
+         s AS (SELECT CAST(q_micro AS DOUBLE) AS v,
+                      row_number() OVER (ORDER BY q_micro) AS vr,
+                      count(*) OVER () AS n
+               FROM r WHERE rn <= $CurriculumSampleK),
+         e AS (SELECT list(s.v ORDER BY p.i) AS ev
+               FROM (SELECT unnest(range(1, 10)) AS i) p
+               JOIN s ON s.vr = CAST(floor(p.i * 10 / 100.0 * (s.n - 1))
+                                     AS BIGINT) + 1),
+         st AS (SELECT q.n_tok, q.q_micro,
+                       len(list_filter(e.ev,
+                         x -> CAST(q.q_micro AS DOUBLE) >= x)) AS stage
+                FROM q CROSS JOIN e)
+         SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS budget_tokens,
+                min(q_micro) AS q_min, max(q_micro) AS q_max
+         FROM st GROUP BY stage ORDER BY stage"""
+  }
 }

@@ -241,6 +241,33 @@ class CurationSpec extends SparkSpecBase {
       .map(_.getLong(0)).toSet == kept.map(_.getLong(0)).toSet)
   }
 
+  test("pipelineCurriculum: stages partition the corpus into ordered quality bands") {
+    val rows = Curation.pipelineCurriculum(spark, Sf).collect()
+    val stages = rows.map(_.getInt(0))
+    assert(stages.sameElements(stages.sorted) && stages.distinct.length == stages.length)
+    assert(stages.forall(s => s >= 0 && s <= 9))
+    // the stages PARTITION the corpus: doc and token budgets sum to
+    // the corpus totals
+    val docs = graft.core.Tables(spark, Sf).documents
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val totTok = docs
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totTok)
+    // quality bands are ordered and non-overlapping: a doc in stage i
+    // never outscores a doc in stage i+1
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) <= b.getLong(3),
+        s"stage ${a.getInt(0)} q_max ${a.getLong(4)} > stage ${b.getInt(0)} q_min ${b.getLong(3)}")
+      case _ =>
+    }
+    // decile edges from a 1000-sample over 500 docs ≈ exact deciles:
+    // no stage should be empty or hold more than a quarter
+    val n = rows.map(_.getLong(1)).sum
+    rows.foreach(r => assert(r.getLong(1) > 0 && r.getLong(1) <= n / 4 + 1))
+  }
+
   test("non-distinct shingles keep duplicates; distinct variant is the set") {
     val df = Seq((0L, "x y x y")).toDF("doc_id", "text")
     val all = df.select(graft.functions.ShingleCol.nGramShingles(
