@@ -87,6 +87,8 @@ object SparkEntry {
     "q_json_extract" -> (Events.qJsonExtract _),
     "q_sessionize" -> (Events.qSessionize _),
     "q_asof_join" -> (Events.qAsofJoin _),
+    "q_nearest_join" -> (Events.qNearestJoin _),
+    "events_seasonality" -> (Events.eventsSeasonality _),
     "events_attribution" -> (Events.qAttribution _),
     "q_range_join" -> (Events.qRangeJoin _),
     "q_gap_fill" -> (Events.qGapFill _),
@@ -1274,6 +1276,62 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY error_id""",
+    // bidirectional nearest: the same union+window construction
+    // evaluated by the second engine (DuckDB has no native nearest
+    // join); exact integer-microsecond deltas, prev wins ties
+    "q_nearest_join" ->
+      """WITH b AS (
+           SELECT user_id, ts, 0 AS side, event_id AS purchase_id,
+                  CAST(NULL AS BIGINT) AS error_id
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, 1, CAST(NULL AS BIGINT), event_id
+           FROM events WHERE event_type = 'error'),
+         w AS (
+           SELECT error_id, user_id, side, epoch_us(ts) AS us,
+                  last_value(purchase_id IGNORE NULLS) OVER wb AS prev_pid,
+                  last_value(CASE WHEN purchase_id IS NOT NULL
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER wb AS prev_us,
+                  first_value(purchase_id IGNORE NULLS) OVER wf AS next_pid,
+                  first_value(CASE WHEN purchase_id IS NOT NULL
+                              THEN epoch_us(ts) END IGNORE NULLS) OVER wf AS next_us
+           FROM b
+           WINDOW
+             wb AS (PARTITION BY user_id
+                    ORDER BY ts, side, coalesce(purchase_id, error_id)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id
+                    ORDER BY ts, side, coalesce(purchase_id, error_id)
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT error_id, user_id,
+                CASE WHEN prev_pid IS NULL THEN next_pid
+                     WHEN next_pid IS NULL THEN prev_pid
+                     WHEN us - prev_us <= next_us - us THEN prev_pid
+                     ELSE next_pid END AS nearest_purchase_id,
+                CASE WHEN prev_pid IS NULL THEN next_us - us
+                     WHEN next_pid IS NULL THEN us - prev_us
+                     WHEN us - prev_us <= next_us - us THEN us - prev_us
+                     ELSE next_us - us END AS delta_us
+         FROM w WHERE side = 1 ORDER BY error_id""",
+    // weekday from pure epoch-day arithmetic ((d+3) mod 7 + 1,
+    // Monday=1) — no engine calendar function whose week-start
+    // convention could fork; index in exact micro-units
+    "events_seasonality" ->
+      """WITH daily AS (
+           SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                  count(*) AS n
+           FROM events GROUP BY 1),
+         dw AS (SELECT (d + 3) % 7 + 1 AS dow_iso, n FROM daily),
+         p AS (SELECT dow_iso, CAST(count(*) AS BIGINT) AS n_days,
+                      CAST(sum(n) AS BIGINT) AS n_events
+               FROM dw GROUP BY 1),
+         t AS (SELECT CAST(sum(n_days) AS BIGINT) AS dd,
+                      CAST(sum(n_events) AS BIGINT) AS ss FROM p)
+         SELECT dow_iso, n_days, n_events,
+                CAST(round(1e6 * CAST(n_events * dd AS DOUBLE)
+                           / CAST(n_days * ss AS DOUBLE), 0) AS BIGINT)
+                  AS index_micro
+         FROM p CROSS JOIN t ORDER BY dow_iso""",
     "q_range_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
                 p.user_id

@@ -559,4 +559,80 @@ object Events {
       .select(col("error_id"), col("user_id"), col("last_purchase_id"))
       .sortWithinPartitions("error_id")
   }
+
+  /** NEAREST temporal join — [[qAsofJoin]]'s bidirectional sibling:
+    * each error pairs with its temporally CLOSEST purchase by the
+    * same user, looking both backward and forward (an as-of join
+    * only looks back; root-causing wants the nearest context either
+    * way). Same union+window shape: one per-user window pass carries
+    * the last-purchase-so-far AND the first-purchase-ahead, then a
+    * row-local |Δt| compare in exact integer MICROSECONDS picks the
+    * side (tie → the earlier purchase, a declared total order).
+    * Errors with no same-user purchase keep NULLs (honest, not
+    * dropped). Windows partition per user (bounded rows — the scd2
+    * argument); output ∝ errors ⇒ within-partition order. */
+  def qNearestJoin(spark: SparkSession, dir: String): DataFrame =
+    qNearestJoinDf(Tables(spark, dir).events)
+
+  /** The nearest fold over ANY (event_id, user_id, event_type, ts)
+    * frame (spec surface). */
+  def qNearestJoinDf(ev: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("purchase_id"), lit(null).cast("long").as("error_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("purchase_id"), col("event_id").as("error_id"))
+    val ordered = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), coalesce(col("purchase_id"), col("error_id")))
+    val wb = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pUs = when(col("purchase_id").isNotNull, col("us"))
+    val both = purchases.unionAll(errors)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_pid", last(col("purchase_id"), ignoreNulls = true).over(wb))
+      .withColumn("prev_us", last(pUs, ignoreNulls = true).over(wb))
+      .withColumn("next_pid", first(col("purchase_id"), ignoreNulls = true).over(wf))
+      .withColumn("next_us", first(pUs, ignoreNulls = true).over(wf))
+    val takePrev = col("us") - col("prev_us") <= col("next_us") - col("us")
+    both.filter(col("side") === 1)
+      .select(col("error_id"), col("user_id"),
+        when(col("prev_pid").isNull, col("next_pid"))
+          .when(col("next_pid").isNull, col("prev_pid"))
+          .when(takePrev, col("prev_pid"))
+          .otherwise(col("next_pid")).as("nearest_purchase_id"),
+        when(col("prev_pid").isNull, col("next_us") - col("us"))
+          .when(col("next_pid").isNull, col("us") - col("prev_us"))
+          .when(takePrev, col("us") - col("prev_us"))
+          .otherwise(col("next_us") - col("us")).as("delta_us"))
+      .sortWithinPartitions("error_id")
+  }
+
+  /** Day-of-week SEASONALITY index of the event stream — the
+    * decomposition readout a capacity/anomaly pipeline consumes:
+    * per ISO weekday, how that weekday's mean daily volume compares
+    * to the overall mean daily volume, in exact micro-units
+    * (`round(10⁶ · (s_dow·D) / (d_dow·S))` — integer products, ONE
+    * double division, the micro-quantization discipline). The
+    * weekday is pure arithmetic over epoch days
+    * (`(days + 3) mod 7 + 1`, Monday = 1) — no engine calendar
+    * function whose week-start convention could fork the oracle.
+    * One scan → per-day counts (map-side combinable) → a 7-row
+    * aggregate; bounded output. */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val daily = ev
+      .select(expr("cast(ts as long) div 86400").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .select(((col("d") + 3) % 7 + 1).as("dow_iso"), col("n"))
+    val perDow = daily.groupBy(col("dow_iso"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+    val tot = perDow.agg(sum(col("n_days")).as("dd"), sum(col("n_events")).as("ss"))
+    perDow.crossJoin(broadcast(tot))
+      .select(col("dow_iso"), col("n_days"), col("n_events"),
+        round(lit(1e6) * (col("n_events") * col("dd")).cast("double") /
+          (col("n_days") * col("ss")).cast("double"), 0).cast("long")
+          .as("index_micro"))
+      .orderBy(col("dow_iso"))
+  }
 }

@@ -92,7 +92,7 @@ class ExplainSpec extends SparkSpecBase {
       "snapshot_diff", "snapshot_asof", "avro_roundtrip",
       "q_event_window", "q_sessionize", "q_range_join", "q_funnel",
       "q_gap_fill", "q_anomaly_days", "events_attribution", "events_rfm",
-      "q_asof_join",
+      "q_asof_join", "q_nearest_join", "text_normalize",
       "q_group_having", "q_window_rank", "q_window_running",
       "q_window_range", "q_window_lead", "q_ntile", "q_first_last",
       "q_semi_join", "q_anti_join", "q_set_ops", "q_string_funcs",

@@ -159,6 +159,48 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("q_nearest_join: planted backward/forward/tie/absent cases pick correctly") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: error at 12:00; purchase 11:00 (1 h back) and 12:30
+      // (30 min fwd) — forward is nearer
+      (10L, 1L, "purchase", t("2024-01-05 11:00:00")),
+      (11L, 1L, "purchase", t("2024-01-05 12:30:00")),
+      (12L, 1L, "error", t("2024-01-05 12:00:00")),
+      // user 2: equidistant (±10 min) — the EARLIER purchase wins
+      (20L, 2L, "purchase", t("2024-01-05 11:50:00")),
+      (21L, 2L, "purchase", t("2024-01-05 12:10:00")),
+      (22L, 2L, "error", t("2024-01-05 12:00:00")),
+      // user 3: only a later purchase — forward-only fallback
+      (30L, 3L, "purchase", t("2024-01-05 13:00:00")),
+      (31L, 3L, "error", t("2024-01-05 12:00:00")),
+      // user 4: no purchases at all — NULLs, row kept
+      (40L, 4L, "error", t("2024-01-05 12:00:00")),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.qNearestJoinDf(ev).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(12L) == (Some(11L), Some(30L * 60 * 1000000L)))
+    assert(got(22L) == (Some(20L), Some(10L * 60 * 1000000L)), "tie must take prev")
+    assert(got(31L) == (Some(30L), Some(60L * 60 * 1000000L)))
+    assert(got(40L) == (None, None), "purchase-less users keep NULLs")
+  }
+
+  test("events_seasonality: partitions days/events; indexes average to unity") {
+    val rows = Events.eventsSeasonality(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 7L).toSet))
+    val ev = graft.core.Tables(spark, Sf).events
+    assert(rows.map(_.getLong(2)).sum == ev.count())
+    val nDays = ev.select(expr("cast(ts as long) div 86400")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nDays)
+    // day-weighted mean of the index is 1e6 up to per-row rounding
+    val dd = rows.map(_.getLong(1)).sum
+    val wmean = rows.map(r => r.getLong(1) * r.getLong(3)).sum.toDouble / dd
+    assert(math.abs(wmean - 1e6) < 1, s"weighted mean index $wmean")
+  }
+
   test("markov: transitions conserve mass and probabilities are exact ppm") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     // user 1: a->b->a->c   user 2: b->b
