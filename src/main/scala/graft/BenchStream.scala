@@ -118,6 +118,11 @@ object BenchStream {
       ("sessionize",
         () => Streams.sessionizeWithState(spark, eventsCapped()), nEvents,
         "append"),
+      // r9 drift monitor: one bounded stateful aggregate per day window
+      ("psi_window",
+        () => Streams.psiWindow(eventsCapped(),
+          Map("click" -> 2L, "view" -> 2L, "purchase" -> 2L,
+            "signup" -> 2L, "error" -> 2L)), nEvents, "append"),
       // the reference's flagship wordcount as a stream: complete-mode
       // global aggregate (the count table IS the state)
       ("wordcount",

@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongTyp
 
 import graft.functions.{AsciiTokens, AvroCodec, BottomKSampleAgg,
   CosineSimilarity, CountMinAgg, HllAgg, MinHashAgg, NGramShingles,
-  QSketchAgg, SimHashAgg, SpaceSavingAgg, TopKFreqAgg, TopKScoreAgg}
+  NormalizeText, QSketchAgg, SimHashAgg, SpaceSavingAgg, TopKFreqAgg,
+  TopKScoreAgg}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -154,6 +155,12 @@ object GraftFunctions {
     (FunctionIdentifier("ngram_shingles"),
       new ExpressionInfo(classOf[NGramShingles].getName, "ngram_shingles"),
       shinglesBuilder _),
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "normalize_text(text_col)")
+        NormalizeText(exprs.head)
+      }),
     // graft_-prefixed: Spark reserves from_avro/to_avro for its own
     // (unresolvable-in-this-build) registrations, and shadowing a
     // built-in name would surprise anyone moving code between builds

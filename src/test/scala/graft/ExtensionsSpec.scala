@@ -24,6 +24,12 @@ class ExtensionsSpec extends SparkSpecBase {
     val letters = spark.sql(
       "SELECT ascii_tokens('He said: 42') AS t").head().getSeq[String](0)
     assert(letters == Seq("He", "said"))
+
+    // normalize_text: NFC + simple casefold from plain SQL
+    val norm = spark.sql(
+      "SELECT normalize_text('İstanbul ÉLÈVE') AS n")
+      .head().getString(0)
+    assert(norm == "istanbul élève", norm.map(_.toInt).mkString(","))
   }
 
   test("sketch and top-k aggregates work from spark.sql") {
