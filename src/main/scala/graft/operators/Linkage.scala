@@ -56,7 +56,7 @@ object Linkage {
     * higher-order functions — codegen-friendly, no UDF. The `length`
     * guards keep `sequence` ascending (Spark's sequence(1, 0) counts
     * DOWN, not empty), so ""/1-char names degrade cleanly. */
-  private[operators] def variants(c: String): Column = expr(
+  private[graft] def variants(c: String): Column = expr(
     s"""array_distinct(concat(
        |  array($c),
        |  if(length($c) < 1, cast(array() as array<string>),

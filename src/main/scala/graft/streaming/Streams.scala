@@ -143,6 +143,39 @@ object Streams {
       round(psiMicro.cast("double") / 1e6, 6).as("psi"))
   }
 
+  /** Streaming fuzzy-admission gate — the record-linkage
+    * ([[graft.operators.Linkage]]) family's standing monitor: names
+    * arriving on the stream are checked against a STATIC dictionary
+    * by the same FastSS deletion-variant blocking + exact
+    * `levenshtein` verify as the batch fuzzy join, and each day
+    * window emits every arriving name that is within
+    * [[graft.operators.Linkage.Tau]] edits of a known name, with its
+    * best match ((dist, name) total order) and how many dictionary
+    * names it collides with. Shape: the variant explode is
+    * stream-side map-only; the dictionary's variant index is the
+    * static join side (broadcast at dictionary scale); the only
+    * state is the per-(window, name) best-match aggregate — bounded
+    * by arriving distinct names per day, not by traffic. The
+    * admission decision (block, merge, or enroll the new spelling)
+    * is the consumer's; this surface is the evidence feed. */
+  def fuzzyNameGate(names: DataFrame, dict: DataFrame): DataFrame = {
+    import graft.operators.Linkage
+    val keyed = dict.select(col("name").as("dict_name"),
+      explode(Linkage.variants("name")).as("v"))
+    val probes = names
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("name"), explode(Linkage.variants("name")).as("v"))
+    val dist = levenshtein(col("name"), col("dict_name")).cast("long")
+    probes.join(keyed, Seq("v"))
+      .filter(dist <= Linkage.Tau)
+      .groupBy(window(col("ts"), "1 day"), col("name"))
+      .agg(min(struct(dist.as("dist"), col("dict_name").as("m"))).as("best"),
+        size(collect_set(col("dict_name"))).as("n_matches"))
+      .select(col("window.start").as("day"), col("name"),
+        col("best.m").as("nearest"), col("best.dist").as("dist"),
+        col("n_matches"))
+  }
+
   /** Streaming Count-Min: a per-6-hour-window user-activity sketch,
     * built by the same [[graft.functions.CountMinAgg]] the batch
     * path uses — TypedImperativeAggregates merge partial buffers,

@@ -241,6 +241,34 @@ class StreamingSpec extends SparkSpecBase {
       .forall(_.getLong(1) <= 9))
   }
 
+  test("streaming fuzzy gate flags near-known names with their best match per day") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val arrivals = Seq(
+      (t("2024-01-05 10:00:00"), "smal ring"),  // deletion of small ring
+      (t("2024-01-05 11:00:00"), "red wdget"),  // deletion of red widget
+      (t("2024-01-05 12:00:00"), "zzzz qqqq"),  // no match: silent pass
+      (t("2024-01-06 09:00:00"), "small ring"), // exact: dist 0
+      (t("2024-01-06 10:00:00"), "hot gearz"),  // insertion on hot gear
+    ).toDF("ts", "name")
+    val dict = Seq("small ring", "red widget", "blue bolt", "hot gear")
+      .toDF("name")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    arrivals.coalesce(1).write.mode("overwrite").parquet(s"$dir/names")
+    val stream = spark.readStream.schema(arrivals.schema).parquet(s"$dir/names")
+    val out = Streams.runToMemory(
+      Streams.fuzzyNameGate(stream, dict), "fuzzy_gate").collect()
+      .map(r => r.getString(1) -> (r.getString(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(out == Map(
+      "smal ring" -> ("small ring", 1L, 1),
+      "red wdget" -> ("red widget", 1L, 1),
+      "small ring" -> ("small ring", 0L, 1),
+      "hot gearz" -> ("hot gear", 1L, 1)),
+      s"got $out")
+  }
+
   test("streaming PSI drift monitor equals the batch formula per day") {
     import graft.operators.Profile
     // declared reference: the corpus's own global mix (any constant
