@@ -102,6 +102,7 @@ object SparkEntry {
     "profile_mi" -> (Profile.miProfile _),
     "profile_benford" -> (Profile.benfordProfile _),
     "profile_psi" -> (Profile.psiProfile _),
+    "profile_ks" -> (Profile.ksProfile _),
     "profile_seq_gaps" -> (Profile.seqProfile _),
     "profile_qsketch" -> ((s: SparkSession, d: String) => Profile.qsketchProfile(s, d)),
     "profile_kmv_overlap" -> (Profile.kmvOverlap _),
@@ -2543,6 +2544,9 @@ object SparkEntry {
     // per-type terms micro-quantized before the total so the sum is
     // exact BIGINT on both engines
     "profile_psi" -> graft.operators.Profile.psiOracleSql,
+    // quantized two-sample KS on the shared HDR bucket grid: exact
+    // BIGINT D numerator, one final double division
+    "profile_ks" -> graft.operators.Profile.ksOracleSql,
     "profile_seq_gaps" -> graft.operators.Profile.seqOracleSql,
     // generated from the same CASE chains the Spark plan runs — the
     // bucket/rank/midpoint rules have one Scala source of truth

@@ -901,4 +901,82 @@ object Profile {
                round(CAST(x.sm AS DOUBLE) / 1e6, 6)
         FROM t CROSS JOIN (SELECT CAST(sum(psi_micro) AS BIGINT) AS sm FROM s) x
         ORDER BY event_type"""
+
+  /** Quantized two-sample Kolmogorov-Smirnov drift test over the
+    * `value` distribution — [[psiProfile]]'s numeric sibling (PSI
+    * reads the categorical mix; KS reads a continuous column's
+    * distribution shift between the same reference/current windows).
+    * Values quantize to exact cents and land in the SHARED
+    * [[graft.functions.QuantileSketch]] HDR bucket grid (a MONOTONE
+    * bucketization, so the bucket-level D is the classic discrete KS
+    * statistic on the grid), per-bucket conditional counts cumulate
+    * over the ≤ 576-row bucket frame, and
+    * `D = max |cum_ref·N_cur − cum_cur·N_ref| / (N_ref·N_cur)`
+    * stays in exact BIGINT until ONE final double division. Output:
+    * one row — counts, the integer D numerator, `ks` at 6dp, and the
+    * first bucket index attaining the max (min-idx tie-break).
+    * Shape: one scan → one bucket groupBy (map-side combinable,
+    * output = occupied buckets, grid-bounded) → a bounded window
+    * cumulate → a 1-row fold. */
+  def ksProfile(spark: SparkSession, dir: String): DataFrame =
+    ksOf(Tables(spark, dir).events, to_timestamp(lit(PsiSplitTs)))
+
+  /** The KS fold over any (ts, value) frame (spec surface). */
+  def ksOf(events: DataFrame, split: Column): DataFrame = {
+    import graft.functions.{QuantileSketch => QS}
+    val byBucket = events
+      .select(expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+        col("ts"))
+      .select(expr(QS.idxCaseSql("cents", "div")).as("idx"),
+        when(col("ts") < split, 1L).otherwise(0L).as("is_ref"))
+      .groupBy(col("idx"))
+      .agg(sum(col("is_ref")).as("r"), sum(lit(1L) - col("is_ref")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = byBucket
+      .withColumn("cr", sum(col("r")).over(w))
+      .withColumn("cc", sum(col("c")).over(w))
+    val tot = byBucket.agg(sum(col("r")).as("nr"), sum(col("c")).as("nc"))
+    val withD = cum.crossJoin(broadcast(tot))
+      .select(col("idx"), col("nr"), col("nc"),
+        abs(col("cr") * col("nc") - col("cc") * col("nr")).as("dnum"))
+    val maxD = withD.agg(max(col("dnum")).as("d_num"))
+    withD.crossJoin(broadcast(maxD))
+      .groupBy(col("nr"), col("nc"), col("d_num"))
+      .agg(min(when(col("dnum") === col("d_num"), col("idx"))).as("at_bucket"))
+      .select(col("nr").as("n_ref"), col("nc").as("n_cur"),
+        col("d_num"), col("at_bucket"),
+        round(col("d_num").cast("double") /
+          (col("nr") * col("nc")).cast("double"), 6).as("ks"))
+  }
+
+  /** Generated DuckDB oracle for [[ksProfile]] — same split, same
+    * shared bucket CASE chain, same exact-integer D numerator. */
+  def ksOracleSql: String = {
+    import graft.functions.{QuantileSketch => QS}
+    s"""WITH b AS (
+          SELECT ${QS.idxCaseSql("CAST(round(value * 100, 0) AS BIGINT)", "//")} AS idx,
+                 CASE WHEN ts < TIMESTAMP '$PsiSplitTs' THEN 1 ELSE 0 END AS is_ref
+          FROM events),
+        g AS (SELECT idx, CAST(sum(is_ref) AS BIGINT) AS r,
+                     CAST(sum(1 - is_ref) AS BIGINT) AS c
+              FROM b GROUP BY idx),
+        t AS (SELECT CAST(sum(r) AS BIGINT) AS nr,
+                     CAST(sum(c) AS BIGINT) AS nc FROM g),
+        cum AS (SELECT idx,
+                       CAST(sum(r) OVER (ORDER BY idx) AS BIGINT) AS cr,
+                       CAST(sum(c) OVER (ORDER BY idx) AS BIGINT) AS cc
+                FROM g),
+        d AS (SELECT idx, abs(cr * t.nc - cc * t.nr) AS dnum, t.nr, t.nc
+              FROM cum CROSS JOIN t)
+        SELECT nr AS n_ref, nc AS n_cur,
+               CAST(max(dnum) AS BIGINT) AS d_num,
+               CAST(min(CASE WHEN dnum = (SELECT max(dnum) FROM d)
+                        THEN idx END) AS BIGINT) AS at_bucket,
+               round(CAST(max(dnum) AS DOUBLE)
+                     / CAST(nr * nc AS DOUBLE), 6) AS ks
+        FROM d GROUP BY nr, nc"""
+  }
 }

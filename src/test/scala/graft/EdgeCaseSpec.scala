@@ -248,6 +248,27 @@ class EdgeCaseSpec extends SparkSpecBase {
     }
   }
 
+  test("profile_ks: disjoint distributions score 1, identical score 0") {
+    import java.sql.Timestamp
+    import graft.operators.Profile
+    val split = to_timestamp(lit("2024-01-16 00:00:00"))
+    def ev(rows: Seq[(String, Double)]) =
+      rows.map { case (ts, v) => (Timestamp.valueOf(ts), v) }.toDF("ts", "value")
+    // ref mass entirely below cur mass: D = 1 exactly
+    val disjoint = ev(Seq(
+      ("2024-01-01 00:00:00", 1.0), ("2024-01-02 00:00:00", 2.0),
+      ("2024-01-20 00:00:00", 400.0), ("2024-01-21 00:00:00", 401.0)))
+    val d1 = Profile.ksOf(disjoint, split).head()
+    assert(d1.getLong(2) == d1.getLong(0) * d1.getLong(1), "D numerator = nr*nc")
+    assert(d1.getDouble(4) == 1.0)
+    // identical per-side distributions: every bucket CDF matches, D = 0
+    val same = ev(Seq(
+      ("2024-01-01 00:00:00", 5.0), ("2024-01-02 00:00:00", 300.0),
+      ("2024-01-20 00:00:00", 5.0), ("2024-01-21 00:00:00", 300.0)))
+    val d0 = Profile.ksOf(same, split).head()
+    assert(d0.getLong(2) == 0L && d0.getDouble(4) == 0.0)
+  }
+
   test("profile_psi: single-sided types carry NULL psi, the total sums the finite terms") {
     import java.sql.Timestamp
     // 'gone' exists only before the split, 'new' only after — no
