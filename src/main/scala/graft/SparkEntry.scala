@@ -94,6 +94,7 @@ object SparkEntry {
     "q_gap_fill" -> (Events.qGapFill _),
     "q_anomaly_days" -> (Events.qAnomalyDays _),
     "events_retention" -> (Events.qRetention _),
+    "events_ltv" -> (Events.eventsLtv _),
     "events_markov" -> (Events.qMarkov _),
     "events_changepoint" -> (Events.qChangepoint _),
     "events_rfm" -> (Events.qRfm _),
@@ -1342,6 +1343,32 @@ object SparkEntry {
           AND e.ts >= p.ts
           AND e.ts <= p.ts + INTERVAL 30 MINUTE
          ORDER BY purchase_id, error_id""",
+    // retention's revenue sibling: same first-active-day cohort,
+    // exact cents, truncating integer LTV division on both engines
+    "events_ltv" ->
+      """WITH c AS (SELECT user_id,
+                           CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+                    FROM events GROUP BY 1),
+         s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+               FROM c GROUP BY 1),
+         p AS (SELECT e.user_id,
+                      CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+                      CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+               FROM events e WHERE e.event_type = 'purchase'),
+         r AS (SELECT c.cohort_day,
+                      CAST(date_diff('day', c.cohort_day, p.day) AS INT) AS day_offset,
+                      CAST(sum(p.cents) AS BIGINT) AS rev_cents,
+                      CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_buyers
+               FROM p JOIN c ON c.user_id = p.user_id GROUP BY 1, 2),
+         cum AS (SELECT cohort_day, day_offset, n_buyers, rev_cents,
+                        CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
+                          ORDER BY day_offset) AS BIGINT) AS cum_rev_cents
+                 FROM r)
+         SELECT cum.cohort_day, day_offset, n_buyers, rev_cents,
+                cum_rev_cents, s.cohort_size,
+                cum_rev_cents // s.cohort_size AS ltv_cents_per_user
+         FROM cum JOIN s ON s.cohort_day = cum.cohort_day
+         ORDER BY cum.cohort_day, day_offset""",
     // distinct (user, day) + min-day cohort join ≡ the collect_set
     // formulation: exploded sets are distinct by construction
     "events_retention" ->

@@ -239,6 +239,44 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Cohort LIFETIME-VALUE curves — [[qRetention]]'s revenue sibling
+    * and the other half of the cohort dashboard: per (cohort day,
+    * day offset), purchase revenue in exact cents, distinct buyers,
+    * the cohort's cumulative revenue, and LTV per cohort member
+    * (cumulative cents `div` cohort size — exact truncating integer
+    * division, both engines). The cohort is the user's FIRST ACTIVE
+    * day (any event type — the retention definition, so the two
+    * tables join cell-for-cell). Shape: one per-user min-day
+    * aggregate, one purchase-side join + (cohort, offset) groupBy,
+    * then a per-cohort cumulative window over ≤ |days| offsets —
+    * bounded partitions, the scd2 window argument; output ≤
+    * cohorts × offsets rows. */
+  def eventsLtv(spark: SparkSession, dir: String): DataFrame =
+    ltvDf(Tables(spark, dir).events)
+
+  def ltvDf(events: DataFrame): DataFrame = {
+    val cohort = events.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val rev = purchases.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("int").as("day_offset"))
+      .agg(sum(col("cents")).as("rev_cents"),
+        countDistinct(col("user_id")).as("n_buyers"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(sizes, "cohort_day")
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(col("cohort_day"), col("day_offset"), col("n_buyers"),
+        col("rev_cents"), col("cum_rev_cents"), col("cohort_size"),
+        expr("cum_rev_cents div cohort_size").as("ltv_cents_per_user"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Last-touch attribution — the marketing-analytics classic: each
     * purchase is credited to the user's most recent click/view within
     * a 24-hour lookback, or to "direct" if none. Same single-shuffle

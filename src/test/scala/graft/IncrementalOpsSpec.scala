@@ -188,6 +188,35 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(got(40L) == (None, None), "purchase-less users keep NULLs")
   }
 
+  test("events_ltv: conserves revenue, cumulates exactly, stays consistent with retention") {
+    val rows = Events.eventsLtv(spark, Sf).collect()
+    val ev = graft.core.Tables(spark, Sf).events
+    // revenue conservation: Σ rev_cents = total purchase cents
+    val total = ev.filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100, 0).cast("long").as("c"))
+      .agg(sum("c")).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == total)
+    // per-cohort cumulation replays exactly; ltv = cum div size
+    rows.groupBy(_.getTimestamp(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(3)
+        assert(r.getLong(4) == cum, "cumulative revenue mismatch")
+        assert(r.getLong(6) == cum / r.getLong(5), "ltv != cum div size")
+      }
+    }
+    // cohort cells agree with retention: buyers on a (cohort, offset)
+    // cell never exceed that cell's active users
+    val ret = Events.qRetention(spark, Sf).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val active = ret.getOrElse((r.getTimestamp(0), r.getInt(1)), 0L)
+      assert(r.getLong(2) <= active,
+        s"cell ${r.getTimestamp(0)}+${r.getInt(1)}: buyers ${r.getLong(2)} > active $active")
+    }
+  }
+
   test("events_seasonality: partitions days/events; indexes average to unity") {
     val rows = Events.eventsSeasonality(spark, Sf).collect()
     assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 7L).toSet))
