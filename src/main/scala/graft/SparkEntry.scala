@@ -155,6 +155,7 @@ object SparkEntry {
     "events_forecast_eval" -> (Events.qForecastEval _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
+    "dedup_sweep" -> (Dedup.sweep _),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
@@ -1860,6 +1861,9 @@ object SparkEntry {
          WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
          ORDER BY v1, v2""",
+    // threshold-tuning readout: one pair pass at the bank's lowest
+    // bound, tighter thresholds sliced row-locally; absent → 0
+    "dedup_sweep" -> Dedup.sweepOracleSql,
     "text_langid" -> {
       val lexRows = graft.operators.TextOps.Profiles.toSeq.sortBy(_._1)
         .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }

@@ -789,6 +789,72 @@ object Dedup {
       .sortWithinPartitions("v1", "v2")
   }
 
+  /** Threshold bank for [[sweep]] — ascending; the lowest bound is
+    * the one pair-generation pass everything else slices from. */
+  val SweepThresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+
+  /** Dedup THRESHOLD SWEEP — the tuning readout behind every "what τ
+    * should we dedup at" decision: pair and affected-doc counts at a
+    * whole bank of cosine thresholds from ONE pair-generation pass
+    * (the [[embeddingDf]] blocked join at the bank's LOWEST bound;
+    * tighter thresholds are row-local slices of those pairs — the
+    * graph_communities_sweep discipline applied to dedup). Absent
+    * thresholds report 0, not absence. Output = |bank| rows at any
+    * corpus size; the sweep costs one blocked pair join + two
+    * bounded aggregates more than a single-τ run. */
+  def sweep(spark: SparkSession, dir: String): DataFrame =
+    sweepDf(Tables(spark, dir).embeddings)
+
+  def sweepDf(embs: DataFrame): DataFrame = {
+    val bank = embs.sparkSession.range(1)
+      .select(explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
+    val tagged = embeddingDf(embs, SweepThresholds.min)
+      .select(col("v1"), col("v2"), col("cosine"),
+        explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
+      .filter(col("cosine") >= col("threshold"))
+    val nPairs = tagged.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("np"))
+    val nDocs = tagged
+      .select(col("threshold"), explode(array(col("v1"), col("v2"))).as("v"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("v")).as("nd"))
+    bank.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Generated DuckDB oracle for [[sweep]] — same pair construction
+    * as dedup_embedding at the bank's lowest bound, same bank. */
+  def sweepOracleSql: String = {
+    val bank = SweepThresholds.mkString(", ")
+    s"""WITH pr AS (
+          SELECT a.vec_id AS v1, b.vec_id AS v2,
+                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) >= ${SweepThresholds.min}),
+        tb AS (SELECT unnest([$bank]) AS threshold),
+        tg AS (SELECT tb.threshold, pr.v1, pr.v2
+               FROM pr JOIN tb ON pr.cosine >= tb.threshold),
+        np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM tg GROUP BY 1),
+        nd AS (SELECT threshold, CAST(count(DISTINCT v) AS BIGINT) AS n_docs
+               FROM (SELECT threshold, v1 AS v FROM tg
+                     UNION ALL SELECT threshold, v2 FROM tg)
+               GROUP BY 1)
+        SELECT tb.threshold,
+               coalesce(np.n_pairs, 0) AS n_pairs,
+               coalesce(nd.n_docs, 0) AS n_docs
+        FROM tb LEFT JOIN np ON np.threshold = tb.threshold
+        LEFT JOIN nd ON nd.threshold = tb.threshold
+        ORDER BY tb.threshold"""
+  }
+
   /** SemDeDup-shaped semantic dedup: LEARNED blocking. Where
     * [[embeddingDf]] blocks on a given label column, here the blocks
     * are the integer-exact k-means clusters ([[Cluster.kmeansAssign]])

@@ -338,6 +338,25 @@ class DedupSpec extends SparkSpecBase {
     assert(jac.isEmpty, "jaccard gate must miss the subset pair")
   }
 
+  test("sweep: every bank row equals a standalone run at that threshold") {
+    import org.apache.spark.sql.functions.col
+    val embs = graft.core.Tables(spark, Sf).embeddings
+    val rows = Dedup.sweep(spark, Sf).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Dedup.SweepThresholds.toSet)
+    Dedup.SweepThresholds.foreach { t =>
+      val pairs = Dedup.embeddingDf(embs, t)
+        .select(col("v1"), col("v2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val docs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      assert(rows(t) == (pairs.length.toLong, docs.length.toLong),
+        s"threshold $t: sweep ${rows(t)} vs standalone (${pairs.length}, ${docs.length})")
+    }
+    // the sweep is monotone: tighter thresholds never gain pairs
+    val ordered = Dedup.SweepThresholds.map(rows(_)._1)
+    assert(ordered.sameElements(ordered.sorted.reverse))
+  }
+
   test("substring spans: disjoint texts produce no groups") {
     val docs = Seq(
       (1L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4)),
