@@ -167,6 +167,7 @@ object SparkEntry {
     "ann_bruteforce" -> (Ann.bruteforce _),
     "ann_lsh" -> (Ann.lsh _),
     "ann_eval" -> (Ann.evalLsh _),
+    "ann_eval_ivf" -> (Ann.evalIvf _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "ann_quantized" -> (Ann.quantized _),
     "ann_pq" -> (Ann.pq _),
@@ -305,11 +306,85 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY qid, rank"""
   }
 
-  /** ann_eval oracle: the ann_lsh chain and the brute-force chain
-    * (both already hash-proven standalone) composed, then the
-    * overlap/recall/reciprocal-rank readout — id joins only, the
-    * reciprocal rank micro-quantized so the summary MRR numerator is
-    * an exact BIGINT sum. */
+  /** The ann_ivf CTE chain ending at `ranked` — shared by the ann_ivf
+    * oracle and the IVF eval oracle (one SQL statement of truth,
+    * same constants as the Spark operator: centroid stride 29,
+    * nprobe 8, query set < 10). */
+  private val ivfCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+         c AS (SELECT vec_id AS cent_id, emb AS ce FROM e
+               WHERE vec_id % 29 = 0),
+         cells AS (
+           SELECT vec_id, emb, cell FROM (
+             SELECT e.vec_id, e.emb, c.cent_id AS cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC,
+                               c.cent_id) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qe, cell FROM (
+             SELECT q.qid, q.qe, c.cent_id AS cell,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+                               c.cent_id) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 8),
+         scored AS (
+           SELECT DISTINCT p.qid, s.vec_id,
+                  round(list_cosine_similarity(s.emb, p.qe), 6) AS cosine
+           FROM cells s JOIN probes p ON p.cell = s.cell),
+         ranked AS (
+           SELECT qid, vec_id, cosine,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)"""
+
+  /** Brute-force truth CTEs (`scored_b` + `t`) over an existing `e`
+    * CTE — shared by every eval oracle. */
+  private val bruteTruthCtes: String =
+    """scored_b AS (
+           SELECT q.qid, c.vec_id,
+                  round(list_cosine_similarity(c.emb, q.emb), 6) AS cosine
+           FROM e c CROSS JOIN
+             (SELECT vec_id AS qid, emb FROM e WHERE vec_id < 10) q),
+         t AS (
+           SELECT qid, vec_id, rank FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, vec_id) AS rank
+             FROM scored_b) WHERE rank <= 5)"""
+
+  /** Shared eval tail over CTEs `al` (approx top-5) and `t` (truth
+    * top-5): overlap/recall/reciprocal-rank metrics — id joins only,
+    * the reciprocal rank micro-quantized so the summary MRR
+    * numerator is an exact BIGINT sum. ONE statement of truth for
+    * every ranking the harness scores. */
+  private val evalTailSql: String =
+    """ov AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM t JOIN al ON al.qid = t.qid AND al.vec_id = t.vec_id
+                GROUP BY 1),
+         nn2 AS (SELECT qid, vec_id FROM t WHERE rank = 2),
+         nr AS (SELECT nn2.qid, CAST(al.rank AS BIGINT) AS nn_rank
+                FROM nn2 LEFT JOIN al
+                  ON al.qid = nn2.qid AND al.vec_id = nn2.vec_id),
+         per AS (
+           SELECT ov.qid, ov.n_overlap,
+                  round(CAST(ov.n_overlap AS DOUBLE) / 5.0, 6) AS recall,
+                  nr.nn_rank,
+                  coalesce(CAST(round(1e6 / nr.nn_rank, 0) AS BIGINT),
+                           CAST(0 AS BIGINT)) AS rr_micro
+           FROM ov JOIN nr ON nr.qid = ov.qid)
+         SELECT qid, n_overlap, recall, nn_rank, rr_micro FROM per
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(sum(n_overlap) AS BIGINT),
+                round(CAST(sum(n_overlap) AS DOUBLE) / (5.0 * count(*)), 6),
+                CAST(NULL AS BIGINT), CAST(sum(rr_micro) AS BIGINT)
+         FROM per
+         ORDER BY qid"""
+
+  /** ann_eval oracle: the ann_lsh chain, the brute-force chain, and
+    * the shared metrics tail composed. */
   private lazy val annEvalSql: String = {
     val probeKeys = (0 until 4)
       .map(t => s"'$t#' || CAST(xor(b$t, m) AS VARCHAR)").mkString(", ")
@@ -334,39 +409,17 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY qid
                       ORDER BY cosine DESC, vec_id) AS rank
              FROM scored_l) WHERE rank <= 5),
-         scored_b AS (
-           SELECT q.qid, c.vec_id,
-                  round(list_cosine_similarity(c.emb, q.emb), 6) AS cosine
-           FROM e c CROSS JOIN
-             (SELECT vec_id AS qid, emb FROM e WHERE vec_id < 10) q),
-         t AS (
-           SELECT qid, vec_id, rank FROM (
-             SELECT qid, vec_id,
-                    row_number() OVER (PARTITION BY qid
-                      ORDER BY cosine DESC, vec_id) AS rank
-             FROM scored_b) WHERE rank <= 5),
-         ov AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
-                FROM t JOIN al ON al.qid = t.qid AND al.vec_id = t.vec_id
-                GROUP BY 1),
-         nn2 AS (SELECT qid, vec_id FROM t WHERE rank = 2),
-         nr AS (SELECT nn2.qid, CAST(al.rank AS BIGINT) AS nn_rank
-                FROM nn2 LEFT JOIN al
-                  ON al.qid = nn2.qid AND al.vec_id = nn2.vec_id),
-         per AS (
-           SELECT ov.qid, ov.n_overlap,
-                  round(CAST(ov.n_overlap AS DOUBLE) / 5.0, 6) AS recall,
-                  nr.nn_rank,
-                  coalesce(CAST(round(1e6 / nr.nn_rank, 0) AS BIGINT),
-                           CAST(0 AS BIGINT)) AS rr_micro
-           FROM ov JOIN nr ON nr.qid = ov.qid)
-         SELECT qid, n_overlap, recall, nn_rank, rr_micro FROM per
-         UNION ALL
-         SELECT CAST(-1 AS BIGINT), CAST(sum(n_overlap) AS BIGINT),
-                round(CAST(sum(n_overlap) AS DOUBLE) / (5.0 * count(*)), 6),
-                CAST(NULL AS BIGINT), CAST(sum(rr_micro) AS BIGINT)
-         FROM per
-         ORDER BY qid"""
+         $bruteTruthCtes,
+         $evalTailSql"""
   }
+
+  /** ann_eval_ivf oracle: the ann_ivf chain + the same truth and
+    * metrics tail. */
+  private lazy val annEvalIvfSql: String =
+    s"""WITH $ivfCtes,
+         al AS (SELECT qid, vec_id, rank FROM ranked WHERE rank <= 5),
+         $bruteTruthCtes,
+         $evalTailSql"""
 
   /** ann_knn_join oracle: same bucket CTE, self-joined. */
   private lazy val annKnnJoinSql: String =
@@ -1925,36 +1978,11 @@ object SparkEntry {
     // tie-break as the Spark argmax over the broadcast codebook),
     // 4-cell probes, exact cosine top-5 over the probed cells.
     "ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                    FROM embeddings),
-         c AS (SELECT vec_id AS cent_id, emb AS ce FROM e
-               WHERE vec_id % 29 = 0),
-         cells AS (
-           SELECT vec_id, emb, cell FROM (
-             SELECT e.vec_id, e.emb, c.cent_id AS cell,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC,
-                               c.cent_id) AS rn
-             FROM e CROSS JOIN c) WHERE rn = 1),
-         q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
-         probes AS (
-           SELECT qid, qe, cell FROM (
-             SELECT q.qid, q.qe, c.cent_id AS cell,
-                    row_number() OVER (PARTITION BY q.qid
-                      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
-                               c.cent_id) AS rn
-             FROM q CROSS JOIN c) WHERE rn <= 8),
-         scored AS (
-           SELECT DISTINCT p.qid, s.vec_id,
-                  round(list_cosine_similarity(s.emb, p.qe), 6) AS cosine
-           FROM cells s JOIN probes p ON p.cell = s.cell),
-         ranked AS (
-           SELECT qid, vec_id, cosine,
-                  row_number() OVER (PARTITION BY qid
-                    ORDER BY cosine DESC, vec_id) AS rank
-           FROM scored)
+      s"""WITH $ivfCtes
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // the harness over the IVF ranking: same truth + metrics tail
+    "ann_eval_ivf" -> annEvalIvfSql,
     // generated unrolled synchronous peel (idempotent past stability)
     "graph_kcore" -> graft.operators.Graph.kcoreOracleSql(),
     "graph_kcore_weighted" -> graft.operators.Graph.kcoreWeightedOracleSql(),

@@ -822,9 +822,20 @@ object Ann {
     * on floats), so the oracle composes the two proven CTE chains
     * and the metrics hash-match end to end. Scale: the readout costs
     * nothing beyond the two rankings it consumes. */
-  def evalLsh(spark: SparkSession, dir: String): DataFrame = {
-    val truth = bruteforce(spark, dir).select(col("qid"), col("rank"), col("vec_id"))
-    val approx = lsh(spark, dir).select(col("qid"), col("rank"), col("vec_id"))
+  def evalLsh(spark: SparkSession, dir: String): DataFrame =
+    evalOf(lsh(spark, dir), bruteforce(spark, dir))
+
+  /** The same harness over the IVF ranking — the eval is
+    * ranking-agnostic: any (qid, rank, vec_id) surface scores
+    * against the exact ground truth. */
+  def evalIvf(spark: SparkSession, dir: String): DataFrame =
+    evalOf(ivf(spark, dir), bruteforce(spark, dir))
+
+  /** Score ANY approximate (qid, rank, vec_id) ranking against the
+    * exact one (the metrics fold of [[evalLsh]]'s doc). */
+  def evalOf(approxRanking: DataFrame, truthRanking: DataFrame): DataFrame = {
+    val truth = truthRanking.select(col("qid"), col("rank"), col("vec_id"))
+    val approx = approxRanking.select(col("qid"), col("rank"), col("vec_id"))
     val overlap = truth.select("qid", "vec_id")
       .join(approx.select("qid", "vec_id"), Seq("qid", "vec_id"))
       .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))

@@ -263,6 +263,20 @@ class AnnSpec extends SparkSpecBase {
     assert(s.isNullAt(3))
   }
 
+  test("ann_eval_ivf: the harness is ranking-agnostic (IVF scored identically)") {
+    val rows = Ann.evalIvf(spark, Sf).collect()
+    val (summary, per) = rows.partition(_.getLong(0) == -1L)
+    assert(summary.length == 1 && per.length == exact.size)
+    val approx = topk(Ann.ivf(spark, Sf))
+    per.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(1) == exact(q).count(approx(q).toSet.contains).toLong,
+        s"q$q n_overlap")
+    }
+    assert(math.abs(summary.head.getDouble(2) - recallOf(approx)) < 1e-6)
+    assert(summary.head.getLong(4) == per.map(_.getLong(4)).sum)
+  }
+
   test("range search: threshold honored, no self-matches, consistent with brute-force top-k") {
     val rs = Ann.rangeSearch(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
