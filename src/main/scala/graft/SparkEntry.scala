@@ -95,6 +95,7 @@ object SparkEntry {
     "q_anomaly_days" -> (Events.qAnomalyDays _),
     "events_retention" -> (Events.qRetention _),
     "events_ltv" -> (Events.eventsLtv _),
+    "events_active_users" -> (Events.eventsActiveUsers _),
     "events_markov" -> (Events.qMarkov _),
     "events_changepoint" -> (Events.qChangepoint _),
     "events_rfm" -> (Events.qRfm _),
@@ -1397,6 +1398,28 @@ object SparkEntry {
           AND e.ts >= p.ts
           AND e.ts <= p.ts + INTERVAL 30 MINUTE
          ORDER BY purchase_id, error_id""",
+    // DAU/WAU/MAU by observation fan-out: each distinct (user, day)
+    // announces itself to its <=30 future days; exact epoch-day
+    // arithmetic, 30-day frame anchors so quiet days report 0
+    "events_active_users" ->
+      """WITH ud AS (
+           SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                  user_id
+           FROM events),
+         sp AS (SELECT max(d) AS dmax FROM ud),
+         m AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+               FROM (SELECT user_id, unnest(range(d, d + 30)) AS day FROM ud)
+               CROSS JOIN sp WHERE day <= sp.dmax GROUP BY day),
+         w AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+               FROM (SELECT user_id, unnest(range(d, d + 7)) AS day FROM ud)
+               CROSS JOIN sp WHERE day <= sp.dmax GROUP BY day),
+         a AS (SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+               FROM ud GROUP BY d)
+         SELECT m.day, coalesce(a.dau, 0) AS dau,
+                coalesce(w.wau, 0) AS wau, m.mau
+         FROM m LEFT JOIN w ON w.day = m.day
+         LEFT JOIN a ON a.day = m.day
+         ORDER BY m.day""",
     // retention's revenue sibling: same first-active-day cohort,
     // exact cents, truncating integer LTV division on both engines
     "events_ltv" ->

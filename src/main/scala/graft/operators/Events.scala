@@ -239,6 +239,45 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Rolling ACTIVE-USER counts — the DAU/WAU/MAU table every
+    * product dashboard opens with: per day, EXACT distinct users
+    * active that day, in the trailing 7 days, and in the trailing 30.
+    * Distinct-over-a-sliding-window doesn't decompose into window
+    * frames (distinct isn't subtractable), so the scalable exact
+    * form is OBSERVATION FAN-OUT: each distinct (user, day) pair
+    * announces itself to the ≤ 30 future days it keeps a user
+    * active on (map-side explode of a bounded sequence — never a
+    * per-day rescan of history), then one distinct-count per
+    * (observed day, horizon). Day is exact epoch-day arithmetic
+    * (`cast div 86400` — no calendar function), observed days clamp
+    * to the data's own span, and the fan-out is 38×|distinct
+    * user-days| rows — linear, shuffle on the observed day. Output ∝
+    * days. */
+  def eventsActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    activeUsersDf(Tables(spark, dir).events)
+
+  def activeUsersDf(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(expr("cast(ts as long) div 86400").as("d"), col("user_id"))
+      .distinct()
+    val span = ud.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    def horizon(n: Int, name: String): DataFrame = ud
+      .select(col("user_id"),
+        explode(expr(s"sequence(d, d + ${n - 1})")).as("day"))
+      .crossJoin(broadcast(span))
+      .filter(col("day") <= col("dmax"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as(name))
+    // the 30-day frame observes the most days (a quiet day still has
+    // a MAU), so it anchors; quiet days report dau/wau 0, not absence
+    horizon(30, "mau")
+      .join(horizon(7, "wau"), Seq("day"), "left")
+      .join(horizon(1, "dau"), Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"), col("mau"))
+      .orderBy(col("day"))
+  }
+
   /** Cohort LIFETIME-VALUE curves — [[qRetention]]'s revenue sibling
     * and the other half of the cohort dashboard: per (cohort day,
     * day offset), purchase revenue in exact cents, distinct buyers,

@@ -188,6 +188,28 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(got(40L) == (None, None), "purchase-less users keep NULLs")
   }
 
+  test("events_active_users: planted trailing windows, quiet days report 0") {
+    import spark.implicits._
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // u1 on days 0 and 2; u2 on day 0; u3 on day 9 — day 1 and 3-8
+    // are dau-quiet but WAU/MAU-covered
+    val ev = Seq((1L, t(0)), (1L, t(2)), (2L, t(0)), (3L, t(9)))
+      .toDF("user_id", "ts")
+    val base = ev.select(expr("cast(ts as long) div 86400").as("d")).agg(min("d"))
+      .head().getLong(0)
+    val got = Events.activeUsersDf(ev).collect()
+      .map(r => (r.getLong(0) - base).toInt ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == (0 to 9).toSet, s"days ${got.keySet}")
+    assert(got(0) == (2L, 2L, 2L))
+    assert(got(1) == (0L, 2L, 2L), "quiet day must appear with dau 0")
+    assert(got(2) == (1L, 2L, 2L))
+    assert(got(6) == (0L, 2L, 2L), "day-0 users still in the 7-day window")
+    assert(got(7) == (0L, 1L, 2L), "day-0 users expire from WAU after 7 days")
+    assert(got(8) == (0L, 1L, 2L))
+    assert(got(9) == (1L, 1L, 3L), "MAU accumulates all three users by day 9")
+  }
+
   test("events_ltv: conserves revenue, cumulates exactly, stays consistent with retention") {
     val rows = Events.eventsLtv(spark, Sf).collect()
     val ev = graft.core.Tables(spark, Sf).events
