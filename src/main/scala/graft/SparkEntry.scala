@@ -362,7 +362,9 @@ object SparkEntry {
     * numerator is an exact BIGINT sum. ONE statement of truth for
     * every ranking the harness scores. */
   private val evalTailSql: String =
-    """ov AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
+    """kq AS (SELECT qid, CAST(count(*) AS BIGINT) AS k_truth
+                FROM t GROUP BY 1),
+         ov AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
                 FROM t JOIN al ON al.qid = t.qid AND al.vec_id = t.vec_id
                 GROUP BY 1),
          nn2 AS (SELECT qid, vec_id FROM t WHERE rank = 2),
@@ -370,16 +372,21 @@ object SparkEntry {
                 FROM nn2 LEFT JOIN al
                   ON al.qid = nn2.qid AND al.vec_id = nn2.vec_id),
          per AS (
-           SELECT ov.qid, ov.n_overlap,
-                  round(CAST(ov.n_overlap AS DOUBLE) / 5.0, 6) AS recall,
+           SELECT kq.qid,
+                  coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+                  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+                        / CAST(kq.k_truth AS DOUBLE), 6) AS recall,
                   nr.nn_rank,
                   coalesce(CAST(round(1e6 / nr.nn_rank, 0) AS BIGINT),
-                           CAST(0 AS BIGINT)) AS rr_micro
-           FROM ov JOIN nr ON nr.qid = ov.qid)
+                           CAST(0 AS BIGINT)) AS rr_micro,
+                  kq.k_truth
+           FROM kq LEFT JOIN ov ON ov.qid = kq.qid
+                   LEFT JOIN nr ON nr.qid = kq.qid)
          SELECT qid, n_overlap, recall, nn_rank, rr_micro FROM per
          UNION ALL
          SELECT CAST(-1 AS BIGINT), CAST(sum(n_overlap) AS BIGINT),
-                round(CAST(sum(n_overlap) AS DOUBLE) / (5.0 * count(*)), 6),
+                round(CAST(sum(n_overlap) AS DOUBLE)
+                      / CAST(sum(k_truth) AS DOUBLE), 6),
                 CAST(NULL AS BIGINT), CAST(sum(rr_micro) AS BIGINT)
          FROM per
          ORDER BY qid"""
@@ -1398,28 +1405,32 @@ object SparkEntry {
           AND e.ts >= p.ts
           AND e.ts <= p.ts + INTERVAL 30 MINUTE
          ORDER BY purchase_id, error_id""",
-    // DAU/WAU/MAU by observation fan-out: each distinct (user, day)
-    // announces itself to its <=30 future days; exact epoch-day
-    // arithmetic, 30-day frame anchors so quiet days report 0
+    // DAU/WAU/MAU by ONE offset-tagged observation fan-out: each
+    // distinct (user, day) announces itself to its <=30 future days
+    // carrying the offset; per (day, user) keep the smallest offset,
+    // then every horizon is a conditional count. Exact epoch-day
+    // arithmetic; a dmin..dmax spine guarantees every in-span day a
+    // row (quiet days — even inside a >30-day gap — report 0)
     "events_active_users" ->
       """WITH ud AS (
            SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
                   user_id
            FROM events),
-         sp AS (SELECT max(d) AS dmax FROM ud),
-         m AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
-               FROM (SELECT user_id, unnest(range(d, d + 30)) AS day FROM ud)
-               CROSS JOIN sp WHERE day <= sp.dmax GROUP BY day),
-         w AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
-               FROM (SELECT user_id, unnest(range(d, d + 7)) AS day FROM ud)
-               CROSS JOIN sp WHERE day <= sp.dmax GROUP BY day),
-         a AS (SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
-               FROM ud GROUP BY d)
-         SELECT m.day, coalesce(a.dau, 0) AS dau,
-                coalesce(w.wau, 0) AS wau, m.mau
-         FROM m LEFT JOIN w ON w.day = m.day
-         LEFT JOIN a ON a.day = m.day
-         ORDER BY m.day""",
+         sp AS (SELECT min(d) AS dmin, max(d) AS dmax FROM ud),
+         spine AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM sp),
+         obs AS (SELECT day, user_id, min(day - d) AS off
+                 FROM (SELECT user_id, d, unnest(range(d, d + 30)) AS day
+                       FROM ud)
+                 CROSS JOIN sp WHERE day <= sp.dmax GROUP BY day, user_id),
+         c AS (SELECT day,
+                      CAST(sum(CASE WHEN off < 1 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+                      CAST(sum(CASE WHEN off < 7 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+                      CAST(sum(CASE WHEN off < 30 THEN 1 ELSE 0 END) AS BIGINT) AS mau
+               FROM obs GROUP BY day)
+         SELECT spine.day, coalesce(c.dau, 0) AS dau,
+                coalesce(c.wau, 0) AS wau, coalesce(c.mau, 0) AS mau
+         FROM spine LEFT JOIN c ON c.day = spine.day
+         ORDER BY spine.day""",
     // retention's revenue sibling: same first-active-day cohort,
     // exact cents, truncating integer LTV division on both engines
     "events_ltv" ->

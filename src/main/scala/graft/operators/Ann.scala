@@ -832,10 +832,21 @@ object Ann {
     evalOf(ivf(spark, dir), bruteforce(spark, dir))
 
   /** Score ANY approximate (qid, rank, vec_id) ranking against the
-    * exact one (the metrics fold of [[evalLsh]]'s doc). */
+    * exact one (the metrics fold of [[evalLsh]]'s doc).
+    *
+    * The per-query rows are driven from the TRUTH query set, not the
+    * overlap: a query whose approximate list shares nothing with the
+    * truth (recall 0 — exactly the query a retrieval team most needs
+    * to see) still appears, with `n_overlap = 0`, and still counts in
+    * the summary denominator. `k` is derived per query from the truth
+    * ranking itself rather than assumed, so a truncated truth list
+    * (corpus smaller than the requested top-k) scores against the
+    * rows it actually has. */
   def evalOf(approxRanking: DataFrame, truthRanking: DataFrame): DataFrame = {
     val truth = truthRanking.select(col("qid"), col("rank"), col("vec_id"))
     val approx = approxRanking.select(col("qid"), col("rank"), col("vec_id"))
+    // every truth qid, with its own k — the spine every metric hangs off
+    val kq = truth.groupBy(col("qid")).agg(count(lit(1)).as("k_truth"))
     val overlap = truth.select("qid", "vec_id")
       .join(approx.select("qid", "vec_id"), Seq("qid", "vec_id"))
       .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
@@ -843,17 +854,22 @@ object Ann {
       .select(col("qid"), col("vec_id"))
     val nnRank = nn2.join(approx, Seq("qid", "vec_id"), "left")
       .select(col("qid"), col("rank").cast("long").as("nn_rank"))
-    val per = overlap.join(nnRank, Seq("qid"))
-      .select(col("qid"), col("n_overlap"),
-        round(col("n_overlap").cast("double") / lit(TopK.toDouble), 6).as("recall"),
+    val perFull = kq.join(overlap, Seq("qid"), "left")
+      .join(nnRank, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("k_truth").cast("double"), 6).as("recall"),
         col("nn_rank"),
         coalesce(round(lit(1e6) / col("nn_rank"), 0).cast("long"), lit(0L))
-          .as("rr_micro"))
-    val total = per.agg(sum(col("n_overlap")).as("n_overlap"),
-        count(lit(1)).as("nq"), sum(col("rr_micro")).as("rr_micro"))
+          .as("rr_micro"),
+        col("k_truth"))
+    val per = perFull.drop("k_truth")
+    val total = perFull.agg(sum(col("n_overlap")).as("n_overlap"),
+        sum(col("k_truth")).as("k_sum"), sum(col("rr_micro")).as("rr_micro"))
       .select(lit(-1L).as("qid"), col("n_overlap"),
         round(col("n_overlap").cast("double") /
-          (lit(TopK.toDouble) * col("nq")), 6).as("recall"),
+          col("k_sum").cast("double"), 6).as("recall"),
         lit(null).cast("long").as("nn_rank"), col("rr_micro"))
     per.unionByName(total).orderBy(col("qid"))
   }

@@ -349,9 +349,25 @@ object Dedup {
     * the grams and buckets writes can never publish a half-shard
     * (docs present in grams but invisible to the bucket join would
     * silently miss their near-dups). [[loadStandingIndex]] reads only
-    * committed shards. */
-  def saveStandingIndex(index: (DataFrame, DataFrame), path: String): Unit =
+    * committed shards.
+    *
+    * A save is a FULL REBUILD: it replaces the base shard AND removes
+    * any previously appended `shard-<id>/` directories. (A rebuild is
+    * always computed from a corpus that already absorbed the appended
+    * docs — leaving the old append shards visible would double-count
+    * those docs' grams and buckets on the next probe.) */
+  def saveStandingIndex(index: (DataFrame, DataFrame), path: String): Unit = {
+    val spark = index._1.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(root)) {
+      hfs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard-") &&
+          s.getPath.getName != "shard-base")
+        .foreach(s => hfs.delete(s.getPath, true))
+    }
     writeShard(index._1, index._2, path, "base", overwriteCommitted = true)
+  }
 
   def loadStandingIndex(spark: SparkSession, path: String)
       : (DataFrame, DataFrame) = {

@@ -247,34 +247,53 @@ object Events {
     * form is OBSERVATION FAN-OUT: each distinct (user, day) pair
     * announces itself to the ≤ 30 future days it keeps a user
     * active on (map-side explode of a bounded sequence — never a
-    * per-day rescan of history), then one distinct-count per
-    * (observed day, horizon). Day is exact epoch-day arithmetic
-    * (`cast div 86400` — no calendar function), observed days clamp
-    * to the data's own span, and the fan-out is 38×|distinct
-    * user-days| rows — linear, shuffle on the observed day. Output ∝
-    * days. */
+    * per-day rescan of history). ONE fan-out serves EVERY horizon:
+    * the observation carries its day offset, a (day, user) aggregate
+    * keeps the smallest offset (the user's most recent activity at or
+    * before that day), and one final per-day aggregate counts users
+    * under each horizon with a conditional sum — the corpus is
+    * scanned once no matter how many horizons are requested. Day is
+    * exact epoch-day arithmetic (`cast div 86400` — no calendar
+    * function), observed days clamp to the data's own span, and the
+    * fan-out is hmax×|distinct user-days| rows — linear, shuffle on
+    * (day, user). The output rides a synthesized dmin..dmax day
+    * SPINE, so every in-span day gets a row — including days inside a
+    * silent gap longer than the widest horizon, which report
+    * (0,…,0). Output ∝ days. */
   def eventsActiveUsers(spark: SparkSession, dir: String): DataFrame =
     activeUsersDf(Tables(spark, dir).events)
 
-  def activeUsersDf(events: DataFrame): DataFrame = {
+  /** `horizons` = (trailing-window length in days, output column
+    * name), strictly ascending, each ≥ 1 — the default is the classic
+    * DAU/WAU/MAU triple. */
+  def activeUsersDf(events: DataFrame,
+      horizons: Seq[(Int, String)] =
+        Seq(1 -> "dau", 7 -> "wau", 30 -> "mau")): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_._1 >= 1) &&
+      horizons.map(_._1) == horizons.map(_._1).sorted.distinct,
+      s"activeUsersDf: horizons must be ascending positive day counts, got $horizons")
+    val hmax = horizons.map(_._1).max
     val ud = events
       .select(expr("cast(ts as long) div 86400").as("d"), col("user_id"))
       .distinct()
     val span = ud.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
-    def horizon(n: Int, name: String): DataFrame = ud
-      .select(col("user_id"),
-        explode(expr(s"sequence(d, d + ${n - 1})")).as("day"))
+    // full day spine: every in-span day reports, even across a gap
+    val spine = span.select(explode(expr("sequence(dmin, dmax)")).as("day"))
+    // one fan-out, offset-tagged; per (day, user) keep the most
+    // recent activity (smallest offset) so each horizon is a filter
+    val obs = ud
+      .select(col("user_id"), col("d"),
+        explode(expr(s"sequence(d, d + ${hmax - 1})")).as("day"))
       .crossJoin(broadcast(span))
       .filter(col("day") <= col("dmax"))
-      .groupBy(col("day"))
-      .agg(countDistinct(col("user_id")).as(name))
-    // the 30-day frame observes the most days (a quiet day still has
-    // a MAU), so it anchors; quiet days report dau/wau 0, not absence
-    horizon(30, "mau")
-      .join(horizon(7, "wau"), Seq("day"), "left")
-      .join(horizon(1, "dau"), Seq("day"), "left")
-      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
-        coalesce(col("wau"), lit(0L)).as("wau"), col("mau"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(min(col("day") - col("d")).as("off"))
+    val aggs = horizons.map { case (h, nm) =>
+      sum(when(col("off") < h, 1L).otherwise(0L)).as(nm) }
+    val counts = obs.groupBy(col("day")).agg(aggs.head, aggs.tail: _*)
+    spine.join(counts, Seq("day"), "left")
+      .select(col("day") +: horizons.map { case (_, nm) =>
+        coalesce(col(nm), lit(0L)).as(nm) }: _*)
       .orderBy(col("day"))
   }
 

@@ -192,9 +192,10 @@ object Snapshot {
     * through, updated/inserted keys take the new value, deleted keys
     * drop. A changeset that contradicts the base fails FAST instead
     * of silently merging garbage: an `insert` whose key already
-    * exists, or an `update`/`delete` whose key is absent, raises
-    * (the at-least-once replay / wrong-base-version mistakes a merge
-    * job actually sees).
+    * exists, an `update`/`delete` whose key is absent, or a key that
+    * appears MORE THAN ONCE in the changeset (a misordered replay's
+    * update+delete pair) all raise (the at-least-once replay /
+    * wrong-base-version mistakes a merge job actually sees).
     *
     * The oracle carves the new snapshot DIRECTLY from the base (no
     * diff, no join — a genuinely different path), so the hash match
@@ -210,9 +211,25 @@ object Snapshot {
   /** The merge fold over ANY (c_custkey, cents) base + typed change
     * set (spec surface; [[applyDiff]] derives both inline). */
   def applyChanges(base: DataFrame, changes: DataFrame): DataFrame = {
-    val j = base
-      .join(changes.select(col("c_custkey"), col("change"), col("new_cents")),
-        Seq("c_custkey"), "full_outer")
+    // changeset key-uniqueness guard: a key carrying two change rows
+    // (e.g. an update AND a delete from a misordered replay) would fan
+    // out through the full_outer join and emit conflicting output rows
+    // — corrupt changesets must raise, same as the contradiction
+    // checks below. One aggregate over the churn-sized side (map-side
+    // partial), no self-join; `first` never surfaces when n_ch > 1
+    // because the raise fires first.
+    val ch = changes
+      .select(col("c_custkey"), col("change"), col("new_cents"))
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_ch"), first(col("change")).as("change"),
+        first(col("new_cents")).as("new_cents"))
+      .select(col("c_custkey"),
+        when(col("n_ch") > 1,
+          raise_error(concat(lit("applyChanges: duplicate changeset rows for key "),
+            col("c_custkey").cast("string"))))
+          .otherwise(col("change")).as("change"),
+        col("new_cents"))
+    val j = base.join(ch, Seq("c_custkey"), "full_outer")
     val checked = j.withColumn("change",
       when(col("change") === "insert" && col("cents").isNotNull,
         raise_error(concat(lit("applyChanges: insert for existing key "),

@@ -277,6 +277,28 @@ class AnnSpec extends SparkSpecBase {
     assert(summary.head.getLong(4) == per.map(_.getLong(4)).sum)
   }
 
+  test("ann_eval: a recall-0 query still appears and deflates the summary (not silently dropped)") {
+    import spark.implicits._
+    // truth: q1 -> {10, 11}; q2 -> {20, 21}. approx: q1 perfect, q2
+    // shares NOTHING with truth (the no-self-match worst case a
+    // future ranking could produce)
+    val truth = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 20L), (2L, 2L, 21L))
+      .toDF("qid", "rank", "vec_id")
+    val approx = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 90L), (2L, 2L, 91L))
+      .toDF("qid", "rank", "vec_id")
+    val rows = Ann.evalOf(approx, truth).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(-1L, 1L, 2L),
+      s"recall-0 query must appear: ${rows.keySet}")
+    assert(rows(2L).getLong(1) == 0L && rows(2L).getDouble(2) == 0.0)
+    assert(rows(2L).isNullAt(3) && rows(2L).getLong(4) == 0L)
+    // k derives from the truth ranking (2 here, not the default 5):
+    // q1 is perfect -> recall 1.0; summary = 2/4 with BOTH queries in
+    // the denominator
+    assert(rows(1L).getDouble(2) == 1.0)
+    assert(rows(-1L).getDouble(2) == 0.5, s"summary ${rows(-1L)}")
+  }
+
   test("range search: threshold honored, no self-matches, consistent with brute-force top-k") {
     val rs = Ann.rangeSearch(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -97,6 +97,26 @@ class DedupSpec extends SparkSpecBase {
       "uncommitted shard must be invisible to load")
   }
 
+  test("standing index rebuild replaces appended shards — no double-counted postings") {
+    val existing = corpus.filter($"doc_id" <= 2L)
+    val appended = Seq((11L, "entirely novel text with no overlap whatsoever " +
+      "regarding graph partitioning strategies for distributed pagerank " +
+      "computation runs")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupidx_rb").toString
+    Dedup.saveStandingIndex(Dedup.standingIndex(existing), dir)
+    Dedup.appendToStandingIndex(appended, dir, "s1")
+    // rebuild from the full corpus (which already absorbed doc 11):
+    // the old append shard must disappear, not double-count
+    Dedup.saveStandingIndex(
+      Dedup.standingIndex(existing.unionByName(appended)), dir)
+    val (grams, buckets) = Dedup.loadStandingIndex(spark, dir)
+    assert(grams.filter($"doc_id" === 11L).count() == 1L,
+      "rebuild must carry exactly ONE copy of an absorbed appended doc")
+    assert(buckets.groupBy("doc_id", "bk").count()
+      .filter($"count" > 1L).count() == 0L,
+      "no duplicate (doc, bucket) postings after a rebuild")
+  }
+
   test("simhash finds exact dups at hamming 0 and correlates with similarity") {
     val pairs = Dedup.simhashDf(corpus, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -60,6 +60,11 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("for absent key"), e2.getMessage)
     val e3 = bad(Seq((9L, "delete", Some(1L), None)))
     assert(e3.getMessage.contains("for absent key"), e3.getMessage)
+    // a key appearing twice in the changeset (misordered replay's
+    // update+delete pair) must raise, not fan out duplicate rows
+    val e4 = bad(Seq((1L, "update", Some(100L), Some(150L)),
+      (1L, "delete", Some(100L), None)))
+    assert(e4.getMessage.contains("duplicate changeset rows"), e4.getMessage)
   }
 
   test("snapshot_apply: applying the carved diff reproduces the carved v2 exactly") {
@@ -208,6 +213,41 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(got(7) == (0L, 1L, 2L), "day-0 users expire from WAU after 7 days")
     assert(got(8) == (0L, 1L, 2L))
     assert(got(9) == (1L, 1L, 3L), "MAU accumulates all three users by day 9")
+  }
+
+  test("events_active_users: a >30-day silent gap still reports every in-span day, and horizons parameterize") {
+    import spark.implicits._
+    def t(day: Int) = new Timestamp((19000L + day) * 86400000L)
+    // activity on day 0 and day 40 only — days 30..39 are outside
+    // every trailing window and must still appear as (0,0,0)
+    val ev = Seq((1L, t(0)), (2L, t(40))).toDF("user_id", "ts")
+    val got = Events.activeUsersDf(ev).collect()
+      .map(r => (r.getLong(0) - 19000L).toInt ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == (0 to 40).toSet,
+      s"spine must cover the full span: ${got.keySet.toSeq.sorted}")
+    (30 to 39).foreach { d =>
+      assert(got(d) == (0L, 0L, 0L), s"in-gap day $d must report zeros")
+    }
+    assert(got(29) == (0L, 0L, 1L) && got(40) == (1L, 1L, 1L))
+    // a custom horizon set (here: dau + a 14-day biweekly) matches a
+    // brute-force trailing-window recount day for day
+    val ev2 = Seq((1L, t(0)), (1L, t(5)), (2L, t(3)), (3L, t(16)), (2L, t(20)))
+      .toDF("user_id", "ts")
+    val act = Seq(0 -> 1L, 5 -> 1L, 3 -> 2L, 16 -> 3L, 20 -> 2L)
+    val brute = (0 to 20).map { d =>
+      def users(h: Int) =
+        act.filter(p => p._1 <= d && p._1 > d - h).map(_._2).distinct.size.toLong
+      d -> (users(1), users(14))
+    }.toMap
+    val got2 = Events.activeUsersDf(ev2, Seq(1 -> "dau", 14 -> "b14"))
+      .collect().map(r => (r.getLong(0) - 19000L).toInt ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got2 == brute, s"14-day horizon mismatch: $got2 vs $brute")
+    // misdeclared horizons fail fast
+    intercept[IllegalArgumentException] {
+      Events.activeUsersDf(ev2, Seq(7 -> "wau", 1 -> "dau"))
+    }
   }
 
   test("events_ltv: conserves revenue, cumulates exactly, stays consistent with retention") {
