@@ -498,8 +498,21 @@ object TextOps {
     textEntropyDf(Tables(spark, dir).documents)
 
   /** Merge rounds for [[textBpeMerges]] — fixed so the generated
-    * oracle unrolls the same trajectory by construction. */
-  val BpeRounds: Int = 8
+    * oracle unrolls the same trajectory by construction. 64 proves
+    * the production shape: the learn loop is one Spark job + a local
+    * incremental trajectory (cost per round is map maintenance, not
+    * a cluster round-trip) and the encode side is ONE constant-size
+    * expression, so neither side's plan or job count grows with the
+    * round count. */
+  val BpeRounds: Int = 64
+
+  /** Fail-fast cap on the collected word-TYPE table (the learn
+    * state). Word types are vocabulary-bounded (Heaps' law: ~millions
+    * for a 100 TB crawl after any frequency cutoff), so the driver
+    * holds them comfortably; a corpus that overflows the cap needs a
+    * frequency cutoff upstream, and silently training on a truncated
+    * table would be a wrong tokenizer — so raise instead. */
+  val BpeMaxWordTypes: Int = 4000000
 
   /** BPE TOKENIZER-MERGE LEARNING — the iterative loop a tokenizer
     * team runs over the corpus: start from characters (plus an
@@ -524,16 +537,25 @@ object TextOps {
     *
     * Scale shape: BPE over a corpus operates on the word-TYPE table
     * (freq-weighted), which is vocabulary-bounded — the corpus is
-    * scanned once for the vocab aggregate; each round is a pair-count
-    * aggregate over the vocab plus a 1-row driver round-trip for the
-    * winner (the codebook-collect discipline: k bounded rows total).
-    * Nothing else grows with the corpus. */
+    * scanned ONCE for the type aggregate, the types come back to the
+    * driver (capped: [[BpeMaxWordTypes]], fail-fast), and the whole
+    * merge trajectory runs as a LOCAL incremental loop — the shape
+    * every production tokenizer trainer uses, because a per-round
+    * cluster aggregate would turn a 32k-merge vocabulary into 32k
+    * jobs over state that fits in one process. Each round updates
+    * pair counts only for the word types the winning merge touched
+    * (an inverted pair→words index), so the loop is O(corpus symbols)
+    * amortized, and the trajectory — (cnt DESC, a, b) tie order in
+    * UTF-8 byte order, greedy left-to-right merge application — is
+    * bit-identical to the distributed per-round aggregate it
+    * replaces (BpeReferenceSpec pins both against a textbook
+    * implementation). */
   def textBpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesDf(spark, Tables(spark, dir).documents)
 
   def bpeMergesDf(spark: SparkSession, docs: DataFrame,
       rounds: Int = BpeRounds): DataFrame = {
-    val (merges, _) = bpeLoop(docs, rounds)
+    val merges = bpeLearn(docs, rounds)
     import spark.implicits._
     merges.toDF("merge_idx", "pair_a", "pair_b", "cnt")
       .select(col("merge_idx"), col("pair_a"), col("pair_b"),
@@ -541,66 +563,125 @@ object TextOps {
       .orderBy("merge_idx")
   }
 
-  /** The shared merge loop: learned merges + the POST-MERGE vocab
-    * state (each word's symbol string after all rounds applied in
-    * learned order — which IS BPE encoding of the corpus, since the
-    * loop applies each merge greedily corpus-wide as it is learned). */
-  private def bpeLoop(docs: DataFrame, rounds: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val vocab0 = docs
-      .select(explode(tokens(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(concat(trim(regexp_replace(col("word"), "(.)", "$1 ")),
-        lit(" </w>")).as("w"), col("freq"))
-      .cache()
-    var v = vocab0
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
-    var done = false
-    while (r <= rounds && !done) {
-      val top = v
-        .select(col("freq"), split(col("w"), " ").as("s"))
-        .select(col("freq"), col("s"), posexplode(col("s")).as(Seq("i", "a")))
-        // get() is 0-based and null past the end (ANSI-safe), so the
-        // last symbol simply produces no pair
-        .withColumn("b", get(col("s"), col("i") + 1))
-        .filter(col("b").isNotNull)
-        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += ((r, a, b, cnt))
-        v = v.select(bpeMergeCol(col("w"), a, b).as("w"), col("freq"))
-        r += 1
+  /** The corpus's word-TYPE frequency table — the learn state. */
+  private def wordTypes(docs: DataFrame): DataFrame = docs
+    .select(explode(tokens(col("text"))).as("word"))
+    .filter(col("word") =!= "")
+    .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Learn the merge table: ONE Spark job (the word-type aggregate),
+    * then the exact local trajectory ([[bpeLearnLocal]]). */
+  private[graft] def bpeLearn(docs: DataFrame, rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    // limit(cap+1) bounds the collect even on a pathological corpus;
+    // the require still detects the overflow and raises
+    val types = wordTypes(docs).limit(BpeMaxWordTypes + 1).collect()
+    require(types.length <= BpeMaxWordTypes,
+      s"bpeLearn: word-type table exceeds $BpeMaxWordTypes types; " +
+        "apply a frequency cutoff upstream instead of training on a " +
+        "silently truncated vocabulary")
+    bpeLearnLocal(types.map(r => (r.getString(0), r.getLong(1))), rounds)
+  }
+
+  /** UTF-8 byte order — Spark's UTF8String / DuckDB binary collation
+    * string order, NOT Java's UTF-16 `compareTo` (they disagree above
+    * U+FFFF vs U+E000–U+FFFF; the unicode gate corpus has both). */
+  private def utf8Lt(x: String, y: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** The exact incremental merge trajectory over (word type, freq)
+    * rows: maintain pair counts + an inverted pair→word-types index;
+    * per round pick the (cnt DESC, a, b) winner and re-index only the
+    * word types containing it (greedy left-to-right disjoint merge —
+    * the same semantics as the generated oracle's triple-replace). */
+  private[graft] def bpeLearnLocal(types: Array[(String, Long)],
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val words = types.map { case (w, _) =>
+      val buf = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        buf += w.substring(i, i + n)
+        i += n
+      }
+      buf += "</w>"
+      buf
+    }
+    val freq = types.map(_._2)
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def reindex(wi: Int, sign: Long): Unit = {
+      val s = words(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = cnt.getOrElse(p, 0L) + sign * freq(wi)
+        if (c == 0L) cnt.remove(p) else cnt(p) = c
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        else where.get(p).foreach { set =>
+          set -= wi
+          if (set.isEmpty) where.remove(p)
+        }
+        i += 1
       }
     }
-    // eager localCheckpoint cuts the returned frame's lineage off the
-    // cached vocab0 so it can be released here (the Ann PlanCache
-    // lesson: no ad-hoc cache outlives its operator) — the state is
-    // vocab-sized, so the materialization is trivial
-    val out = if (merges.isEmpty) v else v.localCheckpoint(true)
-    vocab0.unpersist()
-    (merges.toSeq, out)
+    words.indices.foreach(reindex(_, 1L))
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    while (r <= rounds && cnt.nonEmpty) {
+      var bp: (String, String) = null
+      var bc = 0L
+      cnt.foreach { case (p, c) =>
+        if (bp == null || c > bc || (c == bc &&
+            (utf8Lt(p._1, bp._1) ||
+              (p._1 == bp._1 && utf8Lt(p._2, bp._2))))) {
+          bp = p; bc = c
+        }
+      }
+      val (a, b) = bp
+      merges += ((r, a, b, bc))
+      val affected = where.getOrElse(bp, mutable.HashSet.empty).toArray
+      affected.foreach { wi =>
+        reindex(wi, -1L)
+        val s = words(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          if (s(i) == a && s(i + 1) == b) {
+            s(i) = a + b
+            s.remove(i + 1)
+          }
+          i += 1
+        }
+        reindex(wi, 1L)
+      }
+      r += 1
+    }
+    merges.toSeq
   }
 
   /** BPE ENCODE of the corpus — the consumer side of
     * [[textBpeMerges]]: the post-merge symbol (subword) frequency
     * table, i.e. what the token stream would look like under the
-    * learned merges. Bounded output (initial alphabet + one symbol
-    * per merge); `(n DESC, sym)` is a total order, so fully
-    * oracle-checked — the oracle unrolls the SAME trajectory and
-    * explodes the final vocab state. */
+    * learned merges. The word-type table is re-encoded DISTRIBUTED
+    * through the [[graft.functions.BpeEncode]] kernel (one
+    * constant-size expression over a broadcast merge table — plan
+    * size independent of the round count). Bounded output (initial
+    * alphabet + one symbol per merge); `(n DESC, sym)` is a total
+    * order, so fully oracle-checked — the oracle unrolls the SAME
+    * trajectory and explodes the final vocab state. */
   def textBpeVocab(spark: SparkSession, dir: String): DataFrame =
     bpeVocabDf(spark, Tables(spark, dir).documents)
 
   def bpeVocabDf(spark: SparkSession, docs: DataFrame,
       rounds: Int = BpeRounds): DataFrame = {
-    val (_, vN) = bpeLoop(docs, rounds)
-    vN.select(explode(split(col("w"), " ")).as("sym"), col("freq"))
+    val bc = spark.sparkContext.broadcast(
+      bpeLearn(docs, rounds).map(m => (m._2, m._3)).toArray)
+    wordTypes(docs)
+      .select(explode(split(graft.functions.Bpe.encode(col("word"), bc),
+        " ")).as("sym"), col("freq"))
       .groupBy(col("sym")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("sym"))
   }
@@ -609,35 +690,45 @@ object TextOps {
     * learn the merge table ([[bpeLoop]]), then ENCODE every document
     * with it and report per-doc subword counts (the token-budget
     * number `pipeline_pack`-style budgeting actually needs under a
-    * learned tokenizer, vs the whitespace proxy). The learned pairs
-    * ride the encode expression as LITERALS — the codebook-collect
-    * discipline — so encoding is one stateless codegen'd projection
-    * over the corpus: per word, the same spaced-symbol carve and the
-    * same [[bpeMergeCol]] triple-replace per merge, applied in
-    * learned order. Empty tokens (blank docs) count zero subwords.
-    * The oracle replays learn AND encode in one CTE chain: the
-    * trajectory CTEs feed per-round corpus re-encodings through
-    * 1-row cross joins, so the pairs are COMPUTED on the oracle side
-    * too — nothing is pinned by hand. */
+    * learned tokenizer, vs the whitespace proxy). Encoding is ONE
+    * stateless codegen'd projection over the corpus through the
+    * [[graft.functions.BpeEncode]] kernel: the learned pairs ride a
+    * BROADCAST merge table, so the plan is constant-size no matter
+    * how many merges were learned — at a production 32k-merge
+    * vocabulary the old literal-`replace` fold was unplannable.
+    * Empty tokens (blank docs) count zero subwords. The oracle
+    * replays learn AND encode in one CTE chain: the trajectory CTEs
+    * feed per-round corpus re-encodings through 1-row joins, so the
+    * pairs are COMPUTED on the oracle side too — nothing is pinned
+    * by hand, and the fold it unrolls is proven equivalent to the
+    * kernel's rank-barrier algorithm by spec AND by this hash gate. */
   def textBpeTokens(spark: SparkSession, dir: String): DataFrame =
     bpeTokensDf(spark, Tables(spark, dir).documents)
 
   def bpeTokensDf(spark: SparkSession, docs: DataFrame,
       rounds: Int = BpeRounds): DataFrame = {
-    val (merges, _) = bpeLoop(docs, rounds)
-    def encode(w: Column): Column = {
-      val spaced = concat(trim(regexp_replace(w, "(.)", "$1 ")), lit(" </w>"))
-      merges.foldLeft(spaced) { case (s, (_, a, b, _)) => bpeMergeCol(s, a, b) }
-    }
+    val bc = spark.sparkContext.broadcast(
+      bpeLearn(docs, rounds).map(m => (m._2, m._3)).toArray)
     docs
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"),
         size(filter(col("ws"), w => w =!= "")).cast("long").as("n_words"),
         aggregate(col("ws"), lit(0L), (acc, w) =>
           acc + when(w === "", 0L)
-            .otherwise(size(split(encode(w), " ")).cast("long")))
+            .otherwise(size(split(graft.functions.Bpe.encode(w, bc), " "))
+              .cast("long")))
           .as("n_subwords"))
       .sortWithinPartitions("doc_id")
+  }
+
+  /** The literal-`replace` fold encode (the oracle's formulation) —
+    * kept as the spec cross-check for [[graft.functions.BpeEncode]]'s
+    * rank-barrier algorithm; NOT the production path (its plan grows
+    * linearly with the merge count). */
+  private[graft] def bpeFoldEncode(w: Column,
+      merges: Seq[(String, String)]): Column = {
+    val spaced = concat(trim(regexp_replace(w, "(.)", "$1 ")), lit(" </w>"))
+    merges.foldLeft(spaced) { case (s, (a, b)) => bpeMergeCol(s, a, b) }
   }
 
   /** Oracle for [[textBpeTokens]] — learn + encode in one generated
@@ -646,13 +737,17 @@ object TextOps {
   def bpeTokensOracleSql: String = {
     val rounds = BpeRounds
     val (chain, _) = bpeChain(rounds, applyLast = true)
+    // LEFT JOIN ON true + CASE: when the trajectory exhausts before
+    // `rounds` (t_i empty), the corpus passes through unchanged —
+    // the same early stop the learn loop takes
     val enc = (1 to rounds).map { i =>
       s"""enc$i AS MATERIALIZED (
-             SELECT doc_id, trim(replace(replace(replace(
+             SELECT doc_id, CASE WHEN t.a IS NULL THEN e.s
+               ELSE trim(replace(replace(replace(
                  ' ' || e.s || ' ', ' ', '  '),
                  ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' '),
-                 '  ', ' '), ' ') AS s
-               FROM enc${i - 1} e, t$i t)"""
+                 '  ', ' '), ' ') END AS s
+               FROM enc${i - 1} e LEFT JOIN t$i t ON true)"""
     }.mkString(",\n         ")
     s"""WITH $chain,
          tok AS (SELECT doc_id,
@@ -722,12 +817,16 @@ object TextOps {
     // trim MUST be the explicit-space form: DuckDB's one-arg trim is
     // unicode-aware and would strip a boundary U+3000 SYMBOL after
     // eating the separator spaces (caught by the unicode gate)
+    // LEFT JOIN ON true + CASE keep the vocab state flowing when the
+    // trajectory exhausts before `rounds` (t_i empty ⇒ v_i = v_{i-1},
+    // and every later t_j stays empty — the learn loop's early stop)
     def applyMerge(i: Int) =
-      s"""v$i AS MATERIALIZED (SELECT trim(replace(replace(replace(
+      s"""v$i AS MATERIALIZED (SELECT CASE WHEN t.a IS NULL THEN v.w
+                 ELSE trim(replace(replace(replace(
                  ' ' || v.w || ' ', ' ', '  '),
                  ' ' || t.a || '  ' || t.b || ' ', ' ' || t.a || t.b || ' '),
-                 '  ', ' '), ' ') AS w, v.freq
-               FROM v${i - 1} v, t$i t)"""
+                 '  ', ' '), ' ') END AS w, v.freq
+               FROM v${i - 1} v LEFT JOIN t$i t ON true)"""
     val chain = (1 to rounds).map { i =>
       pairs(i) + (if (i < rounds || applyLast) ",\n         " + applyMerge(i)
         else "")
