@@ -187,6 +187,8 @@ object SparkEntry {
     "mm_decode_hist" -> (Multimodal.pixelHistReal _),
     "mm_dhash" -> (Multimodal.mediaDhash _),
     "mm_dedup_real" -> (Multimodal.nearDupDhash _),
+    "mm_dedup_hamming" -> ((s: SparkSession, d: String) =>
+      Multimodal.nearDupHamming(s, d)),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_readability" -> (TextOps.textReadability _),
@@ -2352,6 +2354,7 @@ object SparkEntry {
     // through the same integer resample mapping
     "mm_dhash" -> Multimodal.mediaDhashOracleSql,
     "mm_dedup_real" -> Multimodal.nearDupDhashOracleSql,
+    "mm_dedup_hamming" -> Multimodal.nearDupHammingOracleSql,
     // Same 16-bit-limb bucket arithmetic as TextOps.splitAssignment —
     // equal to (doc_id * 2654435761) % 2^32 but overflow-free for
     // doc_id beyond ~3.5e9 on both engines.

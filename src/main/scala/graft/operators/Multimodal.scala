@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -371,6 +371,71 @@ object Multimodal {
     s"""WITH h AS (${mediaDhashOracleSql.replace("ORDER BY doc_id", "")})
        SELECT dhash, count(*) AS n_docs, min(doc_id) AS keep_id
        FROM h GROUP BY dhash HAVING count(*) > 1 ORDER BY dhash"""
+
+  /** HAMMING-TOLERANT perceptual near-dup — [[nearDupDhash]] catches
+    * only bit-exact fingerprints; real near-dups (recompressed,
+    * slightly cropped, brightness-jittered copies) land a few bits
+    * away. Pigeonhole chunk bucketing, the [[Dedup.simhashDf]]
+    * discipline applied to the 56-bit dHash: split the hash into
+    * `maxHamming + 1` disjoint chunks — two hashes within Hamming ≤
+    * maxHamming must agree on at least one chunk — bucket-join on
+    * chunk equality, then verify candidates with one codegen'd
+    * `bit_count(xor)`. No pairwise compare, payloads never shuffle;
+    * candidate volume is bounded by bucket occupancy (14-bit chunks),
+    * exactly the LSH-style bound that survives a 100× corpus. */
+  def nearDupHamming(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    nearDupHammingOf(
+      mediaDhash(spark, dir).select(col("doc_id"), col("dhash")), maxHamming)
+
+  /** The chunk-bucket probe over ANY (doc_id, dhash[56-bit]) table
+    * (spec surface; [[nearDupHamming]] derives the hashes inline). */
+  private[graft] def nearDupHammingOf(hashes: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val n = maxHamming + 1
+    val chunked = hashes.select(col("doc_id"), col("dhash"),
+      explode(dhashChunks(col("dhash"), n)).as("ck"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        graft.functions.Shingles.hamming(col("a.dhash"), col("b.dhash"))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .sortWithinPartitions("d1", "d2")
+  }
+
+  /** The `n` disjoint contiguous chunks of a 56-bit dHash, as
+    * prefixed string keys (chunk c covers bits [c·56/n, (c+1)·56/n)
+    * — together they cover all 56 bits, the pigeonhole premise). */
+  private def dhashChunks(h: Column, n: Int): Column =
+    array((0 until n).map { c =>
+      val lo = c * 56 / n
+      val width = (c + 1) * 56 / n - lo
+      concat(lit(s"$c#"),
+        shiftright(h, lo).bitwiseAND(lit((1L << width) - 1)).cast("string"))
+    }: _*)
+
+  /** Generated DuckDB oracle for [[nearDupHamming]] — the dHash
+    * oracle chunk-bucketed and xor-verified (the bucket rule IS the
+    * operator's semantics, so the oracle replays it). */
+  def nearDupHammingOracleSql: String = {
+    val n = 4 // maxHamming 3 + 1
+    val chunkArms = (0 until n).map { c =>
+      val lo = c * 56 / n
+      val width = (c + 1) * 56 / n - lo
+      s"'$c#' || CAST(((dhash >> $lo) & ${(1L << width) - 1}) AS VARCHAR)"
+    }.mkString(", ")
+    s"""WITH h AS (${mediaDhashOracleSql.replace("ORDER BY doc_id", "")}),
+       chunks AS (SELECT doc_id, dhash, unnest([$chunkArms]) AS ck FROM h),
+       pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                        bit_count(xor(a.dhash, b.dhash)) AS hamming
+                 FROM chunks a JOIN chunks b
+                   ON a.ck = b.ck AND a.doc_id < b.doc_id)
+       SELECT d1, d2, hamming FROM pairs
+       WHERE hamming <= 3 ORDER BY d1, d2"""
+  }
 
   /** Generated DuckDB oracle for [[mediaDhash]]. */
   def mediaDhashOracleSql: String =

@@ -161,4 +161,53 @@ class MultimodalSpec extends SparkSpecBase {
       assert(r.getLong(2) % 3 == 0, "keep_id must be an image doc (doc_id % 3 == 0)")
     }
   }
+
+  test("mm_dedup_hamming: planted ±1/±3-bit pairs found, ±4-bit pair excluded") {
+    import spark.implicits._
+    val base = 0x00A5C3E1B2D4F6L // arbitrary 56-bit fingerprint
+    val hashes = Seq(
+      1L -> base,
+      2L -> (base ^ 1L),                                  // hamming 1
+      3L -> (base ^ 7L),                                  // hamming 3, all in chunk 0
+      4L -> (base ^ ((1L << 0) | (1L << 14) | (1L << 28) | (1L << 42))),
+      // ^ hamming 4, one flip PER chunk — shares no chunk AND exceeds
+      //   the threshold; must be absent on both grounds
+      5L -> (base ^ ((1L << 1) | (1L << 15))),            // hamming 2, chunks 0+1
+    ).toDF("doc_id", "dhash")
+    val got = Multimodal.nearDupHammingOf(hashes, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1, s"±1-bit pair: $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == 3,
+      s"3 flips inside ONE chunk still share the other chunks: $got")
+    assert(got.contains((1L, 5L)) && got((1L, 5L)) == 2, s"±2-bit pair: $got")
+    assert(!got.contains((1L, 4L)),
+      s"the ±4-bit pair (1,4) must be excluded: $got")
+    // (2,4) IS a pair: both flip bit 0, leaving hamming 3 between them
+    assert(got.get((2L, 4L)).contains(3), s"hamming(2,4) = 3: $got")
+    // transitivity of the planted family: 2,3,5 also pair among
+    // themselves where their mutual distance <= 3
+    assert(got.contains((2L, 3L)), s"hamming(2,3) = 2: $got")
+  }
+
+  test("mm_dedup_hamming over the real corpus: supersets exact dedup, verified distances") {
+    val pairs = Multimodal.nearDupHamming(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (d1, d2, hm) =>
+      assert(d1 < d2 && hm >= 0 && hm <= 3, s"($d1,$d2,$hm)")
+    }
+    // every exact-dup group member pair (hamming 0) must be present
+    val exact = Multimodal.nearDupDhash(spark, Sf).collect()
+    assert(exact.nonEmpty)
+    val zeroPairs = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    val hashes = Multimodal.mediaDhash(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    hashes.groupBy(_._2).values.filter(_.length > 1).foreach { g =>
+      val ids = g.map(_._1).sorted
+      ids.combinations(2).foreach { case Array(a, b) =>
+        assert(zeroPairs.contains((a, b)),
+          s"exact-dup pair ($a,$b) missing from the hamming probe")
+      }
+    }
+  }
 }
