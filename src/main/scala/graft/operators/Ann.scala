@@ -791,12 +791,21 @@ object Ann {
   /** Probe a pre-built IVF index: identical results to the inline
     * [[ivf]] (same codebook), but the corpus side is a
     * partition-pruned read instead of a full scan + assignment. */
-  def ivfIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
-    val cb = codebook(spark, dir)
-    val probes = queriesDf(spark, dir)
-      .select(col("qid"), col("qe"),
-        explode(nearestCells(col("qe"), cb, NProbe)).as("cell"))
-    val idx = spark.read.parquet(indexPath)
+  def ivfIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame =
+    probeIvfFrame(spark.read.parquet(indexPath), codebook(spark, dir),
+      queriesDf(spark, dir))
+
+  /** The index probe over ANY (qid, qe) query frame — the serving
+    * kernel [[ivfIndexed]] and the streaming admission gate
+    * ([[graft.streaming.Streams.annProbeStream]]) share: each query's
+    * ranking depends only on (query, index), which is exactly why any
+    * micro-batch split of the query stream reproduces the one-shot
+    * batch ranking. */
+  private[graft] def probeIvfFrame(idx: DataFrame,
+      cb: Array[(Long, Array[Float])], queries: DataFrame,
+      nprobe: Int = NProbe): DataFrame = {
+    val probes = queries.select(col("qid"), col("qe"),
+      explode(nearestCells(col("qe"), cb, nprobe)).as("cell"))
     val scored = idx.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("vec_id"),
         round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))

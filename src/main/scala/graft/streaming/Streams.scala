@@ -642,6 +642,47 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming ANN admission/probe gate —
+    * [[incrementalDedupStream]]'s philosophy applied to SIMILARITY:
+    * arriving vectors probe the PERSISTED IVF index
+    * ([[graft.operators.Ann.buildIvfIndex]]'s cell-partitioned
+    * layout; the codebook is the caller's loaded copy, broadcast per
+    * probe) and each query emits its top-k neighbors plus a NOVELTY
+    * verdict (best cosine below `tau` ⇒ nothing like it in the
+    * corpus — the signal an embedding-ingest gate admits on). Each
+    * micro-batch runs the batch operator's OWN probe kernel
+    * ([[graft.operators.Ann.probeIvfFrame]]) inside foreachBatch —
+    * the stream-static reuse shape — so stream ≡ batch by
+    * construction: a query's ranking depends only on (query, index),
+    * never on other arrivals (StreamingSpec pins a forced 2-batch
+    * split against [[graft.operators.Ann.ivfIndexed]]'s own ranking).
+    * Zero streaming state; per-batch cost is bounded by the batch ×
+    * probed cells (partition-pruned read, not a corpus scan). A
+    * query whose probed cells are all empty still reports, as
+    * maximally novel (rank 0, cosine 0). Drains synchronously. */
+  def annProbeStream(queries: DataFrame, indexPath: String,
+      codebook: Array[(Long, Array[Float])], outPath: String,
+      tau: Double = 0.9): Unit = {
+    val q = queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val idx = batch.sparkSession.read.parquet(indexPath)
+        val ranked = graft.operators.Ann.probeIvfFrame(idx, codebook, batch)
+        val verdict = ranked.filter(col("rank") === 1)
+          .select(col("qid"), col("cosine").as("best_cosine"))
+        val out = batch.select(col("qid"))
+          .join(ranked.join(verdict, Seq("qid")), Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("rank"), lit(0)).as("rank"),
+            coalesce(col("vec_id"), lit(-1L)).as("vec_id"),
+            coalesce(col("cosine"), lit(0.0)).as("cosine"),
+            coalesce(col("best_cosine") < tau, lit(true)).as("is_novel"))
+        out.write.mode("append").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming incremental view maintenance — the stream twin of
     * [[graft.operators.Snapshot.aggDelta]]: CDC rows (insert/delete/
     * update with old/new payloads) arrive as a stream, a running

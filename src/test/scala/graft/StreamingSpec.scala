@@ -770,6 +770,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.exists(_._2), "planted corpus must contain near-dups")
   }
 
+  test("streaming ANN probe gate: 2-batch split equals the indexed batch ranking, novelty flagged") {
+    import java.nio.file._
+    val idxPath = Files.createTempDirectory("graft_annprobe_idx").toString
+    graft.operators.Ann.buildIvfIndex(spark, Sf, idxPath)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // planted NOVEL arrival: the negation of vector 0 — anti-correlated
+    // with its own region, near-orthogonal to the rest, so its best
+    // cosine sits far below tau while every corpus self-query hits 1.0
+    val novel = emb.filter(col("vec_id") === 0)
+      .select(lit(1000L).as("qid"),
+        transform(col("embedding"), x => -x).as("qe"))
+    val all = qs.unionByName(novel)
+    val in = Files.createTempDirectory("graft_annprobe_in").toString
+    all.filter(col("qid") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/a")
+    all.filter(col("qid") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b")
+    val staged = Files.createTempDirectory("graft_annprobe_q")
+    var i = 0
+    for (sub <- Seq("a", "b");
+         f <- new java.io.File(s"$in/$sub").listFiles
+           if f.getName.endsWith(".parquet")) {
+      Files.copy(f.toPath, staged.resolve(s"part$i.parquet")); i += 1
+    }
+    assert(i == 2, s"expected 2 staged files, got $i")
+    val out = Files.createTempDirectory("graft_annprobe_out").toString
+    Streams.annProbeStream(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString),
+      idxPath, graft.operators.Ann.codebookOf(spark, Sf), out)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    // the union over both micro-batches reproduces the batch operator's
+    // own ranking exactly (stream ≡ batch)
+    val want = graft.operators.Ann.ivfIndexed(spark, Sf, idxPath).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.filter(_._1 < 1000L).map(t => (t._1, t._2, t._3, t._4)).toSet
+      == want)
+    // corpus members self-match at cosine 1.0 -> not novel; the planted
+    // negation has nothing like it -> novel on every emitted row
+    assert(got.filter(_._1 < 1000L).forall(!_._5))
+    val nv = got.filter(_._1 == 1000L)
+    assert(nv.nonEmpty && nv.forall(_._5),
+      s"planted arrival must flag novel: ${nv.toSeq}")
+  }
+
   test("streaming wordcount matches the batch flagship job") {
     import java.nio.file._
     val dir = Files.createTempDirectory("graft_wc_stream")
