@@ -50,6 +50,28 @@ object Linkage {
   /** Edit-distance threshold: pairs within 2 edits match. */
   val Tau = 2
 
+  /** Fail-fast ceiling on name length. The deletion-variant fan-out
+    * is O(len²/2) per name (a 100-char name ⇒ ~5k variant keys), so
+    * an unguarded free-text column would quietly turn the blocking
+    * index quadratic. Real entity names (products, people, vendors)
+    * sit far below 64; anything longer is a mis-declared column —
+    * raise instead of silently exploding. Word-level blocking is the
+    * right operator for long strings ([[graft.operators.Dedup]]'s
+    * shingle family). */
+  val MaxNameLen = 64
+
+  /** The length guard every linkage surface routes names through
+    * ([[fuzzyPairsOf]] and the streaming
+    * [[graft.streaming.Streams.fuzzyNameGate]]). */
+  private[graft] def guardLen(c: Column): Column =
+    when(length(c) > MaxNameLen,
+      raise_error(concat(
+        lit(s"linkage: name exceeds $MaxNameLen chars ('"),
+        substring(c, 1, 24),
+        lit("…') — deletion-variant blocking is quadratic in length; " +
+          "use shingle-based dedup for long strings"))))
+      .otherwise(c)
+
   /** All deletion variants of column `c` up to [[Tau]] deletions (the
     * FastSS key set U_τ): the string itself, every single-char
     * deletion, every unordered two-char deletion. Pure SQL
@@ -78,8 +100,9 @@ object Linkage {
     * distinct candidate pair. Output is dictionary-bounded, so the
     * presentation sort is a bounded exchange, not a corpus sort. */
   def fuzzyPairsOf(names: DataFrame): DataFrame = {
-    val keyed = names.select(col("name"), col("cnt"),
-      explode(variants("name")).as("v"))
+    val keyed = names
+      .select(guardLen(col("name")).as("name"), col("cnt"))
+      .select(col("name"), col("cnt"), explode(variants("name")).as("v"))
     val a = keyed.select(col("v"),
       col("name").as("name_a"), col("cnt").as("cnt_a"))
     val b = keyed.select(col("v"),

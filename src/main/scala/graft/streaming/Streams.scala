@@ -160,10 +160,13 @@ object Streams {
     * is the consumer's; this surface is the evidence feed. */
   def fuzzyNameGate(names: DataFrame, dict: DataFrame): DataFrame = {
     import graft.operators.Linkage
-    val keyed = dict.select(col("name").as("dict_name"),
-      explode(Linkage.variants("name")).as("v"))
+    val keyed = dict
+      .select(Linkage.guardLen(col("name")).as("name"))
+      .select(col("name").as("dict_name"),
+        explode(Linkage.variants("name")).as("v"))
     val probes = names
       .withWatermark("ts", "2 hours")
+      .select(col("ts"), Linkage.guardLen(col("name")).as("name"))
       .select(col("ts"), col("name"), explode(Linkage.variants("name")).as("v"))
     val dist = levenshtein(col("name"), col("dict_name")).cast("long")
     probes.join(keyed, Seq("v"))

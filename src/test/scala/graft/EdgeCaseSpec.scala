@@ -288,4 +288,19 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(out("__total__").getLong(3) == out("stable").getLong(3),
       "total sums only the finite terms")
   }
+
+  test("linkage: a name longer than MaxNameLen fails fast, not a quadratic fan-out") {
+    import graft.operators.Linkage
+    val ok = Seq(("widget", 1L), ("widgot", 2L)).toDF("name", "cnt")
+    assert(Linkage.fuzzyPairsOf(ok).collect().length == 1)
+    val long = Seq(("x" * (Linkage.MaxNameLen + 1), 1L), ("widget", 1L))
+      .toDF("name", "cnt")
+    val e = intercept[Exception] {
+      Linkage.fuzzyPairsOf(long).collect()
+    }
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    // the boundary length itself passes
+    val edge = Seq(("y" * Linkage.MaxNameLen, 1L)).toDF("name", "cnt")
+    assert(Linkage.fuzzyPairsOf(edge).collect().isEmpty)
+  }
 }

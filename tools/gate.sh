@@ -53,6 +53,10 @@ if [ "$1" != "quick" ]; then
   tools/scaling_probe.sh basket | tail -9
   echo "=== scaling probe (2x graph) ==="
   tools/scaling_probe.sh graph | tail -17
+  # FastSS linkage: variant/candidate volume must scale ~linearly on
+  # disjoint name universes (quadratic fan-out trips the same 3.0 line)
+  echo "=== scaling probe (2x linkage) ==="
+  tools/scaling_probe.sh linkage | tail -5
 
   # contention guard: a closing bench stamped on a loaded box is not a
   # record anyone can compare across rounds (BENCH_r06's 122 s vs the

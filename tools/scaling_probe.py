@@ -19,8 +19,7 @@ OUT = sys.argv[2]
 SRC = "/root/testdata/sf0.1"
 
 os.makedirs(OUT, exist_ok=True)
-for t in ("region", "nation", "supplier", "part",
-          "embeddings"):
+for t in ("region", "nation", "supplier", "embeddings"):
     dst = f"{OUT}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
@@ -83,4 +82,16 @@ cu = "\nUNION ALL\n".join(
 con.execute(f"COPY ({cu}) TO '{OUT}/customer.parquet' (FORMAT PARQUET)")
 nl = con.execute(
     f"SELECT count(*) FROM read_parquet('{OUT}/lineitem.parquet')").fetchone()[0]
+# part replicates with the SAME partkey salt lineitem carries, and each
+# replica PREFIXES p_name with a 3-char replica tag of a distinct letter
+# ('aaa ', 'bbb ', ...): cross-replica names differ in >= 3 positions, so
+# no deletion-variant (<= 2 deletions) bucket and no <= tau=2 pair can
+# cross replicas — K disjoint name universes, the natural-growth regime
+# for the FastSS linkage probe (lengths stay far under the 64 guard)
+pt = "\nUNION ALL\n".join(
+    f"""SELECT * REPLACE (p_partkey + {k * 10000000} AS p_partkey,
+               '{chr(ord('a') + k) * 3}' || ' ' || p_name AS p_name)
+        FROM read_parquet('{SRC}/part.parquet')"""
+    for k in range(K))
+con.execute(f"COPY ({pt}) TO '{OUT}/part.parquet' (FORMAT PARQUET)")
 print(f"wrote {OUT}: {n} docs, {ne} events, {nl} lineitems (K={K})")

@@ -33,6 +33,14 @@ elif [ "$MODE" = "basket" ]; then
   KS="1 2"
   OPS=${SCALING_OPS:-graph_linkpred,basket_rules,snapshot_scd2,profile_mi,profile_benford}
   REPS=${SCALING_REPS:-1}
+elif [ "$MODE" = "linkage" ]; then
+  # FastSS linkage on K disjoint name universes (3-char replica-letter
+  # prefixes: no variant bucket and no <= tau pair crosses replicas):
+  # variant fan-out and candidate volume double with K — linear with
+  # floor expected; a candidate or verify blowup shows ~K^2
+  KS="1 2"
+  OPS=${SCALING_OPS:-er_fuzzy_names}
+  REPS=${SCALING_REPS:-1}
 elif [ "$MODE" = "graph" ]; then
   # iterative-graph family on K disjoint trading-graph replicas
   # (salted fact keys): per-round shuffle doubles, round counts stay
