@@ -157,6 +157,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_sweep" -> (Dedup.sweep _),
+    "dedup_sweep_jaccard" -> (Dedup.sweepJaccard _),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
@@ -1953,6 +1954,7 @@ object SparkEntry {
     // threshold-tuning readout: one pair pass at the bank's lowest
     // bound, tighter thresholds sliced row-locally; absent → 0
     "dedup_sweep" -> Dedup.sweepOracleSql,
+    "dedup_sweep_jaccard" -> Dedup.sweepJaccardOracleSql,
     "text_langid" -> {
       val lexRows = graft.operators.TextOps.Profiles.toSeq.sortBy(_._1)
         .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }

@@ -871,6 +871,92 @@ object Dedup {
         ORDER BY tb.threshold"""
   }
 
+  /** Threshold bank for [[sweepJaccard]] — ascending; the lowest
+    * bound is the single pair-generation pass the bank slices. The
+    * gated `dedup_ngram_jaccard` runs at 0.1 and the LSH family's τ
+    * decision sits at 0.5, so the bank brackets both. */
+  val JaccardSweepThresholds: Seq[Double] = Seq(0.1, 0.2, 0.3, 0.4, 0.5)
+
+  /** The JACCARD-family threshold sweep — [[sweep]]'s twin for the
+    * shingle operators (ngram/minhash both decide τ in Jaccard
+    * space): pair and affected-doc counts at every bank threshold
+    * from ONE [[ngramJaccardPairs]] pass at the lowest bound; tighter
+    * thresholds are row-local slices of those pairs. Absent
+    * thresholds report 0, not absence. Output = |bank| rows at any
+    * corpus size; cost = one shingle pair join + two bounded
+    * aggregates, shared across the whole bank. */
+  def sweepJaccard(spark: SparkSession, dir: String): DataFrame =
+    sweepJaccardDf(Tables(spark, dir).documents)
+
+  def sweepJaccardDf(docs: DataFrame): DataFrame = {
+    val bank = docs.sparkSession.range(1)
+      .select(explode(array(JaccardSweepThresholds.map(lit): _*))
+        .as("threshold"))
+    val tagged = ngramJaccardPairs(docs, JaccardSweepThresholds.min)
+      .select(col("d1"), col("d2"), col("jaccard"),
+        explode(array(JaccardSweepThresholds.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val nPairs = tagged.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("np"))
+    val nDocs = tagged
+      .select(col("threshold"), explode(array(col("d1"), col("d2"))).as("v"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("v")).as("nd"))
+    bank.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Generated DuckDB oracle for [[sweepJaccard]] — the
+    * dedup_ngram_jaccard pair chain at the bank's lowest bound, same
+    * bank slices. */
+  def sweepJaccardOracleSql: String = {
+    val bank = JaccardSweepThresholds.mkString(", ")
+    s"""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                 END AS gs
+          FROM toks),
+        posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        hp AS (SELECT doc_id,
+                      ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gid
+               FROM posts),
+        sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+        pr AS (
+          SELECT d1, d2, round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS j
+          FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                FROM hp a JOIN hp b
+                  ON a.gid = b.gid AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id) p
+          JOIN sizes s1 ON s1.doc_id = d1
+          JOIN sizes s2 ON s2.doc_id = d2
+          WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6)
+                  >= ${JaccardSweepThresholds.min}),
+        tb AS (SELECT unnest([$bank]) AS threshold),
+        tg AS (SELECT tb.threshold, pr.d1, pr.d2
+               FROM pr JOIN tb ON pr.j >= tb.threshold),
+        np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM tg GROUP BY 1),
+        nd AS (SELECT threshold, CAST(count(DISTINCT v) AS BIGINT) AS n_docs
+               FROM (SELECT threshold, d1 AS v FROM tg
+                     UNION ALL SELECT threshold, d2 FROM tg)
+               GROUP BY 1)
+        SELECT tb.threshold,
+               coalesce(np.n_pairs, 0) AS n_pairs,
+               coalesce(nd.n_docs, 0) AS n_docs
+        FROM tb LEFT JOIN np ON np.threshold = tb.threshold
+        LEFT JOIN nd ON nd.threshold = tb.threshold
+        ORDER BY tb.threshold"""
+  }
+
   /** SemDeDup-shaped semantic dedup: LEARNED blocking. Where
     * [[embeddingDf]] blocks on a given label column, here the blocks
     * are the integer-exact k-means clusters ([[Cluster.kmeansAssign]])

@@ -377,6 +377,26 @@ class DedupSpec extends SparkSpecBase {
     assert(ordered.sameElements(ordered.sorted.reverse))
   }
 
+  test("jaccard sweep: every bank row equals a standalone run at that threshold") {
+    val docs = graft.core.Tables(spark, Sf).documents
+    val rows = Dedup.sweepJaccard(spark, Sf).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Dedup.JaccardSweepThresholds.toSet)
+    Dedup.JaccardSweepThresholds.foreach { t =>
+      val pairs = Dedup.ngramJaccardDf(docs, tau = t)
+        .select($"d1", $"d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val affected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      assert(rows(t) == (pairs.length.toLong, affected.length.toLong),
+        s"threshold $t: sweep ${rows(t)} vs standalone " +
+          s"(${pairs.length}, ${affected.length})")
+    }
+    val ordered = Dedup.JaccardSweepThresholds.map(rows(_)._1)
+    assert(ordered.sameElements(ordered.sorted.reverse))
+    assert(rows(Dedup.JaccardSweepThresholds.min)._1 > 0,
+      "the planted corpus must have pairs at the lowest bound")
+  }
+
   test("substring spans: disjoint texts produce no groups") {
     val docs = Seq(
       (1L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4)),
