@@ -201,6 +201,7 @@ object SparkEntry {
     "pipeline_split" -> (TextOps.pipelineSplit _),
     "pipeline_pack" -> ((s: SparkSession, d: String) => TextOps.pipelinePack(s, d)),
     "text_langid" -> (TextOps.textLangid _),
+    "text_textrank" -> (TextOps.textTextrank _),
     // F'. corpus curation (training-data gates)
     "text_repetition" -> (Curation.textRepetition _),
     "text_gopher" -> (Curation.textGopher _),
@@ -2411,6 +2412,9 @@ object SparkEntry {
                      ELSE round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
                                 / length(text), 6) END AS punct_ratio
          FROM documents ORDER BY doc_id""",
+    // word co-occurrence graph + the unrolled weighted-PageRank
+    // integer chain (the graph_pagerank_weighted formulation)
+    "text_textrank" -> TextOps.textrankOracleSql,
     // PMI decomposes into a linear combination of per-count logs;
     // each ln quantizes once to micro-nats (counts ≥ 1 → ln ≥ 0, so
     // half-up and half-away rounding agree), then exact BIGINT adds

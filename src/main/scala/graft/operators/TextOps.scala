@@ -846,6 +846,78 @@ object TextOps {
          $chain""", out)
   }
 
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — the
+    * graph-ranking answer to "which words matter in this corpus",
+    * composing two already-proven families: the word CO-OCCURRENCE
+    * graph (adjacent-token pairs, unordered, count-weighted, pruned
+    * by a min-co-occurrence gate that keeps the graph
+    * vocabulary-bounded at 100 TB — the collocations minCount
+    * discipline) feeds [[Graph.pagerankWeightedOf]]'s exact-integer
+    * weighted PageRank trajectory, and the top-k words fall out of
+    * the (pr DESC, word) total order. One corpus scan builds the
+    * adjacency (map-side posexplode, no joins); everything after is
+    * bounded by vocabulary. The oracle composes the adjacency CTEs
+    * with the SAME unrolled integer round chain the
+    * graph_pagerank_weighted oracle uses — a transcendental-free
+    * fixed point, hash-exact end to end. */
+  def textTextrank(spark: SparkSession, dir: String): DataFrame =
+    textrankDf(Tables(spark, dir).documents)
+
+  def textrankDf(docs: DataFrame, minCooc: Long = 3,
+      topK: Int = 50): DataFrame = {
+    val adj = docs
+      .select(tokens(col("text")).as("ws"))
+      .select(col("ws"), posexplode(col("ws")).as(Seq("i", "a")))
+      // get() is 0-based and null past the end (the BPE pair rule)
+      .withColumn("b", get(col("ws"), col("i") + 1))
+      .filter(col("b").isNotNull && col("a") =!= "" && col("b") =!= "" &&
+        col("a") =!= col("b"))
+      .groupBy(least(col("a"), col("b")).as("wa"),
+        greatest(col("a"), col("b")).as("wb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCooc)
+    val edges = adj.select(col("wa").as("src"), col("wb").as("dst"), col("w"))
+      .unionAll(adj.select(col("wb").as("src"), col("wa").as("dst"), col("w")))
+    Graph.pagerankWeightedOf(edges)
+      .orderBy(col("pr").desc, col("node"))
+      .limit(topK)
+      .select(col("node").as("word"), col("pr"))
+  }
+
+  /** Generated DuckDB oracle for [[textTextrank]] — adjacency CTEs +
+    * the unrolled weighted-PageRank integer chain (the
+    * graph_pagerank_weighted formulation over the word graph). */
+  def textrankOracleSql: String = {
+    val iters = 5
+    val chain = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT d.node, d.wout,
+             (${Graph.Scale} * 15 // 100) // c.n
+               + (${Graph.Damping} * sum((p.pr * e.w) // p.wout)) // 100 AS pr
+           FROM pr${i - 1} p JOIN edges e ON p.node = e.src
+             JOIN deg d ON e.dst = d.node
+             CROSS JOIN const c
+           GROUP BY d.node, d.wout, c.n)"""
+    }.mkString(",\n         ")
+    s"""WITH toks AS (
+           SELECT string_split_regex(trim(text, ' '), '\\s+') AS t
+           FROM documents),
+         adjraw AS (
+           SELECT least(t[i], t[i+1]) AS wa, greatest(t[i], t[i+1]) AS wb
+           FROM toks, unnest(range(1, len(t))) r(i)
+           WHERE t[i] <> '' AND t[i+1] <> '' AND t[i] <> t[i+1]),
+         adj AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS w
+                 FROM adjraw GROUP BY 1, 2 HAVING count(*) >= 3),
+         edges AS (SELECT wa AS src, wb AS dst, w FROM adj
+                   UNION ALL SELECT wb AS src, wa AS dst, w FROM adj),
+         deg AS (SELECT src AS node, sum(w) AS wout FROM edges GROUP BY src),
+         const AS (SELECT count(*) AS n FROM deg),
+         pr0 AS (SELECT node, wout, ${Graph.Scale} // n AS pr
+                 FROM deg CROSS JOIN const),
+         $chain
+         SELECT node AS word, CAST(pr AS BIGINT) AS pr FROM pr$iters
+         ORDER BY pr DESC, word LIMIT 50"""
+  }
+
   def textEntropyDf(docs: DataFrame): DataFrame =
     // one fused map-side pass per row (CharMoments) — the exploded
     // per-character formulation shuffled the whole corpus's

@@ -196,6 +196,28 @@ class TextQualitySpec extends SparkSpecBase {
     assert(perDoc == vocabTotal, s"$perDoc != $vocabTotal")
   }
 
+  test("textrank: a planted hub out-ranks peripheral words; minCooc prunes rare pairs") {
+    import spark.implicits._
+    // 'hub' co-occurs (>= 3 times each) with five distinct words;
+    // each peripheral word touches only the hub — star graph, hub #1
+    val star = (1 to 5).flatMap(i => Seq.fill(3)(s"hub w$i")).mkString(" . ")
+    val docs = Seq((0L, star.replace(" . ", " "))).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.textrankDf(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.nonEmpty && got.head._1 == "hub",
+      s"hub must rank first: ${got.toSeq}")
+    // all five spokes present, each below the hub
+    val spokes = got.filter(_._1.startsWith("w")).map(_._1).toSet
+    assert(spokes == (1 to 5).map(i => s"w$i").toSet, got.toSeq.toString)
+    assert(got.tail.forall(_._2 < got.head._2))
+    // (x,y) adjacency occurs twice ('q' breaks the run) — pruned at
+    // the default minCooc = 3, surfaces at 2
+    val rare = Seq((0L, "x y q x y")).toDF("doc_id", "text")
+    assert(graft.operators.TextOps.textrankDf(rare).collect().isEmpty)
+    assert(graft.operators.TextOps.textrankDf(rare, minCooc = 2)
+      .collect().map(_.getString(0)).toSet == Set("x", "y"))
+  }
+
   test("bpeMerges: greedy left-to-right on overlapping runs (aaa) and chains (abab)") {
     import spark.implicits._
     // aaa -> a a a </w>: (a,a) counted twice, merged GREEDILY left-first
