@@ -89,6 +89,7 @@ object SparkEntry {
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_nearest_join" -> (Events.qNearestJoin _),
     "events_seasonality" -> (Events.eventsSeasonality _),
+    "events_stl" -> (Events.eventsStl _),
     "events_attribution" -> (Events.qAttribution _),
     "q_range_join" -> (Events.qRangeJoin _),
     "q_gap_fill" -> (Events.qGapFill _),
@@ -1400,6 +1401,38 @@ object SparkEntry {
                            / CAST(n_days * ss AS DOUBLE), 0) AS BIGINT)
                   AS index_micro
          FROM p CROSS JOIN t ORDER BY dow_iso""",
+    // STL decomposition of daily revenue: zero-filled spine, centered
+    // 7-day integer trend, per-dow seasonal as mean(cents)-mean(trend)
+    // (both divisions on non-negative milli sums — the truncate-vs-
+    // floor rule), residual by subtraction; inner days only
+    "events_stl" ->
+      """WITH daily AS (
+           SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         sp AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+         spine AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM sp),
+         filled AS (SELECT spine.day, coalesce(d.cents, 0) AS cents
+                    FROM spine LEFT JOIN daily d ON d.day = spine.day),
+         tr AS (SELECT day, cents,
+                  CAST(sum(cents) OVER (ORDER BY day
+                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+                    // 7 AS trend_cents
+                FROM filled),
+         inn AS (SELECT t.day, t.cents, t.trend_cents, t.day % 7 AS dow
+                 FROM tr t CROSS JOIN sp
+                 WHERE t.day >= sp.dmin + 3 AND t.day <= sp.dmax - 3),
+         seas AS (SELECT dow,
+                    CAST((1000 * sum(cents)) // count(*)
+                      - (1000 * sum(trend_cents)) // count(*) AS BIGINT)
+                      AS seasonal_milli
+                  FROM inn GROUP BY 1)
+         SELECT i.day, i.cents, i.trend_cents, i.dow, s.seasonal_milli,
+                CAST(1000 * i.cents - 1000 * i.trend_cents
+                     - s.seasonal_milli AS BIGINT) AS resid_milli
+         FROM inn i JOIN seas s ON s.dow = i.dow
+         ORDER BY i.day""",
     "q_range_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
                 p.user_id

@@ -731,4 +731,58 @@ object Events {
           .as("index_micro"))
       .orderBy(col("dow_iso"))
   }
+
+  /** STL-shaped seasonal-trend DECOMPOSITION of the daily revenue
+    * series — the classical split every time-series dashboard draws:
+    * per day, TREND (centered 7-day moving average over a zero-filled
+    * calendar spine — gaps are real zero-revenue days, not missing
+    * rows), SEASONAL (day-of-week effect of the detrended series),
+    * and RESIDUAL, all in exact integer units so the whole
+    * decomposition sits under the hash gate.
+    *
+    * The integer discipline rules out one classical detail: means of
+    * the (possibly negative) detrended values would hit the
+    * truncate-vs-floor divergence between engines, so the seasonal
+    * effect is DEFINED as mean(cents) − mean(trend) per weekday —
+    * algebraically the same quantity, but both divisions run on
+    * non-negative sums (milli-units, truncating div on both engines).
+    * Residual is pure subtraction. Only days with a FULL centered
+    * window report (the first/last 3 days have no honest trend).
+    *
+    * Scale shape: one daily aggregate (map-side combinable, shuffle ∝
+    * days), a spine join, one global ordered window over |days| rows
+    * — bounded by the calendar, the scd2-window argument — a 7-row
+    * seasonal aggregate, and a broadcast join back. Output ∝ days. */
+  def eventsStl(spark: SparkSession, dir: String): DataFrame =
+    stlDf(Tables(spark, dir).events)
+
+  def stlDf(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .select(expr("cast(ts as long) div 86400").as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    val span = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val spine = span.select(explode(expr("sequence(dmin, dmax)")).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+    // the spine is dense, so the ±3-day RANGE frame holds exactly 7
+    // rows on every inner day — div 7 is the exact centered mean
+    val w = Window.orderBy(col("day")).rangeBetween(-3, 3)
+    val trended = filled
+      .withColumn("wsum", sum(col("cents")).over(w))
+      .crossJoin(broadcast(span))
+      .filter(col("day") >= col("dmin") + 3 && col("day") <= col("dmax") - 3)
+      .select(col("day"), col("cents"), expr("wsum div 7").as("trend_cents"),
+        (col("day") % 7).as("dow"))
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(expr("(1000 * sum(cents)) div count(1)").as("mc"),
+        expr("(1000 * sum(trend_cents)) div count(1)").as("mt"))
+      .select(col("dow"), (col("mc") - col("mt")).as("seasonal_milli"))
+    trended.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("cents"), col("trend_cents"), col("dow"),
+        col("seasonal_milli"),
+        (lit(1000L) * col("cents") - lit(1000L) * col("trend_cents") -
+          col("seasonal_milli")).as("resid_milli"))
+      .orderBy(col("day"))
+  }
 }

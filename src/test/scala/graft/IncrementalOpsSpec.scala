@@ -250,6 +250,34 @@ class IncrementalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("events_stl: a pure weekly pattern decomposes to flat trend, exact seasonal, zero residual") {
+    import spark.implicits._
+    // one purchase per epoch day e in [19000, 19020], cents = 7000 +
+    // 7·(e % 7): any 7 consecutive days cover each weekday once, so
+    // the centered window sum is 49000 + 7·21 = 49147 on every inner
+    // day -> trend = 7021; seasonal_milli(dow) = 1000·(7000 + 7·dow)
+    // - 1000·7021 = 7000·dow - 21000; residual exactly 0
+    val ev = (0 to 20).map { d =>
+      val e = 19000L + d
+      (1L, "purchase", (7000L + 7L * (e % 7)) / 100.0,
+        new Timestamp(e * 86400000L))
+    }.toDF("user_id", "event_type", "value", "ts")
+    val got = Events.stlDf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == (19003L to 19017L).toSeq,
+      "inner days only (first/last 3 trimmed)")
+    got.foreach { case (day, cents, trend, dow, seas, resid) =>
+      assert(cents == 7000L + 7L * (day % 7))
+      assert(trend == 7021L, s"day $day trend $trend")
+      assert(dow == day % 7)
+      assert(seas == 7000L * dow - 21000L, s"dow $dow seasonal $seas")
+      assert(resid == 0L, s"day $day residual $resid")
+      // the decomposition identity holds by construction — pin it
+      assert(1000L * cents == 1000L * trend + seas + resid)
+    }
+  }
+
   test("events_ltv: conserves revenue, cumulates exactly, stays consistent with retention") {
     val rows = Events.eventsLtv(spark, Sf).collect()
     val ev = graft.core.Tables(spark, Sf).events
