@@ -201,6 +201,7 @@ object SparkEntry {
     "text_normalize" -> (TextOps.textNormalize _),
     "pipeline_split" -> (TextOps.pipelineSplit _),
     "pipeline_pack" -> ((s: SparkSession, d: String) => TextOps.pipelinePack(s, d)),
+    "pipeline_pack_bpe" -> ((s: SparkSession, d: String) => TextOps.pipelinePackBpe(s, d)),
     "text_langid" -> (TextOps.textLangid _),
     "text_textrank" -> (TextOps.textTextrank _),
     // F'. corpus curation (training-data gates)
@@ -2917,6 +2918,7 @@ object SparkEntry {
     // merges; the oracle replays learn AND encode (computed winners
     // feed per-round corpus re-encodings via 1-row cross joins)
     "text_bpe_tokens" -> TextOps.bpeTokensOracleSql,
+    "pipeline_pack_bpe" -> TextOps.pipelinePackBpeOracleSql,
     "text_lm_score" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t

@@ -721,6 +721,61 @@ object TextOps {
       .sortWithinPartitions("doc_id")
   }
 
+  /** Pack documents by their LEARNED-TOKENIZER budget —
+    * [[pipelinePack]] counts whitespace tokens, which is the proxy; a
+    * training run fills sequence windows with SUBWORDS, so the real
+    * packing unit is [[textBpeTokens]]'s count. Same deterministic
+    * per-source running-total window over (source, doc_id), same
+    * integer `div` pack assignment (a source's running subword total
+    * passes 2⁵³ at 100 TB — double division would misassign packs);
+    * the learn is one job + the local trajectory, the encode rides
+    * the broadcast-kernel projection inside the window's input. The
+    * oracle composes the generated learn+encode chain with the pack
+    * chain — two proven families, one hash. */
+  def pipelinePackBpe(spark: SparkSession, dir: String,
+      budget: Long = 4096, rounds: Int = BpeRounds): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bc = spark.sparkContext.broadcast(
+      bpeLearn(docs, rounds).map(m => (m._2, m._3)).toArray)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("source"), col("doc_id"),
+        aggregate(col("ws"), lit(0L), (acc, t) =>
+          acc + when(t === "", 0L)
+            .otherwise(size(split(graft.functions.Bpe.encode(t, bc), " "))
+              .cast("long")))
+          .as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .sortWithinPartitions("source", "pack_id")
+  }
+
+  /** Generated DuckDB oracle for [[pipelinePackBpe]] — the BPE
+    * learn+encode chain feeding the pack chain. */
+  def pipelinePackBpeOracleSql: String =
+    s"""WITH ${bpeEncCtes(BpeRounds)},
+         t AS (SELECT d.source, d.doc_id,
+                      coalesce(c.n_subwords, CAST(0 AS BIGINT)) AS n_tok
+               FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id),
+         cu AS (SELECT source, doc_id, n_tok,
+                  CAST(sum(n_tok) OVER (PARTITION BY source
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM t),
+         p AS (SELECT source, doc_id, n_tok,
+                      (cum - n_tok) // 4096 AS pack_id
+               FROM cu)
+         SELECT source, pack_id, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM p GROUP BY source, pack_id ORDER BY source, pack_id"""
+
   /** The literal-`replace` fold encode (the oracle's formulation) —
     * kept as the spec cross-check for [[graft.functions.BpeEncode]]'s
     * rank-barrier algorithm; NOT the production path (its plan grows
@@ -731,11 +786,10 @@ object TextOps {
     merges.foldLeft(spaced) { case (s, (a, b)) => bpeMergeCol(s, a, b) }
   }
 
-  /** Oracle for [[textBpeTokens]] — learn + encode in one generated
-    * chain: per round the corpus token table is re-encoded through a
-    * 1-row cross join with that round's computed winner. */
-  def bpeTokensOracleSql: String = {
-    val rounds = BpeRounds
+  /** The learn chain + per-round corpus re-encodings + the final
+    * per-doc count CTE (`cnt`) — the shared prefix of every oracle
+    * that consumes BPE-encoded documents. */
+  private def bpeEncCtes(rounds: Int): String = {
     val (chain, _) = bpeChain(rounds, applyLast = true)
     // LEFT JOIN ON true + CASE: when the trajectory exhausts before
     // `rounds` (t_i empty), the corpus passes through unchanged —
@@ -749,7 +803,7 @@ object TextOps {
                  '  ', ' '), ' ') END AS s
                FROM enc${i - 1} e LEFT JOIN t$i t ON true)"""
     }.mkString(",\n         ")
-    s"""WITH $chain,
+    s"""$chain,
          tok AS (SELECT doc_id,
                    unnest(string_split_regex(trim(text, ' '), '\\s+')) AS w
                  FROM documents),
@@ -760,12 +814,18 @@ object TextOps {
          $enc,
          cnt AS (SELECT doc_id, count(*) AS n_words,
                    CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_subwords
-                 FROM enc$rounds GROUP BY doc_id)
+                 FROM enc$rounds GROUP BY doc_id)"""
+  }
+
+  /** Oracle for [[textBpeTokens]] — learn + encode in one generated
+    * chain: per round the corpus token table is re-encoded through a
+    * 1-row join with that round's computed winner. */
+  def bpeTokensOracleSql: String =
+    s"""WITH ${bpeEncCtes(BpeRounds)}
          SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
                 coalesce(c.n_subwords, 0) AS n_subwords
          FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
          ORDER BY d.doc_id"""
-  }
 
   /** One greedy merge of pair (a, b) over a single-space-joined
     * symbol string — the double-space disjoint-match encoding. */

@@ -196,6 +196,23 @@ class TextQualitySpec extends SparkSpecBase {
     assert(perDoc == vocabTotal, s"$perDoc != $vocabTotal")
   }
 
+  test("pipeline_pack_bpe: packs conserve the corpus subword total and respect the boundary rule") {
+    val packs = graft.operators.TextOps.pipelinePackBpe(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packs.nonEmpty)
+    // conservation: pack token totals sum to the per-doc subword total
+    val perDoc = graft.operators.TextOps.textBpeTokens(spark, Sf).collect()
+      .map(_.getLong(2)).sum
+    assert(packs.map(_._4).sum == perDoc, "pack totals must conserve")
+    // boundary rule: a pack's STARTING cumulative offset is below
+    // (pack_id+1)*budget, so per source pack ids are contiguous from 0
+    packs.groupBy(_._1).foreach { case (src, ps) =>
+      val ids = ps.map(_._2).sorted
+      assert(ids.head == 0L && ids.sameElements(ids.head to ids.last),
+        s"source $src pack ids must be contiguous: ${ids.toSeq}")
+    }
+  }
+
   test("textrank: a planted hub out-ranks peripheral words; minCooc prunes rare pairs") {
     import spark.implicits._
     // 'hub' co-occurs (>= 3 times each) with five distinct words;
