@@ -779,20 +779,90 @@ object Ann {
     * paid once at ingest (per-row broadcast-codebook argmax, no
     * exchange); a probe then reads only its cells' files (dynamic
     * partition pruning through the broadcast probe join, asserted in
-    * AnnSpec). */
+    * AnnSpec).
+    *
+    * The index lives as ONE partitioned layout `shard=<id>/cell=<c>`
+    * under the `_COMMITTED`-marker protocol
+    * ([[Dedup.saveStandingIndex]]'s discipline, adapted to partition
+    * discovery: shard is a partition COLUMN, so every probe stays one
+    * pruned scan, and the per-shard marker is an underscore-prefixed
+    * root file Spark's discovery ignores). A build is a FULL REBUILD
+    * (replaces the whole layout), [[appendToIvfIndex]] folds admitted
+    * vectors in per ingest batch via DYNAMIC partition overwrite
+    * (exactly-once under at-least-once execution — a committed shard
+    * id retries as a no-op, a half-written shard has no marker and is
+    * invisible until rewritten), and [[loadIvfIndex]] filters to
+    * committed shards — a partition-pruning filter, not a scan. */
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
     val cb = codebook(spark, dir)
-    emb(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        cellOf(col("embedding"), cb).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(root)) hfs.delete(root, true)
+    writeIvfShard(assignCells(emb(spark, dir), cb), indexPath, "base",
+      overwriteCommitted = true)
+  }
+
+  /** Fold admitted vectors into a persisted IVF index — the append
+    * step an embedding-ingest loop runs after
+    * [[graft.streaming.Streams.annProbeStream]] admits a batch (the
+    * ANN twin of [[Dedup.appendToStandingIndex]]). Cost ∝ the batch;
+    * the standing corpus is never re-assigned. The codebook must be
+    * the index's own (cell geometry is the index identity). */
+  def appendToIvfIndex(vectors: DataFrame, indexPath: String,
+      cb: Array[(Long, Array[Float])], shardId: String): Unit = {
+    require(shardId.nonEmpty && shardId != "base" &&
+      shardId.matches("[A-Za-z0-9._-]+"),
+      s"appendToIvfIndex: invalid shardId '$shardId'")
+    writeIvfShard(
+      assignCells(vectors.select(col("vec_id"), col("embedding")), cb),
+      indexPath, shardId, overwriteCommitted = false)
+  }
+
+  /** All committed shards of a persisted IVF index, as one frame:
+    * one partitioned scan, the shard filter prunes directories. */
+  def loadIvfIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val hfs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = hfs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_COMMITTED_"))
+      .map(_.stripPrefix("_COMMITTED_")).sorted
+    require(committed.nonEmpty,
+      s"loadIvfIndex($indexPath): no committed shards found")
+    spark.read.parquet(indexPath)
+      .filter(col("shard").isin(committed.toSeq: _*))
+  }
+
+  private def assignCells(vectors: DataFrame,
+      cb: Array[(Long, Array[Float])]): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding"), cb).as("cell"))
+
+  /** One shard's (shard, cell)-partitioned vectors via dynamic
+    * partition overwrite, then its root-level `_COMMITTED_<id>`
+    * marker (the [[Dedup]] writeShard protocol, partition-discovery
+    * flavored). */
+  private def writeIvfShard(assigned: DataFrame, path: String,
+      shardId: String, overwriteCommitted: Boolean): Unit = {
+    val spark = assigned.sparkSession
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, s"_COMMITTED_$shardId")
+    if (hfs.exists(marker) && !overwriteCommitted) return
+    if (hfs.exists(marker)) hfs.delete(marker, false)
+    assigned.withColumn("shard", lit(shardId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "cell")
+      .parquet(path)
+    hfs.create(marker, false).close()
   }
 
   /** Probe a pre-built IVF index: identical results to the inline
     * [[ivf]] (same codebook), but the corpus side is a
     * partition-pruned read instead of a full scan + assignment. */
   def ivfIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame =
-    probeIvfFrame(spark.read.parquet(indexPath), codebook(spark, dir),
+    probeIvfFrame(loadIvfIndex(spark, indexPath), codebook(spark, dir),
       queriesDf(spark, dir))
 
   /** The index probe over ANY (qid, qe) query frame — the serving

@@ -669,7 +669,10 @@ object Streams {
     val q = queries.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val idx = batch.sparkSession.read.parquet(indexPath)
+        // committed shards only — an append landing mid-stream becomes
+        // visible at the next micro-batch boundary, never half-written
+        val idx = graft.operators.Ann.loadIvfIndex(
+          batch.sparkSession, indexPath)
         val ranked = graft.operators.Ann.probeIvfFrame(idx, codebook, batch)
         val verdict = ranked.filter(col("rank") === 1)
           .select(col("qid"), col("cosine").as("best_cosine"))

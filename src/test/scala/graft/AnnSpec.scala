@@ -192,6 +192,48 @@ class AnnSpec extends SparkSpecBase {
       s"expected a partition-pruned index read:\n$plan")
   }
 
+  test("IVF index appends: build(subset)+append ≡ full build; retries and half-writes are safe") {
+    import org.apache.spark.sql.functions.col
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    Ann.buildIvfIndex(spark, Sf, full)
+    val grown = java.nio.file.Files.createTempDirectory("graft_ivf_grow").toString
+    // base = all but every 7th vector; the rest arrives as two shards
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val cb = Ann.codebookOf(spark, Sf)
+    Ann.buildIvfIndex(spark, Sf, grown)
+    // carve the base down by rewriting it from the subset
+    val hfs = new org.apache.hadoop.fs.Path(grown)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(grown), true)
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val lateA = emb.filter(col("vec_id") % 14 === 0)
+    val lateB = emb.filter(col("vec_id") % 7 === 0 && col("vec_id") % 14 =!= 0)
+    // a thin build path for arbitrary frames: append onto an empty base
+    Ann.appendToIvfIndex(base, grown, cb, "s0")
+    Ann.appendToIvfIndex(lateA, grown, cb, "s1")
+    Ann.appendToIvfIndex(lateB, grown, cb, "s2")
+    def rank(path: String) = Ann.ivfIndexed(spark, Sf, path).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rank(grown) == rank(full),
+      "grown index must probe identically to the one-shot build")
+    // committed-shard retry is a no-op, not a double-insert
+    Ann.appendToIvfIndex(lateA, grown, cb, "s1")
+    assert(Ann.loadIvfIndex(spark, grown).count() == emb.count(),
+      "retried append must not duplicate vectors")
+    // a half-written shard (no marker) is invisible
+    Ann.appendToIvfIndex(emb.filter(col("vec_id") === 1L), grown, cb, "shalf")
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$grown/_COMMITTED_shalf"),
+      false)
+    assert(Ann.loadIvfIndex(spark, grown).count() == emb.count(),
+      "uncommitted shard must be invisible")
+    // a rebuild replaces the whole layout (appended shards gone)
+    Ann.buildIvfIndex(spark, Sf, grown)
+    assert(Ann.loadIvfIndex(spark, grown).count() == emb.count())
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$grown/shard=s1")),
+      "rebuild must remove appended shards")
+    assert(rank(grown) == rank(full), "rebuilt index probes identically")
+  }
+
   test("pre-built IVF-PQ index returns identical results with partition pruning") {
     val indexPath = java.nio.file.Files
       .createTempDirectory("graft_ivfpq").toString
