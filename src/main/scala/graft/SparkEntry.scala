@@ -171,6 +171,7 @@ object SparkEntry {
     "ann_lsh" -> (Ann.lsh _),
     "ann_eval" -> (Ann.evalLsh _),
     "ann_eval_ivf" -> (Ann.evalIvf _),
+    "ann_sweep_nprobe" -> (Ann.sweepNprobe _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "ann_quantized" -> (Ann.quantized _),
     "ann_pq" -> (Ann.pq _),
@@ -2056,6 +2057,7 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY qid, rank""",
     // the harness over the IVF ranking: same truth + metrics tail
     "ann_eval_ivf" -> annEvalIvfSql,
+    "ann_sweep_nprobe" -> Ann.sweepNprobeOracleSql,
     // generated unrolled synchronous peel (idempotent past stability)
     "graph_kcore" -> graft.operators.Graph.kcoreOracleSql(),
     "graph_kcore_weighted" -> graft.operators.Graph.kcoreWeightedOracleSql(),

@@ -884,6 +884,129 @@ object Ann {
 
   // --- retrieval evaluation ------------------------------------------
 
+  /** Probe-count bank for [[sweepNprobe]] — ascending; the single
+    * candidate pass runs at the bank's LARGEST count. */
+  val NProbeSweep: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** NPROBE SWEEP — the tuning readout behind "how many cells must we
+    * probe": recall@k and the MRR numerator at every probe count in
+    * the bank, against the exact brute-force truth, from ONE
+    * candidate-generation pass at the bank's largest count. Each
+    * candidate is tagged with the probe rank of its cell (a corpus
+    * vector lives in exactly one cell, so the tag is unique per
+    * query); smaller probe counts are row-local slices, re-ranked by
+    * the bounded per-(bank, query) top-k heap — the sweep discipline
+    * ([[Dedup.sweep]]) applied to retrieval. A probe count that
+    * reaches nothing for a query still counts in the denominator
+    * (truth-spine rule, [[evalOf]]'s r10 lesson). Output = |bank|
+    * rows at any corpus size. */
+  def sweepNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val cb = codebook(spark, dir)
+    val cells = emb(spark, dir)
+      .withColumn("cell", cellOf(col("embedding"), cb))
+    val probes = queriesDf(spark, dir)
+      .select(col("qid"), col("qe"),
+        posexplode(nearestCells(col("qe"), cb, NProbeSweep.max))
+          .as(Seq("pi", "cell")))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("vec_id"), (col("pi") + 1).as("preach"),
+        round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
+    val approx = scored
+      .select(col("qid"), col("vec_id"), col("cosine"), col("preach"),
+        explode(array(NProbeSweep.map(k => lit(k.toLong)): _*)).as("nprobe"))
+      .filter(col("nprobe") >= col("preach"))
+      .groupBy(col("nprobe"), col("qid"))
+      .agg(TopKScoreAgg.topk(col("cosine"), col("vec_id"), TopK).as("top"))
+      .select(col("nprobe"), col("qid"), posexplode(col("top")))
+      .select(col("nprobe"), col("qid"),
+        (col("pos") + 1).cast("long").as("rank"), col("col.id").as("vec_id"))
+    val truth = bruteforce(spark, dir)
+      .select(col("qid"), col("rank"), col("vec_id"))
+    val ksum = truth.agg(count(lit(1)).as("k_sum"))
+    val ov = truth.select("qid", "vec_id")
+      .join(approx.select("nprobe", "qid", "vec_id"), Seq("qid", "vec_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_overlap"))
+    val nn2 = truth.filter(col("rank") === 2).select(col("qid"), col("vec_id"))
+    val rr = nn2.join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("nprobe"))
+      .agg(sum(round(lit(1e6) / col("rank"), 0).cast("long")).as("rr_micro"))
+    val bank = spark.range(1)
+      .select(explode(array(NProbeSweep.map(k => lit(k.toLong)): _*))
+        .as("nprobe"))
+    bank.join(ov, Seq("nprobe"), "left")
+      .join(rr, Seq("nprobe"), "left")
+      .crossJoin(broadcast(ksum))
+      .select(col("nprobe"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("k_sum").cast("double"), 6).as("recall"),
+        coalesce(col("rr_micro"), lit(0L)).as("rr_micro"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Generated DuckDB oracle for [[sweepNprobe]] — the ivf CTE chain
+    * with probe-rank-tagged candidates, one unrolled metrics arm per
+    * bank entry over the shared brute-force truth. */
+  def sweepNprobeOracleSql: String = {
+    val arms = NProbeSweep.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS nprobe,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM t JOIN (SELECT qid, vec_id FROM
+                 (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS rank
+                  FROM scored_sw WHERE preach <= $k) WHERE rank <= 5) a
+               ON a.qid = t.qid AND a.vec_id = t.vec_id) AS n_overlap,
+            (SELECT CAST(coalesce(sum(CAST(round(1e6 / a.rank, 0)
+                 AS BIGINT)), 0) AS BIGINT)
+             FROM (SELECT qid, vec_id FROM t WHERE rank = 2) nn2
+             JOIN (SELECT qid, vec_id, rank FROM
+                 (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS rank
+                  FROM scored_sw WHERE preach <= $k) WHERE rank <= 5) a
+               ON a.qid = nn2.qid AND a.vec_id = nn2.vec_id) AS rr_micro"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+         c AS (SELECT vec_id AS cent_id, emb AS ce FROM e
+               WHERE vec_id % 29 = 0),
+         cells AS (
+           SELECT vec_id, emb, cell FROM (
+             SELECT e.vec_id, e.emb, c.cent_id AS cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC,
+                               c.cent_id) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+         pr AS (
+           SELECT qid, qe, cell, rn AS preach FROM (
+             SELECT q.qid, q.qe, c.cent_id AS cell,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+                               c.cent_id) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= ${NProbeSweep.max}),
+         scored_sw AS MATERIALIZED (
+           SELECT p.qid, s.vec_id, p.preach,
+                  round(list_cosine_similarity(s.emb, p.qe), 6) AS cosine
+           FROM cells s JOIN pr p ON p.cell = s.cell),
+         scored_b AS (
+           SELECT q.qid, cc.vec_id,
+                  round(list_cosine_similarity(cc.emb, q.qe), 6) AS cosine
+           FROM e cc CROSS JOIN q),
+         t AS MATERIALIZED (
+           SELECT qid, vec_id, rank FROM (
+             SELECT qid, vec_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, vec_id) AS rank
+             FROM scored_b) WHERE rank <= 5),
+         ks AS (SELECT CAST(count(*) AS BIGINT) AS k_sum FROM t),
+         m AS ($arms)
+         SELECT m.nprobe, m.n_overlap,
+                round(CAST(m.n_overlap AS DOUBLE)
+                      / CAST(ks.k_sum AS DOUBLE), 6) AS recall,
+                m.rr_micro
+         FROM m CROSS JOIN ks ORDER BY m.nprobe"""
+  }
+
   /** ANN evaluation harness: score the LSH ranking against the
     * exact brute-force ground truth — the recall/MRR readout a
     * retrieval team runs before trusting an approximate index.

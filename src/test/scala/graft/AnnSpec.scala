@@ -319,6 +319,30 @@ class AnnSpec extends SparkSpecBase {
     assert(summary.head.getLong(4) == per.map(_.getLong(4)).sum)
   }
 
+  test("nprobe sweep: monotone recall; the full-probe row equals the IVF eval summary") {
+    val rows = Ann.sweepNprobe(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Ann.NProbeSweep.map(_.toLong).toSet)
+    // more probes never lose candidates: recall/overlap monotone
+    val ordered = Ann.NProbeSweep.map(k => rows(k.toLong))
+    ordered.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._1 <= b._1 && a._2 <= b._2,
+        s"sweep must be monotone: $ordered")
+    case _ =>
+    }
+    // the bank's largest entry IS the gated ivf configuration: its
+    // overlap and MRR numerator equal the eval harness's summary row
+    val summary = Ann.evalIvf(spark, Sf).collect()
+      .filter(_.getLong(0) == -1L).head
+    assert(rows(Ann.NProbeSweep.max.toLong)._1 == summary.getLong(1),
+      "full-probe overlap must equal ann_eval_ivf's summary")
+    assert(rows(Ann.NProbeSweep.max.toLong)._3 == summary.getLong(4),
+      "full-probe rr_micro must equal ann_eval_ivf's summary")
+    assert(math.abs(rows(Ann.NProbeSweep.max.toLong)._2
+      - summary.getDouble(2)) < 1e-6)
+  }
+
   test("ann_eval: a recall-0 query still appears and deflates the summary (not silently dropped)") {
     import spark.implicits._
     // truth: q1 -> {10, 11}; q2 -> {20, 21}. approx: q1 perfect, q2
