@@ -189,6 +189,7 @@ object SparkEntry {
     "mm_decode_meta" -> (Multimodal.decodeMetaReal _),
     "mm_decode_hist" -> (Multimodal.pixelHistReal _),
     "mm_dhash" -> (Multimodal.mediaDhash _),
+    "mm_phash" -> (Multimodal.mediaPhash _),
     "mm_dedup_real" -> (Multimodal.nearDupDhash _),
     "mm_dedup_hamming" -> ((s: SparkSession, d: String) =>
       Multimodal.nearDupHamming(s, d)),
@@ -2394,6 +2395,7 @@ object SparkEntry {
     "mm_dhash" -> Multimodal.mediaDhashOracleSql,
     "mm_dedup_real" -> Multimodal.nearDupDhashOracleSql,
     "mm_dedup_hamming" -> Multimodal.nearDupHammingOracleSql,
+    "mm_phash" -> Multimodal.mediaPhashOracleSql,
     // Same 16-bit-limb bucket arithmetic as TextOps.splitAssignment —
     // equal to (doc_id * 2654435761) % 2^32 but overflow-free for
     // doc_id beyond ~3.5e9 on both engines.

@@ -372,6 +372,100 @@ object Multimodal {
        SELECT dhash, count(*) AS n_docs, min(doc_id) AS keep_id
        FROM h GROUP BY dhash HAVING count(*) > 1 ORDER BY dhash"""
 
+  /** Fixed-point 8×8 DCT-II basis, scale 2¹⁶, orthonormal s(u)
+    * factors folded in: `B(u)(x) = round(s(u)·cos((2x+1)uπ/16)·2¹⁶)`.
+    * Generated ONCE here and embedded as literals in the oracle, so
+    * the two engines share the identical integer matrix by
+    * construction (the LSH-hyperplane discipline). */
+  private[graft] val DctB: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+    val s = if (u == 0) math.sqrt(1.0 / 8) else math.sqrt(2.0 / 8)
+    math.round(s * math.cos((2 * x + 1) * u * math.Pi / 16) * 65536.0)
+  }
+
+  /** REAL pHash — the DCT perceptual fingerprint ([[dhashBatch]]'s
+    * frequency-domain sibling, the other hash every image-dedup
+    * pipeline ships): decode → 8×8 nearest-neighbor thumbnail →
+    * integer 2D DCT-II ([[DctB]] fixed point — every coefficient is
+    * an exact BIGINT sum of g·B·B products, ≤ 2⁴⁴) → one bit per
+    * non-DC coefficient vs the lower MEDIAN of the 63 (selection by
+    * the (value, u, v) total order — deterministic under ties).
+    * 63 bits, one long per image, map-side batched decode. */
+  private[graft] def phashBatch(batch: Seq[MediaBlob]): Seq[(Long, Long)] =
+    batch.map { b =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b.payload))
+      require(img != null, s"mm_phash: undecodable image, doc ${b.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = Array.tabulate(8, 8)((x, y) =>
+        (img.getRGB(x * w / 8, y * h / 8) & 0xff).toLong)
+      val coefs = for {
+        u <- 0 until 8; v <- 0 until 8 if !(u == 0 && v == 0)
+      } yield {
+        var c = 0L
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            c += g(x)(y) * DctB(u)(x) * DctB(v)(y)
+            y += 1
+          }
+          x += 1
+        }
+        (u, v, c)
+      }
+      val med = coefs.sortBy(t => (t._3, t._1, t._2)).apply(31)._3
+      var hv = 0L
+      coefs.foreach { case (u, v, c) =>
+        if (c > med) hv |= 1L << (u * 8 + v - 1)
+      }
+      (b.doc_id, hv)
+    }
+
+  /** The pHash fingerprint table over the really-decoded corpus —
+    * [[mediaDhash]]'s DCT sibling; the oracle regenerates every
+    * planted pixel AND replays the integer DCT with the same
+    * embedded basis. */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageBlobs(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(phashBatch))
+      .toDF("doc_id", "phash")
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[mediaPhash]]: planted-geometry
+    * thumbnail pixels × the embedded basis literals, lower-median
+    * selection by (value, u, v), bit-packed. */
+  def mediaPhashOracleSql: String = {
+    val basis = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${DctB(u)(x)})").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+              8 + length(text) % 16 AS h FROM documents),
+       g AS (SELECT doc_id,
+               x, y,
+               (((x * w // 8) * 7 + (y * h // 8) * 13
+                 + doc_id * 31) % 256) AS px
+             FROM d, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+       bq AS (SELECT * FROM (VALUES $basis) AS t(u, x, bv)),
+       coef AS (SELECT g.doc_id, bu.u, bv.u AS v,
+                       CAST(sum(g.px * bu.bv * bv.bv) AS BIGINT) AS c
+                FROM g JOIN bq bu ON bu.x = g.x
+                       JOIN bq bv ON bv.x = g.y
+                GROUP BY 1, 2, 3),
+       lf AS (SELECT doc_id, u, v, c FROM coef WHERE NOT (u = 0 AND v = 0)),
+       med AS (SELECT doc_id, c AS mval FROM (
+                 SELECT doc_id, c,
+                        row_number() OVER (PARTITION BY doc_id
+                          ORDER BY c, u, v) AS rn
+                 FROM lf) WHERE rn = 32)
+       SELECT lf.doc_id,
+              CAST(sum(CASE WHEN lf.c > med.mval
+                       THEN (CAST(1 AS BIGINT) << (lf.u * 8 + lf.v - 1))
+                       ELSE 0 END) AS BIGINT) AS phash
+       FROM lf JOIN med ON med.doc_id = lf.doc_id
+       GROUP BY lf.doc_id ORDER BY lf.doc_id"""
+  }
+
   /** HAMMING-TOLERANT perceptual near-dup — [[nearDupDhash]] catches
     * only bit-exact fingerprints; real near-dups (recompressed,
     * slightly cropped, brightness-jittered copies) land a few bits

@@ -162,6 +162,31 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("REAL pHash: constant image hashes 0, thumbnail-equal resolutions agree, inversion differs") {
+    def hashOf(w: Int, h: Int, pix: (Int, Int) => Int): Long =
+      Multimodal.phashBatch(Seq(Multimodal.MediaBlob(0L, "image",
+        Multimodal.bmpBytes(w, h, pix)))).head._2
+    // constant image: every non-DC DCT coefficient is 0, median 0,
+    // strict > never fires
+    assert(hashOf(8, 8, (_, _) => 128) == 0L)
+    // nearest-neighbor 2:1 map: a 16x16 image whose pixels depend only
+    // on (x div 2, y div 2) thumbnails identically to the 8x8 original
+    val f = (x: Int, y: Int) => (x * 37 + y * 11) % 256
+    assert(hashOf(16, 16, (x, y) => f(x / 2, y / 2)) == hashOf(8, 8, f))
+    // photometric inversion flips every non-DC coefficient's sign —
+    // a DIFFERENT fingerprint (and basis sanity: both are nonzero)
+    val a = hashOf(8, 8, f)
+    val b = hashOf(8, 8, (x, y) => 255 - f(x, y))
+    assert(a != 0L && b != 0L && a != b)
+    // the DCT basis is the orthonormal one: row 0 is constant, every
+    // other row sums to ~0 in fixed point
+    assert(Multimodal.DctB(0).distinct.length == 1)
+    (1 until 8).foreach { u =>
+      assert(math.abs(Multimodal.DctB(u).sum) <= 4,
+        s"basis row $u must be zero-mean: ${Multimodal.DctB(u).toSeq}")
+    }
+  }
+
   test("mm_dedup_hamming: planted ±1/±3-bit pairs found, ±4-bit pair excluded") {
     import spark.implicits._
     val base = 0x00A5C3E1B2D4F6L // arbitrary 56-bit fingerprint
