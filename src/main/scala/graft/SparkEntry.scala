@@ -90,6 +90,7 @@ object SparkEntry {
     "q_nearest_join" -> (Events.qNearestJoin _),
     "events_seasonality" -> (Events.eventsSeasonality _),
     "events_stl" -> (Events.eventsStl _),
+    "q_islands" -> (Events.qIslands _),
     "events_attribution" -> (Events.qAttribution _),
     "q_range_join" -> (Events.qRangeJoin _),
     "q_gap_fill" -> (Events.qGapFill _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "profile_histogram" -> ((s, d) => Profile.histogramProfile(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "graph_pagerank_weighted" -> ((s, d) => Graph.pagerankWeighted(s, d)),
+    "graph_hits" -> ((s, d) => Graph.hits(s, d)),
     "graph_pagerank_resume" -> ((s: SparkSession, d: String) => Graph.pagerankResume(s, d)),
     "graph_triangles" -> (Graph.supplierTriangles _),
     "graph_assortativity" -> (Graph.assortativity _),
@@ -159,6 +161,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_sweep" -> (Dedup.sweep _),
     "dedup_sweep_jaccard" -> (Dedup.sweepJaccard _),
+    "dedup_sweep_lsh" -> ((s: SparkSession, d: String) => Dedup.sweepLsh(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringSpans(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
@@ -1404,6 +1407,21 @@ object SparkEntry {
                            / CAST(n_days * ss AS DOUBLE), 0) AS BIGINT)
                   AS index_micro
          FROM p CROSS JOIN t ORDER BY dow_iso""",
+    // gaps-and-islands: day - row_number() island key over distinct
+    // (user, day); one missed day breaks the streak
+    "q_islands" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+           FROM events),
+         isl AS (SELECT user_id, day,
+                        day - row_number() OVER (PARTITION BY user_id
+                          ORDER BY day) AS island
+                 FROM ud)
+         SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+                CAST(count(*) AS BIGINT) AS len_days
+         FROM isl GROUP BY user_id, island
+         ORDER BY user_id, start_day""",
     // STL decomposition of daily revenue: zero-filled spine, centered
     // 7-day integer trend, per-dow seasonal as mean(cents)-mean(trend)
     // (both divisions on non-negative milli sums — the truncate-vs-
@@ -1636,6 +1654,7 @@ object SparkEntry {
          FROM m GROUP BY col_name ORDER BY col_name""",
     "graph_pagerank" -> pagerankSql,
     "graph_pagerank_weighted" -> pagerankWeightedSql,
+    "graph_hits" -> Graph.hitsOracleSql(),
     // SAME oracle text as graph_pagerank: 3 cold rounds + a 2-round
     // warm resume from the full round-3 vector must be bit-identical
     // to 5 straight rounds — the hash match IS the resume proof
@@ -1992,6 +2011,7 @@ object SparkEntry {
     // bound, tighter thresholds sliced row-locally; absent → 0
     "dedup_sweep" -> Dedup.sweepOracleSql,
     "dedup_sweep_jaccard" -> Dedup.sweepJaccardOracleSql,
+    "dedup_sweep_lsh" -> Dedup.sweepLshOracleSql(),
     "text_langid" -> {
       val lexRows = graft.operators.TextOps.Profiles.toSeq.sortBy(_._1)
         .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }

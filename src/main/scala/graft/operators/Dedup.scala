@@ -957,6 +957,155 @@ object Dedup {
         ORDER BY tb.threshold"""
   }
 
+  /** Banding bank for [[sweepLsh]] — k = 32 minhashes split as
+    * (bands, rows) = (4,8) / (8,4) / (16,2): more bands ⇒ steeper
+    * recall at lower similarity, more candidates. */
+  val LshBandSweep: Seq[Int] = Seq(4, 8, 16)
+
+  /** LSH BANDING SWEEP — the tuning readout behind "how many bands":
+    * per (bands, rows) configuration, the candidate-pair volume (the
+    * COST knob), the exact-verified ≥ τ pair count, the ground-truth
+    * pair count, and recall — all from ONE signature pass (the 32
+    * minhashes are computed once; each configuration's band keys are
+    * a row-local regroup of the same entries, and the candidate join
+    * runs once with the configuration in the key). Ground truth is
+    * the exact shingle-Jaccard pair set at τ. Output = |bank| rows at
+    * any corpus size; the sweep shares the corpus's one shingling
+    * pass with every other dedup operator in the run. */
+  def sweepLsh(spark: SparkSession, dir: String, tau: Double = 0.5,
+      k: Int = 32): DataFrame = {
+    val g = sharedGrams(spark, dir)
+    val sig = g.filter(size(col("grams")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SketchExprs.minhashSig(col("grams"), k).as("sig"))
+    val arms = LshBandSweep.flatMap { bands =>
+      val r = k / bands
+      (0 until bands).map { b =>
+        struct(lit(bands.toLong).as("bands"),
+          concat(lit(s"$b#"),
+            concat_ws("_", (b * r until (b + 1) * r).map(i =>
+              element_at(col("sig"), i + 1).cast("string")): _*)).as("bk"))
+      }
+    }
+    val keyed = sig
+      .select(col("doc_id"), explode(array(arms: _*)).as("e"))
+      .select(col("doc_id"), col("e.bands").as("bands"), col("e.bk").as("bk"))
+    val cands = keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.bands") === col("y.bands") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.bands").as("bands"), col("x.doc_id").as("d1"),
+        col("y.doc_id").as("d2"))
+      .distinct()
+    val nCand = cands.groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val nVer = cands
+      .join(g.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
+      .join(g.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
+      .filter(round(jaccard(col("g1"), col("g2")), 6) >= tau)
+      .groupBy(col("bands")).agg(count(lit(1)).as("n_verified"))
+    val nTruth = sharedJaccardPairs(spark, dir, tau)
+      .agg(count(lit(1)).as("n_truth"))
+    val bank = spark.range(1)
+      .select(explode(array(LshBandSweep.map(b => lit(b.toLong)): _*))
+        .as("bands"))
+    bank.join(nCand, Seq("bands"), "left")
+      .join(nVer, Seq("bands"), "left")
+      .crossJoin(broadcast(nTruth))
+      .select(col("bands"), (lit(k.toLong) / col("bands")).cast("long")
+          .as("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        col("n_truth"),
+        when(col("n_truth") > 0,
+          round(coalesce(col("n_verified"), lit(0L)).cast("double") /
+            col("n_truth").cast("double"), 6)).otherwise(lit(0.0))
+          .as("recall"))
+      .orderBy(col("bands"))
+  }
+
+  /** Generated DuckDB oracle for [[sweepLsh]] — the minhash signature
+    * SQL (same affine salts), every configuration's band keys from
+    * the one signature table, candidate/verify/truth counts. */
+  def sweepLshOracleSql(tau: Double = 0.5, k: Int = 32): String = {
+    val (as, bs) = graft.functions.PortableHash.affineParams(k)
+    val sigCols = (0 until k).map(i =>
+      s"min((${as(i)} * hp + ${bs(i)}) % 2147483647) AS s$i")
+      .mkString(",\n                 ")
+    val armSelects = LshBandSweep.map { bands =>
+      val r = k / bands
+      val keys = (0 until bands).map { b =>
+        val parts = (b * r until (b + 1) * r)
+          .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || '_' || ")
+        s"'$b#' || $parts"
+      }.mkString(",\n                 ")
+      s"""SELECT doc_id, CAST($bands AS BIGINT) AS bands, unnest([
+                 $keys]) AS bk FROM sig"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS gs
+           FROM toks),
+         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         hpq AS (SELECT doc_id,
+                       CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+                         % 2147483647 AS hp
+                FROM posts),
+         sig AS (SELECT doc_id,
+                 $sigCols
+                 FROM hpq GROUP BY doc_id),
+         bkall AS ($armSelects),
+         cand AS (SELECT DISTINCT a.bands, a.doc_id AS d1, b.doc_id AS d2
+                  FROM bkall a JOIN bkall b
+                    ON a.bands = b.bands AND a.bk = b.bk
+                       AND a.doc_id < b.doc_id),
+         nc AS (SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates
+                FROM cand GROUP BY 1),
+         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+         cint AS (SELECT c.bands, c.d1, c.d2, count(*) AS inter
+                  FROM cand c
+                  JOIN posts p1 ON p1.doc_id = c.d1
+                  JOIN posts p2 ON p2.doc_id = c.d2 AND p2.gram = p1.gram
+                  GROUP BY 1, 2, 3),
+         nv AS (SELECT i.bands, CAST(count(*) AS BIGINT) AS n_verified
+                FROM cint i
+                JOIN sizes s1 ON s1.doc_id = i.d1
+                JOIN sizes s2 ON s2.doc_id = i.d2
+                WHERE round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6)
+                        >= $tau
+                GROUP BY 1),
+         tint AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                  FROM posts a JOIN posts b
+                    ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth
+                FROM tint i
+                JOIN sizes s1 ON s1.doc_id = i.d1
+                JOIN sizes s2 ON s2.doc_id = i.d2
+                WHERE round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6)
+                        >= $tau),
+         tb AS (SELECT CAST(unnest([${LshBandSweep.mkString(", ")}])
+                  AS BIGINT) AS bands)
+         SELECT tb.bands, CAST($k // tb.bands AS BIGINT) AS rows_per_band,
+                coalesce(nc.n_candidates, 0) AS n_candidates,
+                coalesce(nv.n_verified, 0) AS n_verified,
+                nt.n_truth,
+                CASE WHEN nt.n_truth > 0
+                     THEN round(CAST(coalesce(nv.n_verified, 0) AS DOUBLE)
+                                / CAST(nt.n_truth AS DOUBLE), 6)
+                     ELSE 0.0 END AS recall
+         FROM tb LEFT JOIN nc ON nc.bands = tb.bands
+                 LEFT JOIN nv ON nv.bands = tb.bands
+                 CROSS JOIN nt
+         ORDER BY tb.bands"""
+  }
+
   /** SemDeDup-shaped semantic dedup: LEARNED blocking. Where
     * [[embeddingDf]] blocks on a given label column, here the blocks
     * are the integer-exact k-means clusters ([[Cluster.kmeansAssign]])

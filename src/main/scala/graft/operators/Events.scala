@@ -732,6 +732,33 @@ object Events {
       .orderBy(col("dow_iso"))
   }
 
+  /** GAPS-AND-ISLANDS — the classic SQL shape for "consecutive-day
+    * activity streaks": per user, maximal runs of consecutive active
+    * days (one missed day breaks the streak), via the day −
+    * row_number() island key (consecutive days share it; any gap
+    * shifts it). Exact epoch-day arithmetic; per-user windows are
+    * day-count-bounded. Output: one row per streak with start/end/
+    * length, the engagement-streak table a retention dashboard draws.
+    * Scale: one distinct (user, day) aggregate, one partitioned
+    * window, one grouped fold — all keyed on user, one shuffle
+    * lineage. */
+  def qIslands(spark: SparkSession, dir: String): DataFrame =
+    islandsDf(Tables(spark, dir).events)
+
+  def islandsDf(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ud.withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("len_days"))
+      .select(col("user_id"), col("start_day"), col("end_day"),
+        col("len_days"))
+      .sortWithinPartitions("user_id", "start_day")
+  }
+
   /** STL-shaped seasonal-trend DECOMPOSITION of the daily revenue
     * series — the classical split every time-series dashboard draws:
     * per day, TREND (centered 7-day moving average over a zero-filled

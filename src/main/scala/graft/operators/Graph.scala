@@ -408,6 +408,115 @@ object Graph {
     * conservation, so pr·w ≤ Scale·MaxEdgeWeight < 2⁶³. */
   val MaxEdgeWeight: Long = Long.MaxValue / Scale - 1
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * customer→supplier trade graph — the mutually-recursive ranking
+    * PageRank doesn't express: a good hub (customer) points at good
+    * authorities (suppliers), a good authority is pointed at by good
+    * hubs. Micro-unit trajectory with per-round MAX normalization:
+    * sums are exact BIGINTs of ≤10⁶ scores (no product can overflow
+    * at any node count), and the normalization is ONE double division
+    * per entry quantized to micro units — the seasonality discipline;
+    * both engines evaluate the identical IEEE expression, and HITS
+    * needs a normalizer anyway (the textbook L2 norm is irrational;
+    * the round maximum is the standard power-iteration alternative,
+    * pinning each side's leader at exactly 10⁶). Each
+    * half-round is one vector join + one destination-grouped sum
+    * (map-side partials) + a 1-row max broadcast; 2·iters shuffles
+    * total, only the score vectors move. Output: top-50 hubs and
+    * authorities on the (side, score DESC, node) total order. */
+  def hits(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
+    hitsOf(tradePairs(spark, dir).select(custNode.as("c"), suppNode.as("s")),
+      iters)
+
+  /** HITS micro fixed point (10⁶): small enough that a per-node sum
+    * of scores times any realistic node count stays far under 2⁶³. */
+  private[graft] val HitsScale = 1000000L
+
+  /** The HITS loop over ANY directed (c, s) edge frame (spec
+    * surface; [[hits]] derives the trade edges inline). */
+  private[graft] def hitsOf(edges: DataFrame, iters: Int = 5): DataFrame = {
+    var h = edges.select(col("c").as("node")).distinct()
+      .withColumn("h", lit(HitsScale))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      // each half-round EAGERLY checkpoints its node-sized vector:
+      // the max-normalization references the pre-division sums twice
+      // (once per row, once under the broadcast max), so an
+      // unmaterialized lineage would double per half-round —
+      // exponential replanning by round 5 (the kmeans discipline:
+      // materialize the small state, keep the big side cached)
+      val ap = edges
+        .join(h.select(col("node").as("c"), col("h")).hint("shuffle_hash"),
+          Seq("c"))
+        .groupBy(col("s")).agg(sum(col("h")).as("ap"))
+        .localCheckpoint(true)
+      val am = ap.agg(max(col("ap")).as("m"))
+      a = ap.crossJoin(broadcast(am))
+        .select(col("s").as("node"),
+          when(col("m") > 0,
+            org.apache.spark.sql.functions.round(lit(1e6) *
+              col("ap").cast("double") / col("m").cast("double"), 0)
+              .cast("long"))
+            .otherwise(lit(0L)).as("a"))
+      val hp = edges
+        .join(a.select(col("node").as("s"), col("a")).hint("shuffle_hash"),
+          Seq("s"))
+        .groupBy(col("c")).agg(sum(col("a")).as("hp"))
+        .localCheckpoint(true)
+      val hm = hp.agg(max(col("hp")).as("m"))
+      h = hp.crossJoin(broadcast(hm))
+        .select(col("c").as("node"),
+          when(col("m") > 0,
+            org.apache.spark.sql.functions.round(lit(1e6) *
+              col("hp").cast("double") / col("m").cast("double"), 0)
+              .cast("long"))
+            .otherwise(lit(0L)).as("h"))
+    }
+    val hubs = h.select(lit("hub").as("side"), col("node"),
+      col("h").as("score")).orderBy(col("score").desc, col("node")).limit(50)
+    val auths = a.select(lit("auth").as("side"), col("node"),
+      col("a").as("score")).orderBy(col("score").desc, col("node")).limit(50)
+    hubs.unionByName(auths)
+      .orderBy(col("side"), col("score").desc, col("node"))
+  }
+
+  /** Generated DuckDB oracle for [[hits]] — the identical unrolled
+    * max-normalized integer chain. */
+  def hitsOracleSql(iters: Int = 5): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ap$i AS MATERIALIZED (SELECT e.s, CAST(sum(h.h) AS BIGINT) AS ap
+           FROM edges e JOIN h${i - 1} h ON h.node = e.c GROUP BY e.s),
+       am$i AS (SELECT max(ap) AS m FROM ap$i),
+       a$i AS MATERIALIZED (SELECT s AS node,
+                 CASE WHEN m > 0 THEN CAST(round(1e6 * CAST(ap AS DOUBLE)
+                        / CAST(m AS DOUBLE), 0) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS a
+               FROM ap$i CROSS JOIN am$i),
+       hp$i AS MATERIALIZED (SELECT e.c, CAST(sum(a.a) AS BIGINT) AS hp
+           FROM edges e JOIN a$i a ON a.node = e.s GROUP BY e.c),
+       hm$i AS (SELECT max(hp) AS m FROM hp$i),
+       h$i AS MATERIALIZED (SELECT c AS node,
+                 CASE WHEN m > 0 THEN CAST(round(1e6 * CAST(hp AS DOUBLE)
+                        / CAST(m AS DOUBLE), 0) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS h
+               FROM hp$i CROSS JOIN hm$i)"""
+    }.mkString(",\n       ")
+    s"""WITH edges AS MATERIALIZED (
+        SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+               'S' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      h0 AS MATERIALIZED (SELECT DISTINCT c AS node, CAST($HitsScale AS BIGINT) AS h
+             FROM edges),
+      $rounds
+      SELECT * FROM (
+        (SELECT 'hub' AS side, node, h AS score FROM h$iters
+         ORDER BY score DESC, node LIMIT 50)
+        UNION ALL
+        (SELECT 'auth' AS side, node, a AS score FROM a$iters
+         ORDER BY score DESC, node LIMIT 50))
+      ORDER BY side, score DESC, node"""
+  }
+
   /** Strong-tie supplier graph: an edge between two suppliers that
     * co-supplied at least `minOrders` distinct orders. Pair
     * generation is the bounded per-order self-join (pairs per order ≤

@@ -397,6 +397,32 @@ class DedupSpec extends SparkSpecBase {
       "the planted corpus must have pairs at the lowest bound")
   }
 
+  test("lsh banding sweep: nested candidates, monotone recall, 8-band row equals the gated run") {
+    val rows = Dedup.sweepLsh(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet == Dedup.LshBandSweep.map(_.toLong).toSet)
+    Dedup.LshBandSweep.foreach { b =>
+      assert(rows(b.toLong)._1 == 32L / b, s"rows_per_band at $b bands")
+    }
+    // a coarse band is a concatenation of finer bands, so candidate
+    // sets are NESTED: counts monotone non-decreasing in band count
+    val ordered = Dedup.LshBandSweep.map(b => rows(b.toLong))
+    ordered.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._5 <= b._5,
+        s"banding sweep must be monotone: $ordered")
+    case _ =>
+    }
+    // the (8, 4) row IS the gated dedup_minhash_lsh configuration
+    val gated = Dedup.minhashLsh(spark, Sf).count()
+    assert(rows(8L)._3 == gated,
+      s"8-band verified count ${rows(8L)._3} != gated $gated")
+    // truth column is shared and equals the exact pair count
+    val truth = Dedup.ngramJaccard(spark, Sf, tau = 0.5).count()
+    assert(rows(8L)._4 == truth)
+  }
+
   test("substring spans: disjoint texts produce no groups") {
     val docs = Seq(
       (1L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4)),

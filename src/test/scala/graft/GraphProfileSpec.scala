@@ -799,4 +799,35 @@ class GraphProfileSpec extends SparkSpecBase {
       assert(e == 1 && dPpm == 1000000L, s"pair community $c malformed")
     }
   }
+
+  test("hits: planted bipartite star — shared authority wins, the double-hub wins") {
+    import spark.implicits._
+    // C1->S1, C1->S2, C2->S1, C3->S1: S1 is cited by all three hubs,
+    // C1 cites both authorities
+    val edges = Seq(("C1", "S1"), ("C1", "S2"), ("C2", "S1"), ("C3", "S1"))
+      .toDF("c", "s")
+    val got = graft.operators.Graph.hitsOf(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val auth = got.filter(_._1 == "auth").map(t => t._2 -> t._3).toMap
+    val hub = got.filter(_._1 == "hub").map(t => t._2 -> t._3).toMap
+    assert(auth.keySet == Set("S1", "S2") && hub.keySet == Set("C1", "C2", "C3"))
+    // max normalization pins the leaders at exactly Scale
+    assert(auth("S1") == graft.operators.Graph.HitsScale && auth("S1") > auth("S2"))
+    assert(hub("C1") == graft.operators.Graph.HitsScale)
+    assert(hub("C2") == hub("C3") && hub("C1") > hub("C2"))
+    // output rides the (side, score desc, node) total order
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+  }
+
+  test("hits: trade-graph shape — sides are typed, leaders normalized, output bounded") {
+    val got = graft.operators.Graph.hits(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val (auths, hubs) = got.partition(_._1 == "auth")
+    // sf0.001 has only 10 suppliers; the hub side fills its 50
+    assert(auths.nonEmpty && auths.length <= 50 && hubs.length == 50)
+    assert(auths.forall(_._2.startsWith("S")) && hubs.forall(_._2.startsWith("C")))
+    assert(auths.map(_._3).max == graft.operators.Graph.HitsScale)
+    assert(hubs.map(_._3).max == graft.operators.Graph.HitsScale)
+    assert(got.forall(t => t._3 >= 0L && t._3 <= graft.operators.Graph.HitsScale))
+  }
 }

@@ -250,6 +250,21 @@ class IncrementalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_islands: planted streaks split exactly on missed days") {
+    import spark.implicits._
+    def t(day: Int) = new Timestamp((19000L + day) * 86400000L)
+    // u1 active days {0,1,2, 5, 7,8}; u2 one day; two events on one
+    // day must not double-count
+    val ev = Seq((1L, t(0)), (1L, t(1)), (1L, t(2)), (1L, t(5)),
+      (1L, t(7)), (1L, t(8)), (1L, t(8)), (2L, t(3)))
+      .toDF("user_id", "ts")
+    val got = Events.islandsDf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1) - 19000L,
+        r.getLong(2) - 19000L, r.getLong(3))).toSet
+    assert(got == Set((1L, 0L, 2L, 3L), (1L, 5L, 5L, 1L),
+      (1L, 7L, 8L, 2L), (2L, 3L, 3L, 1L)), got.toString)
+  }
+
   test("events_stl: a pure weekly pattern decomposes to flat trend, exact seasonal, zero residual") {
     import spark.implicits._
     // one purchase per epoch day e in [19000, 19020], cents = 7000 +
