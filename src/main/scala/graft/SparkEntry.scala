@@ -90,6 +90,8 @@ object SparkEntry {
     "q_nearest_join" -> (Events.qNearestJoin _),
     "events_seasonality" -> (Events.eventsSeasonality _),
     "events_stl" -> (Events.eventsStl _),
+    "events_anomaly_stl" -> ((s: SparkSession, d: String) =>
+      Events.eventsAnomalyStl(s, d)),
     "q_islands" -> (Events.qIslands _),
     "events_attribution" -> (Events.qAttribution _),
     "q_range_join" -> (Events.qRangeJoin _),
@@ -1454,6 +1456,51 @@ object SparkEntry {
                      - s.seasonal_milli AS BIGINT) AS resid_milli
          FROM inn i JOIN seas s ON s.dow = i.dow
          ORDER BY i.day""",
+    // STL residuals vs median + k*MAD — both robust statistics are
+    // rank SELECTIONS on (value, day), no division anywhere
+    "events_anomaly_stl" ->
+      """WITH daily AS (
+           SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         sp AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+         spine AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM sp),
+         filled AS (SELECT spine.day, coalesce(d.cents, 0) AS cents
+                    FROM spine LEFT JOIN daily d ON d.day = spine.day),
+         tr AS (SELECT day, cents,
+                  CAST(sum(cents) OVER (ORDER BY day
+                    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+                    // 7 AS trend_cents
+                FROM filled),
+         inn AS (SELECT t.day, t.cents, t.trend_cents, t.day % 7 AS dow
+                 FROM tr t CROSS JOIN sp
+                 WHERE t.day >= sp.dmin + 3 AND t.day <= sp.dmax - 3),
+         seas AS (SELECT dow,
+                    CAST((1000 * sum(cents)) // count(*)
+                      - (1000 * sum(trend_cents)) // count(*) AS BIGINT)
+                      AS seasonal_milli
+                  FROM inn GROUP BY 1),
+         r AS (SELECT i.day, i.cents,
+                      CAST(1000 * i.cents - 1000 * i.trend_cents
+                           - s.seasonal_milli AS BIGINT) AS resid_milli
+               FROM inn i JOIN seas s ON s.dow = i.dow),
+         mr AS (SELECT (count(*) + 1) // 2 AS mrank FROM r),
+         med AS (SELECT resid_milli AS med_milli FROM
+                 (SELECT resid_milli,
+                         row_number() OVER (ORDER BY resid_milli, day) AS rn
+                  FROM r) CROSS JOIN mr WHERE rn = mrank),
+         dev AS (SELECT r.day, r.cents, r.resid_milli, med.med_milli,
+                        abs(r.resid_milli - med.med_milli) AS adev
+                 FROM r CROSS JOIN med),
+         mad AS (SELECT adev AS mad_milli FROM
+                 (SELECT adev, day,
+                         row_number() OVER (ORDER BY adev, day) AS rn
+                  FROM dev) CROSS JOIN mr WHERE rn = mrank)
+         SELECT d.day, d.cents, d.resid_milli, d.med_milli, mad.mad_milli,
+                (abs(d.resid_milli - d.med_milli) > 3 * mad.mad_milli)
+                  AS is_anomaly
+         FROM dev d CROSS JOIN mad ORDER BY d.day""",
     "q_range_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
                 p.user_id

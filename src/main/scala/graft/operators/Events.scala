@@ -783,6 +783,44 @@ object Events {
   def eventsStl(spark: SparkSession, dir: String): DataFrame =
     stlDf(Tables(spark, dir).events)
 
+  /** STL-RESIDUAL anomaly flags — what [[qAnomalyDays]]'s raw z-score
+    * cannot see: a day that is normal in absolute volume but abnormal
+    * for its weekday and trend (or vice versa). Flags days whose
+    * decomposition residual deviates from the residual MEDIAN by more
+    * than `k`× the MAD — the robust outlier rule, fully integer:
+    * median and MAD are rank SELECTIONS on the (value, day) total
+    * order (lower median at rank ⌈n/2⌉ — deterministic under ties),
+    * the threshold compare is `|resid − med| · 1 > k · mad` with no
+    * division anywhere. Windows run over the days-bounded STL output
+    * (the scd2-window argument). */
+  def eventsAnomalyStl(spark: SparkSession, dir: String,
+      k: Long = 3L): DataFrame = {
+    val stl = stlDf(Tables(spark, dir).events)
+      .select(col("day"), col("cents"), col("resid_milli"))
+    val n1 = Window.orderBy(col("resid_milli"), col("day"))
+    val withMed = stl
+      .withColumn("rn", row_number().over(n1))
+      .crossJoin(broadcast(stl.agg(((count(lit(1)) + 1) / 2)
+        .cast("long").as("mrank"))))
+    val med = withMed.filter(col("rn") === col("mrank"))
+      .select(col("resid_milli").as("med_milli"))
+    val dev = stl.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("resid_milli") - col("med_milli")))
+    val n2 = Window.orderBy(col("adev"), col("day"))
+    val withMad = dev
+      .withColumn("rn", row_number().over(n2))
+      .crossJoin(broadcast(dev.agg(((count(lit(1)) + 1) / 2)
+        .cast("long").as("mrank"))))
+    val mad = withMad.filter(col("rn") === col("mrank"))
+      .select(col("adev").as("mad_milli"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("cents"), col("resid_milli"),
+        col("med_milli"), col("mad_milli"),
+        (abs(col("resid_milli") - col("med_milli")) >
+          lit(k) * col("mad_milli")).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   def stlDf(events: DataFrame): DataFrame = {
     val daily = events.filter(col("event_type") === "purchase")
       .select(expr("cast(ts as long) div 86400").as("day"),

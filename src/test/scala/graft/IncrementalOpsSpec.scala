@@ -293,6 +293,32 @@ class IncrementalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("events_anomaly_stl: a planted spike flags; clean weekly days do not") {
+    import spark.implicits._
+    import graft.operators.{Events => E}
+    // the pure weekly pattern (zero residuals) + a +$50 spike on day
+    // 10: residual-median stays 0 (a majority of inner days are
+    // untouched), so the spike day must flag and days outside the
+    // spike's 7-day trend window must not
+    def t(day: Int) = new Timestamp((19000L + day) * 86400000L)
+    val ev = (0 to 20).map { d =>
+      val e = 19000L + d
+      val cents = 7000L + 7L * (e % 7) + (if (d == 10) 5000L else 0L)
+      (1L, "purchase", cents / 100.0, t(d))
+    }.toDF("user_id", "event_type", "value", "ts")
+    // drive the gated query's own logic over a temp dir layout: write
+    // the events as the only input the operator reads
+    val dir = java.nio.file.Files.createTempDirectory("graft_astl").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = E.eventsAnomalyStl(spark, dir).collect()
+      .map(r => (r.getLong(0) - 19000L).toInt -> r.getBoolean(5)).toMap
+    assert(got.keySet == (3 to 17).toSet)
+    assert(got(10), "the spiked day must flag")
+    ((3 to 6) ++ (14 to 17)).foreach { d =>
+      assert(!got(d), s"clean day $d outside the spike window flagged")
+    }
+  }
+
   test("events_ltv: conserves revenue, cumulates exactly, stays consistent with retention") {
     val rows = Events.eventsLtv(spark, Sf).collect()
     val ev = graft.core.Tables(spark, Sf).events
