@@ -138,6 +138,7 @@ object SparkEntry {
     "graph_coreness" -> ((s: SparkSession, d: String) => Graph.coreness(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
+    "dedup_normalized" -> (Dedup.exactNormalized _),
     // maxDf passed explicitly: the 100 TB operating configuration of
     // the capped candidate generation (public default is exact/uncapped)
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d, maxDf = 1000)),
@@ -1925,6 +1926,14 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY h""",
+    // NFC + utf8proc-lower (the normalize_text twin) + ASCII \s+
+    // collapse, then the same exact grouping
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                '\s+', ' ', 'g'), ' ')) AS h,
+                min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents
+         GROUP BY 1 ORDER BY h""",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t

@@ -33,6 +33,21 @@ object Dedup {
       // at 100× (the q_bloom_join pattern, Relational.scala)
       .sortWithinPartitions("h")
 
+  /** Canonicalized exact dedup — [[exact]] after the
+    * [[graft.functions.Normalize.normalizeText]] kernel (NFC + simple
+    * casefold) and the engine-portable ASCII whitespace collapse:
+    * catches the copies byte-exact dedup misses (case variants,
+    * decomposed accents, fullwidth clones, whitespace jitter) while
+    * staying one map-side projection + one groupBy. The normalization
+    * step every production exact-dedup pass actually runs first. */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(md5(trim(regexp_replace(
+        graft.functions.Normalize.normalizeText(col("text")),
+        "\\s+", " "))).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .sortWithinPartitions("h")
+
   private def docGrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), grams3(col("text")).as("grams"))
 

@@ -117,6 +117,24 @@ class UnicodeSpec extends SparkSpecBase {
     assert(norm(norm(hostile)) == norm(hostile))
   }
 
+  test("dedup_normalized merges case/NFC/whitespace clones that exact dedup keeps apart") {
+    import java.nio.file.Files
+    val composed = "Café data"           // é composed
+    val decomposed = "Café   DATA"      // e + combining acute, case+ws jitter
+    val distinct = "unrelated text"
+    val docs = Seq((1L, composed), (2L, decomposed), (3L, distinct))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_dnorm").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = graft.operators.Dedup.exact(spark, dir).collect()
+    assert(exact.length == 3, "byte-exact dedup must keep all three apart")
+    val norm = graft.operators.Dedup.exactNormalized(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(norm.size == 2, s"clones must merge: $norm")
+    assert(norm(1L) == 2L, "docs 1+2 form one group under the min keeper")
+    assert(norm(3L) == 1L)
+  }
+
   test("text_normalize collapses ASCII whitespace only — U+3000 is content") {
     import graft.functions.Normalize.normalizeText
     val out = Seq((1L, "  A \t B　C  "))
