@@ -821,11 +821,17 @@ object Events {
       .orderBy(col("day"))
   }
 
-  def stlDf(events: DataFrame): DataFrame = {
-    val daily = events.filter(col("event_type") === "purchase")
+  def stlDf(events: DataFrame): DataFrame =
+    stlOfDaily(events.filter(col("event_type") === "purchase")
       .select(expr("cast(ts as long) div 86400").as("day"),
         round(col("value") * 100, 0).cast("long").as("c"))
-      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents")))
+
+  /** The decomposition fold over ANY (day, cents) daily table — the
+    * half [[graft.streaming.Streams.stlStream]] re-runs per trigger
+    * on its complete-mode running aggregate, so stream ≡ batch by
+    * construction. */
+  private[graft] def stlOfDaily(daily: DataFrame): DataFrame = {
     val span = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
     val spine = span.select(explode(expr("sequence(dmin, dmax)")).as("day"))
     val filled = spine.join(daily, Seq("day"), "left")

@@ -645,6 +645,34 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming SEASONAL-TREND monitor — the live twin of
+    * [[graft.operators.Events.eventsStl]]: purchases stream in, a
+    * complete-mode daily-revenue aggregate keeps ONE exact row per
+    * calendar day (the only state an unbounded purchase feed needs —
+    * bounded by the calendar, not traffic), and each trigger
+    * refreshes the decomposition by running the batch operator's OWN
+    * fold over the full daily table (the view-refresh sink shape,
+    * [[ivmStream]]'s discipline). Because the complete-mode table
+    * after draining IS the batch daily aggregate, stream ≡ batch
+    * under any micro-batch split (StreamingSpec pins a forced
+    * 2-batch split against [[graft.operators.Events.stlDf]]).
+    * Drains synchronously. */
+  def stlStream(events: DataFrame, outPath: String): Unit = {
+    val daily = events
+      .filter(col("event_type") === "purchase")
+      .select(expr("cast(ts as long) div 86400").as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    val q = daily.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Events.stlOfDaily(batch)
+          .write.mode("overwrite").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming ANN admission/probe gate —
     * [[incrementalDedupStream]]'s philosophy applied to SIMILARITY:
     * arriving vectors probe the PERSISTED IVF index

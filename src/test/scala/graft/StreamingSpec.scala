@@ -770,6 +770,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.exists(_._2), "planted corpus must contain near-dups")
   }
 
+  test("streaming STL monitor: 2-batch split refreshes to the exact batch decomposition") {
+    import java.nio.file._
+    val ev = graft.core.Tables(spark, Sf).events
+    // two time-ordered halves -> two micro-batches
+    val split = ev.agg(expr("percentile_approx(cast(ts as long), 0.5)"))
+      .head().getLong(0)
+    val in = Files.createTempDirectory("graft_stl_in").toString
+    ev.filter(col("ts").cast("long") <= split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/a")
+    ev.filter(col("ts").cast("long") > split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b")
+    val staged = Files.createTempDirectory("graft_stl_q")
+    var i = 0
+    for (sub <- Seq("a", "b");
+         f <- new java.io.File(s"$in/$sub").listFiles
+           if f.getName.endsWith(".parquet")) {
+      Files.copy(f.toPath, staged.resolve(s"part$i.parquet")); i += 1
+    }
+    assert(i == 2)
+    val out = Files.createTempDirectory("graft_stl_out").toString
+    Streams.stlStream(
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString), out)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val want = graft.operators.Events.eventsStl(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("streaming ANN probe gate: 2-batch split equals the indexed batch ranking, novelty flagged") {
     import java.nio.file._
     val idxPath = Files.createTempDirectory("graft_annprobe_idx").toString
