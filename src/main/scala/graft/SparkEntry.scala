@@ -199,6 +199,8 @@ object SparkEntry {
     "mm_dedup_real" -> (Multimodal.nearDupDhash _),
     "mm_dedup_hamming" -> ((s: SparkSession, d: String) =>
       Multimodal.nearDupHamming(s, d)),
+    "mm_dedup_phash" -> ((s: SparkSession, d: String) =>
+      Multimodal.nearDupPhash(s, d)),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_readability" -> (TextOps.textReadability _),
@@ -2472,6 +2474,7 @@ object SparkEntry {
     "mm_dedup_real" -> Multimodal.nearDupDhashOracleSql,
     "mm_dedup_hamming" -> Multimodal.nearDupHammingOracleSql,
     "mm_phash" -> Multimodal.mediaPhashOracleSql,
+    "mm_dedup_phash" -> Multimodal.nearDupPhashOracleSql,
     // Same 16-bit-limb bucket arithmetic as TextOps.splitAssignment —
     // equal to (doc_id * 2654435761) % 2^32 but overflow-free for
     // doc_id beyond ~3.5e9 on both engines.

@@ -466,6 +466,25 @@ object Multimodal {
        GROUP BY lf.doc_id ORDER BY lf.doc_id"""
   }
 
+  /** Generated DuckDB oracle for [[nearDupPhash]] — the pHash oracle
+    * chunk-bucketed and xor-verified over its 63 bits. */
+  def nearDupPhashOracleSql: String = {
+    val n = 4 // maxHamming 3 + 1
+    val chunkArms = (0 until n).map { c =>
+      val lo = c * 63 / n
+      val width = (c + 1) * 63 / n - lo
+      s"'$c#' || CAST(((phash >> $lo) & ${(1L << width) - 1}) AS VARCHAR)"
+    }.mkString(", ")
+    s"""WITH h AS (${mediaPhashOracleSql.replace("ORDER BY lf.doc_id", "")}),
+       chunks AS (SELECT doc_id, phash, unnest([$chunkArms]) AS ck FROM h),
+       pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                        bit_count(xor(a.phash, b.phash)) AS hamming
+                 FROM chunks a JOIN chunks b
+                   ON a.ck = b.ck AND a.doc_id < b.doc_id)
+       SELECT d1, d2, hamming FROM pairs
+       WHERE hamming <= 3 ORDER BY d1, d2"""
+  }
+
   /** HAMMING-TOLERANT perceptual near-dup — [[nearDupDhash]] catches
     * only bit-exact fingerprints; real near-dups (recompressed,
     * slightly cropped, brightness-jittered copies) land a few bits
@@ -482,13 +501,24 @@ object Multimodal {
     nearDupHammingOf(
       mediaDhash(spark, dir).select(col("doc_id"), col("dhash")), maxHamming)
 
-  /** The chunk-bucket probe over ANY (doc_id, dhash[56-bit]) table
-    * (spec surface; [[nearDupHamming]] derives the hashes inline). */
+  /** The DCT twin: [[mediaPhash]] fingerprints through the same
+    * chunk-bucket probe (63 hash bits). A dHash-tolerant AND a
+    * pHash-tolerant pass together are the standard production pair —
+    * gradient structure and frequency structure fail differently. */
+  def nearDupPhash(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    nearDupHammingOf(
+      mediaPhash(spark, dir).select(col("doc_id"),
+        col("phash").as("dhash")), maxHamming, bits = 63)
+
+  /** The chunk-bucket probe over ANY (doc_id, dhash) table
+    * (spec surface; [[nearDupHamming]]/[[nearDupPhash]] derive the
+    * hashes inline; `bits` = fingerprint width the chunks cover). */
   private[graft] def nearDupHammingOf(hashes: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, bits: Int = 56): DataFrame = {
     val n = maxHamming + 1
     val chunked = hashes.select(col("doc_id"), col("dhash"),
-      explode(dhashChunks(col("dhash"), n)).as("ck"))
+      explode(dhashChunks(col("dhash"), n, bits)).as("ck"))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
@@ -500,13 +530,13 @@ object Multimodal {
       .sortWithinPartitions("d1", "d2")
   }
 
-  /** The `n` disjoint contiguous chunks of a 56-bit dHash, as
-    * prefixed string keys (chunk c covers bits [c·56/n, (c+1)·56/n)
-    * — together they cover all 56 bits, the pigeonhole premise). */
-  private def dhashChunks(h: Column, n: Int): Column =
+  /** The `n` disjoint contiguous chunks of a `bits`-wide hash, as
+    * prefixed string keys (chunk c covers bits [c·bits/n, (c+1)·bits/n)
+    * — together they cover all bits, the pigeonhole premise). */
+  private def dhashChunks(h: Column, n: Int, bits: Int = 56): Column =
     array((0 until n).map { c =>
-      val lo = c * 56 / n
-      val width = (c + 1) * 56 / n - lo
+      val lo = c * bits / n
+      val width = (c + 1) * bits / n - lo
       concat(lit(s"$c#"),
         shiftright(h, lo).bitwiseAND(lit((1L << width) - 1)).cast("string"))
     }: _*)

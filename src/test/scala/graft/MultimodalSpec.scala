@@ -214,6 +214,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.contains((2L, 3L)), s"hamming(2,3) = 2: $got")
   }
 
+  test("mm_dedup_phash: 63-bit chunking finds top-bit jitter; corpus pairs verified") {
+    import spark.implicits._
+    // a flip in the HIGHEST bit (62) must still bucket — the chunk
+    // map covers all 63 bits, not 56
+    val base = 0x3FA5C3E1B2D4F6L
+    val hashes = Seq(1L -> base, 2L -> (base ^ (1L << 62)))
+      .toDF("doc_id", "dhash")
+    val got = Multimodal.nearDupHammingOf(hashes, maxHamming = 3, bits = 63)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1)), got.toSeq.toString)
+    // real corpus: all reported distances within threshold; exact
+    // pHash dups appear at hamming 0
+    val pairs = Multimodal.nearDupPhash(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty && pairs.forall(p => p._3 >= 0 && p._3 <= 3))
+    val dupGroups = Multimodal.mediaPhash(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).values.filter(_.length > 1)
+    val zero = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    dupGroups.foreach { g =>
+      g.map(_._1).sorted.combinations(2).foreach { case Array(a, b) =>
+        assert(zero.contains((a, b)), s"exact pHash dup ($a,$b) missing")
+      }
+    }
+  }
+
   test("mm_dedup_hamming over the real corpus: supersets exact dedup, verified distances") {
     val pairs = Multimodal.nearDupHamming(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
