@@ -90,6 +90,7 @@ object SparkEntry {
     "q_nearest_join" -> (Events.qNearestJoin _),
     "events_seasonality" -> (Events.eventsSeasonality _),
     "events_stl" -> (Events.eventsStl _),
+    "events_acf" -> ((s: SparkSession, d: String) => Events.eventsAcf(s, d)),
     "events_anomaly_stl" -> ((s: SparkSession, d: String) =>
       Events.eventsAnomalyStl(s, d)),
     "q_islands" -> (Events.qIslands _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "events_retention" -> (Events.qRetention _),
     "events_ltv" -> (Events.eventsLtv _),
     "events_active_users" -> (Events.eventsActiveUsers _),
+    "events_stickiness" -> (Events.eventsStickiness _),
     "events_markov" -> (Events.qMarkov _),
     "events_changepoint" -> (Events.qChangepoint _),
     "events_rfm" -> (Events.qRfm _),
@@ -109,6 +111,9 @@ object SparkEntry {
     "profile_benford" -> (Profile.benfordProfile _),
     "profile_psi" -> (Profile.psiProfile _),
     "profile_ks" -> (Profile.ksProfile _),
+    "profile_jsd" -> (Profile.jsdProfile _),
+    "profile_checks" -> (Profile.checksProfile _),
+    "profile_cat_entropy" -> (Profile.catEntropy _),
     "profile_seq_gaps" -> (Profile.seqProfile _),
     "profile_qsketch" -> ((s: SparkSession, d: String) => Profile.qsketchProfile(s, d)),
     "profile_kmv_overlap" -> (Profile.kmvOverlap _),
@@ -154,6 +159,7 @@ object SparkEntry {
     "emb_kmeans_resume" -> ((s: SparkSession, d: String) => Cluster.embKmeansResume(s, d)),
     "emb_coreset" -> ((s: SparkSession, d: String) => Cluster.embCoreset(s, d)),
     "q_skyline" -> (Skyline.qSkyline _),
+    "q_hierarchy" -> (Hierarchy.hierarchy _),
     "q_set_ops" -> (Relational.qSetOps _),
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "graph_kcore_weighted" -> ((s: SparkSession, d: String) => Graph.kcoreWeighted(s, d)),
@@ -172,8 +178,12 @@ object SparkEntry {
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Dedup.keepBest(s, d)),
     "dedup_components_resume" -> ((s: SparkSession, d: String) => Dedup.ngramComponentsResumed(s, d)),
     "er_fuzzy_names" -> (Linkage.fuzzyNames _),
+    "er_qgram_names" -> (Linkage.qgramNames _),
+    "dedup_prefix_filter" -> ((s: SparkSession, d: String) =>
+      Dedup.prefixJaccard(s, d)),
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
+    "ann_mips" -> (Ann.mips _),
     "ann_lsh" -> (Ann.lsh _),
     "ann_eval" -> (Ann.evalLsh _),
     "ann_eval_ivf" -> (Ann.evalIvf _),
@@ -220,7 +230,11 @@ object SparkEntry {
     "pipeline_decontam" -> ((s: SparkSession, d: String) => Curation.pipelineDecontam(s, d)),
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_weighted" -> (Curation.sampleWeighted _),
+    "sample_uniform_k" -> ((s: SparkSession, d: String) =>
+      Curation.sampleUniformK(s, d)),
     "pipeline_mix" -> (Curation.pipelineMix _),
+    "pipeline_funnel" -> ((s: SparkSession, d: String) =>
+      Curation.pipelineFunnel(s, d)),
     "pipeline_shuffle" -> (Curation.pipelineShuffle _),
     "pipeline_curriculum" -> (Curation.pipelineCurriculum _),
     "pipeline_zorder" -> (Layout.zorderManifest _),
@@ -254,6 +268,21 @@ object SparkEntry {
                   END AS gs
            FROM toks),
          posts AS (SELECT doc_id, unnest(gs) AS gram FROM g)"""
+
+  /** Naive all-pairs levenshtein at the dictionary level — ground
+    * truth by construction, shared by BOTH blocked linkage surfaces
+    * (FastSS deletion variants and positional q-gram count filter):
+    * each hash match proves that blocking complete. Dictionary-
+    * bounded: 64 distinct part names at every SF. */
+  private val FuzzyNamesSql =
+    s"""WITH nm AS (SELECT p_name AS name, count(*) AS cnt
+                   FROM part GROUP BY 1)
+       SELECT a.name AS name_a, b.name AS name_b,
+              CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+              a.cnt AS cnt_a, b.cnt AS cnt_b
+       FROM nm a JOIN nm b ON a.name < b.name
+       WHERE levenshtein(a.name, b.name) <= ${Linkage.Tau}
+       ORDER BY name_a, name_b"""
 
   private val BruteforceTopkSql =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -1460,6 +1489,9 @@ object SparkEntry {
          FROM inn i JOIN seas s ON s.dow = i.dow
          ORDER BY i.day""",
     // STL residuals vs median + k*MAD — both robust statistics are
+    // pre-scaled integer deviations, HUGEINT lag products (the Spark
+    // side's DECIMAL(38,0) twin), one final double division
+    "events_acf" -> graft.operators.Events.acfOracleSql(),
     // rank SELECTIONS on (value, day), no division anywhere
     "events_anomaly_stl" ->
       """WITH daily AS (
@@ -1537,6 +1569,30 @@ object SparkEntry {
                FROM obs GROUP BY day)
          SELECT spine.day, coalesce(c.dau, 0) AS dau,
                 coalesce(c.wau, 0) AS wau, coalesce(c.mau, 0) AS mau
+         FROM spine LEFT JOIN c ON c.day = spine.day
+         ORDER BY spine.day""",
+    // the DAU/MAU ratio on the same exact rolling distincts — one
+    // final rounded division, zero-MAU days report 0
+    "events_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                  user_id
+           FROM events),
+         sp AS (SELECT min(d) AS dmin, max(d) AS dmax FROM ud),
+         spine AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM sp),
+         obs AS (SELECT day, user_id, min(day - d) AS off
+                 FROM (SELECT user_id, d, unnest(range(d, d + 30)) AS day
+                       FROM ud)
+                 CROSS JOIN sp WHERE day <= sp.dmax GROUP BY day, user_id),
+         c AS (SELECT day,
+                      CAST(sum(CASE WHEN off < 1 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+                      CAST(sum(CASE WHEN off < 30 THEN 1 ELSE 0 END) AS BIGINT) AS mau
+               FROM obs GROUP BY day)
+         SELECT spine.day, coalesce(c.dau, 0) AS dau,
+                coalesce(c.mau, 0) AS mau,
+                CASE WHEN coalesce(c.mau, 0) = 0 THEN 0.0
+                     ELSE round(CAST(coalesce(c.dau, 0) AS DOUBLE)
+                                / coalesce(c.mau, 0), 6) END AS stickiness
          FROM spine LEFT JOIN c ON c.day = spine.day
          ORDER BY spine.day""",
     // retention's revenue sibling: same first-active-day cohort,
@@ -1967,6 +2023,38 @@ object SparkEntry {
          JOIN sizes s2 ON s2.doc_id = d2
          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.1
          ORDER BY d1, d2""",
+    // EXACT all-pairs ground truth at τ=0.5 — the Spark side only
+    // ever sees prefix-filtered candidates (rarest-first global
+    // order, first |s|−⌈τ|s|⌉+1 shingles), so the hash match IS the
+    // prefix-bound completeness proof
+    "dedup_prefix_filter" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS gs
+           FROM toks),
+         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         hp AS (SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gid
+                FROM posts),
+         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           FROM hp a JOIN hp b
+             ON a.gid = b.gid AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT d1, d2, inter,
+                round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+         FROM pairs
+         JOIN sizes s1 ON s1.doc_id = d1
+         JOIN sizes s2 ON s2.doc_id = d2
+         WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= 0.5
+         ORDER BY d1, d2""",
     // Recursive-CTE transitive closure over the same pair set the
     // Spark side derives (tiny clusters → closure stays small).
     "dedup_components" -> dedupComponentsSql,
@@ -1980,15 +2068,12 @@ object SparkEntry {
     // candidates, so the hash match proves the blocking complete
     // (the q_salted_join contract). Dictionary-bounded: 64 distinct
     // part names at every SF.
-    "er_fuzzy_names" ->
-      s"""WITH nm AS (SELECT p_name AS name, count(*) AS cnt
-                     FROM part GROUP BY 1)
-         SELECT a.name AS name_a, b.name AS name_b,
-                CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
-                a.cnt AS cnt_a, b.cnt AS cnt_b
-         FROM nm a JOIN nm b ON a.name < b.name
-         WHERE levenshtein(a.name, b.name) <= ${Linkage.Tau}
-         ORDER BY name_a, name_b""",
+    "er_fuzzy_names" -> FuzzyNamesSql,
+    // SAME ground-truth oracle text: the q-gram-blocked surface must
+    // land on the identical pair set, so the hash match proves the
+    // positional count filter (+ short-name fallback) complete — the
+    // dedup_components_resume shared-oracle contract
+    "er_qgram_names" -> FuzzyNamesSql,
     // same postings-hash pair derivation as dedup_ngram_jaccard; only
     // the scoring differs (both per-side containments, max-gated)
     "dedup_containment" ->
@@ -2115,6 +2200,23 @@ object SparkEntry {
     // recall@5 = 1.0; the margin dwarfs the ~1e-2 quantization noise
     // on cosine) — so the brute-force top-k IS its oracle.
     "ann_quantized" -> BruteforceTopkSql,
+    // exact MIPS: same scan, dot-product kernel — both engines sum
+    // the DOUBLE-cast float products in index order
+    "ann_mips" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe),
+                        6) AS dot
+           FROM embeddings e CROSS JOIN q),
+         ranked AS (
+           SELECT qid, vec_id, dot,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY dot DESC, vec_id) AS rank
+           FROM scored)
+         SELECT qid, rank, vec_id, dot FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
     // full-pipeline PQ oracle (not the bruteforce shortcut): the
     // approximate path is integer-exact end to end, so codes, ADC
     // ordering, and the rerank all hash-match by construction rather
@@ -2221,6 +2323,10 @@ object SparkEntry {
          FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97)
          ORDER BY cohort, o_custkey""",
     // quadratic NOT-EXISTS dominance is fine as an oracle at sf0.01;
+    // the naive O(depth) recursive walk vs the Spark side's
+    // O(log depth) pointer doubling — the hash match proves the
+    // doubled composition lands on the identical closure
+    "q_hierarchy" -> graft.operators.Hierarchy.hierarchyOracleSql,
     // the Spark side is the two-phase local-prune skyline
     "q_skyline" ->
       """WITH agg AS (
@@ -2713,6 +2819,7 @@ object SparkEntry {
          WHERE h.b < th.thresh ORDER BY h.doc_id""",
     // Weight-proportional hash gate: keep iff hash mod 2^20 is below
     // floor(w * 2^20) — DOUBLE forced before every division/floor so
+    "sample_uniform_k" -> graft.operators.Curation.sampleUniformKSql(),
     // both engines derive the identical integer threshold.
     "sample_weighted" ->
       """SELECT doc_id,
@@ -2726,6 +2833,7 @@ object SparkEntry {
     // forced-DOUBLE fraction in the identical IEEE op order, the
     // same portable-hash membership gate.
     "pipeline_mix" -> graft.operators.Curation.mixOracleSql,
+    "pipeline_funnel" -> graft.operators.Curation.funnelOracleSql,
     "pipeline_shuffle" -> graft.operators.Curation.shuffleOracleSql,
     // decile stages from the portable bottom-k sample (the
     // profile_quantiles rank rule at pct = 10·i) over a declared
@@ -2763,6 +2871,9 @@ object SparkEntry {
     // per-type terms micro-quantized before the total so the sum is
     // exact BIGINT on both engines
     "profile_psi" -> graft.operators.Profile.psiOracleSql,
+    "profile_jsd" -> graft.operators.Profile.jsdOracleSql,
+    "profile_checks" -> graft.operators.Profile.checksOracleSql,
+    "profile_cat_entropy" -> graft.operators.Profile.catEntropySql,
     // quantized two-sample KS on the shared HDR bucket grid: exact
     // BIGINT D numerator, one final double division
     "profile_ks" -> graft.operators.Profile.ksOracleSql,

@@ -68,6 +68,30 @@ object Ann {
     topkPerQuery(scored)
   }
 
+  /** Exact top-k MAXIMUM INNER PRODUCT search — the retrieval scoring
+    * recommendation and reward models actually use (unnormalized
+    * embeddings encode magnitude = confidence/popularity; cosine
+    * deliberately erases it). Same broadcast×scan plan and
+    * bounded-heap ranking as [[bruteforce]]; only the kernel differs
+    * (the [[Vectors.dotHof]] zip_with/aggregate fold — codegen'd
+    * builtins, summed in index order exactly like the oracle's
+    * list_dot_product over the same DOUBLE-cast floats). This is also
+    * the correctness baseline a FAISS-style MIPS-to-cosine reduction
+    * (append √(M²−‖x‖²) as an extra dimension, then reuse the cosine
+    * index family) would be gated against. */
+  def mips(spark: SparkSession, dir: String): DataFrame = {
+    val scored = emb(spark, dir)
+      .crossJoin(broadcast(queriesDf(spark, dir)))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.dotHof(col("embedding"), col("qe")), 6).as("dot"))
+    scored.groupBy(col("qid"))
+      .agg(TopKScoreAgg.topk(col("dot"), col("vec_id"), TopK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("dot"))
+      .orderBy("qid", "rank")
+  }
+
   /** Range similarity search: ALL corpus vectors within cosine ≥ τ of
     * each query (the "give me everything similar enough" contract —
     * top-k's complement; self-matches excluded). Same broadcast-

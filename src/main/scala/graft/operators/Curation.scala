@@ -121,6 +121,105 @@ object Curation {
       .sortWithinPartitions("doc_id")
   }
 
+  /** The end-to-end curation FUNNEL — the composition readout every
+    * training-data run publishes: how many documents survive each
+    * stage of bench-split → quality gate → exact dedup → benchmark
+    * decontamination, one row per stage. Every stage REUSES the
+    * already-hash-proven operator fold (gopher keep rule, md5
+    * representative selection, 13-gram decontam verdicts), so the
+    * funnel's oracle is the same CTE chain composed — this surface
+    * exists to prove the stages COMPOSE, the property a pipeline
+    * user actually depends on and no per-operator gate shows.
+    *
+    * Shape: four 1-row aggregates over progressively-filtered frames
+    * (semi/anti joins on doc_id — never a second text scan of a
+    * prior stage's survivors beyond what the stage itself needs);
+    * the union is driver-trivial. */
+  def pipelineFunnel(spark: SparkSession, dir: String,
+      benchSource: String = "src0"): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val corpus = docs.filter(col("source") =!= benchSource)
+    val qualIds = textGopherDf(corpus).filter(col("keep")).select("doc_id")
+    val qualDocs = corpus.join(qualIds, Seq("doc_id"), "left_semi")
+    val reps = qualDocs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val contaminated = pipelineDecontamDf(docs, benchSource)
+      .filter(col("contaminated")).select("doc_id")
+    val fin = reps.join(contaminated, Seq("doc_id"), "left_anti")
+    def row(i: Long, nm: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).cast("long").as("n_rows"))
+        .select(lit(i).as("stage"), lit(nm).as("stage_name"), col("n_rows"))
+    row(0L, "raw", corpus)
+      .unionByName(row(1L, "quality", qualIds))
+      .unionByName(row(2L, "dedup", reps))
+      .unionByName(row(3L, "decontam", fin))
+      .orderBy(col("stage"))
+  }
+
+  /** Generated DuckDB oracle for [[pipelineFunnel]] — the gopher,
+    * dedup, and decontam oracle chains composed verbatim. */
+  val funnelOracleSql: String =
+    """WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+       tk AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(text, ' '), '\s+')) AS tok
+         FROM corpus),
+       per AS (
+         SELECT doc_id, count(*) AS n_tokens,
+                sum(length(tok)) AS tok_chars,
+                count(DISTINCT CASE WHEN tok IN
+                  ('the','a','of','and','to','in','is','on','for','with')
+                  THEN tok END) AS n_stop
+         FROM tk GROUP BY doc_id),
+       m AS (
+         SELECT d.doc_id, per.n_tokens,
+                round(per.tok_chars * 1.0 / per.n_tokens, 6) AS avg_word_len,
+                CASE WHEN length(d.text) = 0 THEN 0.0
+                     ELSE round(CAST(length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                                / length(d.text), 6) END AS punct_ratio,
+                per.n_stop
+         FROM corpus d JOIN per ON per.doc_id = d.doc_id),
+       qual AS (
+         SELECT doc_id FROM m
+         WHERE n_tokens BETWEEN 20 AND 1000
+           AND avg_word_len BETWEEN 2.0 AND 10.0
+           AND punct_ratio <= 0.2 AND n_stop >= 2),
+       reps AS (
+         SELECT min(c.doc_id) AS doc_id
+         FROM corpus c JOIN qual q ON q.doc_id = c.doc_id
+         GROUP BY md5(c.text)),
+       toks AS (
+         SELECT doc_id, source, string_split_regex(trim(text, ' '), '\s+') AS t
+         FROM documents),
+       g AS (
+         SELECT doc_id, source,
+                CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(t) - 11),
+                            i -> array_to_string(t[i:i+12], ' ')))
+                END AS gs
+         FROM toks),
+       bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+                 WHERE source = 'src0'),
+       bad AS (SELECT DISTINCT p.doc_id
+               FROM (SELECT doc_id, unnest(gs) AS gram FROM g
+                     WHERE source <> 'src0') p
+               JOIN bench b ON p.gram = b.gram),
+       fin AS (SELECT r.doc_id FROM reps r
+               LEFT JOIN bad ON bad.doc_id = r.doc_id
+               WHERE bad.doc_id IS NULL)
+       SELECT * FROM (
+         SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+                CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_rows
+         UNION ALL
+         SELECT 1, 'quality', CAST((SELECT count(*) FROM qual) AS BIGINT)
+         UNION ALL
+         SELECT 2, 'dedup', CAST((SELECT count(*) FROM reps) AS BIGINT)
+         UNION ALL
+         SELECT 3, 'decontam', CAST((SELECT count(*) FROM fin) AS BIGINT))
+       ORDER BY stage"""
+
   /** PII patterns shared by the Spark expressions and the generated
     * DuckDB oracle — restricted to the regex subset Java and RE2
     * interpret identically (no backrefs, no lookaround). Public so
@@ -246,6 +345,40 @@ object Curation {
       .select(col("doc_id"), round(w, 6).as("weight"))
       .sortWithinPartitions("doc_id")
   }
+
+  /** Exact-size deterministic uniform sample — the fourth sampling
+    * contract: [[sampleStratifiedDf]] equalizes rates,
+    * [[sampleWeightedDf]] follows a score, [[samplePerGroupDf]] fixes
+    * a per-group count; this fixes the TOTAL count `k`, exactly, in
+    * one pass. The classic reservoir-sampling job, made
+    * order-invariant and resumable: rank every row by the portable
+    * 60-bit hash of its id (a fixed random permutation of the corpus,
+    * independent of arrival/partition order) and keep the bottom k.
+    *
+    * Shape: `orderBy(h, id).limit(k)` plans as TakeOrderedAndProject
+    * — a size-k bounded heap PER PARTITION, then a k-row merge on the
+    * driver; no global sort, no full shuffle, identical at any
+    * partitioning (the 5-CPU invariance pass covers it). That is
+    * the distributed reservoir: same guarantee, no sequential scan. */
+  def sampleUniformK(spark: SparkSession, dir: String,
+      k: Int = 200): DataFrame =
+    sampleUniformKDf(Tables(spark, dir).documents, k)
+
+  def sampleUniformKDf(docs: DataFrame, k: Int): DataFrame = {
+    val h = PortableHash.h60(concat(lit("unik#"),
+      col("doc_id").cast("string")))
+    docs.select(col("doc_id"), h.as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** Generated DuckDB oracle for [[sampleUniformK]] — same keyed
+    * hash, same bottom-k. */
+  def sampleUniformKSql(k: Int = 200): String =
+    s"""SELECT doc_id,
+              ('0x' || substring(md5('unik#' || CAST(doc_id AS VARCHAR)),
+                1, 15))::BIGINT AS h
+       FROM documents ORDER BY h, doc_id LIMIT $k"""
 
   def sampleStratifiedDf(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"))

@@ -1121,6 +1121,72 @@ object Dedup {
          ORDER BY tb.bands"""
   }
 
+  /** Jaccard near-dup pairs via PREFIX FILTERING (AllPairs/PPJoin —
+    * Bayardo, Ma & Srikant, WWW 2007; Chaudhuri, Ganti & Kaushik's
+    * SSJoin primitive, ICDE 2006) — the third candidate-generation
+    * discipline beside the inverted-index self-join
+    * ([[ngramJaccard]]) and minhash banding ([[minhashLsh]]), and the
+    * one that stays EXACT while pruning: order every doc's shingle
+    * set by a global total order (df asc, gid asc — rarest first),
+    * keep only the first `|s| − ⌈τ·|s|⌉ + 1` shingles as join keys.
+    * Completeness: a pair with `J ≥ τ` shares `α ≥ ⌈τ·max(|A|,|B|)⌉`
+    * shingles; the smallest shared shingle e₁ (global order) has at
+    * least the other α−1 shared ones AFTER it in BOTH sets, so its
+    * rank is ≤ |A|−α+1 and ≤ |B|−α+1 — inside both prefixes. The
+    * oracle is the exact all-pairs postings join, so the hash match
+    * IS the completeness proof (the er_fuzzy_names contract).
+    *
+    * Scale: at τ=0.5 the self-join input halves and — the real win —
+    * boilerplate shingles are df-HIGH, so they sort to the suffix and
+    * drop out of candidate generation entirely without the maxDf
+    * cap's add-back machinery. Verification is row-local
+    * (`array_intersect` on the two hashed-gram arrays after a
+    * candidate-keyed join), never a second postings pass. */
+  def prefixJaccard(spark: SparkSession, dir: String,
+      tau: Double = 0.5): DataFrame =
+    prefixJaccardOf(sharedGrams(spark, dir), Some(sharedPosts(spark, dir)),
+      tau).sortWithinPartitions("d1", "d2")
+
+  /** Spec surface over any raw `(doc_id, text)` frame. */
+  def prefixJaccardDf(docs: DataFrame, tau: Double): DataFrame =
+    prefixJaccardOf(docGrams(docs), None, tau)
+      .sortWithinPartitions("d1", "d2")
+
+  private def prefixJaccardOf(grams: DataFrame, posts: Option[DataFrame],
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"prefixJaccard: tau $tau not in (0,1]")
+    val g = grams.select(col("doc_id"),
+      graft.functions.SketchExprs.gramHashes(col("grams")).as("gids"))
+    val p = posts.getOrElse(g.select(col("doc_id"),
+      explode(col("gids")).as("gid")))
+    val dfs = p.groupBy(col("gid")).agg(count(lit(1)).as("df"))
+    // per-doc prefix under the global (df, gid) order — one grouped
+    // sort+slice kernel per doc, bounded by the doc's shingle count
+    val prefix = p.join(dfs, Seq("gid"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gid"))))
+        .as("ord"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(ord, 1, size(ord) - cast(ceil($tau * size(ord)) as int) + 1)"))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.gid").as("gid"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("d1"), col("gids").as("g1")), Seq("d1"))
+      .join(g.select(col("doc_id").as("d2"), col("gids").as("g2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("g1"), col("g2"))).cast("long").as("inter"),
+        size(col("g1")).as("n1"), size(col("g2")).as("n2"))
+      .select(col("d1"), col("d2"), col("inter"),
+        round(col("inter") / (col("n1") + col("n2") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** SemDeDup-shaped semantic dedup: LEARNED blocking. Where
     * [[embeddingDf]] blocks on a given label column, here the blocks
     * are the integer-exact k-means clusters ([[Cluster.kmeansAssign]])

@@ -856,4 +856,107 @@ object Events {
           col("seasonal_milli")).as("resid_milli"))
       .orderBy(col("day"))
   }
+
+  /** Autocorrelation of daily revenue at lags 0..`maxLag` — the
+    * readout that tells a metrics team whether the series is
+    * white-noise, weekly-periodic (a spike at lag 7 — which this
+    * corpus shows), or trending, and the standard input to
+    * forecasting-model selection next to [[eventsStl]].
+    *
+    * Exact-integer discipline: on the zero-filled day spine (the
+    * [[stlOfDaily]] fill — a quiet day is revenue 0, not a missing
+    * observation), deviations are pre-scaled to kill the mean
+    * division — `dev_t = n·cents_t − Σcents` (exact BIGINT) — and
+    * each lag's numerator `Σ dev_t · dev_{t+k}` runs in
+    * DECIMAL(38,0) (dev² overflows int64 at ~3e9 daily cents; the
+    * oracle mirrors with HUGEINT — both exact integers). The ONLY
+    * float is the final `acf_k = num_k / num_0` division, rounded to
+    * 6dp. The constant n²  that scaling introduces cancels in the
+    * ratio, so these ARE the textbook ACF values.
+    *
+    * Shape: lag pairing is an EQUI-join — each day's deviation
+    * fans out to (day+k, k) for the ≤ maxLag+1 lags and joins the
+    * spine on day — never a non-equi range join the planner turns
+    * into a nested loop. The frame is days-bounded (a century is
+    * 36.5k rows), the fan-out ≤ 8×, the aggregate dictionary-sized. */
+  def eventsAcf(spark: SparkSession, dir: String,
+      maxLag: Int = 7): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(expr("cast(ts as long) div 86400").as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    val span = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val filled = span
+      .select(explode(expr("sequence(dmin, dmax)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val st = filled.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val dev = filled.crossJoin(broadcast(st))
+      .select(col("day"), (col("n") * col("cents") - col("s")).as("dv"),
+        col("n"))
+    val fan = dev.select(col("day"), col("dv"), col("n"),
+      explode(expr(s"sequence(0, $maxLag)")).as("lag"))
+      .select((col("day") + col("lag")).as("day"), col("lag"),
+        col("dv").as("da"), col("n"))
+    val nums = fan
+      .join(dev.select(col("day"), col("dv").as("db")), Seq("day"))
+      .groupBy(col("lag"))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("da").cast("decimal(19,0)") * col("db").cast("decimal(19,0)"))
+          .as("num"))
+    val num0 = nums.filter(col("lag") === 0L)
+      .select(col("num").as("num0"))
+    nums.crossJoin(broadcast(num0))
+      .select(col("lag").cast("long").as("lag"), col("n_days"),
+        round(col("num").cast("double") / col("num0").cast("double"), 6)
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** Stickiness — the DAU/MAU engagement ratio per day, the product
+    * metric sitting directly on [[activeUsersDf]]'s exact rolling
+    * distincts (a habit-forming product trends toward 1, a
+    * once-a-month one toward 1/30). Same one-fan-out plan; the ratio
+    * is the ONLY float, rounded at 6dp, and a zero-MAU day (possible
+    * only across a silent gap longer than the window) reports 0
+    * rather than NULL so the day spine stays total. */
+  def eventsStickiness(spark: SparkSession, dir: String): DataFrame =
+    activeUsersDf(Tables(spark, dir).events)
+      .select(col("day"), col("dau"), col("mau"),
+        when(col("mau") === 0L, lit(0.0))
+          .otherwise(round(col("dau").cast("double") / col("mau"), 6))
+          .as("stickiness"))
+      .orderBy(col("day"))
+
+  /** Generated DuckDB oracle for [[eventsAcf]] — same spine fill,
+    * same pre-scaled integer deviations (HUGEINT products vs the
+    * Spark side's DECIMAL(38,0); both exact), same single final
+    * division. */
+  def acfOracleSql(maxLag: Int = 7): String =
+    s"""WITH daily AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       sp AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+       spine AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM sp),
+       filled AS (SELECT spine.day, coalesce(d.cents, 0) AS cents
+                  FROM spine LEFT JOIN daily d ON d.day = spine.day),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS s FROM filled),
+       dev AS (SELECT day, n * cents - s AS dv, n
+               FROM filled CROSS JOIN st),
+       fan AS (SELECT a.day + l.lag AS day, l.lag, a.dv AS da, a.n
+               FROM dev a
+               CROSS JOIN (SELECT unnest(range(0, $maxLag + 1)) AS lag) l),
+       nums AS (SELECT f.lag, max(f.n) AS n_days,
+                       sum(CAST(f.da AS HUGEINT) * b.dv) AS num
+                FROM fan f JOIN dev b ON b.day = f.day
+                GROUP BY f.lag)
+       SELECT CAST(lag AS BIGINT) AS lag, n_days,
+              round(CAST(num AS DOUBLE)
+                    / CAST((SELECT num FROM nums WHERE lag = 0) AS DOUBLE), 6)
+                AS acf
+       FROM nums ORDER BY lag"""
 }

@@ -125,4 +125,90 @@ object Linkage {
     fuzzyPairsOf(Tables(spark, dir).part
       .groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("cnt")))
+
+  /** Positional q-gram size for [[qgramPairsOf]]. */
+  val Q = 2
+
+  /** Edit-distance join via POSITIONAL Q-GRAM count filtering — the
+    * second blocking discipline beside FastSS ([[fuzzyPairsOf]]),
+    * trading FastSS's O(len²) variant fan-out for O(len) gram
+    * fan-out plus a count bound (the Ed-Join / Gravano et al.
+    * VLDB 1998 approximate-join recipe). Same contract: candidates
+    * then pass the exact `levenshtein` verify, so blocking affects
+    * cost, never the answer — and the oracle is the SAME naive
+    * all-pairs ground truth as er_fuzzy_names, so the hash match
+    * proves THIS blocking complete too.
+    *
+    * The filters, each individually edit-distance-sound:
+    *  - length: |len(a) − len(b)| ≤ τ (one edit moves length ≤ 1);
+    *  - position: a surviving q-gram pair's offsets differ ≤ τ (τ
+    *    indels shift positions by ≤ τ);
+    *  - count: strings within τ edits share ≥ maxlen − Q + 1 − τ·Q
+    *    matching positional grams (one edit destroys ≤ Q grams).
+    *    The join's per-gram match count can only OVERCOUNT repeated
+    *    grams vs the true matching — safe direction (more
+    *    candidates, never fewer).
+    * Names too short for a positive count bound (maxlen < Q·(τ+1))
+    * can share zero q-grams while matching — they go to a
+    * dictionary-bounded short-bucket cross join with the length
+    * filter, never silently dropped.
+    *
+    * Scale: gram fan-out is len−Q+1 keys per name (linear — no
+    * [[MaxNameLen]] guard needed), bucket skew is the same bounded
+    * m² LSH-band shape, and the count filter runs map-side-combinably
+    * on the (pair) aggregate before any levenshtein fires. */
+  def qgramPairsOf(names: DataFrame, tau: Int = Tau): DataFrame = {
+    val base = names.select(col("name"), col("cnt"), length(col("name"))
+      .as("len"))
+    // positional grams: (gram, pos), pos 1-based; len < Q names emit
+    // the whole string at pos 1 so they still key the equi-join
+    val grams = base.select(col("name"), col("len"), explode(expr(
+      s"""if(len < $Q, array(struct(name as gram, 1 as pos)),
+         |  transform(sequence(1, len - ${Q - 1}), i ->
+         |    struct(substring(name, i, $Q) as gram, i as pos)))"""
+        .stripMargin)).as("pg"))
+      .select(col("name"), col("len"), col("pg.gram").as("gram"),
+        col("pg.pos").as("pos"))
+    val longEnough = col("a.len") >= lit(Q * (tau + 1)) ||
+      col("b.len") >= lit(Q * (tau + 1))
+    val counted = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.name") < col("b.name") &&
+          abs(col("a.pos") - col("b.pos")) <= tau &&
+          abs(col("a.len") - col("b.len")) <= tau && longEnough)
+      .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("a.len").as("len_a"), col("b.len").as("len_b"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >=
+        greatest(col("len_a"), col("len_b")) - lit(Q - 1) - lit(tau * Q))
+      .select(col("name_a"), col("name_b"))
+    // short-name fallback: both sides below the count-bound floor —
+    // the pair can share zero grams at distance ≤ τ, so candidate it
+    // unconditionally (length-filtered; dictionary-bounded bucket)
+    val short = base.filter(col("len") < Q * (tau + 1))
+    val shortCand = short.as("a")
+      .join(short.as("b"),
+        col("a.name") < col("b.name") &&
+          abs(col("a.len") - col("b.len")) <= tau)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    val cnts = names.select(col("name"), col("cnt"))
+    counted.unionByName(shortCand).distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= tau)
+      .join(cnts.select(col("name").as("name_a"), col("cnt").as("cnt_a")),
+        Seq("name_a"))
+      .join(cnts.select(col("name").as("name_b"), col("cnt").as("cnt_b")),
+        Seq("name_b"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** The part-name dictionary through the q-gram blocking — same
+    * output contract (and oracle) as [[fuzzyNames]]. */
+  def qgramNames(spark: SparkSession, dir: String): DataFrame =
+    qgramPairsOf(Tables(spark, dir).part
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("cnt")))
 }

@@ -979,4 +979,253 @@ object Profile {
                      / CAST(nr * nc AS DOUBLE), 6) AS ks
         FROM d GROUP BY nr, nc"""
   }
+
+  /** Jensen-Shannon divergence between the reference/current
+    * event-type mixes — the SYMMETRIC, always-finite member of the
+    * drift triple ([[psiProfile]] is direction-signed and blows up on
+    * single-sided types; [[ksProfile]] reads the numeric column; JSD
+    * is bounded in [0, ln 2] and defined even when a type exists on
+    * one side only, which is exactly when PSI reports NULL).
+    *
+    * Same micro-nat discipline as PSI: each type's two log terms use
+    * INTEGER count ratios — `2p/(p+q) = 2·n_ref·nc / (n_ref·nc +
+    * n_cur·nr)` cancels both denominators — rounded to micro-nats
+    * first, then weighted by the DOUBLE shares and halved:
+    * `jsd_micro = round((p·lp_micro + q·lq_micro) / 2)`. A
+    * single-sided type's missing log term is weighted by a zero
+    * share, so `coalesce(lp, 0)` is exact, not a fudge. One corpus
+    * scan → one dictionary-bounded groupBy → a 1-row broadcast —
+    * [[psiOf]]'s plan, so the 100 TB story is already proven. */
+  def jsdProfile(spark: SparkSession, dir: String): DataFrame =
+    jsdOf(Tables(spark, dir).events, to_timestamp(lit(PsiSplitTs)))
+
+  /** The JSD fold over any (ts, event_type) frame (spec surface). */
+  def jsdOf(events: DataFrame, split: Column): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("ts") < split, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("ts") >= split, 1L).otherwise(0L)).as("n_cur"))
+    val tot = counts.agg(sum(col("n_ref")).as("nr"), sum(col("n_cur")).as("nc"))
+    // integer ratio arguments: 2p/(p+q) and 2q/(p+q) with p = n_ref/nr,
+    // q = n_cur/nc share the denominator (n_ref·nc + n_cur·nr)
+    val den = (col("n_ref") * col("nc") + col("n_cur") * col("nr"))
+      .cast("double")
+    val lp = when(col("n_ref") > 0,
+      round(log(lit(2.0) * (col("n_ref") * col("nc")).cast("double") / den)
+        * 1e6, 0).cast("long")).otherwise(lit(0L))
+    val lq = when(col("n_cur") > 0,
+      round(log(lit(2.0) * (col("n_cur") * col("nr")).cast("double") / den)
+        * 1e6, 0).cast("long")).otherwise(lit(0L))
+    val p = col("n_ref").cast("double") / col("nr")
+    val q = col("n_cur").cast("double") / col("nc")
+    val perType = counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round((p * lp + q * lq) / 2.0, 0).cast("long").as("jsd_micro"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        col("jsd_micro"),
+        round(col("jsd_micro").cast("double") / 1e6, 6).as("jsd"))
+    val total = perType.agg(sum(col("jsd_micro")).as("sm"))
+      .crossJoin(broadcast(tot))
+      .select(lit("__total__").as("event_type"), col("nr").as("n_ref"),
+        col("nc").as("n_cur"), col("sm").as("jsd_micro"),
+        round(col("sm").cast("double") / 1e6, 6).as("jsd"))
+    perType.unionByName(total).orderBy(col("event_type"))
+  }
+
+  /** Generated DuckDB oracle for [[jsdProfile]] — same split, same
+    * integer ratio arguments, same micro-nat rounding order. */
+  def jsdOracleSql: String =
+    s"""WITH c AS (
+          SELECT event_type,
+                 sum(CASE WHEN ts < TIMESTAMP '$PsiSplitTs' THEN 1 ELSE 0 END) AS n_ref,
+                 sum(CASE WHEN ts >= TIMESTAMP '$PsiSplitTs' THEN 1 ELSE 0 END) AS n_cur
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+                     CAST(sum(n_cur) AS BIGINT) AS nc FROM c),
+        s AS (
+          SELECT c.event_type, CAST(c.n_ref AS BIGINT) AS n_ref,
+                 CAST(c.n_cur AS BIGINT) AS n_cur,
+                 CAST(round((
+                   (CAST(c.n_ref AS DOUBLE) / t.nr) *
+                   (CASE WHEN c.n_ref > 0 THEN
+                      CAST(round(ln(2.0 * CAST(c.n_ref * t.nc AS DOUBLE)
+                        / CAST(c.n_ref * t.nc + c.n_cur * t.nr AS DOUBLE))
+                        * 1e6, 0) AS BIGINT) ELSE 0 END)
+                   + (CAST(c.n_cur AS DOUBLE) / t.nc) *
+                   (CASE WHEN c.n_cur > 0 THEN
+                      CAST(round(ln(2.0 * CAST(c.n_cur * t.nr AS DOUBLE)
+                        / CAST(c.n_ref * t.nc + c.n_cur * t.nr AS DOUBLE))
+                        * 1e6, 0) AS BIGINT) ELSE 0 END)
+                 ) / 2.0, 0) AS BIGINT) AS jsd_micro
+          FROM c CROSS JOIN t)
+        SELECT event_type, n_ref, n_cur, jsd_micro,
+               round(CAST(jsd_micro AS DOUBLE) / 1e6, 6) AS jsd
+        FROM s
+        UNION ALL
+        SELECT '__total__', t.nr, t.nc, x.sm,
+               round(CAST(x.sm AS DOUBLE) / 1e6, 6)
+        FROM t CROSS JOIN (SELECT CAST(sum(jsd_micro) AS BIGINT) AS sm FROM s) x
+        ORDER BY event_type"""
+
+  /** Shannon entropy of the categorical columns — the
+    * information-density readout beside [[stringProfile]]'s modal
+    * value: a near-zero-entropy column is a constant in disguise
+    * (drop it), a near-log(n_distinct) one is uniform (a good
+    * partition key), and entropy drift across snapshots is a schema
+    * alarm. One labeled union of the (pruned) column projections →
+    * one (column, value) groupBy → one per-column fold; output = one
+    * row per profiled column.
+    *
+    * Exact-integer discipline: `H = ln N − (Σ c·ln c)/N` with each
+    * `ln c` of an INTEGER count rounded to micro-nats first, the
+    * weighted sum `Σ c·lc_micro` exact BIGINT, and one final double
+    * division — aggregation-order-proof like [[psiOf]]. */
+  def catEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val src = t.events
+      .select(lit("events.event_type").as("column_name"),
+        col("event_type").as("v"))
+      .unionByName(t.documents
+        .select(lit("documents.lang").as("column_name"), col("lang").as("v")))
+      .unionByName(t.documents
+        .select(lit("documents.source").as("column_name"),
+          col("source").as("v")))
+    val lnMicro = (c: Column) =>
+      round(log(c.cast("double")) * 1e6, 0).cast("long")
+    val a = src.groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("column_name"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * lnMicro(col("c"))).as("sc"))
+    a.select(col("column_name"), col("n").as("n_rows"), col("n_distinct"),
+      round((col("n") * lnMicro(col("n")) - col("sc")).cast("double")
+        / col("n"), 0).cast("long").as("entropy_micro"))
+      .select(col("column_name"), col("n_rows"), col("n_distinct"),
+        col("entropy_micro"),
+        round(col("entropy_micro").cast("double") / 1e6, 6).as("entropy"))
+      .orderBy(col("column_name"))
+  }
+
+  /** Generated DuckDB oracle for [[catEntropy]] — same labeled
+    * union, same micro-nat-first rounding. */
+  val catEntropySql: String =
+    """WITH src AS (
+         SELECT 'events.event_type' AS column_name, event_type AS v
+         FROM events
+         UNION ALL SELECT 'documents.lang', lang FROM documents
+         UNION ALL SELECT 'documents.source', source FROM documents),
+       c AS (SELECT column_name, v, count(*) AS c FROM src GROUP BY 1, 2),
+       a AS (SELECT column_name, CAST(sum(c) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS n_distinct,
+                    CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0)
+                      AS BIGINT)) AS BIGINT) AS sc
+             FROM c GROUP BY 1)
+       SELECT column_name, n AS n_rows, n_distinct,
+              CAST(round(CAST(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0)
+                AS BIGINT) - sc AS DOUBLE) / n, 0) AS BIGINT) AS entropy_micro,
+              round(CAST(round(CAST(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0)
+                AS BIGINT) - sc AS DOUBLE) / n, 0) AS DOUBLE) / 1e6, 6)
+                AS entropy
+       FROM a ORDER BY column_name"""
+
+  /** Declarative data-quality CHECK SUITE — the Deequ-style
+    * constraint readout a 100 TB ingest gate runs before publishing a
+    * partition (completeness, uniqueness, value ranges, referential
+    * integrity, cross-column ordering), one row per check:
+    * `(check_id, tbl, violations, total, passed)`.
+    *
+    * Shape: each table contributes ONE full scan computing ALL its
+    * row-local checks as conditional aggregates (map-side
+    * combinable, 1-row output each); uniqueness rides the same
+    * aggregate via `count − count(DISTINCT)`; referential integrity
+    * is the one genuine join — an anti-join COUNT on the key, the
+    * broadcast/shuffle decision left to the planner. The union of
+    * 1-row frames is driver-trivial. Adding a check = adding a
+    * column expression, not a scan. */
+  def checksProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem
+    // one scan per table: every row-local check is a conditional
+    // aggregate of the SAME 1-row fold, unpivoted with stack — the
+    // alternative (one select per check) re-scans the corpus per check
+    val liRows = li.agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("v_disc"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
+      count(lit(1)).as("n"))
+      .select(expr("""stack(4,
+          'l_quantity_in_1_50', v_qty,
+          'l_discount_in_0_0.1', v_disc,
+          'l_extendedprice_positive', v_price,
+          'l_shipdate_not_null', v_ship) as (check_id, violations)"""),
+        lit("lineitem").as("tbl"), col("n").as("total"))
+    val ord = t.orders
+    val ordRows = ord.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_total"),
+      count(lit(1)).as("n"))
+      .select(expr("""stack(2,
+          'o_orderkey_unique', v_uniq,
+          'o_totalprice_positive', v_total) as (check_id, violations)"""),
+        lit("orders").as("tbl"), col("n").as("total"))
+    val riRow = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("violations"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).cast("long").as("n"))))
+      .select(lit("lineitem_orderkey_in_orders").as("check_id"),
+        lit("lineitem").as("tbl"), col("violations"),
+        col("n").as("total"))
+    liRows.unionByName(ordRows).unionByName(riRow)
+      .select(col("check_id"), col("tbl"),
+        col("violations").cast("long").as("violations"),
+        col("total").cast("long").as("total"),
+        (col("violations") === 0L).as("passed"))
+      .orderBy(col("check_id"))
+  }
+
+  /** Generated DuckDB oracle for [[checksProfile]]. */
+  val checksOracleSql: String =
+    """WITH li AS (
+         SELECT CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+                CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+                CAST(sum(CASE WHEN l_extendedprice <= 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+                CAST(sum(CASE WHEN l_shipdate IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem),
+       o AS (
+         SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+                CAST(sum(CASE WHEN o_totalprice <= 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v_total,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders),
+       ri AS (
+         SELECT CAST(count(*) AS BIGINT) AS v
+         FROM lineitem l LEFT JOIN orders r ON l.l_orderkey = r.o_orderkey
+         WHERE r.o_orderkey IS NULL)
+       SELECT * FROM (
+         SELECT 'l_quantity_in_1_50' AS check_id, 'lineitem' AS tbl,
+                v_qty AS violations, n AS total, v_qty = 0 AS passed FROM li
+         UNION ALL
+         SELECT 'l_discount_in_0_0.1', 'lineitem', v_disc, n, v_disc = 0 FROM li
+         UNION ALL
+         SELECT 'l_extendedprice_positive', 'lineitem', v_price, n,
+                v_price = 0 FROM li
+         UNION ALL
+         SELECT 'l_shipdate_not_null', 'lineitem', v_ship, n, v_ship = 0 FROM li
+         UNION ALL
+         SELECT 'o_orderkey_unique', 'orders', v_uniq, n, v_uniq = 0 FROM o
+         UNION ALL
+         SELECT 'o_totalprice_positive', 'orders', v_total, n, v_total = 0 FROM o
+         UNION ALL
+         SELECT 'lineitem_orderkey_in_orders', 'lineitem', ri.v, li.n,
+                ri.v = 0 FROM ri CROSS JOIN li)
+       ORDER BY check_id"""
 }

@@ -143,6 +143,35 @@ object Streams {
       round(psiMicro.cast("double") / 1e6, 6).as("psi"))
   }
 
+  /** Streaming data-quality gate —
+    * [[graft.operators.Profile.checksProfile]]'s standing monitor:
+    * per event-time day, violation counters for the row-local event
+    * checks (null/negative value, undeclared event_type, null
+    * user_id) and a per-window `passed` verdict — the alert a 100
+    * TB/day ingest wires to its pager. ONE stateful windowed
+    * aggregate with a fixed counter set per window (state bounded by
+    * the watermark, not the stream), every check a conditional sum —
+    * adding a check = adding a counter, the batch suite's contract.
+    * Checks are count-shaped (no division, no ordering), so any
+    * micro-batch split sums to the identical window row. */
+  def checksWindow(events: DataFrame, declaredTypes: Seq[String]): DataFrame = {
+    require(declaredTypes.nonEmpty, "checksWindow: declared type set is empty")
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("v_null_value"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("v_negative_value"),
+        sum(when(!col("event_type").isin(declaredTypes: _*), 1L)
+          .otherwise(0L)).as("v_unknown_type"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_null_user"))
+      .select(col("window.start").as("day"), col("n_rows"),
+        col("v_null_value"), col("v_negative_value"),
+        col("v_unknown_type"), col("v_null_user"),
+        (col("v_null_value") + col("v_negative_value") +
+          col("v_unknown_type") + col("v_null_user") === 0L).as("passed"))
+  }
+
   /** Streaming fuzzy-admission gate — the record-linkage
     * ([[graft.operators.Linkage]]) family's standing monitor: names
     * arriving on the stream are checked against a STATIC dictionary

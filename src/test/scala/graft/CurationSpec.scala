@@ -279,4 +279,19 @@ class CurationSpec extends SparkSpecBase {
       .head().getSeq[String](0)
     assert(dis == Seq("x y", "y x"))
   }
+
+  test("pipeline funnel: monotone stages that match the stage operators") {
+    val f = Curation.pipelineFunnel(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(f.map(_._2).toSeq == Seq("raw", "quality", "dedup", "decontam"))
+    val n = f.map(_._3)
+    assert(n(0) >= n(1) && n(1) >= n(2) && n(2) >= n(3), n.toSeq)
+    assert(n(0) > 0 && n(3) > 0)
+    // stage 1 must equal the standalone gopher keep count on the
+    // bench-excluded corpus — the composition reuses, not re-derives
+    val corpus = graft.core.Tables(spark, Sf).documents
+      .filter(col("source") =!= "src0")
+    val keep = Curation.textGopherDf(corpus).filter(col("keep")).count()
+    assert(n(1) == keep)
+  }
 }

@@ -22,6 +22,28 @@ class DedupSpec extends SparkSpecBase {
     ).toDF("doc_id", "text")
   }
 
+  test("prefix filter ≡ exact all-pairs, including a pair at exactly τ") {
+    // planted boundary: 5-token docs → 3 word-3-grams each; A/B share
+    // 2 of 3 grams → J = 2/(3+3-2) = 0.5 — ON the τ=0.5 boundary,
+    // must be kept; C shares 1 gram with A → J = 0.2, must be pruned
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d f"),   // grams: abc,bcd,cdf — inter 2 with 0
+      (2L, "z y c d e"),   // grams: zyc,ycd,cde — inter 1 with 0
+      (3L, "a b c d e"),   // exact dup of 0 — J = 1
+      (4L, "totally different words here now"),
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val pf = rows(Dedup.prefixJaccardDf(docs, tau = 0.5))
+    val exact = rows(Dedup.ngramJaccardDf(docs, tau = 0.5))
+    assert(pf == exact, s"prefix filter diverged:\n pf=$pf\n ex=$exact")
+    assert(pf.contains((0L, 1L, 2L, 0.5)), "boundary pair must survive")
+    assert(pf.exists(p => p._1 == 0L && p._2 == 3L && p._4 == 1.0))
+    assert(!pf.exists(p => p._1 == 2L || p._2 == 2L), "sub-τ pair pruned")
+  }
+
   test("minhash LSH finds planted near-dups and exact dups") {
     val pairs = Dedup.minhashLshDf(corpus, tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -303,4 +303,89 @@ class EdgeCaseSpec extends SparkSpecBase {
     val edge = Seq(("y" * Linkage.MaxNameLen, 1L)).toDF("name", "cnt")
     assert(Linkage.fuzzyPairsOf(edge).collect().isEmpty)
   }
+
+  test("profile_jsd: single-sided types stay FINITE, and JSD is symmetric") {
+    import java.sql.Timestamp
+    import graft.operators.Profile
+    val split = to_timestamp(lit("2024-01-16 00:00:00"))
+    val ev = Seq(
+      ("stable", "2024-01-01 00:00:00"), ("stable", "2024-01-02 00:00:00"),
+      ("stable", "2024-01-20 00:00:00"), ("stable", "2024-01-21 00:00:00"),
+      ("gone", "2024-01-03 00:00:00"),
+      ("new", "2024-01-22 00:00:00"),
+    ).map { case (t, ts) => (t, Timestamp.valueOf(ts)) }.toDF("event_type", "ts")
+    val out = Profile.jsdOf(ev, split)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // where PSI reports NULL (one-sided types), JSD is finite — the
+    // whole reason the symmetric member of the drift triple exists
+    assert(!out("gone").isNullAt(3) && out("gone").getLong(3) > 0L)
+    assert(!out("new").isNullAt(3) && out("new").getLong(3) > 0L)
+    // identical shares on both sides → zero divergence for that type
+    assert(out("stable").getLong(3) == 0L)
+    // total sums the per-type terms and stays within [0, ln 2]
+    val tot = out("__total__").getLong(3)
+    assert(tot == out.filterKeys(_ != "__total__").values
+      .map(_.getLong(3)).sum)
+    assert(tot >= 0L && tot <= 693148L)
+    // SYMMETRY: mirroring every event to the other side of the split
+    // must leave each type's divergence unchanged (ref/cur swap)
+    val mirrored = Seq(
+      ("stable", "2024-01-01 00:00:00"), ("stable", "2024-01-02 00:00:00"),
+      ("stable", "2024-01-20 00:00:00"), ("stable", "2024-01-21 00:00:00"),
+      ("gone", "2024-01-23 00:00:00"),   // ref-only -> cur-only
+      ("new", "2024-01-04 00:00:00"),    // cur-only -> ref-only
+    ).map { case (t, ts) => (t, Timestamp.valueOf(ts)) }.toDF("event_type", "ts")
+    val m = Profile.jsdOf(mirrored, split)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m("gone") == out("gone").getLong(3))
+    assert(m("new") == out("new").getLong(3))
+    assert(m("__total__") == tot)
+  }
+
+  test("profile_checks: a planted violation is counted, clean tables pass") {
+    val out = graft.operators.Profile.checksProfile(spark, Sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size == 7)
+    assert(out.values.forall(_._3), s"synthetic tables must pass: $out")
+    assert(out("o_orderkey_unique")._1 == 0L)
+    assert(out("lineitem_orderkey_in_orders")._2 ==
+      out("l_quantity_in_1_50")._2, "RI total = lineitem row count")
+  }
+
+  test("events_acf: lag 0 scores exactly 1, all lags bounded by 1") {
+    val rows = graft.operators.Events.eventsAcf(spark, Sf).collect()
+    assert(rows.length == 8)
+    val byLag = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byLag(0L) == 1.0)
+    // Cauchy-Schwarz on the truncated sums: |num_k| <= num_0
+    assert(byLag.values.forall(v => math.abs(v) <= 1.0 + 1e-9), byLag)
+  }
+
+  test("stickiness: bounded in (0,1], and exactly dau/mau on active days") {
+    val rows = graft.operators.Events.eventsStickiness(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, mau, s) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      if (mau == 0L) assert(s == 0.0)
+      else {
+        assert(s >= 0.0 && s <= 1.0, s"day ${r.getLong(0)}: $s")
+        assert(math.abs(s - dau.toDouble / mau) < 1e-6)
+      }
+    }
+  }
+
+  test("uniform-k sample: exactly k rows, the k smallest by portable hash") {
+    val docs = graft.core.Tables(spark, Sf).documents
+    val got = Curation.sampleUniformKDf(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 5)
+    // independent reference: full hash ranking computed in the spec
+    val all = docs.select(col("doc_id"),
+      graft.functions.PortableHash.h60(
+        concat(lit("unik#"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(p => (p._2, p._1)).take(5)
+    assert(got.toSeq == all.toSeq)
+  }
 }

@@ -59,6 +59,36 @@ class LinkageSpec extends SparkSpecBase {
     }
   }
 
+  test("q-gram blocking is complete too: == naive all-pairs, short names included") {
+    // random dictionaries over a 3-letter alphabet maximize near-pairs;
+    // lengths 1..8 straddle the count-bound floor Q*(Tau+1) = 6, so the
+    // short-bucket fallback and the mixed long/short path both exercise
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val names = (1 to 60).map(_ =>
+        (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+        .distinct
+      val got = Linkage.qgramPairsOf(dict(names: _*))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = (for {
+        a <- names; b <- names if a < b
+        d = lev(a, b) if d >= 1 && d <= Linkage.Tau
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want,
+        s"trial $trial: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("q-gram and FastSS blockings agree on the gated dictionary shape") {
+    val names = Seq("lemon blush powder", "lemon blush powdr",
+      "limon blush powder", "xylophone case kit", "lemon blush powder x")
+    val a = Linkage.fuzzyPairsOf(dict(names: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val b = Linkage.qgramPairsOf(dict(names: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("counts map back to the entity table") {
     val out = Linkage.fuzzyNames(spark, Sf)
     val parts = graft.core.Tables(spark, Sf).part

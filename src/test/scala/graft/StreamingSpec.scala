@@ -269,6 +269,37 @@ class StreamingSpec extends SparkSpecBase {
       s"got $out")
   }
 
+  test("streaming checks gate: per-day violation counters equal the batch fold") {
+    // declare a strict subset of the real types so v_unknown_type
+    // carries real nonzero signal through the gate
+    val allTypes = graft.core.Tables(spark, Sf).events
+      .select("event_type").distinct().collect().map(_.getString(0)).sorted
+    assert(allTypes.length >= 2)
+    val declared = allTypes.dropRight(1).toSeq
+    val got = Streams.runToMemory(
+      Streams.checksWindow(Streams.readEvents(spark, path), declared),
+      "checks_win").collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val want = graft.core.Tables(spark, Sf).events
+      .select(window(col("ts"), "1 day").getField("start").as("day"),
+        col("value"), col("event_type"), col("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("a"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("b"),
+        sum(when(!col("event_type").isin(declared: _*), 1L).otherwise(0L)).as("c"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("d"))
+      .collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) == 0L)))
+      .toMap
+    assert(got == want)
+    assert(got.values.exists(v => v._4 > 0L && !v._6),
+      "the withheld type must trip v_unknown_type and fail the window")
+  }
+
   test("streaming PSI drift monitor equals the batch formula per day") {
     import graft.operators.Profile
     // declared reference: the corpus's own global mix (any constant
