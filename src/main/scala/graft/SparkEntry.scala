@@ -102,6 +102,7 @@ object SparkEntry {
     "events_ltv" -> (Events.eventsLtv _),
     "events_active_users" -> (Events.eventsActiveUsers _),
     "events_stickiness" -> (Events.eventsStickiness _),
+    "events_session_stats" -> (Events.sessionStats _),
     "events_markov" -> (Events.qMarkov _),
     "events_changepoint" -> (Events.qChangepoint _),
     "events_rfm" -> (Events.qRfm _),
@@ -137,6 +138,8 @@ object SparkEntry {
     "graph_components" -> ((s: SparkSession, d: String) => Graph.supplierComponents(s, d)),
     "graph_communities" -> ((s: SparkSession, d: String) => Graph.supplierCommunities(s, d)),
     "graph_communities_sweep" -> ((s: SparkSession, d: String) => Graph.supplierCommunitySweep(s, d)),
+    "graph_modularity" -> ((s: SparkSession, d: String) => Graph.modularity(s, d)),
+    "graph_degree_dist" -> ((s: SparkSession, d: String) => Graph.degreeDist(s, d)),
     "graph_sssp" -> ((s: SparkSession, d: String) => Graph.sssp(s, d)),
     "graph_backbone" -> (Graph.backbone _),
     "graph_ktruss" -> (Graph.ktruss _),
@@ -179,6 +182,7 @@ object SparkEntry {
     "dedup_components_resume" -> ((s: SparkSession, d: String) => Dedup.ngramComponentsResumed(s, d)),
     "er_fuzzy_names" -> (Linkage.fuzzyNames _),
     "er_qgram_names" -> (Linkage.qgramNames _),
+    "er_canonical" -> (Linkage.canonicalNames _),
     "dedup_prefix_filter" -> ((s: SparkSession, d: String) =>
       Dedup.prefixJaccard(s, d)),
     // E. similarity search
@@ -242,6 +246,7 @@ object SparkEntry {
     "sample_importance" -> (Curation.sampleImportance _),
     "pipeline_pii" -> (Curation.pipelinePii _),
     "text_lm_score" -> (TextOps.textLmScore _),
+    "text_rake" -> ((s: SparkSession, d: String) => TextOps.textRake(s, d)),
     "text_bpe_merges" -> (TextOps.textBpeMerges _),
     "text_bpe_vocab" -> (TextOps.textBpeVocab _),
     "text_bpe_tokens" -> (TextOps.textBpeTokens _),
@@ -1571,6 +1576,9 @@ object SparkEntry {
                 coalesce(c.wau, 0) AS wau, coalesce(c.mau, 0) AS mau
          FROM spine LEFT JOIN c ON c.day = spine.day
          ORDER BY spine.day""",
+    // sessionize chain + integer-rank quantile selections
+    "events_session_stats" ->
+      graft.operators.Events.sessionStatsOracleSql,
     // the DAU/MAU ratio on the same exact rolling distincts — one
     // final rounded division, zero-MAU days report 0
     "events_stickiness" ->
@@ -1916,6 +1924,11 @@ object SparkEntry {
          SELECT suppkey, component FROM comp ORDER BY suppkey""",
     // same transitive closure as graph_components, weights kept into
     // the per-community aggregate; integer density in ppm
+    // the τ=5 partition scored on the τ=3 graph — HUGEINT numerator
+    // mirrors the Spark DECIMAL(38,0), singleton coalesce identical
+    "graph_modularity" -> graft.operators.Graph.modularityOracleSql(),
+    "graph_degree_dist" -> graft.operators.Graph.degreeDistOracleSql(),
+    "text_rake" -> graft.operators.TextOps.rakeOracleSql(),
     "graph_communities" ->
       """WITH RECURSIVE sl AS (
            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
@@ -2074,6 +2087,7 @@ object SparkEntry {
     // positional count filter (+ short-name fallback) complete — the
     // dedup_components_resume shared-oracle contract
     "er_qgram_names" -> FuzzyNamesSql,
+    "er_canonical" -> graft.operators.Linkage.canonicalOracleSql,
     // same postings-hash pair derivation as dedup_ngram_jaccard; only
     // the scoring differs (both per-side containments, max-gated)
     "dedup_containment" ->

@@ -914,6 +914,82 @@ object Events {
       .orderBy(col("lag"))
   }
 
+  /** Session-distribution summary — the one-row readout product
+    * teams pin next to [[qSessionize]]'s raw table: session count,
+    * single-event (bounce) count, total events, exact lower-median
+    * and p90 session duration, and median events-per-session. The
+    * quantiles are RANK SELECTIONS on deterministic total orders
+    * (value, user, session) — the [[eventsAnomalyStl]] median
+    * discipline, exact at any partitioning, no interpolation to
+    * disagree on. `ceil` ranks via integer arithmetic
+    * ((n+1) div 2, (9n+9) div 10). Windows run over the
+    * sessions-bounded frame (≈ |user-days|, not events). */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val st = qSessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        (col("end_s") - col("start_s")).as("dur_s"))
+    val agg = st.agg(count(lit(1)).cast("long").as("n_sessions"),
+      sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_single"),
+      sum(col("n_events")).as("total_events"))
+    val n = st.agg(count(lit(1)).cast("long").as("n"))
+    val wDur = Window.orderBy(col("dur_s"), col("user_id"), col("session_id"))
+    val rDur = st.withColumn("rn", row_number().over(wDur))
+      .crossJoin(broadcast(n))
+    val med = rDur.filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("dur_s").as("med_dur_s"))
+    val p90 = rDur.filter(col("rn") === expr("(9 * n + 9) div 10"))
+      .select(col("dur_s").as("p90_dur_s"))
+    val wEv = Window.orderBy(col("n_events"), col("user_id"),
+      col("session_id"))
+    val medEv = st.withColumn("rn", row_number().over(wEv))
+      .crossJoin(broadcast(n))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("n_events").as("med_events"))
+    agg.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+      .crossJoin(broadcast(medEv))
+      .select(col("n_sessions"), col("n_single"), col("total_events"),
+        col("med_dur_s"), col("p90_dur_s"), col("med_events"))
+  }
+
+  /** Generated DuckDB oracle for [[sessionStats]] — the proven
+    * sessionize chain + the same integer-rank selections. */
+  val sessionStatsOracleSql: String =
+    """WITH x AS (
+         SELECT user_id, ts, event_id,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         FROM events),
+       y AS (
+         SELECT user_id, ts, event_id,
+                CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+         FROM x),
+       st AS (
+         SELECT user_id, session_id, count(*) AS n_events,
+                CAST(floor(max(epoch(ts))) AS BIGINT)
+                  - CAST(floor(min(epoch(ts))) AS BIGINT) AS dur_s
+         FROM y GROUP BY user_id, session_id),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+       rdur AS (SELECT dur_s, row_number() OVER
+                  (ORDER BY dur_s, user_id, session_id) AS rn FROM st),
+       rev AS (SELECT n_events, row_number() OVER
+                 (ORDER BY n_events, user_id, session_id) AS rn FROM st)
+       SELECT a.n_sessions, a.n_single, a.total_events,
+              md.dur_s AS med_dur_s, p9.dur_s AS p90_dur_s,
+              CAST(me.n_events AS BIGINT) AS med_events
+       FROM (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_single,
+                    CAST(sum(n_events) AS BIGINT) AS total_events
+             FROM st) a
+       CROSS JOIN nn
+       JOIN rdur md ON md.rn = (nn.n + 1) // 2
+       JOIN rdur p9 ON p9.rn = (9 * nn.n + 9) // 10
+       JOIN rev me ON me.rn = (nn.n + 1) // 2"""
+
   /** Stickiness — the DAU/MAU engagement ratio per day, the product
     * metric sitting directly on [[activeUsersDf]]'s exact rolling
     * distincts (a habit-forming product trends toward 1, a

@@ -881,6 +881,164 @@ object Graph {
       minOrders: Int = 5): DataFrame =
     communityStats(coSupplyEdgesW(spark, dir, minOrders))
 
+  /** Exact DEGREE DISTRIBUTION of the co-supply graph — the
+    * first-look profile of any graph (hub-dominated vs flat decides
+    * whether skew salting and the compact-forward orientation
+    * matter): one row per occurring degree with its node count. No
+    * log-bucketing — a float `log2` floor can disagree across
+    * engines at exact powers of two, and the distinct-degree set is
+    * already ≤ max-degree rows, bounded at any corpus size. Two
+    * grouped aggregates, both map-side combinable. */
+  def degreeDist(spark: SparkSession, dir: String,
+      minOrders: Int = 3): DataFrame =
+    coSupplyEdges(spark, dir, minOrders)
+      .select(col("u").as("n")).unionAll(
+        coSupplyEdges(spark, dir, minOrders).select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
+  /** Generated DuckDB oracle for [[degreeDist]]. */
+  def degreeDistOracleSql(minOrders: Int = 3): String =
+    s"""WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+              FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+               AND a.l_suppkey < b.l_suppkey
+              GROUP BY 1, 2 HAVING count(*) >= $minOrders),
+       d AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+             FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+             GROUP BY n)
+       SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM d GROUP BY degree ORDER BY degree"""
+
+  /** MODULARITY of the threshold partition — the quality readout
+    * that closes the community family's evaluation loop (what
+    * ann_eval is to the index family): the τ=`partThreshold`
+    * communities scored as a partition of the DENSER
+    * τ=`evalThreshold` graph, where cut edges exist and Q is a real
+    * number (scoring a partition on its own graph is degenerate —
+    * connected components have no cut edges). Newman-Girvan weighted
+    * modularity: `Q = Σ_c [ in_c/W − (deg_c/2W)² ]`, with nodes of
+    * the eval graph absent from the partition (their strongest edge
+    * is below `partThreshold`) treated as singleton communities —
+    * the standard convention, and exactly where weak-node mass
+    * penalizes Q.
+    *
+    * Exactness: per community the numerator `4W·in_c − deg_c²` runs
+    * in DECIMAL(38,0) (HUGEINT on the oracle side; deg² overflows
+    * int64 at realistic strengths), ONE double division to
+    * `q_micro`; the `__total__` row (component = −1) sums the
+    * per-community micros, the [[graft.operators.Profile.psiOf]]
+    * discipline. Shape: both edge sets come from the PlanCache-
+    * memoized co-supply base, labels from the proven one-shuffle-
+    * per-round propagation loop; the scoring adds two bounded
+    * groupBys on the component key — output ∝ #communities. */
+  def modularity(spark: SparkSession, dir: String,
+      partThreshold: Int = 5, evalThreshold: Int = 3): DataFrame = {
+    require(evalThreshold <= partThreshold,
+      s"modularity: eval graph (>= $evalThreshold) must contain the " +
+        s"partition graph (>= $partThreshold)")
+    val e3 = coSupplyEdgesW(spark, dir, evalThreshold)
+    val lab5 = Dedup.components(coSupplyEdgesW(spark, dir, partThreshold)
+        .select(col("u").as("d1"), col("v").as("d2")))
+      .select(col("doc_id").as("node"), col("component"))
+    val nodes = e3.select(col("u").as("node"))
+      .unionAll(e3.select(col("v").as("node"))).distinct()
+    // eval-graph nodes outside the partition become singletons; their
+    // own id cannot collide with a real label (labels are min ids of
+    // partition-graph members, singletons are by definition not such)
+    val labels = nodes.join(lab5, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+    val el = e3
+      .join(labels.select(col("node").as("u"), col("component").as("cu")),
+        Seq("u"))
+      .join(labels.select(col("node").as("v"), col("component").as("cv")),
+        Seq("v"))
+    val tot = e3.agg(sum(col("w")).as("tw"))
+    val degC = el.select(col("cu").as("component"), col("w"))
+      .unionAll(el.select(col("cv").as("component"), col("w")))
+      .groupBy(col("component")).agg(sum(col("w")).as("deg_w"))
+    val inC = el.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("component")).agg(sum(col("w")).as("in_w"))
+    val per = degC.join(inC, Seq("component"), "left")
+      .select(col("component"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"), col("deg_w"))
+      .crossJoin(broadcast(tot))
+      .select(col("component"), col("in_w"), col("deg_w"),
+        org.apache.spark.sql.functions.round(
+          ((lit(4L) * col("tw")).cast("decimal(19,0)") *
+          col("in_w").cast("decimal(19,0)") -
+          col("deg_w").cast("decimal(19,0)") *
+            col("deg_w").cast("decimal(19,0)")).cast("double")
+          / (lit(4.0) * col("tw").cast("double") * col("tw").cast("double"))
+          * 1e6, 0).cast("long").as("q_micro"))
+    val total = per.agg(sum(col("in_w")).as("in_w"),
+      sum(col("deg_w")).as("deg_w"), sum(col("q_micro")).as("q_micro"))
+      .select(lit(-1L).as("component"), col("in_w"), col("deg_w"),
+        col("q_micro"))
+    per.unionByName(total)
+      .select(col("component"), col("in_w"), col("deg_w"), col("q_micro"),
+        org.apache.spark.sql.functions.round(
+          col("q_micro").cast("double") / 1e6, 6).as("q"))
+      .orderBy(col("component"))
+  }
+
+  /** Generated DuckDB oracle for [[modularity]] — same co-supply
+    * derivations, same recursive-closure labels with the singleton
+    * coalesce, same HUGEINT numerator and single division. */
+  def modularityOracleSql(partThreshold: Int = 5,
+      evalThreshold: Int = 3): String =
+    s"""WITH RECURSIVE sl AS (
+         SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       e3 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+              FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+               AND a.l_suppkey < b.l_suppkey
+              GROUP BY 1, 2 HAVING count(*) >= $evalThreshold),
+       e5 AS (SELECT u, v FROM e3 WHERE w >= $partThreshold),
+       edges AS (SELECT u AS a, v AS b FROM e5 UNION SELECT v, u FROM e5),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (SELECT a AS node, least(a, min(b)) AS component
+                FROM reach GROUP BY a),
+       -- explicit DISTINCT, not bare UNION: inside a WITH RECURSIVE
+       -- block DuckDB 1.0 skips the UNION's dedup for non-recursive
+       -- CTEs (harmless for `edges` — the closure is insensitive to
+       -- duplicate edges — but fatal for a node set feeding joins)
+       nodes3 AS (SELECT DISTINCT node FROM
+                    (SELECT u AS node FROM e3
+                     UNION ALL SELECT v FROM e3)),
+       lab AS (SELECT n.node, coalesce(c.component, n.node) AS component
+               FROM nodes3 n LEFT JOIN comp c ON c.node = n.node),
+       el AS (SELECT e3.u, e3.v, e3.w, lu.component AS cu, lv.component AS cv
+              FROM e3 JOIN lab lu ON lu.node = e3.u
+                      JOIN lab lv ON lv.node = e3.v),
+       t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM e3),
+       degc AS (SELECT component, CAST(sum(w) AS BIGINT) AS deg_w
+                FROM (SELECT cu AS component, w FROM el
+                      UNION ALL SELECT cv, w FROM el)
+                GROUP BY 1),
+       inc AS (SELECT cu AS component, CAST(sum(w) AS BIGINT) AS in_w
+               FROM el WHERE cu = cv GROUP BY 1),
+       per AS (SELECT d.component, coalesce(i.in_w, 0) AS in_w, d.deg_w,
+                      CAST(round(CAST(CAST(4 * t.tw AS HUGEINT)
+                          * coalesce(i.in_w, 0)
+                          - CAST(d.deg_w AS HUGEINT) * d.deg_w AS DOUBLE)
+                        / (4.0 * t.tw * t.tw) * 1e6, 0) AS BIGINT) AS q_micro
+               FROM degc d LEFT JOIN inc i ON i.component = d.component
+               CROSS JOIN t)
+       SELECT component, in_w, deg_w, q_micro,
+              round(CAST(q_micro AS DOUBLE) / 1e6, 6) AS q
+       FROM per
+       UNION ALL
+       SELECT -1, CAST(sum(in_w) AS BIGINT), CAST(sum(deg_w) AS BIGINT),
+              CAST(sum(q_micro) AS BIGINT),
+              round(CAST(sum(q_micro) AS DOUBLE) / 1e6, 6)
+       FROM per
+       ORDER BY component"""
+
   /** The community-summary body shared by the single-threshold view
     * and the sweep: label via the propagation loop, then one grouped
     * pass for size / edges / weight / exact ppm density. */

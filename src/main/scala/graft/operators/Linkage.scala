@@ -211,4 +211,85 @@ object Linkage {
     qgramPairsOf(Tables(spark, dir).part
       .groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("cnt")))
+
+  /** CANONICALIZATION — the step after matching that closes the
+    * entity-resolution arc (block → verify → CLUSTER → canonical
+    * survivor): fuzzy-pair edges close into clusters via the proven
+    * min-label propagation loop ([[graft.operators.Dedup.components]]
+    * — names ride as their portable 60-bit hashes, the loop's
+    * convergence sum needs numerics, and the oracle closes over THE
+    * SAME hashes so a collision, were one to exist, merges
+    * identically on both engines), then each cluster elects the
+    * spelling with the highest entity count (ties → lexicographically
+    * smallest). Output: every dictionary name with its canonical
+    * form, cluster size, and total entity weight — the mapping table
+    * a catalog-cleaning job publishes. Singleton names canonicalize
+    * to themselves. All frames are dictionary-bounded; the election
+    * window partitions by cluster (bounded groups). */
+  def canonicalOf(names: DataFrame): DataFrame = {
+    import graft.functions.PortableHash
+    val nm = names.select(guardLen(col("name")).as("name"), col("cnt"),
+      PortableHash.h60(col("name")).as("id"))
+    val pairs = fuzzyPairsOf(names)
+      .select(PortableHash.h60(col("name_a")).as("d1"),
+        PortableHash.h60(col("name_b")).as("d2"))
+    val labels = graft.operators.Dedup.components(pairs)
+      .select(col("doc_id").as("id"), col("component"))
+    val labeled = nm.join(labels, Seq("id"), "left")
+      .select(col("name"), col("cnt"),
+        coalesce(col("component"), col("id")).as("component"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("cnt").desc, col("name"))
+    val best = labeled
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("name").as("canonical"))
+    val stats = labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"), sum(col("cnt")).as("cluster_cnt"))
+    labeled.join(best, Seq("component")).join(stats, Seq("component"))
+      .select(col("name"), col("cnt"), col("canonical"),
+        col("cluster_size"), col("cluster_cnt"))
+      .orderBy(col("name"))
+  }
+
+  /** The part-name dictionary canonicalized. */
+  def canonicalNames(spark: SparkSession, dir: String): DataFrame =
+    canonicalOf(Tables(spark, dir).part
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** Generated DuckDB oracle for [[canonicalNames]] — naive all-pairs
+    * edges, recursive closure over the SAME md5-top-60 ids, same
+    * (cnt desc, name) election. */
+  val canonicalOracleSql: String =
+    s"""WITH RECURSIVE nm AS (
+         SELECT p_name AS name, count(*) AS cnt,
+                ('0x' || substring(md5(p_name), 1, 15))::BIGINT AS id
+         FROM part GROUP BY 1),
+       pr AS (SELECT a.id AS d1, b.id AS d2
+              FROM nm a JOIN nm b ON a.name < b.name
+              WHERE levenshtein(a.name, b.name) <= ${Linkage.Tau}),
+       edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       comp AS (SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a),
+       lab AS (SELECT n.name, n.cnt,
+                      coalesce(c.component, n.id) AS component
+               FROM nm n LEFT JOIN comp c ON c.id = n.id),
+       best AS (SELECT component, name AS canonical FROM (
+                  SELECT component, name,
+                         row_number() OVER (PARTITION BY component
+                           ORDER BY cnt DESC, name) AS rn
+                  FROM lab) WHERE rn = 1),
+       st AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
+                     CAST(sum(cnt) AS BIGINT) AS cluster_cnt
+              FROM lab GROUP BY 1)
+       SELECT l.name, l.cnt, b.canonical, st.cluster_size, st.cluster_cnt
+       FROM lab l JOIN best b ON b.component = l.component
+                  JOIN st ON st.component = l.component
+       ORDER BY l.name"""
 }

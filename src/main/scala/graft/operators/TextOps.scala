@@ -993,4 +993,88 @@ object TextOps {
             col("s_micro").cast("double") / col("n")) / 1e6), 6)
           .as("entropy_nats"))
       .sortWithinPartitions("doc_id")
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010) —
+    * the second, graph-free keyphrase method beside [[textTextrank]]:
+    * candidate PHRASES are maximal stopword-free token runs; each
+    * word scores `deg/freq` (deg = Σ lengths of phrases containing
+    * it — co-occurrence degree including self; freq = occurrence
+    * count), and a phrase scores the sum over its words. Multi-word
+    * phrases win — exactly what TextRank's single-word ranking
+    * cannot produce, and the cheaper of the two (zero iterations,
+    * two groupBys).
+    *
+    * Exact-integer discipline: `score_micro(w) = (deg·10⁶) div freq`
+    * (floor division of integers, no float anywhere until the
+    * display column). Phrase segmentation is mirror-trivially
+    * expressed in BOTH engines as: map stopword tokens to '|',
+    * re-join with spaces, split on `' *\| *'`, drop empties — no
+    * lookarounds, no engine-specific tokenizers. Top-k rides
+    * orderBy+limit (TakeOrdered — bounded heap per partition). */
+  def textRake(spark: SparkSession, dir: String, topK: Int = 30): DataFrame = {
+    val stops = StopWordList.map(lit(_))
+    val toks = tokens(lower(col("text")))
+    val phraseStr = array_join(
+      transform(toks, t =>
+        when(stops.map(t === _).reduce(_ || _), lit("|")).otherwise(t)),
+      " ")
+    val phrases = Tables(spark, dir).documents
+      .select(explode(split(phraseStr, " *\\| *")).as("phrase"))
+      .filter(length(col("phrase")) > 0)
+    val pw = phrases.select(col("phrase"),
+      size(split(col("phrase"), " ")).cast("long").as("plen"))
+      .select(col("phrase"), col("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+    val ws = pw.groupBy(col("w"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("w"), expr("(deg * 1000000) div freq").as("s_micro"))
+    val pd = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occur"))
+    val scored = pd
+      .select(col("phrase"), col("n_occur"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(ws, Seq("w"))
+      .groupBy(col("phrase"))
+      .agg(max(col("n_occur")).as("n_occur"),
+        sum(col("s_micro")).as("score_micro"))
+    scored
+      .select(col("phrase"), col("n_occur"), col("score_micro"),
+        round(col("score_micro").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  /** Generated DuckDB oracle for [[textRake]] — same stopword
+    * mapping, same split, same floor-divided micro scores. */
+  def rakeOracleSql(topK: Int = 30): String = {
+    val stops = StopWordList.map("'" + _ + "'").mkString(", ")
+    s"""WITH toks AS (
+         SELECT string_split_regex(trim(lower(text), ' '), '\\s+') AS t
+         FROM documents),
+       ph0 AS (
+         SELECT unnest(string_split_regex(
+           array_to_string(list_transform(t,
+             x -> CASE WHEN x IN ($stops) THEN '|' ELSE x END), ' '),
+           ' *\\| *')) AS phrase
+         FROM toks),
+       phr AS (SELECT phrase FROM ph0 WHERE length(phrase) > 0),
+       pw AS (SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+                     unnest(string_split(phrase, ' ')) AS w
+              FROM phr),
+       ws AS (SELECT w,
+                     (CAST(sum(plen) AS BIGINT) * 1000000) // count(*)
+                       AS s_micro
+              FROM pw GROUP BY w),
+       pd AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur
+              FROM phr GROUP BY 1),
+       pdw AS (SELECT phrase, n_occur,
+                      unnest(string_split(phrase, ' ')) AS w
+               FROM pd),
+       scored AS (SELECT phrase, max(n_occur) AS n_occur,
+                         CAST(sum(ws.s_micro) AS BIGINT) AS score_micro
+                  FROM pdw JOIN ws USING (w) GROUP BY phrase)
+       SELECT phrase, n_occur, score_micro,
+              round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS score
+       FROM scored
+       ORDER BY score_micro DESC, phrase LIMIT $topK"""
+  }
 }

@@ -830,4 +830,21 @@ class GraphProfileSpec extends SparkSpecBase {
     assert(hubs.map(_._3).max == graft.operators.Graph.HitsScale)
     assert(got.forall(t => t._3 >= 0L && t._3 <= graft.operators.Graph.HitsScale))
   }
+
+  test("modularity: partition invariants hold and the total row replays") {
+    val rows = graft.operators.Graph.modularity(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (total, per) = rows.partition(_._1 == -1L)
+    assert(total.length == 1 && per.nonEmpty)
+    // each internal edge adds w to in_c and 2w to deg_c; cut edges add
+    // only to deg_c — so deg_w >= 2·in_w per community
+    per.foreach { case (c, in, deg, _) =>
+      assert(deg >= 2 * in, s"community $c: deg $deg < 2*in $in") }
+    // Σ deg_w = 2W exactly (every edge counted at both endpoints)
+    val twoW = per.map(_._3).sum
+    assert(total.head._3 == twoW)
+    // total row sums the per-community micro contributions, Q < 1
+    assert(total.head._4 == per.map(_._4).sum)
+    assert(total.head._4 < 1000000L)
+  }
 }

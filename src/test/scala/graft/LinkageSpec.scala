@@ -89,6 +89,22 @@ class LinkageSpec extends SparkSpecBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("canonicalization: weight election, lexicographic ties, singleton identity") {
+    // cluster {widget(5), widgot(9), widgit(9)}: max cnt 9 is tied,
+    // 'widgit' < 'widgot' lexicographically -> canonical = widgit;
+    // 'xylophone' is a singleton -> canonical = itself
+    import spark.implicits._
+    val names = Seq(("widget", 5L), ("widgot", 9L), ("widgit", 9L),
+      ("xylophone", 3L)).toDF("name", "cnt")
+    val out = Linkage.canonicalOf(names).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("widget") == (("widgit", 3L, 23L)))
+    assert(out("widgot") == (("widgit", 3L, 23L)))
+    assert(out("widgit") == (("widgit", 3L, 23L)))
+    assert(out("xylophone") == (("xylophone", 1L, 3L)))
+  }
+
   test("counts map back to the entity table") {
     val out = Linkage.fuzzyNames(spark, Sf)
     val parts = graft.core.Tables(spark, Sf).part
