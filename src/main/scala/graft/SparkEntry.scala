@@ -103,6 +103,8 @@ object SparkEntry {
     "events_active_users" -> (Events.eventsActiveUsers _),
     "events_stickiness" -> (Events.eventsStickiness _),
     "events_session_stats" -> (Events.sessionStats _),
+    "events_cumulative_users" -> (Events.cumulativeUsers _),
+    "events_holt" -> (Events.eventsHolt _),
     "events_markov" -> (Events.qMarkov _),
     "events_changepoint" -> (Events.qChangepoint _),
     "events_rfm" -> (Events.qRfm _),
@@ -115,6 +117,8 @@ object SparkEntry {
     "profile_jsd" -> (Profile.jsdProfile _),
     "profile_checks" -> (Profile.checksProfile _),
     "profile_cat_entropy" -> (Profile.catEntropy _),
+    "profile_topk_values" -> ((s: SparkSession, d: String) =>
+      Profile.topValues(s, d)),
     "profile_seq_gaps" -> (Profile.seqProfile _),
     "profile_qsketch" -> ((s: SparkSession, d: String) => Profile.qsketchProfile(s, d)),
     "profile_kmv_overlap" -> (Profile.kmvOverlap _),
@@ -1579,6 +1583,11 @@ object SparkEntry {
     // sessionize chain + integer-rank quantile selections
     "events_session_stats" ->
       graft.operators.Events.sessionStatsOracleSql,
+    "events_cumulative_users" ->
+      graft.operators.Events.cumulativeUsersOracleSql,
+    // the shift-smoothing recurrence as a native recursive CTE vs the
+    // Spark side's single-partition ordered fold over the bounded spine
+    "events_holt" -> graft.operators.Events.holtOracleSql,
     // the DAU/MAU ratio on the same exact rolling distincts — one
     // final rounded division, zero-MAU days report 0
     "events_stickiness" ->
@@ -2888,6 +2897,7 @@ object SparkEntry {
     "profile_jsd" -> graft.operators.Profile.jsdOracleSql,
     "profile_checks" -> graft.operators.Profile.checksOracleSql,
     "profile_cat_entropy" -> graft.operators.Profile.catEntropySql,
+    "profile_topk_values" -> graft.operators.Profile.topValuesSql(),
     // quantized two-sample KS on the shared HDR bucket grid: exact
     // BIGINT D numerator, one final double division
     "profile_ks" -> graft.operators.Profile.ksOracleSql,

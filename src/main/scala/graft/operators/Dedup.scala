@@ -1161,18 +1161,24 @@ object Dedup {
       explode(col("gids")).as("gid")))
     val dfs = p.groupBy(col("gid")).agg(count(lit(1)).as("df"))
     // per-doc prefix under the global (df, gid) order — one grouped
-    // sort+slice kernel per doc, bounded by the doc's shingle count
+    // sort+slice kernel per doc, bounded by the doc's shingle count;
+    // set size rides along for the AllPairs LENGTH filter below
     val prefix = p.join(dfs, Seq("gid"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("gid"))))
         .as("ord"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), size(col("ord")).as("n"), explode(expr(
         s"slice(ord, 1, size(ord) - cast(ceil($tau * size(ord)) as int) + 1)"))
         .as("pg"))
-      .select(col("doc_id"), col("pg.gid").as("gid"))
+      .select(col("doc_id"), col("n"), col("pg.gid").as("gid"))
+    // length filter (AllPairs): J >= τ forces |A∩B| >= τ·max(|A|,|B|)
+    // and |A∩B| <= min(|A|,|B|), so τ·max <= min — prunes candidates
+    // of incompatible sizes before the (heavier) intersection verify
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id") &&
+          lit(tau) * greatest(col("a.n"), col("b.n")) <=
+            least(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cand

@@ -990,6 +990,51 @@ object Events {
        JOIN rdur p9 ON p9.rn = (9 * nn.n + 9) // 10
        JOIN rev me ON me.rn = (nn.n + 1) // 2"""
 
+  /** Cumulative distinct users by day — the growth curve
+    * ([[eventsActiveUsers]] reads engagement windows; this reads
+    * lifetime acquisition). Distinct-over-all-history decomposes
+    * exactly where windowed distinct doesn't: each user contributes
+    * once at their FIRST active day (one groupBy(user) min), the
+    * per-day new-user counts cumulate over the days-bounded spine
+    * (quiet days report 0 new and a flat cumulative), so the corpus
+    * is scanned once and no day ever re-reads history. */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("d"))
+    val firstDay = ud.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val perDay = firstDay.groupBy(col("d0").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    // spine over the EVENT span, not the first-day span — a mature
+    // product acquires everyone early, and the flat tail of the
+    // growth curve is exactly the signal this readout exists to show
+    val span = ud.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    val spine = span.select(explode(expr("sequence(dmin, dmax)")).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  /** Generated DuckDB oracle for [[cumulativeUsers]]. */
+  val cumulativeUsersOracleSql: String =
+    """WITH ud AS (SELECT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+           FROM events),
+       fd AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY 1),
+       pd AS (SELECT d0 AS day, CAST(count(*) AS BIGINT) AS new_users
+              FROM fd GROUP BY 1),
+       sp AS (SELECT min(d) AS dmin, max(d) AS dmax FROM ud),
+       spine AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM sp)
+       SELECT spine.day, coalesce(pd.new_users, 0) AS new_users,
+              CAST(sum(coalesce(pd.new_users, 0))
+                OVER (ORDER BY spine.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+       FROM spine LEFT JOIN pd ON pd.day = spine.day
+       ORDER BY spine.day"""
+
   /** Stickiness — the DAU/MAU engagement ratio per day, the product
     * metric sitting directly on [[activeUsersDf]]'s exact rolling
     * distincts (a habit-forming product trends toward 1, a
@@ -1004,6 +1049,102 @@ object Events {
           .otherwise(round(col("dau").cast("double") / col("mau"), 6))
           .as("stickiness"))
       .orderBy(col("day"))
+
+  /** Holt double-exponential smoothing of daily revenue — the
+    * adaptive-forecast member of the family (the events_forecast
+    * seasonal-naive baseline assumes a frozen weekly profile;
+    * Holt tracks level AND trend as they move). α = β = 1/2 so
+    * every smoothing step is ONE arithmetic right-shift — floor
+    * semantics on negatives in BOTH engines (Spark `>>` and DuckDB
+    * `>>` are arithmetic shifts; a `div`/`//` formulation would
+    * diverge on odd negative trends: truncate-toward-zero vs floor).
+    *   l_t = (y_t + l_{t−1} + b_{t−1}) >> 1
+    *   b_t = (b_{t−1} + l_t − l_{t−1}) >> 1,  f_t = l_{t−1} + b_{t−1}
+    * init l₀ = y₀, b₀ = y₁ − y₀ (0 on a 1-day series).
+    *
+    * The recurrence is inherently SEQUENTIAL (integer truncation
+    * breaks the matrix-scan associativity that would parallelize a
+    * float Holt), so this runs on the [[Skyline]] `mapPartitions`
+    * tier: the zero-filled day spine is DAYS-BOUNDED (a century is
+    * 36.5k rows), one partition, one ordered pass — the upstream
+    * daily aggregate over the raw corpus is still fully distributed.
+    * The oracle is DuckDB's native `WITH RECURSIVE` walk of the same
+    * recurrence. Spec pins the closed form on an exactly-linear
+    * series: l tracks y exactly and b stays the slope. */
+  def eventsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(expr("cast(ts as long) div 86400").as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    holtOfDaily(daily).orderBy(col("day"))
+  }
+
+  /** The smoothing fold over ANY (day, cents) daily table (spec
+    * surface; gaps are zero-filled first). */
+  private[graft] def holtOfDaily(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val span = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val filled = span.select(explode(expr("sequence(dmin, dmax)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+    filled.as[(Long, Long)]
+      .repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          var l = rows(0)._2
+          var b = if (rows.length > 1) rows(1)._2 - rows(0)._2 else 0L
+          val out = new scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Long, Long, Option[Long])](rows.length)
+          out += ((rows(0)._1, rows(0)._2, l, b, None))
+          var i = 1
+          while (i < rows.length) {
+            val y = rows(i)._2
+            val f = l + b
+            val l1 = (y + l + b) >> 1
+            val b1 = (b + (l1 - l)) >> 1
+            l = l1; b = b1
+            out += ((rows(i)._1, y, l, b, Some(f)))
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("day", "cents", "level", "trend", "fitted")
+  }
+
+  /** Generated DuckDB oracle for [[eventsHolt]] — the same shift
+    * recurrence as a native recursive CTE. */
+  val holtOracleSql: String =
+    """WITH RECURSIVE daily AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       sp AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+       spine AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM sp),
+       filled AS (SELECT spine.day, coalesce(d.cents, 0) AS cents
+                  FROM spine LEFT JOIN daily d ON d.day = spine.day),
+       idx AS (SELECT day, cents,
+                      row_number() OVER (ORDER BY day) AS i
+               FROM filled),
+       rec(i, day, cents, l, b, f) AS (
+         SELECT i, day, cents, cents,
+                coalesce((SELECT cents FROM idx WHERE i = 2), 0) - cents,
+                CAST(NULL AS BIGINT)
+         FROM idx WHERE i = 1
+         UNION ALL
+         SELECT x.i, x.day, x.cents,
+                (x.cents + r.l + r.b) >> 1,
+                (r.b + (((x.cents + r.l + r.b) >> 1) - r.l)) >> 1,
+                r.l + r.b
+         FROM rec r JOIN idx x ON x.i = r.i + 1)
+       SELECT day, cents, CAST(l AS BIGINT) AS level,
+              CAST(b AS BIGINT) AS trend, CAST(f AS BIGINT) AS fitted
+       FROM rec ORDER BY day"""
 
   /** Generated DuckDB oracle for [[eventsAcf]] — same spine fill,
     * same pre-scaled integer deviations (HUGEINT products vs the

@@ -1128,6 +1128,61 @@ object Profile {
                 AS entropy
        FROM a ORDER BY column_name"""
 
+  /** Top-k values per categorical column — [[catEntropy]]'s
+    * companion readout (entropy says HOW concentrated; this says ON
+    * WHAT): the k most frequent values of each profiled column with
+    * exact counts and ppm share (`(cnt·10⁶) div n` — floor division,
+    * no float). Same labeled-union shape as [[catEntropy]]; the rank
+    * window partitions by column (bounded groups over the
+    * dictionary-sized count table), ties break on the value string
+    * so the selection is deterministic. */
+  def topValues(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val t = Tables(spark, dir)
+    val src = t.events
+      .select(lit("events.event_type").as("column_name"),
+        col("event_type").as("v"))
+      .unionByName(t.documents
+        .select(lit("documents.lang").as("column_name"), col("lang").as("v")))
+      .unionByName(t.documents
+        .select(lit("documents.source").as("column_name"),
+          col("source").as("v")))
+    val counts = src.groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy(col("column_name")).agg(sum(col("cnt")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column_name"))
+      .orderBy(col("cnt").desc, col("v"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(tot, Seq("column_name"))
+      .select(col("column_name"), col("rank").cast("long").as("rank"),
+        col("v").as("value"), col("cnt"),
+        expr("(cnt * 1000000) div n").as("share_ppm"))
+      .orderBy(col("column_name"), col("rank"))
+  }
+
+  /** Generated DuckDB oracle for [[topValues]]. */
+  def topValuesSql(k: Int = 3): String =
+    s"""WITH src AS (
+         SELECT 'events.event_type' AS column_name, event_type AS v
+         FROM events
+         UNION ALL SELECT 'documents.lang', lang FROM documents
+         UNION ALL SELECT 'documents.source', source FROM documents),
+       c AS (SELECT column_name, v, CAST(count(*) AS BIGINT) AS cnt
+             FROM src GROUP BY 1, 2),
+       t AS (SELECT column_name, CAST(sum(cnt) AS BIGINT) AS n
+             FROM c GROUP BY 1),
+       r AS (SELECT column_name, v, cnt,
+                    row_number() OVER (PARTITION BY column_name
+                      ORDER BY cnt DESC, v) AS rank
+             FROM c)
+       SELECT r.column_name, CAST(r.rank AS BIGINT) AS rank,
+              r.v AS value, r.cnt,
+              (r.cnt * 1000000) // t.n AS share_ppm
+       FROM r JOIN t ON t.column_name = r.column_name
+       WHERE r.rank <= $k
+       ORDER BY r.column_name, r.rank"""
+
   /** Declarative data-quality CHECK SUITE — the Deequ-style
     * constraint readout a 100 TB ingest gate runs before publishing a
     * partition (completeness, uniqueness, value ranges, referential

@@ -375,6 +375,43 @@ class EdgeCaseSpec extends SparkSpecBase {
     }
   }
 
+  test("holt smoothing: exactly-linear series is tracked with zero lag") {
+    // y_t = 100 + 7t: with l0 = y0, b0 = y1 - y0 = 7 the recurrence
+    // reproduces l_t = y_t and b_t = 7 exactly at every step, and the
+    // one-step forecast f_t = l_{t-1} + b_{t-1} = y_t is PERFECT
+    val daily = (0L until 50L).map(t => (t + 1000L, 100L + 7L * t))
+      .toDF("day", "cents")
+    val out = graft.operators.Events.holtOfDaily(daily).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out.size == 50)
+    out.foreach { case (day, (y, l, b, f)) =>
+      assert(l == y, s"day $day: level $l != y $y")
+      assert(b == 7L, s"day $day: trend $b")
+      if (day > 1000L) assert(f.contains(y), s"day $day: fitted $f != $y")
+      else assert(f.isEmpty)
+    }
+    // negative-trend series exercises the floor-shift on negatives
+    val down = (0L until 20L).map(t => (t + 1L, 1000L - 13L * t))
+      .toDF("day", "cents")
+    val d = graft.operators.Events.holtOfDaily(down).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(d.forall(_._2 == -13L), d.toSeq)
+  }
+
+  test("cumulative users: monotone, ends at total distinct, quiet days flat") {
+    val rows = graft.operators.Events.cumulativeUsers(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + b._2, s"cumulation breaks at ${b._1}")
+    }
+    val total = graft.core.Tables(spark, Sf).events
+      .select("user_id").distinct().count()
+    assert(rows.last._3 == total)
+    assert(rows.map(_._2).sum == total)
+  }
+
   test("uniform-k sample: exactly k rows, the k smallest by portable hash") {
     val docs = graft.core.Tables(spark, Sf).documents
     val got = Curation.sampleUniformKDf(docs, 5).collect()
