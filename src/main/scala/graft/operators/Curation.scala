@@ -139,12 +139,18 @@ object Curation {
       benchSource: String = "src0"): DataFrame = {
     val docs = Tables(spark, dir).documents
     val corpus = docs.filter(col("source") =!= benchSource)
+    // stage-survivor ID frames are cached: each feeds BOTH its own
+    // 1-row count and the next stage's semi/anti join — uncached,
+    // every reference re-runs the full upstream text pass (the plan
+    // audit counted 12 corpus scans; ids are doc_id-only rows)
     val qualIds = textGopherDf(corpus).filter(col("keep")).select("doc_id")
+      .cache()
     val qualDocs = corpus.join(qualIds, Seq("doc_id"), "left_semi")
     val reps = qualDocs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+      .cache()
     val contaminated = pipelineDecontamDf(docs, benchSource)
       .filter(col("contaminated")).select("doc_id")
     val fin = reps.join(contaminated, Seq("doc_id"), "left_anti")

@@ -273,9 +273,14 @@ object Events {
       horizons.map(_._1) == horizons.map(_._1).sorted.distinct,
       s"activeUsersDf: horizons must be ascending positive day counts, got $horizons")
     val hmax = horizons.map(_._1).max
+    // cached: span and the fan-out both consume this frame — uncached,
+    // each consumer re-scans the events corpus and re-runs the
+    // distinct (the dedup-postings cache discipline; this is the
+    // operator's working set)
     val ud = events
       .select(expr("cast(ts as long) div 86400").as("d"), col("user_id"))
       .distinct()
+      .cache()
     val span = ud.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
     // full day spine: every in-span day reports, even across a gap
     val spine = span.select(explode(expr("sequence(dmin, dmax)")).as("day"))
@@ -881,11 +886,17 @@ object Events {
     * 36.5k rows), the fan-out ≤ 8×, the aggregate dictionary-sized. */
   def eventsAcf(spark: SparkSession, dir: String,
       maxLag: Int = 7): DataFrame = {
+    // cached at the corpus→bounded boundary: span/fill/stats/dev/fan
+    // all re-reference this frame lazily, and without the cache each
+    // reference re-scans the events corpus (the plan audit counted 16
+    // parquet scans) — one scan materializes the days-bounded table,
+    // everything downstream recomputes from ≤ 36.5k rows
     val daily = Tables(spark, dir).events
       .filter(col("event_type") === "purchase")
       .select(expr("cast(ts as long) div 86400").as("day"),
         round(col("value") * 100, 0).cast("long").as("c"))
       .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+      .cache()
     val span = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
     val filled = span
       .select(explode(expr("sequence(dmin, dmax)")).as("day"))
@@ -925,9 +936,14 @@ object Events {
     * ((n+1) div 2, (9n+9) div 10). Windows run over the
     * sessions-bounded frame (≈ |user-days|, not events). */
   def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the aggregate + three rank selections below each
+    // re-reference this frame, and uncached each re-runs the full
+    // sessionize window over the corpus (plan audit: 7 scans → 1);
+    // the frame is sessions-bounded, not event-bounded
     val st = qSessionize(spark, dir)
       .select(col("user_id"), col("session_id"), col("n_events"),
         (col("end_s") - col("start_s")).as("dur_s"))
+      .cache()
     val agg = st.agg(count(lit(1)).cast("long").as("n_sessions"),
       sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_single"),
       sum(col("n_events")).as("total_events"))

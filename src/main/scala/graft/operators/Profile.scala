@@ -849,10 +849,13 @@ object Profile {
 
   /** The PSI fold over any (ts, event_type) frame (spec surface). */
   def psiOf(events: DataFrame, split: Column): DataFrame = {
+    // dictionary-bounded and referenced by tot, perType AND the total
+    // row — cached so the corpus is scanned once, not per reference
     val counts = events
       .groupBy(col("event_type"))
       .agg(sum(when(col("ts") < split, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("ts") >= split, 1L).otherwise(0L)).as("n_cur"))
+      .cache()
     val tot = counts.agg(sum(col("n_ref")).as("nr"), sum(col("n_cur")).as("nc"))
     val lrMicro = when(col("n_ref") > 0 && col("n_cur") > 0,
       round(log((col("n_ref") * col("nc")).cast("double") /
@@ -1001,10 +1004,13 @@ object Profile {
 
   /** The JSD fold over any (ts, event_type) frame (spec surface). */
   def jsdOf(events: DataFrame, split: Column): DataFrame = {
+    // dictionary-bounded and referenced by tot, perType AND the total
+    // row — cached so the corpus is scanned once, not per reference
     val counts = events
       .groupBy(col("event_type"))
       .agg(sum(when(col("ts") < split, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("ts") >= split, 1L).otherwise(0L)).as("n_cur"))
+      .cache()
     val tot = counts.agg(sum(col("n_ref")).as("nr"), sum(col("n_cur")).as("nc"))
     // integer ratio arguments: 2p/(p+q) and 2q/(p+q) with p = n_ref/nr,
     // q = n_cur/nc share the denominator (n_ref·nc + n_cur·nr)
@@ -1203,7 +1209,9 @@ object Profile {
     // one scan per table: every row-local check is a conditional
     // aggregate of the SAME 1-row fold, unpivoted with stack — the
     // alternative (one select per check) re-scans the corpus per check
-    val liRows = li.agg(
+    // the 1-row fold is cached: stack rows AND the RI total below
+    // reuse it, so lineitem is aggregated once, not once per consumer
+    val liAgg = li.agg(
       sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
         .otherwise(0L)).as("v_qty"),
       sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
@@ -1211,6 +1219,8 @@ object Profile {
       sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v_price"),
       sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
       count(lit(1)).as("n"))
+      .cache()
+    val liRows = liAgg
       .select(expr("""stack(4,
           'l_quantity_in_1_50', v_qty,
           'l_discount_in_0_0.1', v_disc,
@@ -1230,7 +1240,7 @@ object Profile {
       .join(ord.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).cast("long").as("violations"))
-      .crossJoin(broadcast(li.agg(count(lit(1)).cast("long").as("n"))))
+      .crossJoin(broadcast(liAgg.select(col("n").cast("long").as("n"))))
       .select(lit("lineitem_orderkey_in_orders").as("check_id"),
         lit("lineitem").as("tbl"), col("violations"),
         col("n").as("total"))
