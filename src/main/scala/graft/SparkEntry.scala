@@ -105,6 +105,7 @@ object SparkEntry {
     "events_session_stats" -> (Events.sessionStats _),
     "events_cumulative_users" -> (Events.cumulativeUsers _),
     "events_holt" -> (Events.eventsHolt _),
+    "events_features" -> (Events.eventsFeatures _),
     "events_markov" -> (Events.qMarkov _),
     "events_changepoint" -> (Events.qChangepoint _),
     "events_rfm" -> (Events.qRfm _),
@@ -192,6 +193,7 @@ object SparkEntry {
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
     "ann_mips" -> (Ann.mips _),
+    "ann_filtered" -> (Ann.filtered _),
     "ann_lsh" -> (Ann.lsh _),
     "ann_eval" -> (Ann.evalLsh _),
     "ann_eval_ivf" -> (Ann.evalIvf _),
@@ -214,6 +216,7 @@ object SparkEntry {
     "mm_decode_hist" -> (Multimodal.pixelHistReal _),
     "mm_dhash" -> (Multimodal.mediaDhash _),
     "mm_phash" -> (Multimodal.mediaPhash _),
+    "mm_ahash" -> (Multimodal.mediaAhash _),
     "mm_dedup_real" -> (Multimodal.nearDupDhash _),
     "mm_dedup_hamming" -> ((s: SparkSession, d: String) =>
       Multimodal.nearDupHamming(s, d)),
@@ -1588,6 +1591,8 @@ object SparkEntry {
     // the shift-smoothing recurrence as a native recursive CTE vs the
     // Spark side's single-partition ordered fold over the bounded spine
     "events_holt" -> graft.operators.Events.holtOracleSql,
+    // identical integer-day RANGE frames per user
+    "events_features" -> graft.operators.Events.featuresOracleSql,
     // the DAU/MAU ratio on the same exact rolling distincts — one
     // final rounded division, zero-MAU days report 0
     "events_stickiness" ->
@@ -2240,6 +2245,23 @@ object SparkEntry {
            FROM scored)
          SELECT qid, rank, vec_id, dot FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // exact filtered search: the label predicate applies BEFORE
+    // scoring on both sides, so top-k never starves below k
+    "ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+                    FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                        CAST(q.qe AS DOUBLE[])), 6) AS cosine
+           FROM embeddings e JOIN q ON e.label = q.qlabel),
+         ranked AS (
+           SELECT qid, vec_id, cosine,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+         SELECT qid, rank, vec_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
     // full-pipeline PQ oracle (not the bruteforce shortcut): the
     // approximate path is integer-exact end to end, so codes, ADC
     // ordering, and the rerank all hash-match by construction rather
@@ -2603,6 +2625,7 @@ object SparkEntry {
     "mm_dedup_real" -> Multimodal.nearDupDhashOracleSql,
     "mm_dedup_hamming" -> Multimodal.nearDupHammingOracleSql,
     "mm_phash" -> Multimodal.mediaPhashOracleSql,
+    "mm_ahash" -> Multimodal.mediaAhashOracleSql,
     "mm_dedup_phash" -> Multimodal.nearDupPhashOracleSql,
     // Same 16-bit-limb bucket arithmetic as TextOps.splitAssignment —
     // equal to (doc_id * 2654435761) % 2^32 but overflow-free for

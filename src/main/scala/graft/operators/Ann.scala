@@ -68,6 +68,29 @@ object Ann {
     topkPerQuery(scored)
   }
 
+  /** FILTERED exact top-k — metadata-constrained vector search, the
+    * shape production retrieval actually runs ("nearest neighbors
+    * WHERE tenant/language/shard = X"): each query ranks only corpus
+    * vectors sharing its `label`. The filter applies BEFORE scoring
+    * (predicate on the scan — at 100 TB with label-partitioned or
+    * label-bucketed layout this prunes files, not rows), so filtered
+    * search is CHEAPER than unfiltered, never a post-filter that
+    * starves top-k below k. The IVF-scale path is the same
+    * composition — filter inside the probed cells before rerank —
+    * which this exact surface is the correctness gate for. */
+  def filtered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
+    topkPerQuery(scored)
+  }
+
   /** Exact top-k MAXIMUM INNER PRODUCT search — the retrieval scoring
     * recommendation and reward models actually use (unnormalized
     * embeddings encode magnitude = confidence/popularity; cosine

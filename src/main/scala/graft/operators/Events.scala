@@ -1006,6 +1006,60 @@ object Events {
        JOIN rdur p9 ON p9.rn = (9 * nn.n + 9) // 10
        JOIN rev me ON me.rn = (nn.n + 1) // 2"""
 
+  /** Per-(user, active-day) FEATURE TABLE — the feature-store query
+    * an ML training pipeline materializes next to the label join:
+    * same-day activity (events, purchase cents), trailing 7- and
+    * 30-day counts and revenue, days since previous activity, and
+    * lifetime event count. Everything is an exact-integer windowed
+    * aggregate over the per-user day series: RANGE frames on the
+    * integer epoch day (so calendar gaps are handled by the frame,
+    * not a spine join), partitioned BY USER — the scalable axis
+    * (millions of partitions, each tiny; no global window anywhere).
+    * One corpus scan → one (user, day) aggregate → one window pass. */
+  def eventsFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L).as("c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("rev_cents"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val w7 = byUser.rangeBetween(-6, 0)
+    val w30 = byUser.rangeBetween(-29, 0)
+    val life = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ud.select(col("user_id"), col("day"), col("n_events"), col("rev_cents"),
+        sum(col("n_events")).over(w7).as("cnt_7"),
+        sum(col("n_events")).over(w30).as("cnt_30"),
+        sum(col("rev_cents")).over(w30).as("rev_30"),
+        (col("day") - lag(col("day"), 1).over(byUser)).as("days_since_prev"),
+        sum(col("n_events")).over(life).as("lifetime_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Generated DuckDB oracle for [[eventsFeatures]] — identical
+    * integer-day RANGE frames. */
+  val featuresOracleSql: String =
+    """WITH ud AS (
+         SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                count(*) AS n_events,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS rev_cents
+         FROM events GROUP BY 1, 2)
+       SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events, rev_cents,
+              CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_7,
+              CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_30,
+              CAST(sum(rev_cents) OVER (PARTITION BY user_id ORDER BY day
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_30,
+              day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                AS days_since_prev,
+              CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS lifetime_events
+       FROM ud ORDER BY user_id, day"""
+
   /** Cumulative distinct users by day — the growth curve
     * ([[eventsActiveUsers]] reads engagement windows; this reads
     * lifetime acquisition). Distinct-over-all-history decomposes

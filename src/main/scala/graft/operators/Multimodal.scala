@@ -372,6 +372,67 @@ object Multimodal {
        SELECT dhash, count(*) AS n_docs, min(doc_id) AS keep_id
        FROM h GROUP BY dhash HAVING count(*) > 1 ORDER BY dhash"""
 
+  /** REAL aHash — the MEAN-THRESHOLD perceptual fingerprint that
+    * completes the trio ([[dhashBatch]] reads local gradients,
+    * [[phashBatch]] global frequencies; aHash reads absolute
+    * brightness — the cheapest and the one most robust to small
+    * translations): bit (x, y) = 1 iff thumb(x, y) > mean(thumb),
+    * with the integer floor mean (`Σ div 64`) so no float enters.
+    * 63 bits — position (7,7) is dropped to stay BIGINT-safe (the
+    * 56-bit dHash discipline; bit 63 would be the long's sign).
+    * Same zero-exchange batched decode chain. */
+  private[graft] def ahashBatch(batch: Seq[MediaBlob]): Seq[(Long, Long)] =
+    batch.map { b =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b.payload))
+      require(img != null, s"mm_ahash: undecodable image, doc ${b.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val t = Array.tabulate(8, 8)((y, x) => img.getRGB(x * w / 8, y * h / 8) & 0xff)
+      var s = 0L
+      var y = 0
+      while (y < 8) { var x = 0; while (x < 8) { s += t(y)(x); x += 1 }; y += 1 }
+      val mean = s / 64
+      var hash = 0L
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val bit = y * 8 + x
+          if (bit < 63 && t(y)(x) > mean) hash |= 1L << bit
+          x += 1
+        }
+        y += 1
+      }
+      (b.doc_id, hash)
+    }
+
+  /** The aHash fingerprint table over the really-decoded corpus. */
+  def mediaAhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageBlobs(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(ahashBatch))
+      .toDF("doc_id", "ahash")
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[mediaAhash]] — every thumbnail
+    * pixel regenerated from the planted gradient through the same
+    * integer resample, the same floor mean, the same 63-bit pack. */
+  val mediaAhashOracleSql: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+              8 + length(text) % 16 AS h FROM documents),
+       t AS (SELECT doc_id, x, y,
+               ((x * w // 8) * 7 + (y * h // 8) * 13 + doc_id * 31) % 256 AS v
+             FROM d, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+       m AS (SELECT doc_id, CAST(sum(v) AS BIGINT) // 64 AS mean
+             FROM t GROUP BY 1),
+       b AS (SELECT t.doc_id,
+               CASE WHEN y * 8 + x < 63 AND v > m.mean
+                    THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END AS bit
+             FROM t JOIN m ON m.doc_id = t.doc_id)
+       SELECT doc_id, CAST(sum(bit) AS BIGINT) AS ahash
+       FROM b GROUP BY doc_id ORDER BY doc_id"""
+
   /** Fixed-point 8×8 DCT-II basis, scale 2¹⁶, orthonormal s(u)
     * factors folded in: `B(u)(x) = round(s(u)·cos((2x+1)uπ/16)·2¹⁶)`.
     * Generated ONCE here and embedded as literals in the oracle, so

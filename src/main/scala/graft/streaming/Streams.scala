@@ -686,6 +686,31 @@ object Streams {
     * under any micro-batch split (StreamingSpec pins a forced
     * 2-batch split against [[graft.operators.Events.stlDf]]).
     * Drains synchronously. */
+  /** Streaming Holt forecast monitor —
+    * [[graft.operators.Events.eventsHolt]]'s standing twin, the
+    * [[stlStream]] shape: the daily revenue aggregate runs as ONE
+    * complete-mode stateful aggregate (state = days, bounded by the
+    * calendar, not the stream), and each trigger refreshes the
+    * level/trend/fitted table through the SAME batch smoothing fold
+    * over the ≤ days-sized state — so stream ≡ batch by
+    * construction, any micro-batch split. The latest one-step
+    * forecast (last level + trend) is what an alerting job reads. */
+  def holtStream(events: DataFrame, outPath: String): Unit = {
+    val daily = events
+      .filter(col("event_type") === "purchase")
+      .select(expr("cast(ts as long) div 86400").as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    val q = daily.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Events.holtOfDaily(batch)
+          .write.mode("overwrite").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   def stlStream(events: DataFrame, outPath: String): Unit = {
     val daily = events
       .filter(col("event_type") === "purchase")
