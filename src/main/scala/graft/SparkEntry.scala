@@ -158,6 +158,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "snapshot_diff" -> (Snapshot.snapshotDiff _),
+    "snapshot_column_churn" -> (Snapshot.columnChurn _),
     "snapshot_scd2" -> (Snapshot.scd2 _),
     "snapshot_agg_delta" -> (Snapshot.aggDelta _),
     "snapshot_asof" -> ((s: SparkSession, d: String) => Snapshot.asOf(s, d)),
@@ -2427,6 +2428,10 @@ object SparkEntry {
     "dedup_incremental" -> dedupIncrementalSql,
     // both snapshots rebuilt from the same portable-hash carve the
     // Spark side uses, so the diff is value-identical
+    // which columns move between versions — one full-outer join, one
+    // stacked conditional aggregate
+    "snapshot_column_churn" ->
+      graft.operators.Snapshot.columnChurnOracleSql,
     "snapshot_diff" ->
       """WITH c AS (
            SELECT c_custkey,

@@ -278,6 +278,96 @@ object Snapshot {
       .sortWithinPartitions("c_custkey")
   }
 
+  /** Per-COLUMN churn between two snapshot versions — the
+    * schema-drift readout ([[snapshotDiff]] reports row fates; this
+    * reports WHICH columns move, the signal that tells a pipeline
+    * owner whether an upstream producer changed semantics): for each
+    * column, how many common keys changed it, over how many common
+    * keys, plus the row-fate counts once. The v2 carve perturbs
+    * three columns on DISJOINT hash buckets (cents +100 on hv%7=3,
+    * nation +1 on hv%7=5, segment rewrite on hv%7=2), so every
+    * per-column counter carries an independent nonzero signal.
+    * Shape: ONE full-outer join on the key, then every column's
+    * change flag is a row-local conditional summed in one aggregate
+    * and stack-unpivoted — adding a column = adding a counter, the
+    * checksProfile contract. */
+  def columnChurn(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"),
+        pmod(PortableHash.h60(col("c_custkey").cast("string")),
+          lit(Buckets.toLong)).as("hv"))
+    val base = cust.filter(col("hv") =!= 0)
+      .select(col("c_custkey").as("b_key"), col("cents").as("o_cents"),
+        col("nat").as("o_nat"), col("seg").as("o_seg"))
+    val curr = cust.filter(col("hv") =!= 1)
+      .select(col("c_custkey").as("n_key"),
+        when(col("hv") % 7 === 3, col("cents") + 100)
+          .otherwise(col("cents")).as("n_cents"),
+        when(col("hv") % 7 === 5, col("nat") + 1)
+          .otherwise(col("nat")).as("n_nat"),
+        when(col("hv") % 7 === 2, concat(lit("NEW_"), col("seg")))
+          .otherwise(col("seg")).as("n_seg"))
+    base.join(curr, col("b_key") === col("n_key"), "full_outer")
+      .agg(
+        sum(when(col("b_key").isNull, 1L).otherwise(0L)).as("inserts"),
+        sum(when(col("n_key").isNull, 1L).otherwise(0L)).as("deletes"),
+        sum(when(col("b_key").isNotNull && col("n_key").isNotNull, 1L)
+          .otherwise(0L)).as("common"),
+        sum(when(col("b_key").isNotNull && col("n_key").isNotNull &&
+          col("o_cents") =!= col("n_cents"), 1L).otherwise(0L)).as("ch_cents"),
+        sum(when(col("b_key").isNotNull && col("n_key").isNotNull &&
+          col("o_nat") =!= col("n_nat"), 1L).otherwise(0L)).as("ch_nat"),
+        sum(when(col("b_key").isNotNull && col("n_key").isNotNull &&
+          col("o_seg") =!= col("n_seg"), 1L).otherwise(0L)).as("ch_seg"))
+      .select(expr("""stack(3,
+          'c_acctbal_cents', ch_cents,
+          'c_mktsegment', ch_seg,
+          'c_nationkey', ch_nat) as (column_name, n_changed)"""),
+        col("common").as("n_common"), col("inserts").as("n_inserts"),
+        col("deletes").as("n_deletes"))
+      .orderBy(col("column_name"))
+  }
+
+  /** Generated DuckDB oracle for [[columnChurn]]. */
+  val columnChurnOracleSql: String =
+    """WITH c AS (
+         SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nat,
+                c_mktsegment AS seg,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+                ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 20 AS hv
+         FROM customer),
+       base AS (SELECT c_custkey AS b_key, cents AS o_cents, nat AS o_nat,
+                       seg AS o_seg
+                FROM c WHERE hv != 0),
+       curr AS (SELECT c_custkey AS n_key,
+                       CASE WHEN hv % 7 = 3 THEN cents + 100 ELSE cents END AS n_cents,
+                       CASE WHEN hv % 7 = 5 THEN nat + 1 ELSE nat END AS n_nat,
+                       CASE WHEN hv % 7 = 2 THEN 'NEW_' || seg ELSE seg END AS n_seg
+                FROM c WHERE hv != 1),
+       a AS (
+         SELECT CAST(sum(CASE WHEN b_key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+                CAST(sum(CASE WHEN n_key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
+                CAST(sum(CASE WHEN b_key IS NOT NULL AND n_key IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS common,
+                CAST(sum(CASE WHEN b_key IS NOT NULL AND n_key IS NOT NULL
+                     AND o_cents != n_cents THEN 1 ELSE 0 END) AS BIGINT) AS ch_cents,
+                CAST(sum(CASE WHEN b_key IS NOT NULL AND n_key IS NOT NULL
+                     AND o_nat != n_nat THEN 1 ELSE 0 END) AS BIGINT) AS ch_nat,
+                CAST(sum(CASE WHEN b_key IS NOT NULL AND n_key IS NOT NULL
+                     AND o_seg != n_seg THEN 1 ELSE 0 END) AS BIGINT) AS ch_seg
+         FROM base FULL OUTER JOIN curr ON b_key = n_key)
+       SELECT * FROM (
+         SELECT 'c_acctbal_cents' AS column_name, ch_cents AS n_changed,
+                common AS n_common, inserts AS n_inserts, deletes AS n_deletes
+         FROM a
+         UNION ALL
+         SELECT 'c_mktsegment', ch_seg, common, inserts, deletes FROM a
+         UNION ALL
+         SELECT 'c_nationkey', ch_nat, common, inserts, deletes FROM a)
+       ORDER BY column_name"""
+
   /** Incremental view maintenance — the reason [[snapshotDiff]]
     * exists: a standing grouped aggregate (per-nation customer count
     * + exact-cents balance sum) is REFRESHED by folding only the CDC

@@ -22,7 +22,7 @@ cd "$(dirname "$0")/.."
 MODE=${1:-full}
 if [ "$MODE" = "quick" ]; then
   KS="1 2"
-  OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment}
+  OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment,dedup_prefix_filter}
   REPS=${SCALING_REPS:-1}
 elif [ "$MODE" = "basket" ]; then
   # basket family on K disjoint basket universes (salted partkeys):
@@ -39,7 +39,7 @@ elif [ "$MODE" = "linkage" ]; then
   # variant fan-out and candidate volume double with K — linear with
   # floor expected; a candidate or verify blowup shows ~K^2
   KS="1 2"
-  OPS=${SCALING_OPS:-er_fuzzy_names}
+  OPS=${SCALING_OPS:-er_fuzzy_names,er_qgram_names,er_canonical}
   REPS=${SCALING_REPS:-1}
 elif [ "$MODE" = "graph" ]; then
   # iterative-graph family on K disjoint trading-graph replicas
