@@ -1013,7 +1013,10 @@ object TextOps {
     * orderBy+limit (TakeOrdered — bounded heap per partition). */
   def textRake(spark: SparkSession, dir: String, topK: Int = 30): DataFrame = {
     val stops = StopWordList.map(lit(_))
-    val toks = tokens(lower(col("text")))
+    // the shared NFC + simple-casefold kernel, NOT lower(): Java's
+    // one-to-many Turkish İ → "i̇" diverges from utf8proc's 1:1 map,
+    // and the multi-script gate catches exactly that
+    val toks = tokens(graft.functions.Normalize.normalizeText(col("text")))
     val phraseStr = array_join(
       transform(toks, t =>
         when(stops.map(t === _).reduce(_ || _), lit("|")).otherwise(t)),
@@ -1048,7 +1051,8 @@ object TextOps {
   def rakeOracleSql(topK: Int = 30): String = {
     val stops = StopWordList.map("'" + _ + "'").mkString(", ")
     s"""WITH toks AS (
-         SELECT string_split_regex(trim(lower(text), ' '), '\\s+') AS t
+         SELECT string_split_regex(trim(lower(nfc_normalize(text)), ' '),
+                                   '\\s+') AS t
          FROM documents),
        ph0 AS (
          SELECT unnest(string_split_regex(
