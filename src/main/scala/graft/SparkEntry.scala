@@ -195,6 +195,8 @@ object SparkEntry {
     "ann_bruteforce" -> (Ann.bruteforce _),
     "ann_mips" -> (Ann.mips _),
     "ann_filtered" -> (Ann.filtered _),
+    "ann_filtered_ivf" -> ((s: SparkSession, d: String) =>
+      Ann.filteredIvf(s, d)),
     "ann_lsh" -> (Ann.lsh _),
     "ann_eval" -> (Ann.evalLsh _),
     "ann_eval_ivf" -> (Ann.evalIvf _),
@@ -2280,6 +2282,40 @@ object SparkEntry {
     // 4-cell probes, exact cosine top-5 over the probed cells.
     "ann_ivf" ->
       s"""WITH $ivfCtes
+         SELECT qid, rank, vec_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    // the ivf chain with the label predicate INSIDE the probed cells
+    "ann_filtered_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+                    FROM embeddings),
+         c AS (SELECT vec_id AS cent_id, emb AS ce FROM e
+               WHERE vec_id % 29 = 0),
+         cells AS (
+           SELECT vec_id, emb, label, cell FROM (
+             SELECT e.vec_id, e.emb, e.label, c.cent_id AS cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC,
+                               c.cent_id) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, emb AS qe, label AS qlabel
+               FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT qid, qe, qlabel, cell FROM (
+             SELECT q.qid, q.qe, q.qlabel, c.cent_id AS cell,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+                               c.cent_id) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 8),
+         scored AS (
+           SELECT DISTINCT p.qid, s.vec_id,
+                  round(list_cosine_similarity(s.emb, p.qe), 6) AS cosine
+           FROM cells s JOIN probes p ON p.cell = s.cell
+           WHERE s.label = p.qlabel),
+         ranked AS (
+           SELECT qid, vec_id, cosine,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
     // the harness over the IVF ranking: same truth + metrics tail

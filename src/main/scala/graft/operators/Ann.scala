@@ -91,6 +91,32 @@ object Ann {
     topkPerQuery(scored)
   }
 
+  /** FILTERED IVF — the [[filtered]] semantics on the [[ivf]] scale
+    * path: candidates come from the probed nearest cells, the label
+    * predicate applies INSIDE the cells before the rerank (at 100 TB
+    * the cell files are additionally label-bucketed, so the filter
+    * prunes file lists — never a post-rank filter that silently
+    * starves a rare label below k; a query whose label is absent
+    * from its probed cells honestly returns fewer rows, same as the
+    * oracle). Bucket rule + filter ARE the semantics, hash-matched
+    * cell-for-cell like ann_ivf. */
+  def filteredIvf(spark: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
+    val cb = codebook(spark, dir)
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val cells = e.withColumn("cell", cellOf(col("embedding"), cb))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"),
+        explode(nearestCells(col("embedding"), cb, nprobe)).as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
+    topkPerQuery(scored)
+  }
+
   /** Exact top-k MAXIMUM INNER PRODUCT search — the retrieval scoring
     * recommendation and reward models actually use (unnormalized
     * embeddings encode magnitude = confidence/popularity; cosine
