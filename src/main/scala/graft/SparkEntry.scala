@@ -169,6 +169,7 @@ object SparkEntry {
     "emb_coreset" -> ((s: SparkSession, d: String) => Cluster.embCoreset(s, d)),
     "q_skyline" -> (Skyline.qSkyline _),
     "q_hierarchy" -> (Hierarchy.hierarchy _),
+    "q_hierarchy_rollup" -> (Hierarchy.hierarchyRollup _),
     "q_set_ops" -> (Relational.qSetOps _),
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "graph_kcore_weighted" -> ((s: SparkSession, d: String) => Graph.kcoreWeighted(s, d)),
@@ -2409,6 +2410,8 @@ object SparkEntry {
     // O(log depth) pointer doubling — the hash match proves the
     // doubled composition lands on the identical closure
     "q_hierarchy" -> graft.operators.Hierarchy.hierarchyOracleSql,
+    "q_hierarchy_rollup" ->
+      graft.operators.Hierarchy.hierarchyRollupOracleSql,
     // the Spark side is the two-phase local-prune skyline
     "q_skyline" ->
       """WITH agg AS (

@@ -93,6 +93,46 @@ object Hierarchy {
       .unionByName(roots)
   }
 
+  /** Subtree ROLLUP per root — the aggregation consumer the closure
+    * exists for (org headcount, category totals, BOM cost): every
+    * tree's member count, max depth, and exact-cents balance total,
+    * by joining the [[flattenOf]] labels back to the entity table.
+    * One closure (log-rounds) + one broadcast-scale dimension join +
+    * one roots-bounded aggregate. */
+  def hierarchyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir).customer
+      .select(col("c_custkey").as("node"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    flattenOf(
+      cust.select(col("node"), expr("node div 8").as("parent")),
+      isRoot = col("node") < 8L)
+      .join(cust, Seq("node"))
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("depth")).as("max_depth"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("root"))
+  }
+
+  /** Generated DuckDB oracle for [[hierarchyRollup]] — the recursive
+    * walk's terminal rows aggregated per root. */
+  val hierarchyRollupOracleSql: String =
+    """WITH RECURSIVE walk(node, cur, depth) AS (
+         SELECT c_custkey, c_custkey, 0 FROM customer
+         UNION ALL
+         SELECT node, cur // 8, depth + 1 FROM walk WHERE cur >= 8),
+       fl AS (SELECT node, arg_max(cur, depth) AS root,
+                     max(depth) AS depth
+              FROM walk GROUP BY node),
+       c AS (SELECT c_custkey AS node,
+                    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+             FROM customer)
+       SELECT CAST(fl.root AS BIGINT) AS root,
+              CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(max(fl.depth) AS BIGINT) AS max_depth,
+              CAST(sum(c.cents) AS BIGINT) AS total_cents
+       FROM fl JOIN c ON c.node = fl.node
+       GROUP BY fl.root ORDER BY root"""
+
   /** Generated DuckDB oracle for [[hierarchy]]: the naive O(depth)
     * recursive walk — one parent edge per recursion level until a
     * root id (< 8) is reached; `arg_max(cur, depth)` picks each

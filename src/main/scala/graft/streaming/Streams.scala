@@ -711,6 +711,43 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming growth-curve monitor —
+    * [[graft.operators.Events.cumulativeUsers]]'s standing twin. The
+    * streaming state is per-USER first-seen day (a complete-mode
+    * min aggregate keyed by user — state bounded by the population,
+    * not the event volume, the only distinct-over-all-history state
+    * contract that survives 100 TB/day), and each trigger refreshes
+    * the spine + cumulation through a batch fold over that
+    * population-bounded frame — stream ≡ batch at any split. */
+  def cumulativeUsersStream(events: DataFrame, outPath: String): Unit = {
+    // per-user (first, last) seen day: the last-day half exists so the
+    // refreshed spine covers the FULL event span — quiet tail days
+    // (everyone acquired, activity continuing) must report flat rows,
+    // exactly like the batch surface
+    val firstDay = events
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("d"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("dlast"))
+    val q = firstDay.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val perDay = batch.groupBy(col("d0").as("day"))
+          .agg(count(lit(1)).as("new_users"))
+        val span = batch.agg(min(col("d0")).as("dmin"),
+          max(col("dlast")).as("dmax"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        span.select(explode(expr("sequence(dmin, dmax)")).as("day"))
+          .join(perDay, Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("new_users"), lit(0L)).as("new_users"))
+          .withColumn("cum_users", sum(col("new_users")).over(w))
+          .write.mode("overwrite").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   def stlStream(events: DataFrame, outPath: String): Unit = {
     val daily = events
       .filter(col("event_type") === "purchase")

@@ -64,6 +64,23 @@ class HierarchySpec extends SparkSpecBase {
     assert(e.getMessage.contains("dangling"))
   }
 
+  test("rollup: members partition across roots, totals conserve") {
+    val t = graft.core.Tables(spark, Sf)
+    val rows = Hierarchy.hierarchyRollup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet.subsetOf((0L to 7L).toSet))
+    val (nTotal, centsTotal) = (t.customer.count(),
+      t.customer.agg(sum(round(col("c_acctbal") * 100, 0).cast("long")))
+        .head().getLong(0))
+    assert(rows.map(_._2).sum == nTotal, "every customer in exactly one tree")
+    assert(rows.map(_._4).sum == centsTotal, "exact cents conserve")
+    // root 0's tree is {0} alone — every div-8 chain from k >= 8 lands
+    // in 1..7 before reaching 0; the other roots carry real subtrees
+    val byRoot = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byRoot(0L) == ((1L, 0L)))
+    (1L to 7L).foreach(r => assert(byRoot(r)._2 >= 1L, s"root $r"))
+  }
+
   test("gated surface matches the arithmetic closed form at sf0.001") {
     val out = Hierarchy.hierarchy(spark, Sf).collect()
     assert(out.nonEmpty)

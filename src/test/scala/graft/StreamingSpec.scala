@@ -833,6 +833,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("streaming growth curve: 2-batch split refreshes to the exact batch curve") {
+    import java.nio.file._
+    val ev = graft.core.Tables(spark, Sf).events
+    val split = ev.agg(expr("percentile_approx(cast(ts as long), 0.5)"))
+      .head().getLong(0)
+    val in = Files.createTempDirectory("graft_cum_in").toString
+    ev.filter(col("ts").cast("long") <= split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/a")
+    ev.filter(col("ts").cast("long") > split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b")
+    val staged = Files.createTempDirectory("graft_cum_q")
+    var i = 0
+    for (sub <- Seq("a", "b");
+         f <- new java.io.File(s"$in/$sub").listFiles
+           if f.getName.endsWith(".parquet")) {
+      Files.copy(f.toPath, staged.resolve(s"part$i.parquet")); i += 1
+    }
+    assert(i == 2)
+    val out = Files.createTempDirectory("graft_cum_out").toString
+    Streams.cumulativeUsersStream(
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString), out)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.Events.cumulativeUsers(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("streaming Holt monitor: 2-batch split refreshes to the exact batch smoothing") {
     import java.nio.file._
     val ev = graft.core.Tables(spark, Sf).events
