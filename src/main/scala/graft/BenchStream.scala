@@ -123,6 +123,10 @@ object BenchStream {
         () => Streams.psiWindow(eventsCapped(),
           Map("click" -> 2L, "view" -> 2L, "purchase" -> 2L,
             "signup" -> 2L, "error" -> 2L)), nEvents, "append"),
+      // r10 data-quality gate: fixed counter set per day window
+      ("checks_window",
+        () => Streams.checksWindow(eventsCapped(),
+          Seq("click", "view", "purchase", "signup")), nEvents, "append"),
       // the reference's flagship wordcount as a stream: complete-mode
       // global aggregate (the count table IS the state)
       ("wordcount",

@@ -879,7 +879,22 @@ object Graph {
     * the density division cannot hit zero. */
   def supplierCommunities(spark: SparkSession, dir: String,
       minOrders: Int = 5): DataFrame =
-    communityStats(coSupplyEdgesW(spark, dir, minOrders))
+    communityStats(coSupplyEdgesW(spark, dir, minOrders),
+      componentLabels(spark, dir, minOrders))
+
+  /** Memoized component labels per (dir, threshold): the min-label
+    * propagation loop is EAGER (jobs per round) and both the
+    * community summary and [[modularity]] consume the identical
+    * labels — without the memo each caller re-runs the whole loop
+    * (measured ~7 s of graph_modularity's 10 s at sf0.1). Same
+    * PlanCache the edge builds ride. */
+  private def componentLabels(spark: SparkSession, dir: String,
+      minOrders: Int): DataFrame =
+    shared.getOrBuild(spark, s"$dir#complabels$minOrders") {
+      Dedup.components(coSupplyEdgesW(spark, dir, minOrders)
+          .select(col("u").as("d1"), col("v").as("d2")))
+        .select(col("doc_id").as("node"), col("component"))
+    }
 
   /** Exact DEGREE DISTRIBUTION of the co-supply graph — the
     * first-look profile of any graph (hub-dominated vs flat decides
@@ -939,9 +954,7 @@ object Graph {
       s"modularity: eval graph (>= $evalThreshold) must contain the " +
         s"partition graph (>= $partThreshold)")
     val e3 = coSupplyEdgesW(spark, dir, evalThreshold)
-    val lab5 = Dedup.components(coSupplyEdgesW(spark, dir, partThreshold)
-        .select(col("u").as("d1"), col("v").as("d2")))
-      .select(col("doc_id").as("node"), col("component"))
+    val lab5 = componentLabels(spark, dir, partThreshold)
     val nodes = e3.select(col("u").as("node"))
       .unionAll(e3.select(col("v").as("node"))).distinct()
     // eval-graph nodes outside the partition become singletons; their
@@ -1042,10 +1055,12 @@ object Graph {
   /** The community-summary body shared by the single-threshold view
     * and the sweep: label via the propagation loop, then one grouped
     * pass for size / edges / weight / exact ppm density. */
-  private def communityStats(ew: DataFrame): DataFrame = {
-    val labels = Dedup.components(
-      ew.select(col("u").as("d1"), col("v").as("d2")))
-      .select(col("doc_id").as("node"), col("component"))
+  private def communityStats(ew: DataFrame,
+      labelsIn: DataFrame = null): DataFrame = {
+    val labels = if (labelsIn != null) labelsIn
+      else Dedup.components(
+        ew.select(col("u").as("d1"), col("v").as("d2")))
+        .select(col("doc_id").as("node"), col("component"))
     // every edge is internal to exactly one community (both endpoints
     // share a label by construction), so one endpoint join suffices.
     // Member and edge contributions union into ONE groupBy(component)
