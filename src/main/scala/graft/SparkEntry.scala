@@ -1504,10 +1504,10 @@ object SparkEntry {
                      - s.seasonal_milli AS BIGINT) AS resid_milli
          FROM inn i JOIN seas s ON s.dow = i.dow
          ORDER BY i.day""",
-    // STL residuals vs median + k*MAD — both robust statistics are
     // pre-scaled integer deviations, HUGEINT lag products (the Spark
     // side's DECIMAL(38,0) twin), one final double division
     "events_acf" -> graft.operators.Events.acfOracleSql(),
+    // STL residuals vs median + k*MAD — both robust statistics are
     // rank SELECTIONS on (value, day), no division anywhere
     "events_anomaly_stl" ->
       """WITH daily AS (
@@ -2405,13 +2405,13 @@ object SparkEntry {
          SELECT o_custkey, 'acquired'
          FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97)
          ORDER BY cohort, o_custkey""",
-    // quadratic NOT-EXISTS dominance is fine as an oracle at sf0.01;
     // the naive O(depth) recursive walk vs the Spark side's
     // O(log depth) pointer doubling — the hash match proves the
     // doubled composition lands on the identical closure
     "q_hierarchy" -> graft.operators.Hierarchy.hierarchyOracleSql,
     "q_hierarchy_rollup" ->
       graft.operators.Hierarchy.hierarchyRollupOracleSql,
+    // quadratic NOT-EXISTS dominance is fine as an oracle at sf0.01;
     // the Spark side is the two-phase local-prune skyline
     "q_skyline" ->
       """WITH agg AS (
@@ -2465,12 +2465,12 @@ object SparkEntry {
     // Jaccard verify on candidates.
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_incremental" -> dedupIncrementalSql,
-    // both snapshots rebuilt from the same portable-hash carve the
-    // Spark side uses, so the diff is value-identical
     // which columns move between versions — one full-outer join, one
     // stacked conditional aggregate
     "snapshot_column_churn" ->
       graft.operators.Snapshot.columnChurnOracleSql,
+    // both snapshots rebuilt from the same portable-hash carve the
+    // Spark side uses, so the diff is value-identical
     "snapshot_diff" ->
       """WITH c AS (
            SELECT c_custkey,
@@ -2907,9 +2907,9 @@ object SparkEntry {
                FROM documents)
          SELECT h.doc_id, h.lang FROM h JOIN th ON th.lang = h.lang
          WHERE h.b < th.thresh ORDER BY h.doc_id""",
+    "sample_uniform_k" -> graft.operators.Curation.sampleUniformKSql(),
     // Weight-proportional hash gate: keep iff hash mod 2^20 is below
     // floor(w * 2^20) — DOUBLE forced before every division/floor so
-    "sample_uniform_k" -> graft.operators.Curation.sampleUniformKSql(),
     // both engines derive the identical integer threshold.
     "sample_weighted" ->
       """SELECT doc_id,

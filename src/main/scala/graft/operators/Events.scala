@@ -1203,7 +1203,7 @@ object Events {
                FROM filled),
        rec(i, day, cents, l, b, f) AS (
          SELECT i, day, cents, cents,
-                coalesce((SELECT cents FROM idx WHERE i = 2), 0) - cents,
+                coalesce((SELECT cents FROM idx WHERE i = 2) - cents, 0),
                 CAST(NULL AS BIGINT)
          FROM idx WHERE i = 1
          UNION ALL

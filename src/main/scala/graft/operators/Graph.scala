@@ -541,8 +541,19 @@ object Graph {
   // triangles and components both consume the same derived edge set;
   // in a pipeline-shaped run (bench suite pass, a user session) the
   // 2-exchange derivation is paid once — same sharing discipline as
-  // dedup's postings pair base
-  private val shared = new graft.core.PlanCache(4)
+  // dedup's postings pair base. Bound 16, NOT 4: the per-dir working
+  // set is ~9 keys (tradepairs, cosupply{2,3,5}, copurchase2,
+  // triangles, complabels5, backbone, sssp edges), and an undersized
+  // LRU silently re-prices the most expensive member — measured in
+  // the r10 suite pass, where the intervening graph queries evicted
+  // `complabels5` before graph_modularity's turn and the suite read
+  // SLOWER than cold (16.3 s vs 12.9 s); with the family-sized bound
+  // the memoized labels survive to every consumer (r11 probe: 5.8 s
+  // suite / 6.2 s cold median on a steal-free window). Eviction
+  // unpersists, so the memory ceiling stays #entries × one edge
+  // frame, and Spark's storage manager evicts blocks under pressure
+  // independently.
+  private val shared = new graft.core.PlanCache(16)
 
   /** Weighted strong-tie edges `(u, v, w)` — w = distinct co-supplied
     * orders. The ONE cached derivation every co-supply consumer
