@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType}
 
 import graft.functions.{AsciiTokens, AvroCodec, BottomKSampleAgg,
-  CosineSimilarity, CountMinAgg, HllAgg, MinHashAgg, NGramShingles,
-  NormalizeText, QSketchAgg, SimHashAgg, SpaceSavingAgg, TopKFreqAgg,
-  TopKScoreAgg}
+  CosineSimilarity, CountMinAgg, HllAgg, MinHashAgg, MinHashSignature,
+  NGramShingles, NormalizeText, QSketchAgg, SimHashAgg, SimHashSignature,
+  SpaceSavingAgg, TopKFreqAgg, TopKScoreAgg}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -155,6 +155,22 @@ object GraftFunctions {
     (FunctionIdentifier("ngram_shingles"),
       new ExpressionInfo(classOf[NGramShingles].getName, "ngram_shingles"),
       shinglesBuilder _),
+    // the one-loop signature kernels, so an SQL-only user can run the
+    // whole LSH/simhash dedup pipeline from plain SQL (see
+    // SparkEntry's dedup_minhash_lsh_sql — gated against the same
+    // DuckDB oracle as the DataFrame twin)
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "minhash_sig(grams, k)")
+        MinHashSignature(exprs.head, intLit(exprs(1), "minhash_sig", "k"))
+      }),
+    (FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "simhash_sig"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "simhash_sig(grams)")
+        SimHashSignature(exprs.head)
+      }),
     (FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       { exprs: Seq[Expression] =>

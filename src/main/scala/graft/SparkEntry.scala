@@ -151,6 +151,12 @@ object SparkEntry {
     "graph_coreness" -> ((s: SparkSession, d: String) => Graph.coreness(s, d)),
     // D. dedup
     "dedup_exact" -> (Dedup.exact _),
+    // SQL-surface twins (see the *SparkSql vals): the same operator
+    // semantics typed as plain SQL, gated against the identical oracle
+    "dedup_exact_sql" -> ((s: SparkSession, d: String) =>
+      runSql(s, d, DedupExactSparkSql)),
+    "dedup_minhash_lsh_sql" -> ((s: SparkSession, d: String) =>
+      runSql(s, d, MinhashLshSparkSql)),
     "dedup_normalized" -> (Dedup.exactNormalized _),
     // maxDf passed explicitly: the 100 TB operating configuration of
     // the capped candidate generation (public default is exact/uncapped)
@@ -194,6 +200,8 @@ object SparkEntry {
       Dedup.prefixJaccard(s, d)),
     // E. similarity search
     "ann_bruteforce" -> (Ann.bruteforce _),
+    "ann_bruteforce_sql" -> ((s: SparkSession, d: String) =>
+      runSql(s, d, BruteforceSparkSql)),
     "ann_mips" -> (Ann.mips _),
     "ann_filtered" -> (Ann.filtered _),
     "ann_filtered_ivf" -> ((s: SparkSession, d: String) =>
@@ -825,14 +833,85 @@ object SparkEntry {
     * dialect-portable SQL text through `spark.sql` — the engine a
     * SQL-only user gets, driven end-to-end by the same oracle gate
     * as the DataFrame API. */
+  /** SQL-first entry path: registers EVERY table as a temp view plus
+    * graft's custom expressions ([[GraftFunctions.register]],
+    * idempotent), then runs the query text — what an SQL-only user's
+    * session looks like. The `*_sql` queries below go through here
+    * and are gated against the SAME DuckDB oracle as their DataFrame
+    * twins, so the SQL surface can't drift from the library one. */
   private def runSql(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val t = graft.core.Tables(spark, dir)
     Seq("region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
       "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
-      "lineitem" -> t.lineitem)
+      "lineitem" -> t.lineitem, "events" -> t.events,
+      "documents" -> t.documents, "embeddings" -> t.embeddings)
       .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    GraftFunctions.register(spark)
     spark.sql(sql)
   }
+
+  // ---- SQL-surface twins of the LLM-pipeline operators ----
+  // Each is PLAIN Spark SQL over the registered views + graft
+  // functions — the query an SQL-only user would type — and is gated
+  // against the IDENTICAL DuckDB oracle as its DataFrame twin, so a
+  // twin that drifted from the library semantics hash-fails.
+
+  /** [[graft.operators.Dedup.exact]] in plain SQL. */
+  private val DedupExactSparkSql =
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+       FROM documents GROUP BY md5(text)"""
+
+  /** [[graft.operators.Dedup.minhashLsh]] in plain SQL: the one-loop
+    * signature kernel via the registered `minhash_sig`, the same
+    * literal band layout (k=32, 8 bands × 4 rows, "band#v_v_v_v"
+    * keys), bucket self-join, exact-Jaccard verify at τ=0.5. The
+    * bucket join is the only corpus-scale shuffle, same as the
+    * DataFrame plan. */
+  private lazy val MinhashLshSparkSql: String = {
+    val bandKeys = (0 until 8).map { b =>
+      val parts = (b * 4 until (b + 1) * 4)
+        .map(i => s"CAST(element_at(sig, ${i + 1}) AS STRING)")
+        .mkString(", ")
+      s"concat('$b#', concat_ws('_', $parts))"
+    }.mkString(",\n                       ")
+    s"""WITH g AS (SELECT doc_id,
+                          ngram_shingles(split(trim(text), '\\\\s+'), 3)
+                            AS grams
+                   FROM documents),
+         s AS (SELECT doc_id, minhash_sig(grams, 32) AS sig
+               FROM g WHERE size(grams) > 0),
+         bk AS (SELECT doc_id,
+                       explode(array($bandKeys)) AS bk
+                FROM s),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM bk a JOIN bk b
+                    ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         scored AS (SELECT c.d1, c.d2,
+                           round(CAST(size(array_intersect(g1.grams, g2.grams)) AS DOUBLE)
+                                 / CAST(size(array_union(g1.grams, g2.grams)) AS DOUBLE),
+                                 6) AS jaccard
+                    FROM cand c
+                    JOIN g g1 ON c.d1 = g1.doc_id
+                    JOIN g g2 ON c.d2 = g2.doc_id)
+       SELECT d1, d2, jaccard FROM scored WHERE jaccard >= 0.5"""
+  }
+
+  /** [[graft.operators.Ann.bruteforce]] in plain SQL: broadcast the
+    * 10-query side, score with the registered `cosine_sim`, keep
+    * top-5 per query with the registered bounded-heap
+    * `topk_by_score` aggregate — never a corpus-wide sort. */
+  private val BruteforceSparkSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                  FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT /*+ BROADCAST(q) */ q.qid, e.vec_id,
+                           round(cosine_sim(e.embedding, q.qe), 6) AS cosine
+                    FROM embeddings e CROSS JOIN q),
+         tk AS (SELECT qid, topk_by_score(cosine, vec_id, 5) AS top
+                FROM scored GROUP BY qid)
+       SELECT qid, CAST(pos + 1 AS INT) AS rank,
+              col.id AS vec_id, col.score AS cosine
+       FROM tk LATERAL VIEW posexplode(top) t AS pos, col
+       ORDER BY qid, rank"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has one (50/50): the sketch
@@ -2015,6 +2094,11 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY h""",
+    // the SQL-surface twin is gated against the SAME oracle text as
+    // the DataFrame operator — twin drift hash-fails
+    "dedup_exact_sql" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY h""",
     // NFC + utf8proc-lower (the normalize_text twin) + ASCII \s+
     // collapse, then the same exact grouping
     "dedup_normalized" ->
@@ -2216,6 +2300,7 @@ object SparkEntry {
          FROM ranked WHERE rn = 1 ORDER BY doc_id"""
     },
     "ann_bruteforce" -> BruteforceTopkSql,
+    "ann_bruteforce_sql" -> BruteforceTopkSql,
     "ann_range" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                       WHERE vec_id < 10),
@@ -2464,6 +2549,7 @@ object SparkEntry {
     // parameters below), identical "band#v_v_v_v" bucket keys, exact
     // Jaccard verify on candidates.
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_minhash_lsh_sql" -> minhashLshSql,
     "dedup_incremental" -> dedupIncrementalSql,
     // which columns move between versions — one full-outer join, one
     // stacked conditional aggregate

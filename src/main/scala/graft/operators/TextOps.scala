@@ -510,8 +510,13 @@ object TextOps {
     * state). Word types are vocabulary-bounded (Heaps' law: ~millions
     * for a 100 TB crawl after any frequency cutoff), so the driver
     * holds them comfortably; a corpus that overflows the cap needs a
-    * frequency cutoff upstream, and silently training on a truncated
-    * table would be a wrong tokenizer — so raise instead. */
+    * frequency cutoff ([[bpeLearn]]'s `minFreq` — the standard
+    * trainer knob), and silently training on a truncated table would
+    * be a wrong tokenizer — so raise instead. Byte bound at the cap:
+    * 4M rows × (string ref + ~32-char word + long) ≈ 400–600 MB on
+    * the driver — large but a one-shot allocation released when the
+    * local trajectory finishes; size driver memory for it or lower
+    * the cap alongside a higher `minFreq`. */
   val BpeMaxWordTypes: Int = 4000000
 
   /** BPE TOKENIZER-MERGE LEARNING — the iterative loop a tokenizer
@@ -554,8 +559,8 @@ object TextOps {
     bpeMergesDf(spark, Tables(spark, dir).documents)
 
   def bpeMergesDf(spark: SparkSession, docs: DataFrame,
-      rounds: Int = BpeRounds): DataFrame = {
-    val merges = bpeLearn(docs, rounds)
+      rounds: Int = BpeRounds, minFreq: Long = 1L): DataFrame = {
+    val merges = bpeLearn(docs, rounds, minFreq)
     import spark.implicits._
     merges.toDF("merge_idx", "pair_a", "pair_b", "cnt")
       .select(col("merge_idx"), col("pair_a"), col("pair_b"),
@@ -570,16 +575,35 @@ object TextOps {
     .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Learn the merge table: ONE Spark job (the word-type aggregate),
-    * then the exact local trajectory ([[bpeLearnLocal]]). */
-  private[graft] def bpeLearn(docs: DataFrame, rounds: Int)
-      : Seq[(Int, String, String, Long)] = {
+    * then the exact local trajectory ([[bpeLearnLocal]]).
+    *
+    * `minFreq` is the standard trainer frequency cutoff: word types
+    * seen fewer than `minFreq` times are dropped BEFORE the collect,
+    * so a long-tail corpus (web crawls: most types are hapax
+    * typos/boilerplate fragments) trains within the driver cap
+    * instead of hitting the fail-fast. The cutoff is applied to the
+    * distributed aggregate — the executors never ship the tail — and
+    * it is an explicit parameter, never an implicit truncation: with
+    * the default 1 the table is exact and the cap still raises on
+    * overflow. Dropping types whose pair contributions can't flip
+    * any winning merge leaves the trajectory bit-identical
+    * (BpeReferenceSpec pins cutoff ≡ full-table on such a corpus);
+    * in general the cutoff is a declared approximation, same as
+    * every production BPE trainer's. */
+  private[graft] def bpeLearn(docs: DataFrame, rounds: Int,
+      minFreq: Long = 1L,
+      maxTypes: Int = BpeMaxWordTypes): Seq[(Int, String, String, Long)] = {
+    val base = wordTypes(docs)
+    val kept = if (minFreq > 1L) base.filter(col("freq") >= minFreq) else base
     // limit(cap+1) bounds the collect even on a pathological corpus;
     // the require still detects the overflow and raises
-    val types = wordTypes(docs).limit(BpeMaxWordTypes + 1).collect()
-    require(types.length <= BpeMaxWordTypes,
-      s"bpeLearn: word-type table exceeds $BpeMaxWordTypes types; " +
-        "apply a frequency cutoff upstream instead of training on a " +
-        "silently truncated vocabulary")
+    val types = kept.limit(maxTypes + 1).collect()
+    require(types.length <= maxTypes,
+      s"bpeLearn: word-type table exceeds $maxTypes types" +
+        (if (minFreq > 1L) s" even at minFreq=$minFreq; raise the cutoff"
+         else "; pass minFreq (the standard trainer cutoff) to drop " +
+           "the long tail instead of training on a silently " +
+           "truncated vocabulary"))
     bpeLearnLocal(types.map(r => (r.getString(0), r.getLong(1))), rounds)
   }
 

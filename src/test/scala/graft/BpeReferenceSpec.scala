@@ -75,4 +75,32 @@ class BpeReferenceSpec extends SparkSpecBase {
         s"trial $trial vocab: $gotTable != $refTable\nwords: $words")
     }
   }
+
+  test("minFreq cutoff ≡ full-table merges when the tail can't flip a winner") {
+    // Head types: high-frequency words over {a,b,c} whose pair counts
+    // dominate. Tail: singleton words over a DISJOINT alphabet
+    // {x,y,z}, so dropping them removes pair mass no head merge ever
+    // competes with — the trajectories must be bit-identical. This is
+    // the plumbing proof (cutoff filters before the collect, nothing
+    // else changes); on corpora where tail pairs do overlap head
+    // pairs the cutoff is a declared approximation, like every
+    // production trainer's.
+    val head = Seq.fill(20)("abcab") ++ Seq.fill(15)("bca") ++
+      Seq.fill(10)("cab") ++ Seq.fill(5)("abc")
+    val tail = Seq("xyz", "zyx", "xzy", "yxz", "yzx") // freq 1 each
+    val docs = (head ++ tail).grouped(7).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val full = graft.operators.TextOps
+      .bpeMergesDf(spark, docs, rounds = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val cut = graft.operators.TextOps
+      .bpeMergesDf(spark, docs, rounds = 8, minFreq = 2L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(cut.nonEmpty && cut.toSeq == full.toSeq,
+      s"cutoff trajectory diverged: ${cut.toSeq} != ${full.toSeq}")
+    // and the cutoff genuinely dropped the tail from the learn state:
+    // a merge of two tail symbols can never appear
+    assert(!cut.exists(m => "xyz".contains(m._2.take(1))))
+  }
 }

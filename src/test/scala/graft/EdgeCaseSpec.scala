@@ -210,6 +210,29 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(m.toSeq == Seq((1, "x", "</w>")), m.toSeq.toString)
   }
 
+  test("bpe: driver cap fail-fasts with a minFreq hint; the cutoff trains within it") {
+    // 6 word types, a tiny injected cap of 4: the full table must
+    // raise (never silently truncate — a truncated vocabulary is a
+    // wrong tokenizer), and the error must name the trainer knob.
+    // With minFreq=2 the 3 singleton tail types drop BEFORE the
+    // collect, the 3 head types fit, and training proceeds.
+    val docs = Seq((0L, "aa aa aa bb bb cc cc"), (1L, "dd ee ff"))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      TextOps.bpeLearn(docs, rounds = 4, minFreq = 1L, maxTypes = 4)
+    }
+    assert(err.getMessage.contains("minFreq"), err.getMessage)
+    val m = TextOps.bpeLearn(docs, rounds = 4, minFreq = 2L, maxTypes = 4)
+    assert(m.nonEmpty)
+    // the trajectory is over the head types only: the freq-3 'aa'
+    // pairs win round 1 — (a,</w>) beats (a,a) on the UTF-8 tie
+    // order ('<' < 'a') — and no dropped singleton type ('dd'…) can
+    // surface
+    assert(m.head._2 == "a" && m.head._3 == "</w>" && m.head._4 == 3L,
+      m.head.toString)
+    assert(!m.exists(x => Seq("d", "e", "f").contains(x._2)), m.toString)
+  }
+
   test("sample_importance: degenerate docs flow through the gate with defined scores") {
     val kept = Curation.sampleImportanceDf(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap

@@ -84,6 +84,46 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(row.getLong(0) == 7L && row.getString(1) == "x")
   }
 
+  /** The SQL-surface twins (SparkEntry `*_sql`) must be row-identical
+    * to their DataFrame operators — the same pinning the DuckDB gate
+    * applies at sf0.01, run here at sf0.001 so a twin drift fails in
+    * `sbt test` before it reaches the gate. */
+  test("SQL-surface twins match their DataFrame operators row-for-row") {
+    def sorted(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().toSeq
+    }
+    for (name <- Seq("dedup_exact", "dedup_minhash_lsh", "ann_bruteforce")) {
+      val base = SparkEntry.queries(name)(spark, Sf)
+      val twin = SparkEntry.queries(name + "_sql")(spark, Sf)
+      assert(twin.columns.sorted.toSeq == base.columns.sorted.toSeq,
+        s"$name twin schema drift")
+      assert(sorted(twin) == sorted(base), s"$name twin rows drift")
+    }
+  }
+
+  test("minhash_sig and simhash_sig from SQL match the Column kernels") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables(spark, Sf).documents.limit(50)
+    docs.createOrReplaceTempView("sigdocs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+               minhash_sig(ngram_shingles(split(trim(text), '\\s+'), 3), 16) AS m,
+               simhash_sig(ngram_shingles(split(trim(text), '\\s+'), 3)) AS s
+         FROM sigdocs ORDER BY doc_id""").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val g = graft.functions.Shingles.grams3(col("text"))
+    val viaCol = docs.select(col("doc_id"),
+        graft.functions.SketchExprs.minhashSig(g, 16).as("m"),
+        graft.functions.SketchExprs.simhashSig(g).as("s"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
   test("ngram_shingles rejects a non-literal n") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
