@@ -130,7 +130,20 @@ object BenchStream {
       // the reference's flagship wordcount as a stream: complete-mode
       // global aggregate (the count table IS the state)
       ("wordcount",
-        () => Streams.wordcountStream(docsCapped()), nDocs, "complete"))
+        () => Streams.wordcountStream(docsCapped()), nDocs, "complete"),
+      // update-mode twin: emits only keys whose counts CHANGED in the
+      // micro-batch instead of re-emitting the whole vocabulary table
+      // every trigger — the adjudication pair for the wordcount row's
+      // apparent throughput gap. (The gap's main driver is units:
+      // this surface's "row" is a whole document — hundreds of
+      // tokens exploded per input row, ~20× nEvents' per-row work —
+      // amortized over the same ~8-batch fixed planning cost. The
+      // complete-vs-update delta isolates what re-emission adds on
+      // top; at production vocab sizes update mode is the only shape
+      // that survives, since complete-mode sink writes grow with the
+      // whole distinct-key table, not the batch.)
+      ("wordcount_update",
+        () => Streams.wordcountStream(docsCapped()), nDocs, "update"))
     // one untimed warmup drain absorbs codegen + state-store setup
     time(Streams.windowCounts(eventsCapped()))
     def r1(v: Double): String =
@@ -141,6 +154,21 @@ object BenchStream {
       val sec = time(build(), mode)
       (name, rows, sec)
     }
+    // the same sessionizer under the RocksDB state store — the
+    // provider that survives production state sizes (state lives
+    // off-heap/on-disk instead of the HDFS-backed in-memory map).
+    // The before/after pair prices the provider swap on the most
+    // state-heavy surface; RocksDbStateSpec pins its correctness.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocksSec =
+      try time(Streams.sessionizeWithState(spark, eventsCapped()), "append")
+      finally prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     // stream-static ANN admission gate: every embedding arrives as a
     // query and probes the persisted IVF index (index build + codebook
     // load are untimed one-offs — the standing-serving split). Its
@@ -159,7 +187,8 @@ object BenchStream {
     val tAnn = System.nanoTime()
     Streams.annProbeStream(qCapped(), idxPath, cb, s"$tmp/annprobe_out")
     val annSec = (System.nanoTime() - tAnn) / 1e9
-    val all = results :+ (("ann_probe", nVecs, annSec))
+    val all = results :+ (("sessionize_rocksdb", nEvents, rocksSec)) :+
+      (("ann_probe", nVecs, annSec))
     val body = all.map { case (name, rows, sec) =>
       s""""$name":{"rows":$rows,"sec":${r3(sec)},""" +
         s""""rows_per_sec":${r1(rows / sec)}}"""

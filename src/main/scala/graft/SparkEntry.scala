@@ -91,6 +91,7 @@ object SparkEntry {
     "events_seasonality" -> (Events.eventsSeasonality _),
     "events_stl" -> (Events.eventsStl _),
     "events_acf" -> ((s: SparkSession, d: String) => Events.eventsAcf(s, d)),
+    "events_ccf" -> ((s: SparkSession, d: String) => Events.eventsCcf(s, d)),
     "events_anomaly_stl" -> ((s: SparkSession, d: String) =>
       Events.eventsAnomalyStl(s, d)),
     "q_islands" -> (Events.qIslands _),
@@ -117,6 +118,9 @@ object SparkEntry {
     "profile_ks" -> (Profile.ksProfile _),
     "profile_jsd" -> (Profile.jsdProfile _),
     "profile_checks" -> (Profile.checksProfile _),
+    "profile_outliers" -> (Profile.profileOutliers _),
+    "profile_chi2" -> (Profile.profileChi2 _),
+    "dedup_report" -> (Dedup.dedupReport _),
     "profile_cat_entropy" -> (Profile.catEntropy _),
     "profile_topk_values" -> ((s: SparkSession, d: String) =>
       Profile.topValues(s, d)),
@@ -252,6 +256,7 @@ object SparkEntry {
     "text_gopher" -> (Curation.textGopher _),
     "pipeline_decontam" -> ((s: SparkSession, d: String) => Curation.pipelineDecontam(s, d)),
     "sample_stratified" -> (Curation.sampleStratified _),
+    "sample_temperature" -> (Curation.sampleTemperature _),
     "sample_weighted" -> (Curation.sampleWeighted _),
     "sample_uniform_k" -> ((s: SparkSession, d: String) =>
       Curation.sampleUniformK(s, d)),
@@ -1586,6 +1591,9 @@ object SparkEntry {
     // pre-scaled integer deviations, HUGEINT lag products (the Spark
     // side's DECIMAL(38,0) twin), one final double division
     "events_acf" -> graft.operators.Events.acfOracleSql(),
+    // two-series CCF: same spine/deviation/HUGEINT chain, ONE forced-
+    // double normalization num/sqrt(denx·deny) in identical op order
+    "events_ccf" -> graft.operators.Events.ccfOracleSql(),
     // STL residuals vs median + k*MAD — both robust statistics are
     // rank SELECTIONS on (value, day), no division anywhere
     "events_anomaly_stl" ->
@@ -2994,6 +3002,10 @@ object SparkEntry {
          SELECT h.doc_id, h.lang FROM h JOIN th ON th.lang = h.lang
          WHERE h.b < th.thresh ORDER BY h.doc_id""",
     "sample_uniform_k" -> graft.operators.Curation.sampleUniformKSql(),
+    // α=0.5 temperature rebalance: forced-double sqrt threshold chain
+    // (IEEE-correctly-rounded ops in declared order ⇒ identical
+    // integer thresholds), then the portable-hash keep gate
+    "sample_temperature" -> graft.operators.Curation.sampleTemperatureSql,
     // Weight-proportional hash gate: keep iff hash mod 2^20 is below
     // floor(w * 2^20) — DOUBLE forced before every division/floor so
     // both engines derive the identical integer threshold.
@@ -3049,6 +3061,14 @@ object SparkEntry {
     "profile_psi" -> graft.operators.Profile.psiOracleSql,
     "profile_jsd" -> graft.operators.Profile.jsdOracleSql,
     "profile_checks" -> graft.operators.Profile.checksOracleSql,
+    // Tukey fences as cleared-fraction integer compares on rank-
+    // selected quartiles — no float boundary
+    "profile_outliers" -> graft.operators.Profile.profileOutliersSql,
+    // (O−E)²/E with every fraction cleared through n²: deterministic
+    // integer micro-units per cell + the __total__ sum row
+    "profile_chi2" -> graft.operators.Profile.profileChi2Sql,
+    // per-source duplication ppm — two map-side aggregates
+    "dedup_report" -> graft.operators.Dedup.dedupReportSql,
     "profile_cat_entropy" -> graft.operators.Profile.catEntropySql,
     "profile_topk_values" -> graft.operators.Profile.topValuesSql(),
     // quantized two-sample KS on the shared HDR bucket grid: exact

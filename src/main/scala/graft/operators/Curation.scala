@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -401,6 +401,80 @@ object Curation {
       .select(col("doc_id"), col("lang"))
       .sortWithinPartitions("doc_id")
   }
+
+  /** TEMPERATURE-scaled language sampling — the standard multilingual
+    * rebalancing knob (mBERT/mT5/XLM-R exponentiated sampling): the
+    * target language share is `q_l ∝ f_l^α` with α ∈ (0,1), flatter
+    * than the raw distribution but not uniform, so high-resource
+    * languages are tamed without starving them ([[sampleStratifiedDf]]
+    * IS the α=0 endpoint — everything equalized to the minority;
+    * α=1 is the identity). Realized by downsampling only: keep rate
+    * `r_l = (n_min/n_l)^(1−α)` — the rarest language keeps
+    * everything, a language K× larger keeps K^(α−1) of itself, and
+    * the kept shares land ∝ f_l^α exactly.
+    *
+    * Determinism: with [[TempAlpha]] = 0.5 the rate is
+    * `sqrt(n_min/n_l)` — DOUBLE division, `sqrt`, `· 2²⁰`, `floor`
+    * are each IEEE-correctly-rounded, so the identical op order
+    * yields the bit-identical integer threshold on both engines (the
+    * sample_weighted forced-double discipline), and the keep gate is
+    * the usual portable-hash compare: engine/retry/partitioning-
+    * invariant, no `rand()`.
+    *
+    * Shape: one dictionary-sized aggregate (languages), a broadcast
+    * threshold join, a map-side filter — no corpus-scale shuffle;
+    * the decision is local to the row, which is what survives
+    * 100 TB. */
+  val TempAlpha: Double = 0.5
+
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    sampleTemperatureDf(Tables(spark, dir).documents)
+
+  /** Per-language keep thresholds for [[sampleTemperatureDf]] — the
+    * dictionary-sized derivation half, shared with the streaming
+    * admission gate ([[graft.streaming.Streams.temperatureStream]])
+    * so stream ≡ batch by construction. */
+  private[graft] def temperatureThresholds(docs: DataFrame): DataFrame = {
+    val counts = docs.select(col("lang"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("n_min"))
+    // α = 0.5 ⇒ rate = sqrt(n_min/n_l); forced-DOUBLE chain in the
+    // declared op order so both engines floor the same threshold
+    counts.crossJoin(broadcast(minN))
+      .select(col("lang"),
+        floor(sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))
+          * lit(1048576.0)).cast("long").as("thresh"))
+  }
+
+  /** The row-local keep-gate half of the temperature sample. */
+  private[graft] def temperatureBucket: Column = pmod(
+    PortableHash.h60(concat(lit("tsmp#"), col("doc_id").cast("string"))),
+    lit(1048576L))
+
+  def sampleTemperatureDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(temperatureThresholds(docs)), Seq("lang"))
+      .filter(temperatureBucket < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+      .sortWithinPartitions("doc_id")
+
+  /** Generated DuckDB oracle for [[sampleTemperature]] — identical
+    * hash family, identical forced-double threshold chain. */
+  def sampleTemperatureSql: String =
+    """WITH counts AS (SELECT lang, count(*) AS n_lang
+                       FROM documents GROUP BY lang),
+       m AS (SELECT min(n_lang) AS n_min FROM counts),
+       th AS (SELECT lang,
+                CAST(floor(sqrt(CAST(n_min AS DOUBLE)
+                                / CAST(n_lang AS DOUBLE)) * 1048576.0)
+                     AS BIGINT) AS thresh
+              FROM counts CROSS JOIN m),
+       h AS (SELECT doc_id, lang,
+                    CAST(('0x' || substring(md5('tsmp#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 1048576 AS b
+             FROM documents)
+       SELECT h.doc_id, h.lang FROM h JOIN th ON th.lang = h.lang
+       WHERE h.b < th.thresh ORDER BY h.doc_id"""
 
   /** Hashed-feature buckets for [[sampleImportance]] — small enough
     * that the likelihood-ratio table is a broadcast literal, fixed so

@@ -40,6 +40,38 @@ object Dedup {
     * decomposed accents, fullwidth clones, whitespace jitter) while
     * staying one map-side projection + one groupBy. The normalization
     * step every production exact-dedup pass actually runs first. */
+  /** Per-SOURCE duplication-rate report — the readout a dedup team
+    * pins on the ingest dashboard ("which crawl source is most
+    * duplicated?"): per source, document count, distinct-content
+    * count (byte-exact md5 groups within the source), duplicate
+    * count, and the rate in exact integer ppm. Two map-side-
+    * combinable aggregates — (source, hash) then source — output one
+    * row per source; nothing corpus-proportional leaves the second
+    * shuffle. The actionable twin of [[exact]]: that one lists the
+    * groups, this one scores the feeds. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("n")) - count(lit(1))).as("n_dups"))
+      .withColumn("dup_ppm",
+        expr("(n_dups * 1000000) div n_docs"))
+      .orderBy(col("source"))
+
+  /** Generated DuckDB oracle for [[dedupReport]]. */
+  val dedupReportSql: String =
+    """WITH g AS (SELECT source, md5(text) AS h, count(*) AS n
+                  FROM documents GROUP BY 1, 2)
+       SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_distinct,
+              CAST(sum(n) - count(*) AS BIGINT) AS n_dups,
+              CAST(((sum(n) - count(*)) * 1000000) // sum(n) AS BIGINT)
+                AS dup_ppm
+       FROM g GROUP BY source ORDER BY source"""
+
   def exactNormalized(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .groupBy(md5(trim(regexp_replace(

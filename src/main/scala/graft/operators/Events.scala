@@ -1220,6 +1220,117 @@ object Events {
     * same pre-scaled integer deviations (HUGEINT products vs the
     * Spark side's DECIMAL(38,0); both exact), same single final
     * division. */
+  /** CROSS-correlation between daily purchase revenue (X) and daily
+    * click counts (Y) at lags −`maxLag`..+`maxLag` — the
+    * two-series readout next to [[eventsAcf]]: does engagement LEAD
+    * revenue (peak at a positive lag: clicks today, purchases in k
+    * days), LAG it, or move synchronously? The standard
+    * marketing-mix / funnel-latency diagnostic.
+    *
+    * Exact-integer discipline (the [[eventsAcf]] scheme applied to
+    * two series): both series live on the SHARED zero-filled day
+    * spine (union span — a quiet day is 0 in either series),
+    * deviations pre-scaled `dev_t = n·v_t − Σv` (exact BIGINT, kills
+    * both mean divisions), every lag numerator
+    * `Σ devx_t · devy_{t+k}` and both denominators `Σ dev²` run in
+    * DECIMAL(38,0) (HUGEINT on the oracle side). The ONLY floats are
+    * the final normalization `num_k / sqrt(denx · deny)` — forced
+    * DOUBLE in the identical op order on both engines (IEEE sqrt /
+    * mul / div are all correctly rounded, so the doubles are
+    * bit-identical), rounded 6dp. The n² pre-scale cancels in the
+    * ratio: these ARE the textbook CCF values.
+    *
+    * Shape: equi-join lag pairing on the days-bounded spine (≤
+    * (2·maxLag+1)× fan-out), two bounded aggregates — nothing
+    * corpus-proportional past the two daily rollups. */
+  def eventsCcf(spark: SparkSession, dir: String,
+      maxLag: Int = 7): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val xd = ev.filter(col("event_type") === "purchase")
+      .select(expr("cast(ts as long) div 86400").as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("xv"))
+    val yd = ev.filter(col("event_type") === "click")
+      .select(expr("cast(ts as long) div 86400").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("yv"))
+    // one bounded frame holds both series; cached at the
+    // corpus→bounded boundary (the eventsAcf lazy-rescan lesson)
+    val span = xd.select(col("day")).unionAll(yd.select(col("day")))
+      .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val filled = span
+      .select(explode(expr("sequence(dmin, dmax)")).as("day"))
+      .join(xd, Seq("day"), "left").join(yd, Seq("day"), "left")
+      .select(col("day"), coalesce(col("xv"), lit(0L)).as("xv"),
+        coalesce(col("yv"), lit(0L)).as("yv"))
+      .cache()
+    val st = filled.agg(count(lit(1)).as("n"),
+      sum(col("xv")).as("sx"), sum(col("yv")).as("sy"))
+    val dev = filled.crossJoin(broadcast(st))
+      .select(col("day"),
+        (col("n") * col("xv") - col("sx")).as("dx"),
+        (col("n") * col("yv") - col("sy")).as("dy"), col("n"))
+    val dens = dev.agg(
+      sum(col("dx").cast("decimal(19,0)") * col("dx").cast("decimal(19,0)"))
+        .as("denx"),
+      sum(col("dy").cast("decimal(19,0)") * col("dy").cast("decimal(19,0)"))
+        .as("deny"))
+    val fan = dev.select(col("day"), col("dx"), col("n"),
+      explode(expr(s"sequence(${-maxLag}, $maxLag)")).as("lag"))
+      .select((col("day") + col("lag")).as("day"), col("lag"),
+        col("dx").as("da"), col("n"))
+    fan.join(dev.select(col("day"), col("dy").as("db")), Seq("day"))
+      .groupBy(col("lag"))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("da").cast("decimal(19,0)") * col("db").cast("decimal(19,0)"))
+          .as("num"))
+      .crossJoin(broadcast(dens))
+      .select(col("lag").cast("long").as("lag"), col("n_days"),
+        round(col("num").cast("double") /
+          sqrt(col("denx").cast("double") * col("deny").cast("double")), 6)
+          .as("ccf"))
+      .orderBy(col("lag"))
+  }
+
+  /** Generated DuckDB oracle for [[eventsCcf]] — the identical
+    * spine/deviation/HUGEINT/forced-double chain. */
+  def ccfOracleSql(maxLag: Int = 7): String =
+    s"""WITH xd AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS xv
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       yd AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                CAST(count(*) AS BIGINT) AS yv
+         FROM events WHERE event_type = 'click' GROUP BY 1),
+       sp AS (SELECT min(day) AS dmin, max(day) AS dmax
+              FROM (SELECT day FROM xd UNION ALL SELECT day FROM yd)),
+       spine AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM sp),
+       filled AS (SELECT spine.day, coalesce(x.xv, 0) AS xv,
+                         coalesce(y.yv, 0) AS yv
+                  FROM spine LEFT JOIN xd x ON x.day = spine.day
+                             LEFT JOIN yd y ON y.day = spine.day),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(xv) AS BIGINT) AS sx,
+                     CAST(sum(yv) AS BIGINT) AS sy FROM filled),
+       dev AS (SELECT day, n * xv - sx AS dx, n * yv - sy AS dy, n
+               FROM filled CROSS JOIN st),
+       dens AS (SELECT sum(CAST(dx AS HUGEINT) * dx) AS denx,
+                       sum(CAST(dy AS HUGEINT) * dy) AS deny FROM dev),
+       fan AS (SELECT a.day + l.lag AS day, l.lag, a.dx AS da, a.n
+               FROM dev a
+               CROSS JOIN (SELECT unnest(range(${-maxLag}, $maxLag + 1))
+                             AS lag) l),
+       nums AS (SELECT f.lag, max(f.n) AS n_days,
+                       sum(CAST(f.da AS HUGEINT) * b.dy) AS num
+                FROM fan f JOIN dev b ON b.day = f.day
+                GROUP BY f.lag)
+       SELECT CAST(lag AS BIGINT) AS lag, n_days,
+              round(CAST(num AS DOUBLE)
+                    / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+                AS ccf
+       FROM nums CROSS JOIN dens ORDER BY lag"""
+
   def acfOracleSql(maxLag: Int = 7): String =
     s"""WITH daily AS (
          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,

@@ -244,6 +244,59 @@ object Multimodal {
       }
   }
 
+  /** Planted pixels encoded as `fmt` ("bmp" | "png" | "jpeg" — the
+    * formats real corpora carry; javax.imageio bundles all three
+    * writers). PNG is lossless, so the PNG corpus decodes to
+    * byte-identical pixels and every pixel-level fingerprint
+    * (hist/dHash/aHash/pHash) matches the gated BMP chain exactly
+    * (MultimodalSpec pins it). JPEG is lossy by design — only
+    * geometry (width/height/frames) is format-invariant there. */
+  private[graft] def imageBytes(fmt: String, w: Int, h: Int,
+      pix: (Int, Int) => Int): Array[Byte] = fmt match {
+    case "bmp" => bmpBytes(w, h, pix)
+    case f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = pix(x, y) & 0xff
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, f, bos),
+        s"mm_encode: no ImageIO writer for format $f")
+      bos.toByteArray
+  }
+
+  /** The planted corpus re-encoded per-doc by `fmtFor(doc_id)` — the
+    * format-mixed corpus a real ingest sees (the decode tier below is
+    * already format-agnostic: ImageIO sniffs each payload). The
+    * MediaBlob.fmt column carries the true format so downstream
+    * per-format routing/stats stay possible. */
+  private[graft] def imageBlobsAs(spark: SparkSession, dir: String,
+      fmtFor: Long => String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id"), length(col("text")).cast("int").as("tlen"))
+      .as[(Long, Int)]
+      .map { case (id, tlen) =>
+        val f = fmtFor(id)
+        MediaBlob(id, f,
+          imageBytes(f, plantedW(id), plantedH(tlen), plantedGray(id, _, _)))
+      }
+  }
+
+  /** BMP/PNG-mixed corpus (both lossless — every pixel-level query
+    * must produce identical rows to the all-BMP chain). */
+  private[graft] def imageBlobsMixedLossless(spark: SparkSession,
+      dir: String): Dataset[MediaBlob] =
+    imageBlobsAs(spark, dir, id => if (id % 2 == 0) "bmp" else "png")
+
   /** REAL batched decode: javax.imageio parses each BMP's header and
     * pixel grid. Same batch integration contract as the stub
     * [[decodeBatch]] — swap-in point for any other codec. */
@@ -283,9 +336,15 @@ object Multimodal {
     * recomputes the planted geometry (and the BMP file-size formula
     * `54 + h·rowSize`, which doubles as a check on the encoder's
     * stride math). Map-side decode, one tiny 4-group aggregate. */
-  def decodeMetaReal(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    imageBlobs(spark, dir)
+  def decodeMetaReal(spark: SparkSession, dir: String): DataFrame =
+    decodeMetaRealOf(imageBlobs(spark, dir))
+
+  /** [[decodeMetaReal]] over ANY blob source (format-agnostic —
+    * ImageIO sniffs BMP/PNG/JPEG per payload; spec surface for the
+    * mixed-format corpora). */
+  private[graft] def decodeMetaRealOf(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeImageBatch))
       .groupBy((col("doc_id") % 4).as("shard"))
       .agg(count(lit(1)).as("n"),
@@ -300,9 +359,13 @@ object Multimodal {
     * aggregate. The oracle regenerates every pixel from the planted
     * gradient (lossless BMP ⇒ exact), so a single off-by-one in
     * stride, padding, or bottom-up row order fails the hash. */
-  def pixelHistReal(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    imageBlobs(spark, dir)
+  def pixelHistReal(spark: SparkSession, dir: String): DataFrame =
+    pixelHistRealOf(imageBlobs(spark, dir))
+
+  /** [[pixelHistReal]] over ANY blob source. */
+  private[graft] def pixelHistRealOf(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(pixelHistBatch))
       .select(posexplode(col("bins")))
       .select(col("pos").cast("int").as("bin"), col("col").as("cnt"))
@@ -345,9 +408,13 @@ object Multimodal {
     * hashes ⇒ near-identical luminance structure). Oracle regenerates
     * each of the 56 comparison bits from the planted gradient through
     * the SAME integer thumbnail mapping. */
-  def mediaDhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    imageBlobs(spark, dir)
+  def mediaDhash(spark: SparkSession, dir: String): DataFrame =
+    mediaDhashOf(imageBlobs(spark, dir))
+
+  /** [[mediaDhash]] over ANY blob source. */
+  private[graft] def mediaDhashOf(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(dhashBatch))
       .toDF("doc_id", "dhash")
       .sortWithinPartitions("doc_id")
@@ -407,9 +474,13 @@ object Multimodal {
     }
 
   /** The aHash fingerprint table over the really-decoded corpus. */
-  def mediaAhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    imageBlobs(spark, dir)
+  def mediaAhash(spark: SparkSession, dir: String): DataFrame =
+    mediaAhashOf(imageBlobs(spark, dir))
+
+  /** [[mediaAhash]] over ANY blob source. */
+  private[graft] def mediaAhashOf(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(ahashBatch))
       .toDF("doc_id", "ahash")
       .sortWithinPartitions("doc_id")
@@ -486,9 +557,13 @@ object Multimodal {
     * [[mediaDhash]]'s DCT sibling; the oracle regenerates every
     * planted pixel AND replays the integer DCT with the same
     * embedded basis. */
-  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    imageBlobs(spark, dir)
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame =
+    mediaPhashOf(imageBlobs(spark, dir))
+
+  /** [[mediaPhash]] over ANY blob source. */
+  private[graft] def mediaPhashOf(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(phashBatch))
       .toDF("doc_id", "phash")
       .sortWithinPartitions("doc_id")

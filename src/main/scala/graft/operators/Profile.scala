@@ -1293,4 +1293,142 @@ object Profile {
          SELECT 'lineitem_orderkey_in_orders', 'lineitem', ri.v, li.n,
                 ri.v = 0 FROM ri CROSS JOIN li)
        ORDER BY check_id"""
+
+  /** CHI-SQUARE independence readout between event_type and
+    * day-of-week — the categorical-association test next to
+    * [[profileMi]] (MI says how much the two variables share;
+    * χ² says whether the association clears chance at the observed
+    * n). Per-cell: observed count `O`, expected count in exact
+    * integer micro-units `E_micro = (r·c·10⁶) div n`, and the χ²
+    * contribution `χ²_micro = ((n·O − r·c)² · 10⁶) div (n·r·c)` —
+    * the textbook `(O−E)²/E` with every fraction cleared through
+    * the common denominator (multiply by n²/n²), so the statistic
+    * is a deterministic INTEGER at any partitioning (float cell
+    * sums would be order-sensitive). The `__total__` row (dow −1)
+    * sums the per-cell micros — the [[graft.operators.Graph]]
+    * modularity total-row convention. Squares run in DECIMAL(38,0)
+    * (HUGEINT on the oracle side); two dictionary-sized aggregates
+    * past the one corpus scan. */
+  def profileChi2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("cast(ts as long) div 86400 % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("obs"))
+      .cache()
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("obs")).as("r"))
+    val cols_ = cells.groupBy(col("dow")).agg(sum(col("obs")).as("c"))
+    val n = cells.agg(sum(col("obs")).as("n"))
+    val scored = cells
+      .join(broadcast(rows), Seq("event_type"))
+      .join(broadcast(cols_), Seq("dow"))
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("dow"), col("obs"),
+        expr("(cast(r as decimal(38,0)) * c * 1000000) div n")
+          .as("e_micro"),
+        expr("""((cast(n as decimal(38,0)) * obs - cast(r as decimal(38,0)) * c)
+                 * (cast(n as decimal(38,0)) * obs - cast(r as decimal(38,0)) * c)
+                 * 1000000)
+                div (cast(n as decimal(38,0)) * r * c)""")
+          .cast("long").as("chi2_micro"))
+    scored.select(col("event_type"), col("dow"), col("obs"),
+        col("e_micro"), col("chi2_micro"))
+      .unionAll(scored.agg(sum(col("obs")).as("obs"),
+          sum(col("e_micro")).as("e_micro"),
+          sum(col("chi2_micro")).as("chi2_micro"))
+        .select(lit("__total__").as("event_type"), lit(-1L).as("dow"),
+          col("obs"), col("e_micro"), col("chi2_micro")))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** Generated DuckDB oracle for [[profileChi2]] — HUGEINT squares,
+    * the same cleared-fraction integer per-cell statistic. */
+  val profileChi2Sql: String =
+    """WITH cells AS (
+         SELECT event_type,
+                (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,
+                CAST(count(*) AS BIGINT) AS obs
+         FROM events GROUP BY 1, 2),
+       r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS r
+             FROM cells GROUP BY 1),
+       c AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS c
+             FROM cells GROUP BY 1),
+       n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+       scored AS (
+         SELECT cells.event_type, cells.dow, cells.obs,
+                CAST((CAST(r.r AS HUGEINT) * c.c * 1000000) // n.n
+                     AS BIGINT) AS e_micro,
+                CAST(((CAST(n.n AS HUGEINT) * cells.obs - r.r * c.c)
+                      * (CAST(n.n AS HUGEINT) * cells.obs - r.r * c.c)
+                      * 1000000)
+                     // (CAST(n.n AS HUGEINT) * r.r * c.c) AS BIGINT)
+                  AS chi2_micro
+         FROM cells
+         JOIN r ON r.event_type = cells.event_type
+         JOIN c ON c.dow = cells.dow
+         CROSS JOIN n)
+       SELECT event_type, dow, obs, e_micro, chi2_micro FROM scored
+       UNION ALL
+       SELECT '__total__', -1, CAST(sum(obs) AS BIGINT),
+              CAST(sum(e_micro) AS BIGINT), CAST(sum(chi2_micro) AS BIGINT)
+       FROM scored
+       ORDER BY event_type, dow"""
+
+  /** TUKEY-FENCE outlier report over daily purchase revenue — the
+    * box-plot rule every profiler ships (flag x outside
+    * [Q1 − 1.5·IQR, Q3 + 1.5·IQR]), fully integer: Q1/Q3 are rank
+    * SELECTIONS on the (cents, day) total order (lower quartile at
+    * rank ⌈n/4⌉, upper at ⌈3n/4⌉ — deterministic under ties, the
+    * events_anomaly_stl median discipline), and the fence compare is
+    * doubled through `2·x < 5·Q1 − 3·Q3` / `2·x > 5·Q3 − 3·Q1`
+    * (= the 1.5·IQR fences with every fraction cleared) — no float
+    * boundary anywhere. Complements [[Events.qAnomalyDays]]'s
+    * z-score (moments move with the outlier; quartile fences
+    * don't) and [[Events.eventsAnomalyStl]]'s residual MAD (this
+    * rule needs no decomposition, so it works on any series).
+    * Windows run over the days-bounded daily table only. */
+  def profileOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(expr("cast(ts as long) div 86400").as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents"), col("day"))
+    val ranked = daily.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+    val q1 = ranked.filter(col("rn") === expr("(n + 3) div 4"))
+      .select(col("cents").as("q1_cents"))
+    val q3 = ranked.filter(col("rn") === expr("(3 * n + 3) div 4"))
+      .select(col("cents").as("q3_cents"))
+    daily.crossJoin(broadcast(q1)).crossJoin(broadcast(q3))
+      .select(col("day"), col("cents"), col("q1_cents"), col("q3_cents"),
+        (lit(2) * col("cents") <
+          lit(5) * col("q1_cents") - lit(3) * col("q3_cents")).as("is_low"),
+        (lit(2) * col("cents") >
+          lit(5) * col("q3_cents") - lit(3) * col("q1_cents")).as("is_high"))
+      .orderBy(col("day"))
+  }
+
+  /** Generated DuckDB oracle for [[profileOutliers]] — same rank
+    * rule, same cleared-fraction fences. */
+  val profileOutliersSql: String =
+    """WITH daily AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+       r AS (SELECT day, cents,
+                    row_number() OVER (ORDER BY cents, day) AS rn
+             FROM daily),
+       q1 AS (SELECT cents AS q1_cents FROM r CROSS JOIN st
+              WHERE rn = (n + 3) // 4),
+       q3 AS (SELECT cents AS q3_cents FROM r CROSS JOIN st
+              WHERE rn = (3 * n + 3) // 4)
+       SELECT day, cents, q1_cents, q3_cents,
+              2 * cents < 5 * q1_cents - 3 * q3_cents AS is_low,
+              2 * cents > 5 * q3_cents - 3 * q1_cents AS is_high
+       FROM daily CROSS JOIN q1 CROSS JOIN q3
+       ORDER BY day"""
 }

@@ -613,6 +613,23 @@ object Streams {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Stream–static TEMPERATURE admission gate — the α=0.5 language
+    * rebalance ([[graft.operators.Curation.sampleTemperatureDf]]) at
+    * ingest time, the [[mixStream]] shape: the standing corpus
+    * derives the per-language `sqrt(n_min/n_l)·2²⁰` thresholds, each
+    * arriving document is admitted by the row-local portable-hash
+    * compare — zero streaming state, append-mode, unbounded-safe.
+    * Threshold derivation AND bucket are the batch operator's own
+    * halves, so stream ≡ batch on the same rows by construction
+    * (StreamingSpec pins it). */
+  def temperatureStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.operators.{Curation => C}
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(C.temperatureThresholds(corpus)), Seq("lang"))
+      .filter(C.temperatureBucket < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Stream–static IMPORTANCE-RESAMPLING admission gate — the DSIR
     * sampler ([[graft.operators.Curation.sampleImportance]]) at
     * ingest time: the standing corpus derives the per-bucket

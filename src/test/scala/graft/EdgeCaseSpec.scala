@@ -233,6 +233,51 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(!m.exists(x => Seq("d", "e", "f").contains(x._2)), m.toString)
   }
 
+  test("temperature sampling: rarest language keeps everything; thresholds replayed independently") {
+    val corpus = graft.core.Tables(spark, Sf).documents
+    val counts = corpus.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val kept = Curation.sampleTemperature(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent replay: threshold floor(sqrt(n_min/n_l)*2^20), keep
+    // iff h60("tsmp#"+id) mod 2^20 below it
+    val all = corpus.select(col("doc_id"), col("lang"),
+        pmod(graft.functions.PortableHash.h60(
+          concat(lit("tsmp#"), col("doc_id").cast("string"))),
+          lit(1048576L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = all.filter { case (_, l, b) =>
+      b < math.floor(math.sqrt(nMin.toDouble / counts(l).toDouble) * 1048576.0).toLong
+    }.map(t => (t._1, t._2))
+    assert(kept.toSet == expect.toSet)
+    // the rarest language's threshold is exactly 2^20: keeps ALL
+    val rarest = counts.minBy(_._2)._1
+    assert(kept.count(_._2 == rarest) == counts(rarest))
+  }
+
+  test("ccf: |ccf| <= 1 everywhere (Cauchy-Schwarz), full lag spine emitted") {
+    val rows = graft.operators.Events.eventsCcf(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (-7L to 7L))
+    rows.foreach { case (lag, v) =>
+      assert(math.abs(v) <= 1.0 + 1e-9, s"lag $lag ccf $v out of bounds") }
+  }
+
+  test("profile_outliers: quartiles ordered, flags replay the cleared-fraction fences") {
+    val rows = graft.operators.Profile.profileOutliers(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val (q1, q3) = (rows.head._3, rows.head._4)
+    assert(q1 <= q3)
+    rows.foreach { case (day, c, _, _, lo, hi) =>
+      assert(lo == (2 * c < 5 * q1 - 3 * q3), s"day $day low flag")
+      assert(hi == (2 * c > 5 * q3 - 3 * q1), s"day $day high flag")
+      assert(!(lo && hi))
+    }
+  }
+
   test("sample_importance: degenerate docs flow through the gate with defined scores") {
     val kept = Curation.sampleImportanceDf(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap

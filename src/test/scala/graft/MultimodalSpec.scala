@@ -261,4 +261,57 @@ class MultimodalSpec extends SparkSpecBase {
       }
     }
   }
+
+  /** JPEG/PNG tier: the decode chain is format-agnostic (ImageIO
+    * sniffs each payload), and correctness is pinned the way the BMP
+    * chain pinned parity — the SAME planted pixels re-encoded as
+    * lossless PNG must produce row-identical fingerprints to the
+    * DuckDB-gated BMP chain, so the gate transitively covers the PNG
+    * path. JPEG is lossy by design: only geometry is
+    * format-invariant, and that's what its assertion checks. */
+  test("PNG re-encode: hist/dHash/aHash/pHash rows identical to the gated BMP chain") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val png = Multimodal.imageBlobsAs(spark, Sf, _ => "png")
+    val bmp = Multimodal.imageBlobs(spark, Sf)
+    assert(rows(Multimodal.pixelHistRealOf(png)) ==
+      rows(Multimodal.pixelHistRealOf(bmp)))
+    assert(rows(Multimodal.mediaDhashOf(png)) ==
+      rows(Multimodal.mediaDhashOf(bmp)))
+    assert(rows(Multimodal.mediaAhashOf(png)) ==
+      rows(Multimodal.mediaAhashOf(bmp)))
+    assert(rows(Multimodal.mediaPhashOf(png)) ==
+      rows(Multimodal.mediaPhashOf(bmp)))
+  }
+
+  test("mixed BMP/PNG corpus: the mm query surfaces produce the all-BMP rows") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val mixed = Multimodal.imageBlobsMixedLossless(spark, Sf)
+    // the downstream query shapes (fingerprint → near-dup) run
+    // unchanged over the mixed-format corpus and match the gated
+    // all-BMP outputs row-for-row
+    val gated = Multimodal.nearDupHamming(spark, Sf)
+    val viaMixed = Multimodal.nearDupHammingOf(
+      Multimodal.mediaDhashOf(mixed), maxHamming = 3)
+    assert(rows(viaMixed) == rows(gated))
+    val gatedP = Multimodal.nearDupPhash(spark, Sf)
+    val viaMixedP = Multimodal.nearDupHammingOf(
+      Multimodal.mediaPhashOf(mixed)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("phash").as("dhash")),
+      maxHamming = 3, bits = 63)
+    assert(rows(viaMixedP) == rows(gatedP))
+  }
+
+  test("JPEG re-encode: geometry decodes format-invariant; pixels are lossy by design") {
+    val jpg = Multimodal.decodeMetaRealOf(
+        Multimodal.imageBlobsAs(spark, Sf, _ => "jpeg"))
+      .select("shard", "n", "avg_w", "avg_h").collect()
+      .map(_.toSeq).toSeq
+    val bmp = Multimodal.decodeMetaReal(spark, Sf)
+      .select("shard", "n", "avg_w", "avg_h").collect()
+      .map(_.toSeq).toSeq
+    assert(jpg == bmp) // size_bytes differs (codec), geometry cannot
+  }
 }

@@ -656,6 +656,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(want.nonEmpty)
   }
 
+  test("stream-static temperature gate admits exactly the batch sampled set") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_temp_stream")
+    Files.copy(Paths.get(s"$Sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val corpus = graft.core.Tables(spark, Sf).documents
+    val stream = Streams.runToMemory(
+      Streams.temperatureStream(
+        Streams.readDocuments(spark, dir.toString), corpus),
+      "temp_stream", OutputMode.Append())
+    val got = stream.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = graft.operators.Curation.sampleTemperature(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("stream-static importance gate admits exactly the batch resampled set") {
     import java.nio.file._
     val dir = Files.createTempDirectory("graft_dsir_stream")

@@ -49,6 +49,17 @@ elif [ "$MODE" = "graph" ]; then
   KS="1 2"
   OPS=${SCALING_OPS:-graph_triangles,graph_components,graph_kcore,graph_kcore_weighted,graph_pagerank,graph_pagerank_weighted,graph_pagerank_resume,graph_communities,graph_communities_sweep,graph_sssp,graph_coreness,graph_assortativity,graph_clustering}
   REPS=${SCALING_REPS:-1}
+elif [ "$MODE" = "graph4" ]; then
+  # SECOND RUNG for the iterative round-loop families: 1x/2x/4x on
+  # components / pagerank / coreness (the rounds × one-shuffle
+  # claim's hardest cases). Disjoint replicas keep round counts
+  # fixed, so both steps should read ~linear-with-floor: 4x/1x ~4
+  # (trip line 6.0), and a 4x/2x step that jumps well past the 2x/1x
+  # step would expose super-linear growth the single-step probe
+  # can't see.
+  KS="1 2 4"
+  OPS=${SCALING_OPS:-graph_components,graph_pagerank,graph_coreness,dedup_components}
+  REPS=${SCALING_REPS:-1}
 else
   KS="1 2 4"
   OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment,text_tfidf,pipeline_clean,mr_wordcount,pipeline_decontam,q_sessionize,q_funnel,q_range_join,q_asof_join,q_gap_fill,events_markov,events_retention,events_attribution,events_changepoint,events_rfm,events_paths}
@@ -68,8 +79,12 @@ done
 
 MODE="$MODE" python3 - <<'EOF'
 import json, os, sys
-quick = os.environ["MODE"] in ("quick", "basket", "graph")
-ks = (1, 2, 4) if os.environ["MODE"] == "full" else (1, 2)
+quick = os.environ["MODE"] in ("quick", "basket", "graph", "graph4")
+ks = (1, 2, 4) if os.environ["MODE"] in ("full", "graph4") else (1, 2)
+# graph4 trips on the 4x/1x ratio: linear-with-floor reads ~4,
+# quadratic ~16 — the 6.0 line is the same headroom the 2-rung
+# modes give their 3.0 line
+trip = 6.0 if os.environ["MODE"] == "graph4" else 3.0
 runs = {k: json.load(open(f"/tmp/scale_bench_{k}.json")) for k in ks}
 qs = sorted(runs[1]["queries"])
 hdr = " ".join(f"{k}x".rjust(7) for k in ks)
@@ -79,9 +94,9 @@ for q in qs:
     t = [runs[k]["queries_min"][q] for k in ks]
     ratio = t[-1] / t[0]
     print(f"{q:24s} " + " ".join(f"{x:7.2f}" for x in t) + f" {ratio:6.2f}")
-    # quick-mode tripwire: 2x data in > 3x wall smells quadratic
-    # (linear ~2 incl. fixed floor; all-pairs ~4)
-    if quick and ratio > 3.0:
+    # tripwire: K-x data in > trip-x wall smells quadratic
+    # (linear ~K incl. fixed floor; all-pairs ~K^2)
+    if quick and ratio > trip:
         bad.append((q, ratio))
 tot = [sum(runs[k]["queries_min"].values()) for k in ks]
 print(f"{'TOTAL (min-of-reps)':24s} " + " ".join(f"{x:7.2f}" for x in tot)
@@ -89,7 +104,7 @@ print(f"{'TOTAL (min-of-reps)':24s} " + " ".join(f"{x:7.2f}" for x in tot)
 print("loadavg:", [(runs[k]['loadavg_start'], runs[k]['loadavg_end']) for k in ks])
 if quick:
     if bad:
-        print("SCALING FAIL:", ", ".join(f"{q} 2x/1x={r:.2f}" for q, r in bad))
+        print("SCALING FAIL:", ", ".join(f"{q} ratio={r:.2f}" for q, r in bad))
         sys.exit(1)
-    print("SCALING OK: all 2x/1x ratios <= 3.0")
+    print(f"SCALING OK: all ratios <= {trip}")
 EOF
