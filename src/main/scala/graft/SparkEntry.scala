@@ -161,6 +161,8 @@ object SparkEntry {
       runSql(s, d, DedupExactSparkSql)),
     "dedup_minhash_lsh_sql" -> ((s: SparkSession, d: String) =>
       runSql(s, d, MinhashLshSparkSql)),
+    "dedup_simhash_sql" -> ((s: SparkSession, d: String) =>
+      runSql(s, d, SimhashSparkSql)),
     "dedup_normalized" -> (Dedup.exactNormalized _),
     // maxDf passed explicitly: the 100 TB operating configuration of
     // the capped candidate generation (public default is exact/uncapped)
@@ -900,6 +902,29 @@ object SparkEntry {
                     JOIN g g2 ON c.d2 = g2.doc_id)
        SELECT d1, d2, jaccard FROM scored WHERE jaccard >= 0.5"""
   }
+
+  /** [[graft.operators.Dedup.simhash]] in plain SQL: the registered
+    * one-loop `simhash_sig` kernel, the same 4×16-bit chunk buckets
+    * (pigeonhole: any pair within Hamming 3 shares a chunk), and a
+    * codegen'd `bit_count(xor)` verify. */
+  private val SimhashSparkSql =
+    """WITH g AS (SELECT doc_id,
+                         ngram_shingles(split(trim(text), '\\s+'), 3) AS grams
+                  FROM documents),
+         s AS (SELECT doc_id, simhash_sig(grams) AS sim
+               FROM g WHERE size(grams) > 0),
+         ck AS (SELECT doc_id, sim,
+                       explode(array(
+                         concat('0#', CAST(shiftright(sim, 0) & 65535 AS STRING)),
+                         concat('1#', CAST(shiftright(sim, 16) & 65535 AS STRING)),
+                         concat('2#', CAST(shiftright(sim, 32) & 65535 AS STRING)),
+                         concat('3#', CAST(shiftright(sim, 48) & 65535 AS STRING)))) AS ck
+                FROM s),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                         bit_count(a.sim ^ b.sim) AS hamming
+                  FROM ck a JOIN ck b
+                    ON a.ck = b.ck AND a.doc_id < b.doc_id)
+       SELECT d1, d2, hamming FROM cand WHERE hamming <= 3"""
 
   /** [[graft.operators.Ann.bruteforce]] in plain SQL: broadcast the
     * 10-query side, score with the registered `cosine_sim`, keep
@@ -2657,6 +2682,7 @@ object SparkEntry {
     // signatures (votes per bit, sign-packed), 4×16-bit chunk
     // buckets, bit_count(xor) Hamming verify.
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_sql" -> simhashSql,
     // Mirrors Multimodal.decodeBatch's deterministic stub: payload is
     // the utf-8 BYTES of text (encode(col, 'UTF-8')), so the mirror is
     // byte-true — strlen for the byte length, hex-decoded byte probes

@@ -95,7 +95,8 @@ class ExtensionsSpec extends SparkSpecBase {
         .orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
         .collect().toSeq
     }
-    for (name <- Seq("dedup_exact", "dedup_minhash_lsh", "ann_bruteforce")) {
+    for (name <- Seq("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "ann_bruteforce")) {
       val base = SparkEntry.queries(name)(spark, Sf)
       val twin = SparkEntry.queries(name + "_sql")(spark, Sf)
       assert(twin.columns.sorted.toSeq == base.columns.sorted.toSeq,
