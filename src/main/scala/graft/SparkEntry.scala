@@ -92,6 +92,7 @@ object SparkEntry {
     "events_stl" -> (Events.eventsStl _),
     "events_acf" -> ((s: SparkSession, d: String) => Events.eventsAcf(s, d)),
     "events_ccf" -> ((s: SparkSession, d: String) => Events.eventsCcf(s, d)),
+    "events_survival" -> (Events.eventsSurvival _),
     "events_anomaly_stl" -> ((s: SparkSession, d: String) =>
       Events.eventsAnomalyStl(s, d)),
     "q_islands" -> (Events.qIslands _),
@@ -176,6 +177,8 @@ object SparkEntry {
     "snapshot_asof" -> ((s: SparkSession, d: String) => Snapshot.asOf(s, d)),
     "snapshot_apply" -> (Snapshot.applyDiff _),
     "emb_kmeans" -> ((s: SparkSession, d: String) => Cluster.embKmeans(s, d)),
+    "emb_kmeans_eval" -> ((s: SparkSession, d: String) =>
+      Cluster.embKmeansEval(s, d)),
     "emb_pca" -> ((s: SparkSession, d: String) => Cluster.embPca(s, d)),
     "emb_kmeans_resume" -> ((s: SparkSession, d: String) => Cluster.embKmeansResume(s, d)),
     "emb_coreset" -> ((s: SparkSession, d: String) => Cluster.embCoreset(s, d)),
@@ -215,6 +218,7 @@ object SparkEntry {
     "ann_lsh" -> (Ann.lsh _),
     "ann_eval" -> (Ann.evalLsh _),
     "ann_eval_ivf" -> (Ann.evalIvf _),
+    "ann_sweep_k" -> (Ann.sweepK _),
     "ann_sweep_nprobe" -> (Ann.sweepNprobe _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "ann_quantized" -> (Ann.quantized _),
@@ -466,6 +470,30 @@ object SparkEntry {
                 CAST(NULL AS BIGINT), CAST(sum(rr_micro) AS BIGINT)
          FROM per
          ORDER BY qid"""
+
+  /** ann_sweep_k oracle: the two ranking chains composed as CTEs,
+    * one conditional-count arm per k over the single joined frame —
+    * the same one-pass bank the Spark side runs. */
+  private lazy val annSweepKSql: String =
+    s"""WITH truth_r AS ($BruteforceTopkSql),
+         approx_r AS ($annLshSql),
+         j AS (SELECT t.qid, t.rank AS trank, a.rank AS arank
+               FROM truth_r t LEFT JOIN approx_r a
+                 ON a.qid = t.qid AND a.vec_id = t.vec_id),
+         f AS (SELECT j.*, ks.k
+               FROM j CROSS JOIN
+                 (SELECT unnest(range(1, 6)) AS k) ks)
+       SELECT CAST(k AS BIGINT) AS k,
+              CAST(sum(CASE WHEN trank <= k AND arank IS NOT NULL
+                             AND arank <= k THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hit,
+              CAST(sum(CASE WHEN trank <= k THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_truth,
+              round(CAST(sum(CASE WHEN trank <= k AND arank IS NOT NULL
+                              AND arank <= k THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(CASE WHEN trank <= k THEN 1 ELSE 0 END)
+                           AS DOUBLE), 6) AS recall
+       FROM f GROUP BY k ORDER BY k"""
 
   /** ann_eval oracle: the ann_lsh chain, the brute-force chain, and
     * the shared metrics tail composed. */
@@ -1619,6 +1647,9 @@ object SparkEntry {
     // two-series CCF: same spine/deviation/HUGEINT chain, ONE forced-
     // double normalization num/sqrt(denx·deny) in identical op order
     "events_ccf" -> graft.operators.Events.ccfOracleSql(),
+    // no-censoring empirical survival: the K-M product telescopes to
+    // an exact integer ratio under a fixed observation window
+    "events_survival" -> graft.operators.Events.survivalOracleSql,
     // STL residuals vs median + k*MAD — both robust statistics are
     // rank SELECTIONS on (value, day), no division anywhere
     "events_anomaly_stl" ->
@@ -2439,6 +2470,8 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY qid, rank""",
     // the harness over the IVF ranking: same truth + metrics tail
     "ann_eval_ivf" -> annEvalIvfSql,
+    // recall@k bank over ONE joined ranking frame (k = 1..5)
+    "ann_sweep_k" -> annSweepKSql,
     "ann_sweep_nprobe" -> Ann.sweepNprobeOracleSql,
     // generated unrolled synchronous peel (idempotent past stability)
     "graph_kcore" -> graft.operators.Graph.kcoreOracleSql(),
@@ -2547,6 +2580,10 @@ object SparkEntry {
     // generated unrolled-CTE Lloyd's rounds (the PageRank trick):
     // same quantization, seeds, and truncating-integer updates
     "emb_kmeans" -> graft.operators.Cluster.kmeansOracleSql(),
+    // per-cluster simplified silhouette in integer micro-units over
+    // the same unrolled Lloyd's chain (d3 already holds all n×k
+    // final-round distances)
+    "emb_kmeans_eval" -> graft.operators.Cluster.kmeansEvalOracleSql(),
     // power iteration on the second-moment matrix: exact-integer
     // matvec + L-infinity renormalize rounds unrolled in HUGEINT
     "emb_pca" -> graft.operators.Cluster.embPcaOracleSql(),

@@ -973,6 +973,37 @@ object Ann {
     * reaches nothing for a query still counts in the denominator
     * (truth-spine rule, [[evalOf]]'s r10 lesson). Output = |bank|
     * rows at any corpus size. */
+  /** RECALL@k CURVE for the LSH index from ONE pass per side — the
+    * k-axis twin of [[sweepNprobe]]'s nprobe axis (ann_eval reads a
+    * single operating point; a serving team sizes k from the whole
+    * curve): join the LSH ranking to the exact truth once on
+    * (qid, vec_id) keeping BOTH ranks, then every k ∈ 1..TopK is a
+    * conditional count over the same joined frame — the
+    * parameter-bank discipline (never k passes over the corpus).
+    * `recall@k = |approx_topk ∩ truth_topk| / Σ_q min(k, k_truth)`;
+    * the denominator derives from the truth ranks so short truth
+    * lists can't inflate recall. Integer counts + ONE 6dp division
+    * per row; output is TopK rows. */
+  def sweepK(spark: SparkSession, dir: String): DataFrame = {
+    val truth = bruteforce(spark, dir)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("trank"))
+    val approx = lsh(spark, dir)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("arank"))
+    val joined = truth.join(approx, Seq("qid", "vec_id"), "left").cache()
+    joined
+      .select(col("trank"), col("arank"),
+        explode(expr(s"sequence(1, $TopK)")).as("k"))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("trank") <= col("k") && col("arank").isNotNull &&
+          col("arank") <= col("k"), 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("trank") <= col("k"), 1L).otherwise(0L)).as("n_truth"))
+      .select(col("k").cast("long").as("k"), col("n_hit"), col("n_truth"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall"))
+      .orderBy(col("k"))
+  }
+
   def sweepNprobe(spark: SparkSession, dir: String): DataFrame = {
     val cb = codebook(spark, dir)
     val cells = emb(spark, dir)

@@ -317,6 +317,86 @@ object Cluster {
          $rounds"""
   }
 
+  /** CLUSTERING-QUALITY readout — what [[graft.operators.Ann.evalOf]]
+    * is to the index family: per-cluster SIMPLIFIED SILHOUETTE
+    * (Hruschka et al. — a = squared distance to the OWN centroid,
+    * b = min squared distance to any OTHER centroid, s = (b−a)/max)
+    * over the exact-integer k-means assignment, plus the `__total__`
+    * (−1) row. a is the assignment minimum by construction, so
+    * b ≥ a and s ∈ [0, 1] — quantized per ROW to exact integer
+    * micro-units `((b−a)·10⁶) div max(a,b)` (DECIMAL/HUGEINT
+    * intermediate), so the per-cluster means are integer-exact at
+    * any partitioning — no order-sensitive float sums. The classic
+    * full silhouette is O(n²) pairwise; the centroid-based variant
+    * is the one that scales (one pass over n×k distances, k
+    * centroid literals broadcast inside the expression). */
+  def embKmeansEval(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = quantized(Tables(spark, dir).embeddings).cache()
+    try {
+      val (assigned, cents) = kmeansLoop(e, hashSeeds(e, k), iters)
+      def distTo(c: Array[Long]): Column =
+        aggregate(
+          zip_with(col("q"), typedlit(c.toSeq),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+      // the loop's public assignment drops q; rejoin the cached
+      // quantized frame for the distance fan-out
+      val withD = assigned
+        .join(e.select(col("vec_id"), col("q")), Seq("vec_id"))
+        .select(col("vec_id"), col("cid"),
+          posexplode(array(cents.map(distTo).toIndexedSeq: _*))
+            .as(Seq("ci", "dist2")))
+      val sil = withD.groupBy(col("vec_id"), col("cid"))
+        .agg(max(when(col("ci") === col("cid"), col("dist2"))).as("adist"),
+          min(when(col("ci") =!= col("cid"), col("dist2"))).as("bdist"))
+      val s = sil.select(col("cid"),
+        expr("""CASE WHEN greatest(adist, bdist) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((CAST(bdist - adist AS DECIMAL(38,0)) * 1000000)
+                          div greatest(adist, bdist) AS BIGINT) END""")
+          .as("s_micro"))
+        .cache()
+      val per = s.groupBy(col("cid").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(s_micro) div count(*)").cast("long")
+            .as("mean_sil_micro"))
+      per.unionByName(
+          s.agg(count(lit(1)).as("n"),
+              expr("sum(s_micro) div count(*)").as("msm"))
+            .select(lit(-1L).as("cluster_id"), col("n"),
+              col("msm").cast("long").as("mean_sil_micro")))
+        .orderBy("cluster_id")
+    } finally e.unpersist()
+  }
+
+  /** Generated DuckDB oracle for [[embKmeansEval]] — the unrolled
+    * k-means CTE chain (d\$iters already holds every vector×centroid
+    * distance of the final round) + the same integer silhouette
+    * tail. */
+  def kmeansEvalOracleSql(k: Int = 8, iters: Int = 3): String =
+    s"""WITH ${kmeansAssignCtes(k, iters)},
+         sil AS (SELECT d.vec_id, a.cid,
+                   max(CASE WHEN d.cid = a.cid THEN d.dist END) AS adist,
+                   min(CASE WHEN d.cid != a.cid THEN d.dist END) AS bdist
+                 FROM d$iters d JOIN a$iters a ON a.vec_id = d.vec_id
+                 GROUP BY 1, 2),
+         s AS (SELECT cid,
+                 CASE WHEN greatest(adist, bdist) = 0 THEN 0
+                      ELSE CAST((CAST(bdist - adist AS HUGEINT) * 1000000)
+                                // greatest(adist, bdist) AS BIGINT) END
+                   AS s_micro
+               FROM sil),
+         per AS (SELECT CAST(cid AS BIGINT) AS cluster_id,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(s_micro) // count(*) AS BIGINT)
+                          AS mean_sil_micro
+                 FROM s GROUP BY 1)
+       SELECT * FROM per
+       UNION ALL
+       SELECT -1, CAST(count(*) AS BIGINT),
+              CAST(sum(s_micro) // count(*) AS BIGINT) FROM s
+       ORDER BY cluster_id"""
+
   /** The DuckDB oracle: the SAME quantization, seeding, and
     * truncating-integer Lloyd's rounds unrolled as chained CTEs. */
   def kmeansOracleSql(k: Int = 8, iters: Int = 3): String =

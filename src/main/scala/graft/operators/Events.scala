@@ -1220,6 +1220,67 @@ object Events {
     * same pre-scaled integer deviations (HUGEINT products vs the
     * Spark side's DECIMAL(38,0); both exact), same single final
     * division. */
+  /** USER-LIFETIME SURVIVAL CURVE — the churn readout next to
+    * [[retentionDf]]'s cohort table: for each lifetime t (days
+    * between a user's first and last event), the number still "at
+    * risk" (lifetime ≥ t), the number churning exactly at t, and
+    * survival S(t) = P(lifetime ≥ t) in exact integer ppm. The
+    * no-censoring empirical survival function — with a fixed
+    * observation window the Kaplan-Meier product telescopes to
+    * exactly this ratio, so the curve is INTEGER-exact (a true
+    * censored K-M needs an ordered float product, which no engine
+    * pair reproduces bit-identically; the declared-window form is
+    * the one that hash-gates). Shape: one per-user aggregate
+    * (map-side combinable min/max), a lifetime histogram, and a
+    * suffix-sum window over the days-BOUNDED lifetime spine —
+    * nothing corpus-proportional past the first groupBy. */
+  def eventsSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val durs = Tables(spark, dir).events
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .groupBy(col("user_id"))
+      .agg((max(col("day")) - min(col("day"))).as("dur"))
+      .groupBy(col("dur")).agg(count(lit(1)).as("n_churn"))
+    val spine = durs.agg(max(col("dur")).as("dmax"))
+      .select(explode(expr("sequence(0, dmax)")).as("t"))
+      .join(durs.withColumnRenamed("dur", "t"), Seq("t"), "left")
+      .select(col("t"), coalesce(col("n_churn"), lit(0L)).as("n_churn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine
+      .withColumn("n_risk", sum(col("n_churn")).over(w))
+      .crossJoin(broadcast(
+        spine.agg(sum(col("n_churn")).as("n_total"))))
+      .select(col("t"), col("n_risk"), col("n_churn"),
+        expr("(n_risk * 1000000) div n_total").as("surv_ppm"))
+      .orderBy(col("t"))
+  }
+
+  /** Generated DuckDB oracle for [[eventsSurvival]]. */
+  val survivalOracleSql: String =
+    """WITH durs AS (
+         SELECT user_id,
+                max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                  - min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS dur
+         FROM events GROUP BY 1),
+       hist AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_churn
+                FROM durs GROUP BY 1),
+       sp AS (SELECT unnest(range(0, (SELECT max(dur) + 1 FROM hist)))
+                AS t),
+       filled AS (SELECT sp.t, coalesce(h.n_churn, 0) AS n_churn
+                  FROM sp LEFT JOIN hist h ON h.dur = sp.t),
+       tot AS (SELECT CAST(sum(n_churn) AS BIGINT) AS n_total FROM filled)
+       SELECT t,
+              CAST(sum(n_churn) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_risk,
+              n_churn,
+              CAST((CAST(sum(n_churn) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) * 1000000) // n_total AS BIGINT) AS surv_ppm
+       FROM filled CROSS JOIN tot
+       ORDER BY t"""
+
   /** CROSS-correlation between daily purchase revenue (X) and daily
     * click counts (Y) at lags −`maxLag`..+`maxLag` — the
     * two-series readout next to [[eventsAcf]]: does engagement LEAD
