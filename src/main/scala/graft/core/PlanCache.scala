@@ -60,6 +60,23 @@ final class PlanCache(maxEntries: Int = 16) {
     }
   }
 
+  /** The cached frame for `key` if (and only if) it is already memoized
+    * — no build, no insertion, but a hit refreshes LRU recency and
+    * re-registers dropped storage like [[getOrBuild]]. Lets a builder
+    * derive one frame from another already-paid one (e.g. a
+    * higher-threshold edge set sliced from a lower-threshold memo)
+    * without forcing the cheaper frame into existence when nothing
+    * has paid for it. */
+  def peek(spark: SparkSession, key: String): Option[DataFrame] = {
+    val hit = m.synchronized(m.get((spark, key)))
+    if (hit == null) None
+    else {
+      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        hit.cache()
+      Some(hit)
+    }
+  }
+
   /** Drop (and unpersist) entries whose key starts with `prefix` —
     * keys embed the data directory, so this is the staleness hook
     * for in-place rewrites (see [[Tables.invalidate]]). */

@@ -561,19 +561,33 @@ object Graph {
   private[graft] def coSupplyEdgesW(spark: SparkSession, dir: String,
       minOrders: Int = 5): DataFrame =
     shared.getOrBuild(spark, s"$dir#cosupply$minOrders") {
-      // one shuffle to per-order supplier sets (collect_set partials are
-      // bounded by suppliers-per-order, a schema constant ~7 — NOT by
-      // line volume), pairs exploded map-side after it, one shuffle to
-      // pair counts: 2 exchanges where distinct + self-join + groupBy
-      // spent 4, and the wide pair set never crosses the wire unkeyed
-      val byOrder = Tables(spark, dir).lineitem
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-      byOrder.select(arrayPairs(col("ss")).as("p"))
-        .select(col("p.u"), col("p.v"))
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= minOrders)
+      // THRESHOLD SLICING first: cosupply(t) = cosupply(s).filter(w≥t)
+      // for any already-memoized s ≤ t, so a consumer pairing two
+      // thresholds (modularity's eval-3/part-5, degree_dist after
+      // communities) pays the lineitem scan + pair shuffle ONCE and
+      // derives the denser cut with a filter over the cached frame.
+      // peek, not getOrBuild: when no cheaper frame exists, nothing
+      // is forced into existence on its behalf.
+      val sliced = (2 until minOrders).reverseIterator
+        .flatMap(s => shared.peek(spark, s"$dir#cosupply$s"))
+        .take(1).toSeq.headOption
+        .map(_.filter(col("w") >= minOrders))
+      sliced.getOrElse {
+        // one shuffle to per-order supplier sets (collect_set partials
+        // are bounded by suppliers-per-order, a schema constant ~7 —
+        // NOT by line volume), pairs exploded map-side after it, one
+        // shuffle to pair counts: 2 exchanges where distinct +
+        // self-join + groupBy spent 4, and the wide pair set never
+        // crosses the wire unkeyed
+        val byOrder = Tables(spark, dir).lineitem
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+        byOrder.select(arrayPairs(col("ss")).as("p"))
+          .select(col("p.u"), col("p.v"))
+          .groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= minOrders)
+      }
     }
 
   private[graft] def coSupplyEdges(spark: SparkSession, dir: String,
