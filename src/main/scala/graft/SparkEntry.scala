@@ -93,6 +93,7 @@ object SparkEntry {
     "events_acf" -> ((s: SparkSession, d: String) => Events.eventsAcf(s, d)),
     "events_ccf" -> ((s: SparkSession, d: String) => Events.eventsCcf(s, d)),
     "events_survival" -> (Events.eventsSurvival _),
+    "events_holt_winters" -> (Events.eventsHoltWinters _),
     "events_anomaly_stl" -> ((s: SparkSession, d: String) =>
       Events.eventsAnomalyStl(s, d)),
     "q_islands" -> (Events.qIslands _),
@@ -1650,6 +1651,9 @@ object SparkEntry {
     // no-censoring empirical survival: the K-M product telescopes to
     // an exact integer ratio under a fixed observation window
     "events_survival" -> graft.operators.Events.survivalOracleSql,
+    // triple smoothing: the holt shift recurrence + a 7-slot seasonal
+    // register carried as a list column through the recursive CTE
+    "events_holt_winters" -> graft.operators.Events.holtWintersOracleSql,
     // STL residuals vs median + k*MAD — both robust statistics are
     // rank SELECTIONS on (value, day), no division anywhere
     "events_anomaly_stl" ->

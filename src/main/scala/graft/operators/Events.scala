@@ -1150,6 +1150,107 @@ object Events {
     holtOfDaily(daily).orderBy(col("day"))
   }
 
+  /** HOLT-WINTERS additive triple smoothing — [[eventsHolt]] plus a
+    * period-7 seasonal state, completing the forecasting family
+    * (naive/filled ≺ Holt level+trend ≺ HW level+trend+weekday):
+    * `l_t = (y_t − s_{t−7} + l_{t−1} + b_{t−1}) >> 1`,
+    * `b_t = (b_{t−1} + (l_t − l_{t−1})) >> 1`,
+    * `s_t = (y_t − l_t + s_{t−7}) >> 1`, fitted
+    * `f_t = l_{t−1} + b_{t−1} + s_{t−7}` — α=β=γ=½ as arithmetic
+    * shifts (Java `>>` ≡ DuckDB `>>`, floor semantics on negatives),
+    * the [[holtOfDaily]] exact-integer discipline. DECLARED init:
+    * the seasonal register starts all-zero (s_{t−7} = 0 for t ≤ 7),
+    * so the first week degrades to plain Holt and seasonality phases
+    * in — deterministic on both engines, no seasonal-mean
+    * bootstrapping to disagree on. Sequential by nature: one
+    * single-partition pass over the days-BOUNDED spine (the
+    * q_skyline mapPartitions tier); the oracle carries the 7-slot
+    * register as a list column through a recursive CTE. */
+  def eventsHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(expr("cast(ts as long) div 86400").as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    holtWintersOfDaily(daily).orderBy(col("day"))
+  }
+
+  private[graft] def holtWintersOfDaily(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val span = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val filled = span.select(explode(expr("sequence(dmin, dmax)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+    filled.as[(Long, Long)]
+      .repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          var l = rows(0)._2
+          var b = if (rows.length > 1) rows(1)._2 - rows(0)._2 else 0L
+          val s = new Array[Long](7) // s(i % 7) = s_{i}, 7 lags back
+          val out = new scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Long, Long, Long, Option[Long])](rows.length)
+          out += ((rows(0)._1, rows(0)._2, l, b, 0L, None))
+          var i = 1
+          while (i < rows.length) {
+            val y = rows(i)._2
+            val sLag = s(i % 7) // the slot written 7 steps ago (0 early)
+            val f = l + b + sLag
+            val l1 = (y - sLag + l + b) >> 1
+            val b1 = (b + (l1 - l)) >> 1
+            val s1 = (y - l1 + sLag) >> 1
+            l = l1; b = b1; s(i % 7) = s1
+            out += ((rows(i)._1, y, l, b, s1, Some(f)))
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("day", "cents", "level", "trend", "seasonal", "fitted")
+  }
+
+  /** Generated DuckDB oracle for [[eventsHoltWinters]] — the same
+    * shift recurrence with the 7-slot seasonal register carried as a
+    * list column through the recursion. */
+  val holtWintersOracleSql: String =
+    """WITH RECURSIVE daily AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       sp AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+       spine AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM sp),
+       filled AS (SELECT spine.day, coalesce(d.cents, 0) AS cents
+                  FROM spine LEFT JOIN daily d ON d.day = spine.day),
+       idx AS (SELECT day, cents,
+                      row_number() OVER (ORDER BY day) AS i
+               FROM filled),
+       rec(i, day, cents, l, b, sl, s, f) AS (
+         SELECT i, day, cents, cents,
+                coalesce((SELECT cents FROM idx WHERE i = 2) - cents, 0),
+                [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0],
+                CAST(0 AS BIGINT),
+                CAST(NULL AS BIGINT)
+         FROM idx WHERE i = 1
+         UNION ALL
+         SELECT x.i, x.day, x.cents,
+                (x.cents - r.sl[1] + r.l + r.b) >> 1,
+                (r.b + (((x.cents - r.sl[1] + r.l + r.b) >> 1) - r.l)) >> 1,
+                list_append(r.sl[2:7],
+                  (x.cents - ((x.cents - r.sl[1] + r.l + r.b) >> 1)
+                   + r.sl[1]) >> 1),
+                (x.cents - ((x.cents - r.sl[1] + r.l + r.b) >> 1)
+                 + r.sl[1]) >> 1,
+                r.l + r.b + r.sl[1]
+         FROM rec r JOIN idx x ON x.i = r.i + 1)
+       SELECT day, cents, CAST(l AS BIGINT) AS level,
+              CAST(b AS BIGINT) AS trend, CAST(s AS BIGINT) AS seasonal,
+              CAST(f AS BIGINT) AS fitted
+       FROM rec ORDER BY day"""
+
   /** The smoothing fold over ANY (day, cents) daily table (spec
     * surface; gaps are zero-filled first). */
   private[graft] def holtOfDaily(daily: DataFrame): DataFrame = {

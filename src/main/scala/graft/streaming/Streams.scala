@@ -728,6 +728,30 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming HOLT-WINTERS monitor — [[holtStream]] with the
+    * period-7 seasonal register
+    * ([[graft.operators.Events.eventsHoltWinters]]'s standing twin):
+    * same calendar-bounded complete-mode daily state, each trigger
+    * refreshes through the SAME batch triple-smoothing fold, so
+    * stream ≡ batch under any micro-batch split by construction
+    * (StreamingSpec pins a forced 2-batch split). The alerting read
+    * is the last row's `level + trend + seasonal-due-next`. */
+  def holtWintersStream(events: DataFrame, outPath: String): Unit = {
+    val daily = events
+      .filter(col("event_type") === "purchase")
+      .select(expr("cast(ts as long) div 86400").as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    val q = daily.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Events.holtWintersOfDaily(batch)
+          .write.mode("overwrite").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming growth-curve monitor —
     * [[graft.operators.Events.cumulativeUsers]]'s standing twin. The
     * streaming state is per-USER first-seen day (a complete-mode

@@ -911,6 +911,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("streaming Holt-Winters monitor: 2-batch split refreshes to the exact batch fold") {
+    import java.nio.file._
+    val ev = graft.core.Tables(spark, Sf).events
+    val split = ev.agg(expr("percentile_approx(cast(ts as long), 0.5)"))
+      .head().getLong(0)
+    val in = Files.createTempDirectory("graft_hw_in").toString
+    ev.filter(col("ts").cast("long") <= split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/a")
+    ev.filter(col("ts").cast("long") > split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b")
+    val staged = Files.createTempDirectory("graft_hw_q")
+    var i = 0
+    for (sub <- Seq("a", "b");
+         f <- new java.io.File(s"$in/$sub").listFiles
+           if f.getName.endsWith(".parquet")) {
+      Files.copy(f.toPath, staged.resolve(s"part$i.parquet")); i += 1
+    }
+    assert(i == 2)
+    val out = Files.createTempDirectory("graft_hw_out").toString
+    Streams.holtWintersStream(
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString), out)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))
+    val got = spark.read.parquet(out).collect().map(key).toSet
+    val want = graft.operators.Events.eventsHoltWinters(spark, Sf).collect()
+      .map(key).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("streaming ANN probe gate: 2-batch split equals the indexed batch ranking, novelty flagged") {
     import java.nio.file._
     val idxPath = Files.createTempDirectory("graft_annprobe_idx").toString
