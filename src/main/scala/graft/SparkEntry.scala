@@ -94,6 +94,7 @@ object SparkEntry {
     "events_ccf" -> ((s: SparkSession, d: String) => Events.eventsCcf(s, d)),
     "events_survival" -> (Events.eventsSurvival _),
     "events_holt_winters" -> (Events.eventsHoltWinters _),
+    "events_forecast_hw" -> (Events.eventsForecastHw _),
     "events_anomaly_stl" -> ((s: SparkSession, d: String) =>
       Events.eventsAnomalyStl(s, d)),
     "q_islands" -> (Events.qIslands _),
@@ -252,6 +253,7 @@ object SparkEntry {
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "pipeline_clean" -> (TextOps.pipelineClean _),
+    "pipeline_clean_sweep" -> (TextOps.pipelineCleanSweep _),
     "text_normalize" -> (TextOps.textNormalize _),
     "pipeline_split" -> (TextOps.pipelineSplit _),
     "pipeline_pack" -> ((s: SparkSession, d: String) => TextOps.pipelinePack(s, d)),
@@ -1654,6 +1656,8 @@ object SparkEntry {
     // triple smoothing: the holt shift recurrence + a 7-slot seasonal
     // register carried as a list column through the recursive CTE
     "events_holt_winters" -> graft.operators.Events.holtWintersOracleSql,
+    // terminal-state projection: f_{T+h} = l + h·b + s_{T+h−7}
+    "events_forecast_hw" -> graft.operators.Events.forecastHwOracleSql,
     // STL residuals vs median + k*MAD — both robust statistics are
     // rank SELECTIONS on (value, day), no division anywhere
     "events_anomaly_stl" ->
@@ -2978,6 +2982,10 @@ object SparkEntry {
                 count(*) AS n_dups, min(n_tokens) AS n_tokens
          FROM q WHERE n_tokens >= 20 AND dr >= 0.3 AND pr <= 0.3
          GROUP BY fp ORDER BY keep_id""",
+    // the cleaning gate's threshold bank: pipeline_clean's exact
+    // gate/fingerprint fragments, all thresholds from one pass
+    "pipeline_clean_sweep" ->
+      graft.operators.TextOps.pipelineCleanSweepSql,
     // Non-distinct bigram list (the duplicate count IS the signal);
     // same degenerate len<2 rule as the shingle expression.
     "text_repetition" ->

@@ -1212,11 +1212,11 @@ object Events {
       .toDF("day", "cents", "level", "trend", "seasonal", "fitted")
   }
 
-  /** Generated DuckDB oracle for [[eventsHoltWinters]] — the same
-    * shift recurrence with the 7-slot seasonal register carried as a
-    * list column through the recursion. */
-  val holtWintersOracleSql: String =
-    """WITH RECURSIVE daily AS (
+  /** The shared recursive-CTE body of the Holt-Winters oracles —
+    * [[holtWintersOracleSql]] reads the fitted table off it,
+    * [[forecastHwOracleSql]] the terminal state. */
+  private val holtWintersRecSql: String =
+    """daily AS (
          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
                      AS BIGINT) AS cents
@@ -1245,11 +1245,57 @@ object Events {
                 (x.cents - ((x.cents - r.sl[1] + r.l + r.b) >> 1)
                  + r.sl[1]) >> 1,
                 r.l + r.b + r.sl[1]
-         FROM rec r JOIN idx x ON x.i = r.i + 1)
+         FROM rec r JOIN idx x ON x.i = r.i + 1)"""
+
+  /** Generated DuckDB oracle for [[eventsHoltWinters]] — the same
+    * shift recurrence with the 7-slot seasonal register carried as a
+    * list column through the recursion. */
+  val holtWintersOracleSql: String =
+    s"""WITH RECURSIVE $holtWintersRecSql
        SELECT day, cents, CAST(l AS BIGINT) AS level,
               CAST(b AS BIGINT) AS trend, CAST(s AS BIGINT) AS seasonal,
               CAST(f AS BIGINT) AS fitted
        FROM rec ORDER BY day"""
+
+  /** H-STEP-AHEAD Holt-Winters forecast — the forward read the
+    * smoothing exists for: from the terminal state (l_T, b_T, last-7
+    * seasonal register) project the next week,
+    * `f_{T+h} = l_T + h·b_T + s_{T+h−7}` for h ∈ 1..7 — pure
+    * integer, each forecast one expression over the days-bounded
+    * fitted table. The seasonal-naive `events_forecast` answers
+    * "what does a typical Tuesday look like"; this answers "what
+    * will NEXT Tuesday be, given where level and trend are now". */
+  def eventsForecastHw(spark: SparkSession, dir: String): DataFrame = {
+    val hw = eventsHoltWinters(spark, dir)
+      .select(col("day"), col("level"), col("trend"), col("seasonal"))
+      .cache()
+    val last = hw.crossJoin(broadcast(hw.agg(max(col("day")).as("dmax"))))
+      .filter(col("day") === col("dmax"))
+      .select(col("dmax"), col("level").as("l"), col("trend").as("b"))
+    hw.crossJoin(broadcast(last))
+      .filter(col("day") > col("dmax") - 7)
+      .select((col("day") + 7).as("day"),
+        (col("day") + 7 - col("dmax")).as("h"),
+        (col("l") + (col("day") + 7 - col("dmax")) * col("b") +
+          col("seasonal")).as("forecast_cents"))
+      .orderBy(col("day"))
+  }
+
+  /** Generated DuckDB oracle for [[eventsForecastHw]] — the shared
+    * recursion + the same terminal-state projection. */
+  val forecastHwOracleSql: String =
+    s"""WITH RECURSIVE $holtWintersRecSql,
+       hw AS (SELECT day, l, b, s FROM rec),
+       mx AS (SELECT max(day) AS dmax FROM hw),
+       lastlb AS (SELECT l AS lv, b AS tr FROM hw CROSS JOIN mx
+                  WHERE day = dmax)
+       SELECT hw.day + 7 AS day,
+              CAST(hw.day + 7 - mx.dmax AS BIGINT) AS h,
+              CAST(lv + (hw.day + 7 - mx.dmax) * tr + hw.s AS BIGINT)
+                AS forecast_cents
+       FROM hw CROSS JOIN mx CROSS JOIN lastlb
+       WHERE hw.day > mx.dmax - 7
+       ORDER BY day"""
 
   /** The smoothing fold over ANY (day, cents) daily table (spec
     * surface; gaps are zero-filled first). */

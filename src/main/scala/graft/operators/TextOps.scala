@@ -135,6 +135,90 @@ object TextOps {
       .sortWithinPartitions("keep_id")
   }
 
+  /** Min-token thresholds the cleaning-gate sweep reads in ONE pass —
+    * fixed literals so the generated oracle shares them. */
+  val CleanSweepBank: Seq[Int] = Seq(10, 20, 40, 80)
+
+  /** CLEANING-GATE TUNING SWEEP — the fourth member of the
+    * parameter-bank family (Jaccard-τ, LSH (bands,rows), IVF nprobe;
+    * this one tunes the quality gate itself): for every min-token
+    * threshold in [[CleanSweepBank]] (diversity and punctuation
+    * conditions held at [[pipelineClean]]'s values), the kept
+    * document count, the post-dedup group count, and the keep rate
+    * in exact ppm — the "how much corpus does each knob setting
+    * cost" readout a curation team reads before committing a
+    * threshold. ONE tokenization pass: per-fingerprint conditional
+    * counts for all thresholds ride a single aggregate (no
+    * per-threshold rescan, no multi-distinct expand), then a
+    * bank-sized unpivot. */
+  def pipelineCleanSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val perTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+    val flagged = docs.join(perTok, Seq("doc_id"))
+      .select(fingerprint(col("text")).as("fp"), col("n_tokens"),
+        (round(col("n_distinct").cast("double") / col("n_tokens"), 6) >= 0.3 &&
+          punctRatio(col("text")) <= 0.3).as("base"))
+    val bankCols = CleanSweepBank.map(t =>
+      sum(when(col("base") && col("n_tokens") >= t, 1L).otherwise(0L))
+        .as(s"c$t"))
+    val perFp = flagged.groupBy(col("fp"))
+      .agg(bankCols.head, bankCols.tail: _*)
+    val stacked = perFp.select(expr(
+      s"stack(${CleanSweepBank.length}, " +
+        CleanSweepBank.map(t => s"${t}L, c$t").mkString(", ") +
+        ") as (min_tokens, c)"))
+    stacked
+      .groupBy(col("min_tokens"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(when(col("c") > 0L, 1L).otherwise(0L)).as("n_groups"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+      .select(col("min_tokens"), col("n_docs"), col("n_groups"),
+        expr("(n_docs * 1000000) div n_total").as("keep_ppm"))
+      .orderBy(col("min_tokens"))
+  }
+
+  /** Generated DuckDB oracle for [[pipelineCleanSweep]] — the
+    * pipeline_clean oracle's exact gate/fingerprint fragments with
+    * the conditional bank over one pass. */
+  def pipelineCleanSweepSql: String = {
+    val arms = CleanSweepBank.map(t =>
+      s"""SELECT $t AS min_tokens,
+                 CAST(sum(c$t) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN c$t > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_groups
+          FROM perfp""").mkString("\n         UNION ALL\n         ")
+    val cs = CleanSweepBank.map(t =>
+      s"sum(CASE WHEN base AND n_tokens >= $t THEN 1 ELSE 0 END) AS c$t")
+      .mkString(",\n                ")
+    s"""WITH q AS (
+         SELECT doc_id, text,
+                len(string_split_regex(trim(text, ' '), '\\s+')) AS n_tokens,
+                round(CAST(len(list_distinct(string_split_regex(trim(text, ' '), '\\s+'))) AS DOUBLE)
+                      / len(string_split_regex(trim(text, ' '), '\\s+')), 6) AS dr,
+                round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                      / length(text), 6) AS pr
+         FROM documents),
+       flagged AS (
+         SELECT md5(translate(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp,
+                n_tokens, (dr >= 0.3 AND pr <= 0.3) AS base
+         FROM q),
+       perfp AS (
+         SELECT fp,
+                $cs
+         FROM flagged GROUP BY fp),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+       bank AS (
+         $arms)
+       SELECT min_tokens, n_docs, n_groups,
+              CAST((n_docs * 1000000) // n_total AS BIGINT) AS keep_ppm
+       FROM bank CROSS JOIN tot
+       ORDER BY min_tokens"""
+  }
+
   /** text_normalize: unicode canonicalization of the corpus — NFC +
     * SIMPLE (1:1, locale-free) casefold via the fused
     * [[graft.functions.NormalizeText]] codegen kernel, then the
