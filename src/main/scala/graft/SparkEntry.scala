@@ -123,7 +123,9 @@ object SparkEntry {
     "profile_checks" -> (Profile.checksProfile _),
     "profile_outliers" -> (Profile.profileOutliers _),
     "profile_chi2" -> (Profile.profileChi2 _),
+    "profile_vocab_growth" -> (TextOps.profileVocabGrowth _),
     "dedup_report" -> (Dedup.dedupReport _),
+    "dedup_cross_source" -> (Dedup.dedupCrossSource _),
     "profile_cat_entropy" -> (Profile.catEntropy _),
     "profile_topk_values" -> ((s: SparkSession, d: String) =>
       Profile.topValues(s, d)),
@@ -321,6 +323,40 @@ object SparkEntry {
        FROM nm a JOIN nm b ON a.name < b.name
        WHERE levenshtein(a.name, b.name) <= ${Linkage.Tau}
        ORDER BY name_a, name_b"""
+
+  /** The dedup_ngram_jaccard oracle statement — shared verbatim by
+    * the pair query and the cross-source attribution built on it. */
+  private val NgramJaccardPairsSql: String =
+    """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  END AS gs
+           FROM toks),
+         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         -- postings join on the 60-bit portable hash, mirroring the
+         -- Spark side exactly (collisions, were any to exist, would
+         -- be identical on both engines)
+         hp AS (SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gid
+                FROM posts),
+         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           FROM hp a JOIN hp b
+             ON a.gid = b.gid AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT d1, d2, inter,
+                round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+         FROM pairs
+         JOIN sizes s1 ON s1.doc_id = d1
+         JOIN sizes s2 ON s2.doc_id = d2
+         WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.1
+         ORDER BY d1, d2"""
 
   private val BruteforceTopkSql =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -2179,37 +2215,7 @@ object SparkEntry {
                 min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents
          GROUP BY 1 ORDER BY h""",
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS t
-           FROM documents),
-         g AS (
-           SELECT doc_id,
-                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                  END AS gs
-           FROM toks),
-         posts AS (SELECT doc_id, unnest(gs) AS gram FROM g),
-         -- postings join on the 60-bit portable hash, mirroring the
-         -- Spark side exactly (collisions, were any to exist, would
-         -- be identical on both engines)
-         hp AS (SELECT doc_id,
-                       ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gid
-                FROM posts),
-         sizes AS (SELECT doc_id, len(gs) AS n FROM g),
-         pairs AS (
-           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-           FROM hp a JOIN hp b
-             ON a.gid = b.gid AND a.doc_id < b.doc_id
-           GROUP BY a.doc_id, b.doc_id)
-         SELECT d1, d2, inter,
-                round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
-         FROM pairs
-         JOIN sizes s1 ON s1.doc_id = d1
-         JOIN sizes s2 ON s2.doc_id = d2
-         WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.1
-         ORDER BY d1, d2""",
+    "dedup_ngram_jaccard" -> NgramJaccardPairsSql,
     // EXACT all-pairs ground truth at τ=0.5 — the Spark side only
     // ever sees prefix-filtered candidates (rarest-first global
     // order, first |s|−⌈τ|s|⌉+1 shingles), so the hash match IS the
@@ -3144,6 +3150,19 @@ object SparkEntry {
     "profile_chi2" -> graft.operators.Profile.profileChi2Sql,
     // per-source duplication ppm — two map-side aggregates
     "dedup_report" -> graft.operators.Dedup.dedupReportSql,
+    // the near-dup pair set attributed to unordered source pairs —
+    // diagonal = within-feed dup, off-diagonal = feed copies feed
+    "dedup_cross_source" ->
+      s"""WITH p AS ($NgramJaccardPairsSql)
+         SELECT least(da.source, db.source) AS source_a,
+                greatest(da.source, db.source) AS source_b,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM p JOIN documents da ON da.doc_id = p.d1
+                JOIN documents db ON db.doc_id = p.d2
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Heaps-law curve from (type → first_doc) + value-fraction cuts —
+    // no corpus sort, no cumulative distinct
+    "profile_vocab_growth" -> graft.operators.TextOps.vocabGrowthSql,
     "profile_cat_entropy" -> graft.operators.Profile.catEntropySql,
     "profile_topk_values" -> graft.operators.Profile.topValuesSql(),
     // quantized two-sample KS on the shared HDR bucket grid: exact

@@ -72,6 +72,30 @@ object Dedup {
                 AS dup_ppm
        FROM g GROUP BY source ORDER BY source"""
 
+  /** CROSS-SOURCE duplication matrix — [[dedupReport]]'s pairwise
+    * sibling ("which feeds copy each other", the dedup answer to
+    * profile_kmv_overlap's sketch estimate, exact over the NEAR-dup
+    * pair set): the verified [[ngramJaccard]] pairs (same τ and
+    * df-cap as the gated query), each attributed to its UNORDERED
+    * source pair via least/greatest — the diagonal (a = b) reads
+    * within-feed duplication, off-diagonal reads feed-copies-feed.
+    * Shape: the pair set is bucket-join bounded (never doc×doc), the
+    * source attribution is two joins on doc_id, output ≤ sources². */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, maxDf = 1000)
+      .select(col("d1"), col("d2"))
+    val src = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("sa")),
+        Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("sb")),
+        Seq("d2"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def exactNormalized(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .groupBy(md5(trim(regexp_replace(

@@ -219,6 +219,78 @@ object TextOps {
        ORDER BY min_tokens"""
   }
 
+  /** Corpus-fraction checkpoints for [[profileVocabGrowth]] — fixed
+    * so the generated oracle shares them. */
+  val VocabGrowthPcts: Seq[Int] = Seq(25, 50, 75, 100)
+
+  /** VOCABULARY GROWTH CURVE (Heaps' law readout) — the trainer-
+    * sizing diagnostic behind [[bpeLearn]]'s cap and `minFreq`: how
+    * many distinct word types exist after 25/50/75/100 % of the
+    * corpus (in doc_id order — the deterministic stand-in for
+    * arrival order). The curve's flattening rate is what decides
+    * vocabulary budgets and whether a frequency cutoff is safe.
+    *
+    * Exact WITHOUT any cumulative-distinct machinery OR a corpus
+    * sort: checkpoints are doc_id VALUE fractions
+    * (`cut(p) = id_min + ((id_max − id_min)·p) div 100` — O(1) from
+    * one min/max aggregate; a rank-based prefix would need a global
+    * row_number sort), and a type is "in the vocabulary at p" iff
+    * its FIRST occurrence (min doc_id over the type) is ≤ cut(p) —
+    * one token aggregate to (type → first_doc), then a 4-arm
+    * conditional count. Everything map-side combinable; output = 4
+    * rows. */
+  def profileVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bounds = docs.agg(min(col("doc_id")).as("id_min"),
+      max(col("doc_id")).as("id_max"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(bounds))
+    val banked = firstSeen
+      .select(explode(array(VocabGrowthPcts.map(p => lit(p.toLong)): _*))
+        .as("pct"), col("first_doc"), col("id_min"), col("id_max"))
+      .filter(col("first_doc") <=
+        expr("id_min + ((id_max - id_min) * pct) div 100"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("n_types"))
+    val nDocs = docs.crossJoin(broadcast(bounds))
+      .select(explode(array(VocabGrowthPcts.map(p => lit(p.toLong)): _*))
+        .as("pct"), col("doc_id"), col("id_min"), col("id_max"))
+      .filter(col("doc_id") <=
+        expr("id_min + ((id_max - id_min) * pct) div 100"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("n_docs"))
+    nDocs.join(banked, Seq("pct"))
+      .select(col("pct"), col("n_docs"), col("n_types"))
+      .orderBy(col("pct"))
+  }
+
+  /** Generated DuckDB oracle for [[profileVocabGrowth]]. */
+  def vocabGrowthSql: String = {
+    val pcts = VocabGrowthPcts.mkString(", ")
+    s"""WITH fs AS (
+         SELECT tk, min(doc_id) AS first_doc
+         FROM (SELECT doc_id,
+                      unnest(string_split_regex(trim(text, ' '), '\\s+')) AS tk
+               FROM documents)
+         WHERE tk <> '' GROUP BY tk),
+       b AS (SELECT min(doc_id) AS id_min, max(doc_id) AS id_max
+             FROM documents),
+       ps AS (SELECT unnest([$pcts]) AS pct),
+       cuts AS (SELECT pct,
+                       id_min + ((id_max - id_min) * pct) // 100 AS cut_id
+                FROM ps CROSS JOIN b),
+       nt AS (SELECT c.pct, CAST(count(*) AS BIGINT) AS n_types
+              FROM cuts c JOIN fs ON fs.first_doc <= c.cut_id
+              GROUP BY c.pct),
+       nd AS (SELECT c.pct, CAST(count(*) AS BIGINT) AS n_docs
+              FROM cuts c JOIN documents d ON d.doc_id <= c.cut_id
+              GROUP BY c.pct)
+       SELECT CAST(nd.pct AS BIGINT) AS pct, nd.n_docs, nt.n_types
+       FROM nd JOIN nt ON nt.pct = nd.pct
+       ORDER BY pct"""
+  }
+
   /** text_normalize: unicode canonicalization of the corpus — NFC +
     * SIMPLE (1:1, locale-free) casefold via the fused
     * [[graft.functions.NormalizeText]] codegen kernel, then the
