@@ -256,6 +256,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "pipeline_clean" -> (TextOps.pipelineClean _),
     "pipeline_clean_sweep" -> (TextOps.pipelineCleanSweep _),
+    "pipeline_pack_sweep" -> (TextOps.pipelinePackSweep _),
     "text_normalize" -> (TextOps.textNormalize _),
     "pipeline_split" -> (TextOps.pipelineSplit _),
     "pipeline_pack" -> ((s: SparkSession, d: String) => TextOps.pipelinePack(s, d)),
@@ -2992,6 +2993,10 @@ object SparkEntry {
     // gate/fingerprint fragments, all thresholds from one pass
     "pipeline_clean_sweep" ->
       graft.operators.TextOps.pipelineCleanSweepSql,
+    // context-length bank: every budget derives map-side from ONE
+    // per-source running-sum window
+    "pipeline_pack_sweep" ->
+      graft.operators.TextOps.pipelinePackSweepSql,
     // Non-distinct bigram list (the duplicate count IS the signal);
     // same degenerate len<2 rule as the shingle expression.
     "text_repetition" ->

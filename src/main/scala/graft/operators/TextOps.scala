@@ -368,6 +368,70 @@ object TextOps {
       .sortWithinPartitions("source", "pack_id")
   }
 
+  /** Context-length bank for [[pipelinePackSweep]] — fixed literals
+    * so the generated oracle shares them. */
+  val PackSweepBank: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L)
+
+  /** PACKING-EFFICIENCY SWEEP — the context-length decision readout
+    * (what does each candidate sequence length cost in pad waste?):
+    * for every budget in [[PackSweepBank]], the pack count, total
+    * packed tokens, and UNDERFILL in exact ppm of capacity. ONE
+    * tokenization + ONE per-source running-sum window (the
+    * [[pipelinePack]] layout), then every budget is a map-side
+    * derivation `pack_id = (cum − n_tok) div B` fanned from the same
+    * cum column — the parameter-bank discipline on the knob training
+    * teams actually argue about. */
+  def pipelinePackSweep(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val base = Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+    base
+      .select(col("source"), col("n_tok"), col("cum"),
+        explode(array(PackSweepBank.map(lit): _*)).as("budget"))
+      .withColumn("pack_id", expr("(cum - n_tok) div budget"))
+      .groupBy(col("budget"), col("source"), col("pack_id"))
+      .agg(sum(col("n_tok")).as("fill"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("fill")).as("total_tokens"),
+        sum(greatest(col("budget") - col("fill"), lit(0L)))
+          .as("underfill"))
+      .select(col("budget"), col("n_packs"), col("total_tokens"),
+        expr("(underfill * 1000000) div (n_packs * budget)")
+          .as("underfill_ppm"))
+      .orderBy(col("budget"))
+  }
+
+  /** Generated DuckDB oracle for [[pipelinePackSweep]]. */
+  def pipelinePackSweepSql: String = {
+    val budgets = PackSweepBank.mkString(", ")
+    s"""WITH base AS (
+         SELECT source, doc_id,
+                CAST(len(string_split_regex(trim(text, ' '), '\\s+'))
+                     AS BIGINT) AS n_tok,
+                CAST(sum(len(string_split_regex(trim(text, ' '), '\\s+')))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+         FROM documents),
+       fan AS (SELECT b.source, b.n_tok, b.cum, bud.budget,
+                      (b.cum - b.n_tok) // bud.budget AS pack_id
+               FROM base b
+               CROSS JOIN (SELECT unnest([$budgets]) AS budget) bud),
+       packs AS (SELECT budget, source, pack_id,
+                        CAST(sum(n_tok) AS BIGINT) AS fill
+                 FROM fan GROUP BY 1, 2, 3)
+       SELECT CAST(budget AS BIGINT) AS budget,
+              CAST(count(*) AS BIGINT) AS n_packs,
+              CAST(sum(fill) AS BIGINT) AS total_tokens,
+              CAST((sum(greatest(budget - fill, 0)) * 1000000)
+                   // (count(*) * budget) AS BIGINT) AS underfill_ppm
+       FROM packs GROUP BY budget ORDER BY budget"""
+  }
+
   /** Overflow-safe split bucket + assignment (see [[pipelineSplit]]).
     * `(A·id) mod 2³² = (A·lo) mod 2³²` where `lo = id mod 2³²`; with
     * `lo = l1·2¹⁶ + l0`, that is
