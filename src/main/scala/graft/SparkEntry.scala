@@ -196,6 +196,7 @@ object SparkEntry {
     "events_forecast_filled" -> (Events.qForecastFilled _),
     "events_forecast_eval" -> (Events.qForecastEval _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
+    "dedup_sweep_hamming" -> (Dedup.sweepHamming _),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Dedup.embedding(s, d)),
     "dedup_sweep" -> (Dedup.sweep _),
     "dedup_sweep_jaccard" -> (Dedup.sweepJaccard _),
@@ -712,6 +713,37 @@ object SparkEntry {
                      ON a.ck = b.ck AND a.doc_id < b.doc_id)
          SELECT d1, d2, hamming FROM pairs
          WHERE hamming <= 3 ORDER BY d1, d2"""
+
+  /** dedup_sweep_hamming oracle: the simhash sig chain, candidates
+    * once at the loosest (5×12-bit pigeonhole) threshold, one
+    * conditional arm per tolerance. */
+  private lazy val sweepHammingSql: String =
+    s"""WITH $ShingleCte,
+         h AS (SELECT doc_id,
+                      CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h
+               FROM posts),
+         votes AS (SELECT doc_id, j,
+                          sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                   FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+                   GROUP BY doc_id, j),
+         sig AS (SELECT doc_id,
+                        CAST(sum(CASE WHEN v > 0
+                                 THEN CAST(1 AS BIGINT) << j
+                                 ELSE 0 END) AS BIGINT) AS sim
+                 FROM votes GROUP BY doc_id),
+         chunks AS (SELECT doc_id, sim,
+                           CAST(c AS VARCHAR) || '#' ||
+                             CAST(((sim >> (12 * c)) & 4095) AS VARCHAR) AS ck
+                    FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS c)),
+         pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                          bit_count(xor(a.sim, b.sim)) AS hamming
+                   FROM chunks a JOIN chunks b
+                     ON a.ck = b.ck AND a.doc_id < b.doc_id),
+         bank AS (SELECT unnest([1, 2, 3, 4]) AS max_hamming)
+       SELECT CAST(bank.max_hamming AS BIGINT) AS max_hamming,
+              CAST(count(p.d1) AS BIGINT) AS n_pairs
+       FROM bank LEFT JOIN pairs p ON p.hamming <= bank.max_hamming
+       GROUP BY bank.max_hamming ORDER BY max_hamming"""
 
   /** graph_pagerank oracle: the fixed-point integer formulation makes
     * every iteration pure SQL — unrolled here as chained CTEs (one
@@ -2735,6 +2767,8 @@ object SparkEntry {
     // buckets, bit_count(xor) Hamming verify.
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_sql" -> simhashSql,
+    // one loosest-threshold candidate pass serves the whole radius bank
+    "dedup_sweep_hamming" -> sweepHammingSql,
     // Mirrors Multimodal.decodeBatch's deterministic stub: payload is
     // the utf-8 BYTES of text (encode(col, 'UTF-8')), so the mirror is
     // byte-true — strlen for the byte length, hex-decoded byte probes

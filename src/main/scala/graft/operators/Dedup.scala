@@ -96,6 +96,52 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Hamming thresholds the simhash sweep reads in one pass. */
+  val HammingSweepBank: Seq[Int] = Seq(1, 2, 3, 4)
+
+  /** SIMHASH HAMMING-TOLERANCE SWEEP — the tuning bank for the
+    * [[simhash]] near-dup gate (how many pairs does each tolerance
+    * admit?): candidates are generated ONCE at the bank's LOOSEST
+    * threshold — 5 disjoint 12-bit chunks of the 60-bit signature,
+    * pigeonhole-complete for every Hamming distance ≤ 4 — and every
+    * bank member is a conditional count over the same verified pair
+    * set. The [[sweepLsh]]/nprobe discipline applied to the simhash
+    * radius knob; a per-threshold re-chunking would pay the bucket
+    * join #bank times for identical candidates. */
+  def sweepHamming(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val sigs = sharedGrams(spark, dir)
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SketchExprs.simhashSig(col("grams")).as("sim"))
+    val chunkCols = (0 until 5).map(c =>
+      concat(lit(s"$c#"),
+        shiftright(col("sim"), 12 * c).bitwiseAND(lit(0xFFFL))
+          .cast("string")))
+    val chunks = sigs.select(col("doc_id"), col("sim"),
+      explode(array(chunkCols: _*)).as("ck"))
+    val pairs = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        graft.functions.Shingles.hamming(col("a.sim"), col("b.sim"))
+          .as("hamming"))
+      .distinct()
+    val counts = pairs
+      .select(col("hamming"),
+        explode(array(HammingSweepBank.map(h => lit(h.toLong)): _*))
+          .as("max_hamming"))
+      .filter(col("hamming") <= col("max_hamming"))
+      .groupBy(col("max_hamming")).agg(count(lit(1)).as("n_pairs"))
+    // bank spine: a tolerance admitting zero pairs still emits its row
+    HammingSweepBank.map(_.toLong).toDF("max_hamming")
+      .join(counts, Seq("max_hamming"), "left")
+      .select(col("max_hamming"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy(col("max_hamming"))
+  }
+
   def exactNormalized(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .groupBy(md5(trim(regexp_replace(
