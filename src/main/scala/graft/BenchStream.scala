@@ -143,7 +143,15 @@ object BenchStream {
       // that survives, since complete-mode sink writes grow with the
       // whole distinct-key table, not the batch.)
       ("wordcount_update",
-        () => Streams.wordcountStream(docsCapped()), nDocs, "update"))
+        () => Streams.wordcountStream(docsCapped()), nDocs, "update"),
+      // a document ADMISSION gate (stream-static, zero state): the
+      // throughput row for the mix/decontam/importance/temperature
+      // family — thresholds derive once from the standing corpus,
+      // each arriving doc is a row-local broadcast-join + filter
+      ("temperature_gate",
+        () => Streams.temperatureStream(docsCapped(),
+          spark.read.parquet(s"$sfDir/documents.parquet")), nDocs,
+        "append"))
     // one untimed warmup drain absorbs codegen + state-store setup
     time(Streams.windowCounts(eventsCapped()))
     def r1(v: Double): String =
