@@ -209,6 +209,7 @@ object SparkEntry {
     "dedup_components_resume" -> ((s: SparkSession, d: String) => Dedup.ngramComponentsResumed(s, d)),
     "er_fuzzy_names" -> (Linkage.fuzzyNames _),
     "er_qgram_names" -> (Linkage.qgramNames _),
+    "er_tau_sweep" -> (Linkage.erTauSweep _),
     "er_canonical" -> (Linkage.canonicalNames _),
     "dedup_prefix_filter" -> ((s: SparkSession, d: String) =>
       Dedup.prefixJaccard(s, d)),
@@ -2300,6 +2301,9 @@ object SparkEntry {
     // positional count filter (+ short-name fallback) complete — the
     // dedup_components_resume shared-oracle contract
     "er_qgram_names" -> FuzzyNamesSql,
+    // τ bank over the verified pair set, candidates once at τ=max;
+    // the naive all-pairs oracle doubles as the completeness proof
+    "er_tau_sweep" -> graft.operators.Linkage.tauSweepOracleSql,
     "er_canonical" -> graft.operators.Linkage.canonicalOracleSql,
     // same postings-hash pair derivation as dedup_ngram_jaccard; only
     // the scoring differs (both per-side containments, max-gated)

@@ -205,6 +205,58 @@ object Linkage {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Edit-distance tolerances the linkage sweep reads in one pass. */
+  val TauSweepBank: Seq[Int] = Seq(1, 2, 3)
+
+  /** LINKAGE TOLERANCE SWEEP — the τ bank for the fuzzy-name join
+    * (how many near-match pairs does each edit budget admit?):
+    * candidates are generated ONCE by the [[qgramPairsOf]] blocking
+    * at the bank's LOOSEST τ (every filter is τ-monotone, so the
+    * τ=max candidate set contains every pair any smaller τ accepts),
+    * the exact `levenshtein` verify runs once, and every bank member
+    * is a conditional count over the verified distances — the sweep
+    * discipline (simhash radius, LSH bands, IVF nprobe) applied to
+    * the record-linkage knob. Dictionary-bounded throughout. */
+  def tauSweepOf(names: DataFrame,
+      taus: Seq[Int] = TauSweepBank): DataFrame = {
+    val spark0 = names.sparkSession
+    import spark0.implicits._
+    val pairs = qgramPairsOf(names, taus.max)
+      .select(col("dist"))
+    val counts = pairs
+      .select(col("dist"),
+        explode(array(taus.map(t => lit(t.toLong)): _*)).as("tau"))
+      .filter(col("dist") <= col("tau"))
+      .groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    taus.map(_.toLong).toDF("tau")
+      .join(counts, Seq("tau"), "left")
+      .select(col("tau"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy(col("tau"))
+  }
+
+  /** The part-name dictionary through the τ sweep. */
+  def erTauSweep(spark: SparkSession, dir: String): DataFrame =
+    tauSweepOf(Tables(spark, dir).part
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** Generated DuckDB oracle for [[erTauSweep]] — the NAIVE all-pairs
+    * ground truth bucketed per τ, so the hash match is ALSO the
+    * completeness proof of the τ=max blocking at every smaller τ. */
+  def tauSweepOracleSql: String = {
+    val bank = TauSweepBank.mkString(", ")
+    s"""WITH nm AS (SELECT p_name AS name, count(*) AS cnt
+                   FROM part GROUP BY 1),
+       pairs AS (SELECT levenshtein(a.name, b.name) AS dist
+                 FROM nm a JOIN nm b ON a.name < b.name
+                 WHERE levenshtein(a.name, b.name) <= ${TauSweepBank.max}),
+       bank AS (SELECT unnest([$bank]) AS tau)
+       SELECT CAST(bank.tau AS BIGINT) AS tau,
+              CAST(count(p.dist) AS BIGINT) AS n_pairs
+       FROM bank LEFT JOIN pairs p ON p.dist <= bank.tau
+       GROUP BY bank.tau ORDER BY tau"""
+  }
+
   /** The part-name dictionary through the q-gram blocking — same
     * output contract (and oracle) as [[fuzzyNames]]. */
   def qgramNames(spark: SparkSession, dir: String): DataFrame =
