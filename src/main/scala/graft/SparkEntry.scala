@@ -250,6 +250,8 @@ object SparkEntry {
       Multimodal.nearDupHamming(s, d)),
     "mm_dedup_phash" -> ((s: SparkSession, d: String) =>
       Multimodal.nearDupPhash(s, d)),
+    "mm_dedup_ahash" -> ((s: SparkSession, d: String) =>
+      Multimodal.nearDupAhash(s, d)),
     // F. text analysis
     "text_quality" -> (TextOps.textQuality _),
     "text_readability" -> (TextOps.textReadability _),
@@ -271,6 +273,7 @@ object SparkEntry {
     "pipeline_decontam" -> ((s: SparkSession, d: String) => Curation.pipelineDecontam(s, d)),
     "sample_stratified" -> (Curation.sampleStratified _),
     "sample_temperature" -> (Curation.sampleTemperature _),
+    "sample_temperature_sweep" -> (Curation.sampleTemperatureSweep _),
     "sample_weighted" -> (Curation.sampleWeighted _),
     "sample_uniform_k" -> ((s: SparkSession, d: String) =>
       Curation.sampleUniformK(s, d)),
@@ -2881,6 +2884,7 @@ object SparkEntry {
     "mm_phash" -> Multimodal.mediaPhashOracleSql,
     "mm_ahash" -> Multimodal.mediaAhashOracleSql,
     "mm_dedup_phash" -> Multimodal.nearDupPhashOracleSql,
+    "mm_dedup_ahash" -> Multimodal.nearDupAhashOracleSql,
     // Same 16-bit-limb bucket arithmetic as TextOps.splitAssignment —
     // equal to (doc_id * 2654435761) % 2^32 but overflow-free for
     // doc_id beyond ~3.5e9 on both engines.
@@ -3130,6 +3134,10 @@ object SparkEntry {
     // (IEEE-correctly-rounded ops in declared order ⇒ identical
     // integer thresholds), then the portable-hash keep gate
     "sample_temperature" -> graft.operators.Curation.sampleTemperatureSql,
+    // α bank from sqrt compositions only (general pow is not
+    // correctly rounded and would hash-diverge); one pass, ≤3×langs
+    "sample_temperature_sweep" ->
+      graft.operators.Curation.sampleTemperatureSweepSql,
     // Weight-proportional hash gate: keep iff hash mod 2^20 is below
     // floor(w * 2^20) — DOUBLE forced before every division/floor so
     // both engines derive the identical integer threshold.

@@ -476,6 +476,80 @@ object Curation {
        SELECT h.doc_id, h.lang FROM h JOIN th ON th.lang = h.lang
        WHERE h.b < th.thresh ORDER BY h.doc_id"""
 
+  /** TEMPERATURE SWEEP — the α bank for [[sampleTemperatureDf]]
+    * (what language mix does each temperature buy?): per
+    * α ∈ {0.25, 0.5, 0.75} and language, the kept-document count —
+    * the rebalanced-mix preview a data-mixing team reads before
+    * committing a temperature. Every keep rate `(n_min/n_l)^(1−α)`
+    * is built from COMPOSITIONS OF sqrt ONLY (α=0.75 → r^0.25 =
+    * sqrt(sqrt(r)); α=0.5 → sqrt(r); α=0.25 → r^0.75 =
+    * sqrt(r)·sqrt(sqrt(r))): sqrt and multiply are IEEE-correctly-
+    * rounded, so the identical op order floors the identical integer
+    * thresholds on both engines — a general `pow` is NOT correctly
+    * rounded and would hash-diverge. ONE dictionary aggregate
+    * derives all three thresholds, one pass with conditional counts
+    * serves the bank; output ≤ 3 × languages rows. */
+  val TempSweepBank: Seq[Int] = Seq(25, 50, 75) // α in percent
+
+  def sampleTemperatureSweep(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("lang"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("n_min"))
+    val r = col("n_min").cast("double") / col("n_lang").cast("double")
+    def rate(alphaPct: Int) = alphaPct match {
+      case 25 => sqrt(r) * sqrt(sqrt(r)) // (1−α) = 0.75
+      case 50 => sqrt(r)
+      case 75 => sqrt(sqrt(r))           // (1−α) = 0.25
+    }
+    val th = counts.crossJoin(broadcast(minN))
+      .select(col("lang") +: TempSweepBank.map(a =>
+        floor(rate(a) * lit(1048576.0)).cast("long").as(s"t$a")): _*)
+    val kept = d
+      .select(col("doc_id"), col("lang"), temperatureBucket.as("b"))
+      .join(broadcast(th), Seq("lang"))
+    val arms = TempSweepBank.map(a =>
+      sum(when(col("b") < col(s"t$a"), 1L).otherwise(0L)).as(s"k$a"))
+    kept.groupBy(col("lang")).agg(arms.head, arms.tail: _*)
+      .select(expr(s"stack(${TempSweepBank.length}, " +
+        TempSweepBank.map(a => s"${a}L, k$a").mkString(", ") +
+        ") as (alpha_pct, n_kept)"), col("lang"))
+      .select(col("alpha_pct"), col("lang"), col("n_kept"))
+      .orderBy(col("alpha_pct"), col("lang"))
+  }
+
+  /** Generated DuckDB oracle for [[sampleTemperatureSweep]]. */
+  def sampleTemperatureSweepSql: String = {
+    val rateSql = Map(
+      25 -> "sqrt(r) * sqrt(sqrt(r))",
+      50 -> "sqrt(r)",
+      75 -> "sqrt(sqrt(r))")
+    val ths = TempSweepBank.map(a =>
+      s"CAST(floor(${rateSql(a)} * 1048576.0) AS BIGINT) AS t$a")
+      .mkString(",\n                ")
+    val armsSel = TempSweepBank.map(a =>
+      s"""SELECT $a AS alpha_pct, lang,
+                 CAST(sum(CASE WHEN b < t$a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+          FROM kept GROUP BY lang""").mkString("\n         UNION ALL\n         ")
+    s"""WITH counts AS (SELECT lang, count(*) AS n_lang
+                       FROM documents GROUP BY lang),
+       m AS (SELECT min(n_lang) AS n_min FROM counts),
+       rr AS (SELECT lang,
+                     CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE) AS r
+              FROM counts CROSS JOIN m),
+       th AS (SELECT lang,
+                $ths
+              FROM rr),
+       kept AS (SELECT d.lang,
+                       CAST(('0x' || substring(md5('tsmp#' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 1048576 AS b,
+                       th.t25, th.t50, th.t75
+                FROM documents d JOIN th ON th.lang = d.lang)
+       SELECT CAST(alpha_pct AS BIGINT) AS alpha_pct, lang, n_kept
+       FROM ($armsSel)
+       ORDER BY alpha_pct, lang"""
+  }
+
   /** Hashed-feature buckets for [[sampleImportance]] — small enough
     * that the likelihood-ratio table is a broadcast literal, fixed so
     * the generated oracle shares it by construction. */

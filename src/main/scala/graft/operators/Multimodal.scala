@@ -621,6 +621,36 @@ object Multimodal {
        WHERE hamming <= 3 ORDER BY d1, d2"""
   }
 
+  /** The mean-threshold member: [[mediaAhash]] fingerprints through
+    * the same chunk-bucket probe (63 hash bits) — completing the
+    * Hamming-tolerant trio (gradient dHash, frequency pHash, mean
+    * aHash fail on DIFFERENT perturbations, so production pipelines
+    * run all three and union the verdicts). */
+  def nearDupAhash(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    nearDupHammingOf(
+      mediaAhash(spark, dir).select(col("doc_id"),
+        col("ahash").as("dhash")), maxHamming, bits = 63)
+
+  /** Generated DuckDB oracle for [[nearDupAhash]] — the aHash oracle
+    * chunk-bucketed and xor-verified. */
+  def nearDupAhashOracleSql: String = {
+    val n = 4 // maxHamming 3 + 1
+    val chunkArms = (0 until n).map { c =>
+      val lo = c * 63 / n
+      val width = (c + 1) * 63 / n - lo
+      s"'$c#' || CAST(((ahash >> $lo) & ${(1L << width) - 1}) AS VARCHAR)"
+    }.mkString(", ")
+    s"""WITH h AS (${mediaAhashOracleSql.replace("ORDER BY doc_id", "")}),
+       chunks AS (SELECT doc_id, ahash, unnest([$chunkArms]) AS ck FROM h),
+       pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                        bit_count(xor(a.ahash, b.ahash)) AS hamming
+                 FROM chunks a JOIN chunks b
+                   ON a.ck = b.ck AND a.doc_id < b.doc_id)
+       SELECT d1, d2, hamming FROM pairs
+       WHERE hamming <= 3 ORDER BY d1, d2"""
+  }
+
   /** HAMMING-TOLERANT perceptual near-dup — [[nearDupDhash]] catches
     * only bit-exact fingerprints; real near-dups (recompressed,
     * slightly cropped, brightness-jittered copies) land a few bits
