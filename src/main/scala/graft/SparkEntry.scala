@@ -86,6 +86,8 @@ object SparkEntry {
     "q_event_topusers" -> (Events.qEventTopusers _),
     "q_json_extract" -> (Events.qJsonExtract _),
     "q_sessionize" -> (Events.qSessionize _),
+    "q_sessionize_sql" -> ((s: SparkSession, d: String) =>
+      runSql(s, d, SessionizeSparkSql)),
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_nearest_join" -> (Events.qNearestJoin _),
     "events_seasonality" -> (Events.eventsSeasonality _),
@@ -103,6 +105,8 @@ object SparkEntry {
     "q_gap_fill" -> (Events.qGapFill _),
     "q_anomaly_days" -> (Events.qAnomalyDays _),
     "events_retention" -> (Events.qRetention _),
+    "events_retention_sql" -> ((s: SparkSession, d: String) =>
+      runSql(s, d, RetentionSparkSql)),
     "events_ltv" -> (Events.eventsLtv _),
     "events_active_users" -> (Events.eventsActiveUsers _),
     "events_stickiness" -> (Events.eventsStickiness _),
@@ -225,6 +229,7 @@ object SparkEntry {
     "ann_eval" -> (Ann.evalLsh _),
     "ann_eval_ivf" -> (Ann.evalIvf _),
     "ann_sweep_k" -> (Ann.sweepK _),
+    "ann_sweep_k_ivf" -> (Ann.sweepKIvf _),
     "ann_sweep_nprobe" -> (Ann.sweepNprobe _),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivf(s, d)),
     "ann_quantized" -> (Ann.quantized _),
@@ -248,6 +253,11 @@ object SparkEntry {
     "mm_dedup_real" -> (Multimodal.nearDupDhash _),
     "mm_dedup_hamming" -> ((s: SparkSession, d: String) =>
       Multimodal.nearDupHamming(s, d)),
+    // the same chain over a half-BMP/half-PNG corpus — the hash gate
+    // itself proves the PNG decode path (lossless ⇒ same oracle)
+    "mm_dedup_hamming_mixed" -> ((s: SparkSession, d: String) =>
+      Multimodal.nearDupHammingMixed(s, d)),
+    "mm_decode_hist_mixed" -> (Multimodal.pixelHistRealMixed _),
     "mm_dedup_phash" -> ((s: SparkSession, d: String) =>
       Multimodal.nearDupPhash(s, d)),
     "mm_dedup_ahash" -> ((s: SparkSession, d: String) =>
@@ -293,6 +303,8 @@ object SparkEntry {
     "text_bpe_tokens" -> (TextOps.textBpeTokens _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextOps.textTfidf(s, d)),
+    "text_tfidf_sql" -> ((s: SparkSession, d: String) =>
+      runSql(s, d, TfidfSparkSql)),
     "text_bm25" -> ((s: SparkSession, d: String) => TextOps.textBm25(s, d)),
     "search_hybrid" -> ((s: SparkSession, d: String) => Search.hybrid(s, d)),
     // H. sources/sinks: the per-column Avro envelope (Kafka ingest hop)
@@ -516,18 +528,22 @@ object SparkEntry {
          FROM per
          ORDER BY qid"""
 
-  /** ann_sweep_k oracle: the two ranking chains composed as CTEs,
-    * one conditional-count arm per k over the single joined frame —
-    * the same one-pass bank the Spark side runs. */
-  private lazy val annSweepKSql: String =
+  /** ann_sweep_k oracle family: the truth chain + a caller-chosen
+    * approx ranking composed as CTEs, one conditional-count arm per
+    * k over the single joined frame — the same one-pass bank the
+    * Spark side runs. The k bank interpolates [[operators.Ann.TopK]]
+    * (the constant the Spark side derives its sequence from), so a
+    * TopK edit moves oracle and operator together. */
+  private def annSweepKSqlOver(approxSql: String): String =
     s"""WITH truth_r AS ($BruteforceTopkSql),
-         approx_r AS ($annLshSql),
+         approx_r AS ($approxSql),
          j AS (SELECT t.qid, t.rank AS trank, a.rank AS arank
                FROM truth_r t LEFT JOIN approx_r a
                  ON a.qid = t.qid AND a.vec_id = t.vec_id),
          f AS (SELECT j.*, ks.k
                FROM j CROSS JOIN
-                 (SELECT unnest(range(1, 6)) AS k) ks)
+                 (SELECT unnest(range(1, ${operators.Ann.TopK + 1}))
+                    AS k) ks)
        SELECT CAST(k AS BIGINT) AS k,
               CAST(sum(CASE WHEN trank <= k AND arank IS NOT NULL
                              AND arank <= k THEN 1 ELSE 0 END) AS BIGINT)
@@ -539,6 +555,16 @@ object SparkEntry {
                     / CAST(sum(CASE WHEN trank <= k THEN 1 ELSE 0 END)
                            AS DOUBLE), 6) AS recall
        FROM f GROUP BY k ORDER BY k"""
+
+  private lazy val annSweepKSql: String = annSweepKSqlOver(annLshSql)
+
+  /** ann_sweep_k_ivf oracle: the same bank over the SERVING-TIER ivf
+    * ranking (the nested WITH scopes the ivf CTE names locally, so
+    * they can't collide with the truth chain's). */
+  private lazy val annSweepKIvfSql: String = annSweepKSqlOver(
+    s"""WITH $ivfCtes
+        SELECT qid, rank, vec_id, cosine FROM ranked
+        WHERE rank <= ${operators.Ann.TopK}""")
 
   /** ann_eval oracle: the ann_lsh chain, the brute-force chain, and
     * the shared metrics tail composed. */
@@ -1046,6 +1072,125 @@ object SparkEntry {
               col.id AS vec_id, col.score AS cosine
        FROM tk LATERAL VIEW posexplode(top) t AS pos, col
        ORDER BY qid, rank"""
+
+  /** [[graft.operators.TextOps.textTfidf]] in plain SQL: the same
+    * whitespace tokenization (`split(trim(text), '\s+')` — the
+    * [[graft.functions.Shingles.tokens]] kernel spelled out), the
+    * same micro-nat idf quantized ONCE per term, per-doc top-3 by
+    * (score desc, term). */
+  private val TfidfSparkSql =
+    """WITH toks AS (
+           SELECT doc_id, explode(split(trim(text), '\\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                      t.tf * CAST(round(ln((n_docs + 1.0) / (d.df + 1.0))
+                                        * 1000000, 0) AS BIGINT)
+                        AS score_scaled
+               FROM tf t JOIN dft d ON d.term = t.term CROSS JOIN n),
+         r AS (SELECT doc_id, term, tf, df, score_scaled,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_scaled DESC, term) AS rn
+               FROM s)
+       SELECT doc_id, term, tf, df,
+              round(CAST(score_scaled AS DOUBLE) / 1000000.0, 6) AS tfidf,
+              rn
+       FROM r WHERE rn <= 3 ORDER BY doc_id, rn"""
+
+  /** [[graft.operators.Events.qSessionize]] in plain SQL: the lag +
+    * running-sum session-boundary idiom over the identical
+    * (ts, event_id) window order and the 1800 s gap. */
+  private val SessionizeSparkSql =
+    """WITH x AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         y AS (
+           SELECT user_id, ts,
+                  sum(CASE WHEN prev_ts IS NULL
+                           OR CAST(ts AS DOUBLE) - CAST(prev_ts AS DOUBLE)
+                              > 1800
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+           FROM x)
+       SELECT user_id, session_id, count(*) AS n_events,
+              CAST(floor(min(CAST(ts AS DOUBLE))) AS BIGINT) AS start_s,
+              CAST(floor(max(CAST(ts AS DOUBLE))) AS BIGINT) AS end_s
+       FROM y GROUP BY user_id, session_id
+       ORDER BY user_id, session_id"""
+
+  /** [[graft.operators.Events.qRetention]] in plain SQL: the cohort
+    * self-join formulation an SQL user writes (the DataFrame twin's
+    * sorted-set element_at is a library idiom; distinct (user, day)
+    * → min-day cohort → (cohort, offset) roll-up is the same
+    * algebra, and the rows must hash-match it exactly). */
+  private val RetentionSparkSql =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('DAY', ts) AS day
+                   FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+       SELECT c.cohort_day,
+              CAST(datediff(u.day, c.cohort_day) AS INT) AS day_offset,
+              count(*) AS n_users
+       FROM ud u JOIN c ON u.user_id = c.user_id
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q_sessionize oracle (shared verbatim with the `_sql` twin). */
+  private val SessionizeOracleSql =
+    """WITH x AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         y AS (
+           SELECT user_id, ts,
+                  CAST(sum(CASE WHEN prev_ts IS NULL
+                           OR epoch(ts) - epoch(prev_ts) > 1800
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+           FROM x)
+         SELECT user_id, session_id, count(*) AS n_events,
+                CAST(floor(min(epoch(ts))) AS BIGINT) AS start_s,
+                CAST(floor(max(epoch(ts))) AS BIGINT) AS end_s
+         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  /** events_retention oracle (shared verbatim with the `_sql` twin). */
+  private val RetentionOracleSql =
+    """WITH ud AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                   FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+         SELECT c.cohort_day,
+                CAST(date_diff('day', c.cohort_day, u.day) AS INT) AS day_offset,
+                count(*) AS n_users
+         FROM ud u JOIN c ON u.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** text_tfidf oracle (shared verbatim with the `_sql` twin). */
+  private val TfidfOracleSql =
+    """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                      t.tf * CAST(round(ln(CAST(n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) * 1000000, 0) AS BIGINT) AS score_scaled
+               FROM tf t JOIN dft d ON d.term = t.term CROSS JOIN n),
+         r AS (SELECT doc_id, term, tf, df, score_scaled,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_scaled DESC, term) AS rn
+               FROM s)
+         SELECT doc_id, term, tf, df,
+                round(CAST(score_scaled AS DOUBLE) / 1000000.0, 6) AS tfidf, rn
+         FROM r WHERE rn <= 3 ORDER BY doc_id, rn"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has one (50/50): the sketch
@@ -1556,24 +1701,9 @@ object SparkEntry {
                 round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
                 max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
-    "q_sessionize" ->
-      """WITH x AS (
-           SELECT user_id, ts, event_id,
-                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-           FROM events),
-         y AS (
-           SELECT user_id, ts,
-                  CAST(sum(CASE WHEN prev_ts IS NULL
-                           OR epoch(ts) - epoch(prev_ts) > 1800
-                           THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS session_id
-           FROM x)
-         SELECT user_id, session_id, count(*) AS n_events,
-                CAST(floor(min(epoch(ts))) AS BIGINT) AS start_s,
-                CAST(floor(max(epoch(ts))) AS BIGINT) AS end_s
-         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_sessionize" -> SessionizeOracleSql,
+    // the SQL-surface twin is gated against the SAME oracle text
+    "q_sessionize_sql" -> SessionizeOracleSql,
     // the same union + last_value IGNORE NULLS formulation (not ASOF
     // JOIN: its equal-timestamp pick is unspecified; the window's
     // (ts, side, id) order is deterministic in both engines)
@@ -1873,16 +2003,9 @@ object SparkEntry {
          ORDER BY cum.cohort_day, day_offset""",
     // distinct (user, day) + min-day cohort join ≡ the collect_set
     // formulation: exploded sets are distinct by construction
-    "events_retention" ->
-      """WITH ud AS (SELECT DISTINCT user_id,
-                            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
-                     FROM events),
-         c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
-         SELECT c.cohort_day,
-                CAST(date_diff('day', c.cohort_day, u.day) AS INT) AS day_offset,
-                count(*) AS n_users
-         FROM ud u JOIN c ON u.user_id = c.user_id
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_retention" -> RetentionOracleSql,
+    // the SQL-surface twin is gated against the SAME oracle text
+    "events_retention_sql" -> RetentionOracleSql,
     // integer ppm division keeps the probability column
     // hash-matchable (DuckDB `//` ≡ Spark `DIV` on non-negatives)
     "events_markov" ->
@@ -2526,6 +2649,8 @@ object SparkEntry {
     "ann_eval_ivf" -> annEvalIvfSql,
     // recall@k bank over ONE joined ranking frame (k = 1..5)
     "ann_sweep_k" -> annSweepKSql,
+    // the same recall@k bank over the serving-tier IVF ranking
+    "ann_sweep_k_ivf" -> annSweepKIvfSql,
     "ann_sweep_nprobe" -> Ann.sweepNprobeOracleSql,
     // generated unrolled synchronous peel (idempotent past stability)
     "graph_kcore" -> graft.operators.Graph.kcoreOracleSql(),
@@ -2881,6 +3006,11 @@ object SparkEntry {
     "mm_dhash" -> Multimodal.mediaDhashOracleSql,
     "mm_dedup_real" -> Multimodal.nearDupDhashOracleSql,
     "mm_dedup_hamming" -> Multimodal.nearDupHammingOracleSql,
+    // the mixed BMP/PNG corpus is gated against the IDENTICAL
+    // planted-pixel oracles — lossless decode means format-invariant
+    // rows, so a PNG-path bug hash-fails at the driver's gate
+    "mm_dedup_hamming_mixed" -> Multimodal.nearDupHammingOracleSql,
+    "mm_decode_hist_mixed" -> Multimodal.pixelHistRealOracleSql,
     "mm_phash" -> Multimodal.mediaPhashOracleSql,
     "mm_ahash" -> Multimodal.mediaAhashOracleSql,
     "mm_dedup_phash" -> Multimodal.nearDupPhashOracleSql,
@@ -3392,24 +3522,9 @@ object SparkEntry {
     // Micro-nat idf quantized once per term; (doc, term) scores are
     // exact tf·idf_micro BIGINTs, so the top-3 selection on
     // (score, term) is engine-reproducible.
-    "text_tfidf" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '\s+')) AS term
-           FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf
-                FROM toks GROUP BY doc_id, term),
-         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         n AS (SELECT count(*) AS n_docs FROM documents),
-         s AS (SELECT t.doc_id, t.term, t.tf, d.df,
-                      t.tf * CAST(round(ln(CAST(n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) * 1000000, 0) AS BIGINT) AS score_scaled
-               FROM tf t JOIN dft d ON d.term = t.term CROSS JOIN n),
-         r AS (SELECT doc_id, term, tf, df, score_scaled,
-                      row_number() OVER (PARTITION BY doc_id
-                        ORDER BY score_scaled DESC, term) AS rn
-               FROM s)
-         SELECT doc_id, term, tf, df,
-                round(CAST(score_scaled AS DOUBLE) / 1000000.0, 6) AS tfidf, rn
-         FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "text_tfidf" -> TfidfOracleSql,
+    // the SQL-surface twin is gated against the SAME oracle text
+    "text_tfidf_sql" -> TfidfOracleSql,
     // Okapi BM25 (k1=1.2, b=0.75, smooth idf) for the fixed query —
     // every per-term score is deterministic IEEE arithmetic over
     // exact integers (DOUBLE forced early: DuckDB's exact DECIMAL

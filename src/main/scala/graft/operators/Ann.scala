@@ -27,7 +27,10 @@ import graft.functions.{TopKScoreAgg, Vectors}
 object Ann {
 
   private val NumQueries = 10
-  private val TopK = 5
+  // public: oracle generators (SparkEntry's annSweepKSql) interpolate
+  // the SAME constant, so a TopK edit moves both sides together
+  // instead of silently diverging from a hard-coded literal bank
+  val TopK = 5
 
   // Derived-corpus memo (the Graph/Dedup discipline): pq, pq_trained
   // and ivf_pq each consume a quantized/residual corpus frame; ad-hoc
@@ -984,13 +987,25 @@ object Ann {
     * the denominator derives from the truth ranks so short truth
     * lists can't inflate recall. Integer counts + ONE 6dp division
     * per row; output is TopK rows. */
-  def sweepK(spark: SparkSession, dir: String): DataFrame = {
-    val truth = bruteforce(spark, dir)
+  def sweepK(spark: SparkSession, dir: String): DataFrame =
+    sweepKOver(bruteforce(spark, dir), lsh(spark, dir))
+
+  /** The same recall@k curve over the SERVING-TIER IVF index
+    * ([[evalIvf]]'s subject): one more approx leg over the shared
+    * truth join, bank discipline unchanged — a serving team sizes k
+    * against the index it actually deploys, not the LSH arm. */
+  def sweepKIvf(spark: SparkSession, dir: String): DataFrame =
+    sweepKOver(bruteforce(spark, dir), ivf(spark, dir))
+
+  private def sweepKOver(truthR: DataFrame, approxR: DataFrame): DataFrame = {
+    val truth = truthR
       .select(col("qid"), col("vec_id"), col("rank").cast("long").as("trank"))
-    val approx = lsh(spark, dir)
+    val approx = approxR
       .select(col("qid"), col("vec_id"), col("rank").cast("long").as("arank"))
-    val joined = truth.join(approx, Seq("qid", "vec_id"), "left").cache()
-    joined
+    // the joined frame has exactly ONE consumer (the explode+groupBy
+    // pass below) — no cache: the r11 .cache() here was never read a
+    // second time and leaked storage blocks across a long session
+    truth.join(approx, Seq("qid", "vec_id"), "left")
       .select(col("trank"), col("arank"),
         explode(expr(s"sequence(1, $TopK)")).as("k"))
       .groupBy(col("k"))

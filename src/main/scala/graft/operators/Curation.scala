@@ -500,6 +500,14 @@ object Curation {
       case 25 => sqrt(r) * sqrt(sqrt(r)) // (1−α) = 0.75
       case 50 => sqrt(r)
       case 75 => sqrt(sqrt(r))           // (1−α) = 0.25
+      // the sqrt compositions exist ONLY on the quarter grid (pow is
+      // not correctly rounded and would hash-diverge) — an off-grid
+      // TempSweepBank edit must fail with an actionable message at
+      // plan-build, not a bare MatchError
+      case a => throw new IllegalArgumentException(
+        s"TempSweepBank alpha $a%: only 25/50/75 have a sqrt-composed " +
+          "(correctly-rounded) keep-rate; add the composition here AND " +
+          "in sampleTemperatureSweepSql before extending the bank")
     }
     val th = counts.crossJoin(broadcast(minN))
       .select(col("lang") +: TempSweepBank.map(a =>
@@ -523,8 +531,13 @@ object Curation {
       25 -> "sqrt(r) * sqrt(sqrt(r))",
       50 -> "sqrt(r)",
       75 -> "sqrt(sqrt(r))")
+    def rateOf(a: Int): String = rateSql.getOrElse(a,
+      throw new IllegalArgumentException(
+        s"TempSweepBank alpha $a%: no sqrt-composed oracle rate — keep " +
+          "the bank on the 25/50/75 grid or add the composition in BOTH " +
+          "rate() and rateSql"))
     val ths = TempSweepBank.map(a =>
-      s"CAST(floor(${rateSql(a)} * 1048576.0) AS BIGINT) AS t$a")
+      s"CAST(floor(${rateOf(a)} * 1048576.0) AS BIGINT) AS t$a")
       .mkString(",\n                ")
     val armsSel = TempSweepBank.map(a =>
       s"""SELECT $a AS alpha_pct, lang,

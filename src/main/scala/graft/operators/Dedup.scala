@@ -80,7 +80,17 @@ object Dedup {
     * source pair via least/greatest — the diagonal (a = b) reads
     * within-feed duplication, off-diagonal reads feed-copies-feed.
     * Shape: the pair set is bucket-join bounded (never doc×doc), the
-    * source attribution is two joins on doc_id, output ≤ sources². */
+    * source attribution is two joins on doc_id, output ≤ sources².
+    *
+    * ASSUMPTION (the gate's contract, same as the dedup_ngram_jaccard
+    * query-map note): maxDf = 1000 must be NON-BINDING at gate scale —
+    * the oracle counts the uncapped all-pairs set, so on a corpus
+    * where any shingle's document frequency exceeds the cap this
+    * operator silently drops the pairs that shingle alone would have
+    * generated (the cap is the 100 TB stop-list; the exact-duplicate
+    * add-back inside [[ngramJaccard]] still covers identical texts).
+    * Raise the cap or thread the same stop-list into the oracle before
+    * gating on a heavier-tailed corpus. */
   def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir, maxDf = 1000)
       .select(col("d1"), col("d2"))

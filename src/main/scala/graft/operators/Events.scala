@@ -1266,19 +1266,29 @@ object Events {
     * "what does a typical Tuesday look like"; this answers "what
     * will NEXT Tuesday be, given where level and trend are now". */
   def eventsForecastHw(spark: SparkSession, dir: String): DataFrame = {
+    val (out, hw) = eventsForecastHwLazy(spark, dir)
+    // 7 rows — force while `hw` is cached, then release it
+    graft.core.Drain.bounded(out, hw)
+  }
+
+  /** The un-drained [[eventsForecastHw]] plan + its cached fitted
+    * frame (plan-hygiene sweep surface; see [[eventsCcfLazy]]). */
+  private[graft] def eventsForecastHwLazy(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val hw = eventsHoltWinters(spark, dir)
       .select(col("day"), col("level"), col("trend"), col("seasonal"))
       .cache()
     val last = hw.crossJoin(broadcast(hw.agg(max(col("day")).as("dmax"))))
       .filter(col("day") === col("dmax"))
       .select(col("dmax"), col("level").as("l"), col("trend").as("b"))
-    hw.crossJoin(broadcast(last))
+    val out = hw.crossJoin(broadcast(last))
       .filter(col("day") > col("dmax") - 7)
       .select((col("day") + 7).as("day"),
         (col("day") + 7 - col("dmax")).as("h"),
         (col("l") + (col("day") + 7 - col("dmax")) * col("b") +
           col("seasonal")).as("forecast_cents"))
       .orderBy(col("day"))
+    (out, hw)
   }
 
   /** Generated DuckDB oracle for [[eventsForecastHw]] — the shared
@@ -1453,6 +1463,17 @@ object Events {
     * corpus-proportional past the two daily rollups. */
   def eventsCcf(spark: SparkSession, dir: String,
       maxLag: Int = 7): DataFrame = {
+    val (out, filled) = eventsCcfLazy(spark, dir, maxLag)
+    // ±maxLag+1 rows — force while `filled` is cached, then release it
+    graft.core.Drain.bounded(out, filled)
+  }
+
+  /** The un-drained [[eventsCcf]] plan, plus the cached spine frame
+    * the caller must release — the plan-hygiene sweep inspects this
+    * (the public operator returns a drained local relation, which
+    * would hide the real plan from PlanHygieneSpec). */
+  private[graft] def eventsCcfLazy(spark: SparkSession, dir: String,
+      maxLag: Int = 7): (DataFrame, DataFrame) = {
     val ev = Tables(spark, dir).events
     val xd = ev.filter(col("event_type") === "purchase")
       .select(expr("cast(ts as long) div 86400").as("day"),
@@ -1486,7 +1507,8 @@ object Events {
       explode(expr(s"sequence(${-maxLag}, $maxLag)")).as("lag"))
       .select((col("day") + col("lag")).as("day"), col("lag"),
         col("dx").as("da"), col("n"))
-    fan.join(dev.select(col("day"), col("dy").as("db")), Seq("day"))
+    val out = fan
+      .join(dev.select(col("day"), col("dy").as("db")), Seq("day"))
       .groupBy(col("lag"))
       .agg(max(col("n")).as("n_days"),
         sum(col("da").cast("decimal(19,0)") * col("db").cast("decimal(19,0)"))
@@ -1497,6 +1519,7 @@ object Events {
           sqrt(col("denx").cast("double") * col("deny").cast("double")), 6)
           .as("ccf"))
       .orderBy(col("lag"))
+    (out, filled)
   }
 
   /** Generated DuckDB oracle for [[eventsCcf]] — the identical

@@ -362,6 +362,13 @@ object Multimodal {
   def pixelHistReal(spark: SparkSession, dir: String): DataFrame =
     pixelHistRealOf(imageBlobs(spark, dir))
 
+  /** [[pixelHistReal]] over the FORMAT-MIXED lossless corpus — gated
+    * against the SAME planted-pixel oracle (see
+    * [[nearDupHammingMixed]]'s contract): every histogram bin must
+    * come out identical whether the payload was BMP or PNG. */
+  def pixelHistRealMixed(spark: SparkSession, dir: String): DataFrame =
+    pixelHistRealOf(imageBlobsMixedLossless(spark, dir))
+
   /** [[pixelHistReal]] over ANY blob source. */
   private[graft] def pixelHistRealOf(blobs: Dataset[MediaBlob]): DataFrame = {
     import blobs.sparkSession.implicits._
@@ -666,6 +673,19 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     nearDupHammingOf(
       mediaDhash(spark, dir).select(col("doc_id"), col("dhash")), maxHamming)
+
+  /** [[nearDupHamming]] over the FORMAT-MIXED lossless corpus (even
+    * doc_ids BMP, odd PNG): ImageIO sniffs each payload, and PNG
+    * decodes to byte-identical pixels, so this query is gated against
+    * the SAME planted-pixel oracle as the all-BMP chain — the
+    * driver's hash gate itself (not just MultimodalSpec's parity pin)
+    * proves the PNG decode path end to end. A lossy format in the mix
+    * (JPEG) would hash-fail here by design. */
+  def nearDupHammingMixed(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    nearDupHammingOf(
+      mediaDhashOf(imageBlobsMixedLossless(spark, dir))
+        .select(col("doc_id"), col("dhash")), maxHamming)
 
   /** The DCT twin: [[mediaPhash]] fingerprints through the same
     * chunk-bucket probe (63 hash bits). A dHash-tolerant AND a

@@ -1310,6 +1310,17 @@ object Profile {
     * (HUGEINT on the oracle side); two dictionary-sized aggregates
     * past the one corpus scan. */
   def profileChi2(spark: SparkSession, dir: String): DataFrame = {
+    val (out, cells) = profileChi2Lazy(spark, dir)
+    // event_type×dow cells + total — force while `cells` is cached,
+    // then release it
+    graft.core.Drain.bounded(out, cells)
+  }
+
+  /** The un-drained [[profileChi2]] plan + its cached contingency
+    * frame (plan-hygiene sweep surface; see
+    * [[graft.operators.Events.eventsCcfLazy]]). */
+  private[graft] def profileChi2Lazy(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cells = Tables(spark, dir).events
       .select(col("event_type"),
         expr("cast(ts as long) div 86400 % 7").as("dow"))
@@ -1331,7 +1342,7 @@ object Profile {
                  * 1000000)
                 div (cast(n as decimal(38,0)) * r * c)""")
           .cast("long").as("chi2_micro"))
-    scored.select(col("event_type"), col("dow"), col("obs"),
+    val out = scored.select(col("event_type"), col("dow"), col("obs"),
         col("e_micro"), col("chi2_micro"))
       .unionAll(scored.agg(sum(col("obs")).as("obs"),
           sum(col("e_micro")).as("e_micro"),
@@ -1339,6 +1350,7 @@ object Profile {
         .select(lit("__total__").as("event_type"), lit(-1L).as("dow"),
           col("obs"), col("e_micro"), col("chi2_micro")))
       .orderBy(col("event_type"), col("dow"))
+    (out, cells)
   }
 
   /** Generated DuckDB oracle for [[profileChi2]] — HUGEINT squares,

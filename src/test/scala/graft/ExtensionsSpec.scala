@@ -96,7 +96,7 @@ class ExtensionsSpec extends SparkSpecBase {
         .collect().toSeq
     }
     for (name <- Seq("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "ann_bruteforce")) {
+        "ann_bruteforce", "text_tfidf", "q_sessionize", "events_retention")) {
       val base = SparkEntry.queries(name)(spark, Sf)
       val twin = SparkEntry.queries(name + "_sql")(spark, Sf)
       assert(twin.columns.sorted.toSeq == base.columns.sorted.toSeq,

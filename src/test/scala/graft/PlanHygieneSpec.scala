@@ -16,13 +16,35 @@ package graft
   */
 class PlanHygieneSpec extends SparkSpecBase {
 
-  test("no query plans a CartesianProduct") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, Sf).queryExecution.sparkPlan.toString
-        spark.catalog.clearCache()
-        if (plan.contains("CartesianProduct")) Some(name) else None
+  /** Queries whose PUBLIC entry returns a drained local relation
+    * ([[graft.core.Drain.bounded]] — the r11-ADVICE cache-release
+    * discipline): the real plan lives behind the `*Lazy` builder, so
+    * the sweeps below inspect THAT, or the hygiene rules would pass
+    * vacuously on a 5-row LocalRelation. The cached working-set frame
+    * is released immediately (plan inspection never executes it). */
+  private def drainedLazy: Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    def rel(p: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)) = {
+      p._2.unpersist(blocking = false)
+      p._1
     }
+    Seq(
+      "events_ccf(lazy)" -> rel(operators.Events.eventsCcfLazy(spark, Sf)),
+      "events_forecast_hw(lazy)" ->
+        rel(operators.Events.eventsForecastHwLazy(spark, Sf)),
+      "profile_chi2(lazy)" -> rel(operators.Profile.profileChi2Lazy(spark, Sf)))
+  }
+
+  test("no query plans a CartesianProduct") {
+    // iterators: each frame is built, inspected, and its caches
+    // cleared before the next one is constructed
+    val offenders = (SparkEntry.queries.toSeq.sortBy(_._1).iterator.map {
+      case (name, fn) => name -> fn(spark, Sf)
+    } ++ drainedLazy.iterator).flatMap { case (name, df) =>
+      val plan = df.queryExecution.sparkPlan.toString
+      spark.catalog.clearCache()
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }.toList
     assert(offenders.isEmpty,
       s"cartesian joins in: ${offenders.mkString(", ")}")
   }

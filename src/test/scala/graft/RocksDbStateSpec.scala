@@ -144,6 +144,143 @@ class RocksDbStateSpec extends SparkSpecBase {
     }
   }
 
+  test("funnel state survives a checkpointed restart under RocksDB") {
+    withRocksDb {
+      import java.nio.file._
+      val raw = graft.core.Tables(spark, Sf).events
+      val cutUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)"))
+        .head().getDouble(0).toLong
+      val watch = Files.createTempDirectory("graft_rocks_fn_in")
+      val ckpt = Files.createTempDirectory("graft_rocks_fn_st").toString
+      val outDir = Files.createTempDirectory("graft_rocks_fn_out").toString
+
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = Files.createTempDirectory("graft_rocks_fn_half").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, watch.resolve(name))
+      }
+
+      def runPhase(): Unit = {
+        val q = Streams.funnelStream(spark,
+            Streams.readEvents(spark, watch.toString))
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half1.parquet")
+      runPhase()
+      stage(raw.filter(unix_micros(col("ts")) > cutUs), "half2.parquet")
+      runPhase() // restart: per-user view/chain lists recover from RocksDB
+
+      val twoPhase = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // exactly-once: a view resolving twice means the recovered state
+      // re-played a chain it had already closed
+      assert(twoPhase.map(_._2).distinct.length == twoPhase.length,
+        "a view resolved more than once after the RocksDB restart")
+      val single = Streams.runToMemory(
+        Streams.funnelStream(spark, Streams.readEvents(spark, path)),
+        "rocks_fn_single", OutputMode.Append())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(twoPhase.toSet == single,
+        s"two-phase=${twoPhase.length} single=${single.size}")
+      assert(single.nonEmpty)
+    }
+  }
+
+  test("as-of join state survives a checkpointed restart under RocksDB") {
+    withRocksDb {
+      import java.nio.file._
+      val raw = graft.core.Tables(spark, Sf).events
+      val cutUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)"))
+        .head().getDouble(0).toLong
+      val watch = Files.createTempDirectory("graft_rocks_ao_in")
+      val ckpt = Files.createTempDirectory("graft_rocks_ao_st").toString
+      val outDir = Files.createTempDirectory("graft_rocks_ao_out").toString
+
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = Files.createTempDirectory("graft_rocks_ao_half").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, watch.resolve(name))
+      }
+
+      def runPhase(): Unit = {
+        val q = Streams.asofStream(spark,
+            Streams.readEvents(spark, watch.toString))
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half1.parquet")
+      runPhase()
+      stage(raw.filter(unix_micros(col("ts")) > cutUs), "half2.parquet")
+      runPhase() // restart: per-user pending/purchase register recovers
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+      val twoPhase = spark.read.parquet(outDir).collect().map(key)
+      assert(twoPhase.length == twoPhase.toSet.size,
+        "duplicate matches after the RocksDB restart")
+      // matches that SPAN the split (purchase in half 1, error in
+      // half 2) only work if lastPurchase survived inside RocksDB
+      val single = Streams.runToMemory(
+        Streams.asofStream(spark, Streams.readEvents(spark, path)),
+        "rocks_ao_single",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .collect().map(key).toSet
+      assert(twoPhase.toSet == single,
+        s"two-phase=${twoPhase.length} single=${single.size}")
+      assert(single.nonEmpty)
+    }
+  }
+
+  test("markov two-batch split under RocksDB equals the batch lead window") {
+    withRocksDb {
+      import java.nio.file._
+      val raw = graft.core.Tables(spark, Sf).events
+      val cutUs = raw.agg(expr("percentile(unix_micros(ts), 0.5)"))
+        .head().getDouble(0).toLong
+      val watch = Files.createTempDirectory("graft_rocks_mkv_in")
+
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = Files.createTempDirectory("graft_rocks_mkv_half").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, watch.resolve(name))
+      }
+
+      // two batches: the per-user LastEvent register must carry the
+      // boundary inside RocksDB so cross-batch adjacencies still emit
+      stage(raw.filter(unix_micros(col("ts")) <= cutUs), "half1.parquet")
+      val q = Streams.markovStream(spark,
+          Streams.readEvents(spark, watch.toString))
+        .writeStream.format("memory").queryName("rocks_mkv_split")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        stage(raw.filter(unix_micros(col("ts")) > cutUs), "half2.parquet")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("rocks_mkv_split")
+        .groupBy("from_type", "to_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = operators.Events.qMarkov(spark, Sf).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want,
+        "drained transition multiset must equal the batch lead window")
+    }
+  }
+
   test("the RocksDB provider is genuinely active for the scoped query") {
     withRocksDb {
       // conf visible at query start — and a stateful query leaves

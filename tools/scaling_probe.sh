@@ -16,6 +16,10 @@
 #   iterative-graph families (disjoint salted universes/replicas) —
 #   a quadratic wedge/candidate regression fails the gate the round
 #   it lands, same 3.0 trip line.
+#   graph4 / dedup8 = deeper rungs (1x/2x/4x, 1x..8x) for the
+#   iterative-graph and dedup families, trip lines 6.0 / 12.0 on the
+#   top-rung/1x ratio — the floor-dominated 2x step can't separate
+#   linear from superlinear for these.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -60,6 +64,17 @@ elif [ "$MODE" = "graph4" ]; then
   KS="1 2 4"
   OPS=${SCALING_OPS:-graph_components,graph_pagerank,graph_coreness,dedup_components}
   REPS=${SCALING_REPS:-1}
+elif [ "$MODE" = "dedup8" ]; then
+  # THIRD RUNG for the dedup family: 1x/2x/4x/8x. graph4's heaviest
+  # 4x ratios were dedup_components (2.50/2.79 against a linear-4
+  # yardstick) — under the trip line but closest to it, and the fixed
+  # session/stage floor can mask pair-growth superlinearity at small
+  # K. The 8x point quadruples the signal-to-floor ratio: linear-
+  # with-floor reads ~8 on the 8x/1x wall (trip 12.0), a quadratic
+  # candidate/pair shape would read ~64.
+  KS="1 2 4 8"
+  OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_components}
+  REPS=${SCALING_REPS:-1}
 else
   KS="1 2 4"
   OPS=${SCALING_OPS:-dedup_exact,dedup_ngram_jaccard,dedup_minhash_lsh,dedup_simhash,dedup_substring,dedup_components,dedup_containment,text_tfidf,pipeline_clean,mr_wordcount,pipeline_decontam,q_sessionize,q_funnel,q_range_join,q_asof_join,q_gap_fill,events_markov,events_retention,events_attribution,events_changepoint,events_rfm,events_paths}
@@ -79,12 +94,13 @@ done
 
 MODE="$MODE" python3 - <<'EOF'
 import json, os, sys
-quick = os.environ["MODE"] in ("quick", "basket", "graph", "graph4")
-ks = (1, 2, 4) if os.environ["MODE"] in ("full", "graph4") else (1, 2)
-# graph4 trips on the 4x/1x ratio: linear-with-floor reads ~4,
-# quadratic ~16 — the 6.0 line is the same headroom the 2-rung
-# modes give their 3.0 line
-trip = 6.0 if os.environ["MODE"] == "graph4" else 3.0
+quick = os.environ["MODE"] in ("quick", "basket", "graph", "graph4", "dedup8")
+ks = {"full": (1, 2, 4), "graph4": (1, 2, 4),
+      "dedup8": (1, 2, 4, 8)}.get(os.environ["MODE"], (1, 2))
+# multi-rung modes trip on the topK/1x ratio: linear-with-floor reads
+# ~K, quadratic ~K^2 — each trip line keeps the same ~1.5x headroom
+# the 2-rung modes give their 3.0 line
+trip = {"graph4": 6.0, "dedup8": 12.0}.get(os.environ["MODE"], 3.0)
 runs = {k: json.load(open(f"/tmp/scale_bench_{k}.json")) for k in ks}
 qs = sorted(runs[1]["queries"])
 hdr = " ".join(f"{k}x".rjust(7) for k in ks)
