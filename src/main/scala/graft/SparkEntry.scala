@@ -127,7 +127,9 @@ object SparkEntry {
     "profile_checks" -> (Profile.checksProfile _),
     "profile_outliers" -> (Profile.profileOutliers _),
     "profile_chi2" -> (Profile.profileChi2 _),
+    "profile_cramers_v" -> (Profile.profileCramersV _),
     "profile_vocab_growth" -> (TextOps.profileVocabGrowth _),
+    "text_zipf" -> (TextOps.textZipf _),
     "dedup_report" -> (Dedup.dedupReport _),
     "dedup_cross_source" -> (Dedup.dedupCrossSource _),
     "profile_cat_entropy" -> (Profile.catEntropy _),
@@ -3329,6 +3331,9 @@ object SparkEntry {
     // (O−E)²/E with every fraction cleared through n²: deterministic
     // integer micro-units per cell + the __total__ sum row
     "profile_chi2" -> graft.operators.Profile.profileChi2Sql,
+    // the chi2 oracle as a CTE + the identical forced-double
+    // effect-size tail (cast -> /1e6 -> /n -> /df -> sqrt -> round 6)
+    "profile_cramers_v" -> graft.operators.Profile.profileCramersVSql,
     // per-source duplication ppm — two map-side aggregates
     "dedup_report" -> graft.operators.Dedup.dedupReportSql,
     // the near-dup pair set attributed to unordered source pairs —
@@ -3344,6 +3349,10 @@ object SparkEntry {
     // Heaps-law curve from (type → first_doc) + value-fraction cuts —
     // no corpus sort, no cumulative distinct
     "profile_vocab_growth" -> graft.operators.TextOps.vocabGrowthSql,
+    // micro-nat quantized log-log least squares over the top-100
+    // frequency head; HUGEINT sums, one forced-double division per
+    // coefficient
+    "text_zipf" -> graft.operators.TextOps.textZipfSql,
     "profile_cat_entropy" -> graft.operators.Profile.catEntropySql,
     "profile_topk_values" -> graft.operators.Profile.topValuesSql(),
     // quantized two-sample KS on the shared HDR bucket grid: exact

@@ -1386,6 +1386,48 @@ object Profile {
        FROM scored
        ORDER BY event_type, dow"""
 
+  /** CRAMÉR'S V — the EFFECT SIZE the χ² table stops short of
+    * (χ² grows with n, so "is the dependence big" needs
+    * `V = sqrt(χ²/n / min(r−1, c−1))`): consumes [[profileChi2]]'s
+    * own drained output (≤ types×7+1 rows — the dims and totals are
+    * all in it), so the corpus is scanned exactly once by the χ²
+    * chain and this is pure bounded-frame algebra on top. The single
+    * forced-double chain is declared-op-order IEEE arithmetic
+    * (cast → /1e6 → /n → /df → sqrt → round 6) over exact integers,
+    * so both engines floor the identical bits. Output: 1 row. */
+  def profileCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val chi = profileChi2(spark, dir)
+    val cellsOnly = chi.filter(col("event_type") =!= "__total__")
+    val tot = chi.filter(col("event_type") === "__total__")
+      .select(col("obs").as("n"), col("chi2_micro"))
+    val dims = cellsOnly.agg(
+      countDistinct(col("event_type")).as("r"),
+      countDistinct(col("dow")).as("c"))
+    dims.crossJoin(broadcast(tot)) // 1×1: plans as BNLJ, never cartesian
+      .select(col("n"), col("r"), col("c"), col("chi2_micro"),
+        round(sqrt(col("chi2_micro").cast("double") / lit(1000000.0) /
+          col("n").cast("double") /
+          least(col("r") - 1, col("c") - 1).cast("double")), 6)
+          .as("cramers_v"))
+  }
+
+  /** Generated DuckDB oracle for [[profileCramersV]] — the χ² oracle
+    * as a CTE + the identical forced-double tail. */
+  val profileCramersVSql: String =
+    s"""WITH chi AS ($profileChi2Sql),
+       cells AS (SELECT * FROM chi WHERE event_type <> '__total__'),
+       tot AS (SELECT obs AS n, chi2_micro FROM chi
+               WHERE event_type = '__total__'),
+       dims AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                       CAST(count(DISTINCT dow) AS BIGINT) AS c
+                FROM cells)
+       SELECT n, r, c, chi2_micro,
+              round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                         / CAST(n AS DOUBLE)
+                         / CAST(least(r - 1, c - 1) AS DOUBLE)), 6)
+                AS cramers_v
+       FROM dims CROSS JOIN tot"""
+
   /** TUKEY-FENCE outlier report over daily purchase revenue — the
     * box-plot rule every profiler ships (flag x outside
     * [Q1 − 1.5·IQR, Q3 + 1.5·IQR]), fully integer: Q1/Q3 are rank

@@ -291,6 +291,93 @@ object TextOps {
        ORDER BY pct"""
   }
 
+  /** Rank depth the Zipf fit reads — the frequency head where the
+    * power law lives (the long tail bends away from it). */
+  val ZipfTopR: Int = 100
+
+  /** ZIPF SLOPE — the power-law exponent of the corpus frequency
+    * head (`freq ∝ rank^s`, natural text reads s ≈ −1): least-squares
+    * fit of ln(freq) on ln(rank) over the top-[[ZipfTopR]] terms.
+    * The [[profileVocabGrowth]] curve prices vocabulary SIZE; the
+    * slope prices its SHAPE — together they decide whether a
+    * frequency cutoff (BPE minFreq, stop-listing) is safe, and a
+    * slope far from −1 flags boilerplate/template contamination.
+    *
+    * Exactness discipline: each ln is computed ONCE per row and
+    * quantized to integer micro-nats (the text_entropy rule — raw
+    * double sums are aggregation-order-sensitive), the regression
+    * sums run exact in DECIMAL(38,0)/HUGEINT, and slope + intercept
+    * are each ONE forced-double division over those integers,
+    * rounded 6dp. Scale shape: one vocabulary aggregate, a global
+    * top-R that compiles to TakeOrderedAndProject, and a ≤ R-row
+    * local window for ranks — never a corpus sort. */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tf = docs.select(explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("term")).limit(ZipfTopR)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term")) // ≤ R rows: bounded
+    val q = top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("freq"),
+        expr("cast(round(ln(cast(rank as double)) * 1000000, 0) as bigint)")
+          .as("x_micro"),
+        expr("cast(round(ln(cast(freq as double)) * 1000000, 0) as bigint)")
+          .as("y_micro"))
+    q.agg(count(lit(1)).as("n_terms"),
+        sum(col("x_micro").cast("decimal(38,0)")).as("sx"),
+        sum(col("y_micro").cast("decimal(38,0)")).as("sy"),
+        sum(col("x_micro").cast("decimal(38,0)") * col("y_micro"))
+          .as("sxy"),
+        sum(col("x_micro").cast("decimal(38,0)") * col("x_micro"))
+          .as("sxx"))
+      .select(col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("slope"),
+        round((col("sxx") * col("sy") - col("sx") * col("sxy"))
+            .cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") / lit(1000000.0), 6).as("intercept"))
+  }
+
+  /** Generated DuckDB oracle for [[textZipf]] — the same micro-nat
+    * quantization, HUGEINT regression sums, and forced-double tail. */
+  def textZipfSql: String =
+    s"""WITH tf AS (
+         SELECT tk AS term, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split_regex(trim(text, ' '), '\\s+')) AS tk
+               FROM documents)
+         WHERE tk <> '' GROUP BY tk),
+       ranked AS (
+         SELECT term, freq,
+                row_number() OVER (ORDER BY freq DESC, term) AS rank
+         FROM tf),
+       q AS (SELECT CAST(rank AS BIGINT) AS rank, freq,
+                    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000, 0)
+                         AS BIGINT) AS x_micro,
+                    CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000, 0)
+                         AS BIGINT) AS y_micro
+             FROM ranked WHERE rank <= $ZipfTopR),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                    CAST(sum(x_micro) AS HUGEINT) AS sx,
+                    CAST(sum(y_micro) AS HUGEINT) AS sy,
+                    CAST(sum(CAST(x_micro AS HUGEINT) * y_micro)
+                         AS HUGEINT) AS sxy,
+                    CAST(sum(CAST(x_micro AS HUGEINT) * x_micro)
+                         AS HUGEINT) AS sxx
+             FROM q)
+       SELECT n_terms,
+              round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                    / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS slope,
+              round(CAST(sxx * sy - sx * sxy AS DOUBLE)
+                    / CAST(n_terms * sxx - sx * sx AS DOUBLE)
+                    / 1000000.0, 6) AS intercept
+       FROM s"""
+
   /** text_normalize: unicode canonicalization of the corpus — NFC +
     * SIMPLE (1:1, locale-free) casefold via the fused
     * [[graft.functions.NormalizeText]] codegen kernel, then the
