@@ -17,8 +17,10 @@ SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 TRIES=${STITCH_TRIES:-5}
 
 # prefix-disjoint cover of the whole query surface (Bench's filter is
-# a startsWith match); 'q' covers q1..q22 + q_* relational/events
-FAMILIES=(ann_ basket_,dedup_ emb_,er_,search_ events_ graph_ mm_,mr_ pipeline_,sample_ profile_ q snapshot_ text_ avro_)
+# a startsWith match); 'q' covers q1..q22 + q_* relational/events.
+# STITCH_FAMILIES overrides (space-separated) for priority reordering.
+DEFAULT_FAMILIES="ann_ basket_,dedup_ emb_,er_,search_ events_ graph_ mm_,mr_ pipeline_,sample_ profile_ q snapshot_ text_ avro_"
+read -r -a FAMILIES <<< "${STITCH_FAMILIES:-$DEFAULT_FAMILIES}"
 
 steal_now() { awk '/^cpu /{print $9}' /proc/stat; }
 
