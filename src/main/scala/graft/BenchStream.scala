@@ -80,8 +80,18 @@ object BenchStream {
     * by design: that is the throughput a 24/7 run at this cadence
     * sustains. recentProgress (default 100 entries) comfortably holds
     * the ≈[[NFiles]] busy batches this ladder produces. */
+  /** One cadence-driven run's readout: wall seconds (INCLUDING
+    * trigger idle), median busy-batch triggerExecution ms, busy-batch
+    * count, rows actually drained, and whether the staged input fully
+    * drained before the 5-minute hard stop. `drained = false` rows
+    * are explicit in the JSON (and rows/rows_per_sec reflect the
+    * ACTUAL drained count) so a wedged source can never masquerade as
+    * a throughput number. */
+  private case class CadenceRun(wall: Double, batchMsMed: Double,
+      busyBatches: Int, rows: Long, drained: Boolean)
+
   private def timeAtCadence(df: DataFrame, expectRows: Long,
-      cadence: String = "1 second"): (Double, Double, Int) = {
+      cadence: String = "1 second"): CadenceRun = {
     val q = df.writeStream.format("noop")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_bspt").toString)
@@ -90,12 +100,14 @@ object BenchStream {
       .start()
     val t0 = System.nanoTime()
     try {
+      var seen = 0L
       var drained = false
-      // 5-minute hard stop: a wedged source must fail the row, not
-      // hang the bench
+      // 5-minute hard stop: a wedged source must FAIL the row — the
+      // drained flag and actual row count travel into the JSON
       while (!drained && (System.nanoTime() - t0) < 300e9) {
         Thread.sleep(200)
-        drained = q.recentProgress.map(_.numInputRows).sum >= expectRows
+        seen = q.recentProgress.map(_.numInputRows).sum
+        drained = seen >= expectRows
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val busy = q.recentProgress.filter(_.numInputRows > 0)
@@ -105,7 +117,7 @@ object BenchStream {
         .sorted
       val med =
         if (batchMs.isEmpty) -1.0 else batchMs(batchMs.length / 2).toDouble
-      (wall, med, busy.length)
+      CadenceRun(wall, med, busy.length, seen, drained)
     } finally q.stop()
   }
 
@@ -257,22 +269,41 @@ object BenchStream {
     val all = results :+ (("sessionize_rocksdb", nEvents, rocksSec)) :+
       (("funnel_rocksdb", nEvents, funnelRocksSec)) :+
       (("ann_probe", nVecs, annSec))
-    // r12: one surface at a REAL trigger cadence. Every other row
+    // r12/r13: surfaces at a REAL trigger cadence. Every other row
     // rides AvailableNow's fixed ~NFiles-batch floor with zero idle
-    // time — engine capacity, but not the steady-state shape. This
-    // row drives window_counts at ProcessingTime(1 s): rows_per_sec
-    // now includes trigger idle (the honest number at that cadence)
-    // and batch_ms_median prices what each 1 s tick actually costs —
-    // a capacity plan needs batch_ms ≪ cadence, not just rows/s.
-    val (ptWall, ptBatchMs, ptBatches) =
-      timeAtCadence(Streams.windowCounts(eventsCapped()), nEvents)
+    // time — engine capacity, but not the steady-state shape. These
+    // rows drive ProcessingTime(1 s): rows_per_sec includes trigger
+    // idle (the honest number at that cadence) and batch_ms_median
+    // prices what each 1 s tick actually costs — a capacity plan
+    // needs batch_ms ≪ cadence, not just rows/s. r13 completes the
+    // capacity story with the two surfaces whose state actually
+    // GROWS with traffic (sessionize, funnel), each re-priced under
+    // the RocksDB provider (the production state store).
+    val ptRuns: Seq[(String, CadenceRun)] = Seq(
+      "window_counts_pt1s" ->
+        timeAtCadence(Streams.windowCounts(eventsCapped()), nEvents),
+      "sessionize_pt1s" ->
+        timeAtCadence(Streams.sessionizeWithState(spark, eventsCapped()),
+          nEvents),
+      "funnel_pt1s" ->
+        timeAtCadence(Streams.funnelStream(spark, eventsCapped()), nEvents),
+      "sessionize_pt1s_rocksdb" ->
+        withRocks(timeAtCadence(
+          Streams.sessionizeWithState(spark, eventsCapped()), nEvents)),
+      "funnel_pt1s_rocksdb" ->
+        withRocks(timeAtCadence(
+          Streams.funnelStream(spark, eventsCapped()), nEvents)))
     val body = all.map { case (name, rows, sec) =>
       s""""$name":{"rows":$rows,"sec":${r3(sec)},""" +
         s""""rows_per_sec":${r1(rows / sec)}}"""
     }.mkString(",") +
-      s""","window_counts_pt1s":{"rows":$nEvents,"sec":${r3(ptWall)},""" +
-      s""""rows_per_sec":${r1(nEvents / ptWall)},"trigger":"1s",""" +
-      s""""busy_batches":$ptBatches,"batch_ms_median":${r1(ptBatchMs)}}"""
+      ptRuns.map { case (name, r) =>
+        s""","$name":{"rows":${r.rows},"sec":${r3(r.wall)},""" +
+          s""""rows_per_sec":${r1(r.rows / r.wall)},"trigger":"1s",""" +
+          s""""busy_batches":${r.busyBatches},""" +
+          s""""batch_ms_median":${r1(r.batchMsMed)},""" +
+          s""""drained":${r.drained}}"""
+      }.mkString
     val json =
       s"""{"metric":"stream_throughput","unit":"rows_per_sec","files":$NFiles,""" +
         s""""cpus":$cpus,"sf":"$sfDir","surfaces":{$body}}"""

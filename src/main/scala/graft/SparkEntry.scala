@@ -122,6 +122,8 @@ object SparkEntry {
     "profile_mi" -> (Profile.miProfile _),
     "profile_benford" -> (Profile.benfordProfile _),
     "profile_psi" -> (Profile.psiProfile _),
+    "profile_psi_sql" -> ((s: SparkSession, d: String) =>
+      runSql(s, d, PsiSparkSql)),
     "profile_ks" -> (Profile.ksProfile _),
     "profile_jsd" -> (Profile.jsdProfile _),
     "profile_checks" -> (Profile.checksProfile _),
@@ -160,6 +162,8 @@ object SparkEntry {
     "graph_communities_sweep" -> ((s: SparkSession, d: String) => Graph.supplierCommunitySweep(s, d)),
     "graph_modularity" -> ((s: SparkSession, d: String) => Graph.modularity(s, d)),
     "graph_degree_dist" -> ((s: SparkSession, d: String) => Graph.degreeDist(s, d)),
+    "graph_degree_dist_sql" -> ((s: SparkSession, d: String) =>
+      runSql(s, d, DegreeDistSparkSql)),
     "graph_sssp" -> ((s: SparkSession, d: String) => Graph.sssp(s, d)),
     "graph_backbone" -> (Graph.backbone _),
     "graph_ktruss" -> (Graph.ktruss _),
@@ -448,13 +452,14 @@ object SparkEntry {
 
   /** The ann_ivf CTE chain ending at `ranked` — shared by the ann_ivf
     * oracle and the IVF eval oracle (one SQL statement of truth,
-    * same constants as the Spark operator: centroid stride 29,
-    * nprobe 8, query set < 10). */
+    * same constants as the Spark operator: hash-ordered codebook of
+    * [[operators.Ann.IvfK]] cells via the shared
+    * [[operators.Ann.codebookCteSql]] fragment, nprobe 8,
+    * query set < 10). */
   private val ivfCtes: String =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                     FROM embeddings),
-         c AS (SELECT vec_id AS cent_id, emb AS ce FROM e
-               WHERE vec_id % 29 = 0),
+         c AS (${operators.Ann.codebookCteSql("e")}),
          cells AS (
            SELECT vec_id, emb, cell FROM (
              SELECT e.vec_id, e.emb, c.cent_id AS cell,
@@ -1126,6 +1131,61 @@ object SparkEntry {
               CAST(floor(max(CAST(ts AS DOUBLE))) AS BIGINT) AS end_s
        FROM y GROUP BY user_id, session_id
        ORDER BY user_id, session_id"""
+
+  /** [[graft.operators.Graph.degreeDist]] in plain SQL — the r13
+    * graph-family entry of the SQL-only tier: the co-supply edge
+    * base (DISTINCT (order, supplier) pairs self-joined, ≥ 3 shared
+    * orders) and the two grouped aggregates, verbatim the algebra of
+    * the DataFrame twin and hash-gated against its IDENTICAL oracle.
+    * (The DataFrame twin additionally reuses the PlanCache-memoized
+    * edge base across the graph family — a library optimization the
+    * SQL surface doesn't need for correctness.) */
+  private val DegreeDistSparkSql =
+    """WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+                FROM sl a JOIN sl b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+                GROUP BY a.l_suppkey, b.l_suppkey HAVING count(*) >= 3),
+         d AS (SELECT n, count(*) AS degree
+               FROM (SELECT u AS n FROM e0
+                     UNION ALL SELECT v AS n FROM e0) t
+               GROUP BY n)
+       SELECT degree, count(*) AS n_nodes
+       FROM d GROUP BY degree ORDER BY degree"""
+
+  /** [[graft.operators.Profile.psiProfile]] in plain SQL — the r13
+    * profile-family entry of the SQL-only tier: same split constant,
+    * same micro-nat quantization and declared op order (DOUBLE share
+    * difference × BIGINT micro-log-ratio, one final round), same
+    * NULL contract for single-sided types, same `__total__` row.
+    * The 1-row totals CTE rides a broadcast hint exactly like the
+    * DataFrame twin's `broadcast(tot)`. */
+  private val PsiSparkSql = {
+    val split = graft.operators.Profile.PsiSplitTs
+    s"""WITH c AS (
+          SELECT event_type,
+                 sum(CASE WHEN ts < TIMESTAMP '$split' THEN 1 ELSE 0 END) AS n_ref,
+                 sum(CASE WHEN ts >= TIMESTAMP '$split' THEN 1 ELSE 0 END) AS n_cur
+          FROM events GROUP BY event_type),
+        t AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc FROM c),
+        s AS (
+          SELECT /*+ BROADCAST(t) */ c.event_type, c.n_ref, c.n_cur,
+                 CAST(round(
+                   (CAST(c.n_ref AS DOUBLE) / t.nr - CAST(c.n_cur AS DOUBLE) / t.nc)
+                   * (CASE WHEN c.n_ref > 0 AND c.n_cur > 0 THEN
+                        CAST(round(ln(CAST(c.n_ref * t.nc AS DOUBLE)
+                                      / CAST(c.n_cur * t.nr AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                      END), 0) AS BIGINT) AS psi_micro
+          FROM c CROSS JOIN t)
+        SELECT event_type, n_ref, n_cur, psi_micro,
+               round(CAST(psi_micro AS DOUBLE) / 1e6, 6) AS psi
+        FROM s
+        UNION ALL
+        SELECT /*+ BROADCAST(t) */ '__total__', t.nr, t.nc, x.sm,
+               round(CAST(x.sm AS DOUBLE) / 1e6, 6)
+        FROM t CROSS JOIN (SELECT sum(psi_micro) AS sm FROM s) x
+        ORDER BY event_type"""
+  }
 
   /** [[graft.operators.Events.qRetention]] in plain SQL: the cohort
     * self-join formulation an SQL user writes (the DataFrame twin's
@@ -2295,6 +2355,8 @@ object SparkEntry {
     // mirrors the Spark DECIMAL(38,0), singleton coalesce identical
     "graph_modularity" -> graft.operators.Graph.modularityOracleSql(),
     "graph_degree_dist" -> graft.operators.Graph.degreeDistOracleSql(),
+    // the SQL twin is gated against the VERBATIM same oracle text
+    "graph_degree_dist_sql" -> graft.operators.Graph.degreeDistOracleSql(),
     "text_rake" -> graft.operators.TextOps.rakeOracleSql(),
     "graph_communities" ->
       """WITH RECURSIVE sl AS (
@@ -2605,20 +2667,19 @@ object SparkEntry {
     // two-level IVF-PQ: coarse cosine cells + integer residual codes,
     // probed-cell ADC, exact rerank — all integer-exact end to end
     "ann_ivf_pq" -> operators.Ann.ivfPqOracleSql,
-    // IVF is pure SQL end-to-end: deterministic codebook (every 29th
-    // vector), nearest-cell argmax (csim desc, cent_id asc — the same
-    // tie-break as the Spark argmax over the broadcast codebook),
-    // 4-cell probes, exact cosine top-5 over the probed cells.
+    // IVF is pure SQL end-to-end: deterministic codebook (the IvfK
+    // lowest-portable-hash vectors), nearest-cell argmax (csim desc,
+    // cent_id asc — the same tie-break as the Spark argmax over the
+    // broadcast codebook), probes, exact cosine top-5 over the cells.
     "ann_ivf" ->
       s"""WITH $ivfCtes
          SELECT qid, rank, vec_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
     // the ivf chain with the label predicate INSIDE the probed cells
     "ann_filtered_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
                     FROM embeddings),
-         c AS (SELECT vec_id AS cent_id, emb AS ce FROM e
-               WHERE vec_id % 29 = 0),
+         c AS (${operators.Ann.codebookCteSql("e")}),
          cells AS (
            SELECT vec_id, emb, label, cell FROM (
              SELECT e.vec_id, e.emb, e.label, c.cent_id AS cell,
@@ -3323,6 +3384,8 @@ object SparkEntry {
     // per-type terms micro-quantized before the total so the sum is
     // exact BIGINT on both engines
     "profile_psi" -> graft.operators.Profile.psiOracleSql,
+    // the SQL twin is gated against the VERBATIM same oracle text
+    "profile_psi_sql" -> graft.operators.Profile.psiOracleSql,
     "profile_jsd" -> graft.operators.Profile.jsdOracleSql,
     "profile_checks" -> graft.operators.Profile.checksOracleSql,
     // Tukey fences as cleared-fraction integer compares on rank-

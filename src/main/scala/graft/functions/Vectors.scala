@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -77,21 +78,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** The `n` nearest codebook cells of a float vector, by (cosine desc,
   * cent_id asc) — the IVF cell-assignment / probe-selection kernel as
-  * ONE fused expression over the driver-collected codebook.
+  * ONE fused expression over the broadcast codebook.
   *
   * The composed formulation (an `array_max` / `sort_array` over C
   * per-centroid `struct(cosine, -id)` nodes) is semantically identical
   * (AnnSpec pins them equal) but materializes C struct entries per row
   * and costs the optimizer/codegen a ~C·dim-literal expression tree.
-  * Here the codebook rides along as one reference object and the row
-  * pays a single C×dim loop.
+  * Here the codebook rides as a [[Broadcast]] HANDLE — the plan
+  * serializes a reference, executors fetch the cell array once via
+  * block manager (never per task, never as plan literals: a 2¹⁴-cell
+  * production codebook is ~4 MB, which belongs in broadcast blocks,
+  * not in every serialized task binary) — and the row pays a single
+  * C×dim loop with zero exchange.
   *
   * Arithmetic is bit-compatible with [[CosineSimilarity]] (same
   * double accumulation order, zero-norm → 0.0), and the tie-break is
   * the same primitive-compare-then-id rule as the struct ordering, so
   * swapping formulations cannot move a single result. */
-case class NearestCells(child: Expression, ids: Array[Long],
-    cents: Array[Array[Float]], n: Int) extends UnaryExpression {
+case class NearestCells(child: Expression,
+    codebook: Broadcast[Array[(Long, Array[Float])]], n: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val ids: Array[Long] = codebook.value.map(_._1)
+  @transient private lazy val cents: Array[Array[Float]] =
+    codebook.value.map(_._2)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "nearest_cells"
@@ -149,11 +159,12 @@ object Vectors {
   @inline private[functions] def finiteOr0(r: Double): Double =
     if (java.lang.Double.isFinite(r)) r else 0.0
 
-  /** Codegen'd nearest-codebook-cells (see [[NearestCells]]). */
-  def nearestCells(v: Column, codebook: Array[(Long, Array[Float])],
+  /** Codegen'd nearest-codebook-cells over a BROADCAST codebook (see
+    * [[NearestCells]]). Callers broadcast once per derived codebook
+    * and reuse the handle across every assignment/probe column. */
+  def nearestCells(v: Column, codebook: Broadcast[Array[(Long, Array[Float])]],
       n: Int): Column =
-    ColumnBridge.column(NearestCells(ColumnBridge.expression(v),
-      codebook.map(_._1), codebook.map(_._2), n))
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(v), codebook, n))
 
   /** Codegen'd cosine similarity (see [[CosineSimilarity]]). */
   def cosineSim(a: Column, b: Column): Column =

@@ -105,14 +105,14 @@ object Ann {
     * cell-for-cell like ann_ivf. */
   def filteredIvf(spark: SparkSession, dir: String,
       nprobe: Int = NProbe): DataFrame = {
-    val cb = codebook(spark, dir)
+    val bc = bcast(spark, codebook(spark, dir))
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"), col("label"))
-    val cells = e.withColumn("cell", cellOf(col("embedding"), cb))
+    val cells = e.withColumn("cell", cellOf(col("embedding"), bc))
     val probes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("label").as("qlabel"),
-        explode(nearestCells(col("embedding"), cb, nprobe)).as("cell"))
+        explode(nearestCells(col("embedding"), bc, nprobe)).as("cell"))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("label") === col("qlabel"))
       .select(col("qid"), col("vec_id"),
@@ -262,23 +262,45 @@ object Ann {
 
   // --- IVF-style coarse quantizer ---------------------------------
 
-  private[graft] val CentroidStride = 29
+  /** Coarse-codebook size — a DECLARED CONSTANT, never a function of
+    * corpus size: the codebook is ≤ IvfK rows at ANY scale (64 at
+    * test SFs; a production deployment raises the same knob to ~2¹⁴
+    * for 100 TB — still a bounded, corpus-independent collect). The
+    * previous rule (`vec_id % 29`) sized the codebook ∝ N: a
+    * multi-GB driver collect and O(N²) total assignment at 10⁹⁺
+    * vectors. */
+  private[graft] val IvfK = 64
   // 8 probes ≈ same wall cost as 4 (scoring is cheap next to the scan)
-  // and recall@5 0.54 → 0.76 on the clusterless spec vectors; at a
-  // production codebook size (2¹⁴ cells for 100 TB) nprobe=8 is the
-  // standard operating point
+  // at a production codebook size (2¹⁴ cells for 100 TB) nprobe=8 is
+  // the standard operating point; on the clusterless spec vectors it
+  // reads 8/64 cells (recall floor asserted in AnnSpec — real
+  // clustered embeddings fare far better than the uniform worst case)
   private[graft] val NProbe = 8
 
-  /** The coarse codebook, collected to the driver (it is tiny by
-    * construction — at 100 TB a codebook is ~2¹⁴ cells, KBs–MBs — and
-    * shipping it as expression literals is the zero-shuffle broadcast).
-    * Sorted by cent_id so the generated plan is deterministic. */
+  /** The coarse codebook: the [[IvfK]] lowest-portable-hash corpus
+    * vectors (the [[pqCodebooks]] seed rule — deterministic, oracle-
+    * replayable, and an unbiased sample under the hash ordering),
+    * collected to the driver. Bounded by construction: TakeOrdered
+    * ships ≤ IvfK rows regardless of corpus size — at 100 TB with
+    * IvfK = 2¹⁴ that is KBs–MBs, never ∝ N. Sorted by cent_id so the
+    * generated plan is deterministic. */
   private def codebook(spark: SparkSession, dir: String): Array[(Long, Array[Float])] =
-    emb(spark, dir).filter(col("vec_id") % CentroidStride === 0)
+    emb(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.PortableHash.h60(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(IvfK)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+
+  /** The codebook as a [[org.apache.spark.broadcast.Broadcast]]
+    * handle for the [[cellOf]]/[[nearestCells]] kernels — the plan
+    * carries a reference, executors fetch the cells once via block
+    * manager (see [[graft.functions.NearestCells]]). */
+  private def bcast(spark: SparkSession, cb: Array[(Long, Array[Float])])
+      : org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]] =
+    spark.sparkContext.broadcast(cb)
 
   private def centroidEntries(v: Column,
       cb: Array[(Long, Array[Float])]): Seq[Column] =
@@ -289,20 +311,26 @@ object Ann {
         lit(-cid).as("nc"))
     }
 
+  private type CbBc =
+    org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]
+
   /** Nearest-centroid cell id, computed per row against the broadcast
     * codebook — no row inflation, no exchange: the original
     * `crossJoin(centroids)` + `row_number() OVER (PARTITION BY
     * vec_id)` shuffled the full N×C blowup just to keep 1 row per
-    * vector. Now the fused [[graft.functions.NearestCells]] kernel:
-    * the composed struct-array form it replaced (identical results —
-    * AnnSpec pins them) is kept below as the cross-check. */
-  private def cellOf(v: Column, cb: Array[(Long, Array[Float])]): Column =
-    element_at(Vectors.nearestCells(v, cb, 1), 1)
+    * vector. Now the fused [[graft.functions.NearestCells]] kernel
+    * over the broadcast HANDLE (a broadcast-join argmax would either
+    * re-shuffle the corpus through a groupBy or inflate N×C rows; the
+    * map-only kernel does neither): the composed struct-array form it
+    * replaced (identical results — AnnSpec pins them) is kept below
+    * as the cross-check. */
+  private def cellOf(v: Column, bc: CbBc): Column =
+    element_at(Vectors.nearestCells(v, bc, 1), 1)
 
   /** The `n` nearest centroid cells (csim desc, cent_id asc), for
     * query-side probes. */
-  private def nearestCells(v: Column, cb: Array[(Long, Array[Float])],
-      n: Int): Column = Vectors.nearestCells(v, cb, n)
+  private def nearestCells(v: Column, bc: CbBc, n: Int): Column =
+    Vectors.nearestCells(v, bc, n)
 
   /** Composed (built-ins only) formulations of [[cellOf]] /
     * [[nearestCells]] — the "compose existing ops" baseline, kept as
@@ -319,21 +347,31 @@ object Ann {
   private[graft] def codebookOf(spark: SparkSession, dir: String): Array[(Long, Array[Float])] =
     codebook(spark, dir)
 
-  /** IVF top-k: a deterministic subsample of the corpus acts as the
-    * coarse codebook (every 29th vector); each vector is assigned to
-    * its nearest centroid cell by a per-row argmax over the broadcast
-    * codebook, queries probe their [[NProbe]] nearest cells. At 100 TB the cell
+  /** SQL twin of [[codebook]] over a `(vec_id, emb)` relation — the
+    * hash-ordered limit-[[IvfK]] rule as ONE shared fragment, so every
+    * IVF-family oracle derives its codebook identically to the
+    * operator (and a rule edit moves all of them together). */
+  private[graft] def codebookCteSql(src: String): String =
+    s"""SELECT vec_id AS cent_id, emb AS ce FROM $src
+               QUALIFY row_number() OVER (ORDER BY
+                 ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                 vec_id) <= $IvfK"""
+
+  /** IVF top-k: the [[IvfK]] lowest-hash corpus vectors act as the
+    * coarse codebook; each vector is assigned to its nearest centroid
+    * cell by a per-row argmax over the broadcast codebook, queries
+    * probe their [[NProbe]] nearest cells. At 100 TB the cell
     * assignment is a write-time bucketing ([[buildIvfIndex]]); the
     * plan shape (broadcast codebook, cell-key join) is identical.
     * Recall asserted in AnnSpec; oracle-checked (the codebook, argmax
     * and probe rules are pure SQL — see SparkEntry). */
   def ivf(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
-    val cb = codebook(spark, dir)
+    val bc = bcast(spark, codebook(spark, dir))
     val cells = emb(spark, dir)
-      .withColumn("cell", cellOf(col("embedding"), cb))
+      .withColumn("cell", cellOf(col("embedding"), bc))
     val probes = queriesDf(spark, dir)
       .select(col("qid"), col("qe"),
-        explode(nearestCells(col("qe"), cb, nprobe)).as("cell"))
+        explode(nearestCells(col("qe"), bc, nprobe)).as("cell"))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("vec_id"),
         round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
@@ -646,7 +684,7 @@ object Ann {
     val cb = codebook(spark, dir)
     val qcDf = qcFrame(spark, cb)
     val cells = emb(spark, dir)
-      .select(col("vec_id"), cellOf(col("embedding"), cb).as("cell"))
+      .select(col("vec_id"), cellOf(col("embedding"), bcast(spark, cb)).as("cell"))
     val corp = shared.getOrBuild(spark, s"$dir#ivfpqres") {
       Cluster.quantized(emb(spark, dir))
         .join(cells, "vec_id")
@@ -692,7 +730,8 @@ object Ann {
         .select(col("qid").as("vec_id"), col("qe").as("embedding")))
       .select(col("vec_id").as("qid"), col("q").as("qq"))
     val probes = queriesDf(spark, dir)
-      .select(col("qid"), explode(nearestCells(col("qe"), cb, nprobe)).as("cell"))
+      .select(col("qid"),
+        explode(nearestCells(col("qe"), bcast(spark, cb), nprobe)).as("cell"))
       .join(qq, "qid")
       .join(broadcast(qcDf), "cell")
       .select(col("qid"), col("cell"),
@@ -768,8 +807,7 @@ object Ann {
   def ivfPqOracleSql: String =
     s"""WITH ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                     FROM embeddings),
-       cf AS (SELECT vec_id AS cent_id, emb AS ce FROM ef
-              WHERE vec_id % $CentroidStride = 0),
+       cf AS (${codebookCteSql("ef")}),
        cl AS (SELECT vec_id, cell FROM (
                 SELECT ef.vec_id, cf.cent_id AS cell,
                        row_number() OVER (PARTITION BY ef.vec_id
@@ -912,7 +950,7 @@ object Ann {
   private def assignCells(vectors: DataFrame,
       cb: Array[(Long, Array[Float])]): DataFrame =
     vectors.select(col("vec_id"), col("embedding"),
-      cellOf(col("embedding"), cb).as("cell"))
+      cellOf(col("embedding"), bcast(vectors.sparkSession, cb)).as("cell"))
 
   /** One shard's (shard, cell)-partitioned vectors via dynamic
     * partition overwrite, then its root-level `_COMMITTED_<id>`
@@ -951,7 +989,8 @@ object Ann {
       cb: Array[(Long, Array[Float])], queries: DataFrame,
       nprobe: Int = NProbe): DataFrame = {
     val probes = queries.select(col("qid"), col("qe"),
-      explode(nearestCells(col("qe"), cb, nprobe)).as("cell"))
+      explode(nearestCells(col("qe"), bcast(idx.sparkSession, cb), nprobe))
+        .as("cell"))
     val scored = idx.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("vec_id"),
         round(Vectors.cosineSim(col("embedding"), col("qe")), 6).as("cosine"))
@@ -1020,12 +1059,12 @@ object Ann {
   }
 
   def sweepNprobe(spark: SparkSession, dir: String): DataFrame = {
-    val cb = codebook(spark, dir)
+    val bc = bcast(spark, codebook(spark, dir))
     val cells = emb(spark, dir)
-      .withColumn("cell", cellOf(col("embedding"), cb))
+      .withColumn("cell", cellOf(col("embedding"), bc))
     val probes = queriesDf(spark, dir)
       .select(col("qid"), col("qe"),
-        posexplode(nearestCells(col("qe"), cb, NProbeSweep.max))
+        posexplode(nearestCells(col("qe"), bc, NProbeSweep.max))
           .as(Seq("pi", "cell")))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("vec_id"), (col("pi") + 1).as("preach"),
@@ -1086,8 +1125,7 @@ object Ann {
     }.mkString("\n         UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                     FROM embeddings),
-         c AS (SELECT vec_id AS cent_id, emb AS ce FROM e
-               WHERE vec_id % 29 = 0),
+         c AS (${codebookCteSql("e")}),
          cells AS (
            SELECT vec_id, emb, cell FROM (
              SELECT e.vec_id, e.emb, c.cent_id AS cell,

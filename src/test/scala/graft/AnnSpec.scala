@@ -253,24 +253,46 @@ class AnnSpec extends SparkSpecBase {
     val approx = topk(Ann.ivf(spark, Sf))
     val recall = recallOf(approx)
     info(s"ivf recall@5 = $recall")
-    // nprobe=8: measured 0.76 on these clusterless vectors
-    assert(recall >= 0.6, s"ivf recall $recall below floor")
+    // nprobe=8 over the IvfK=64 hash-ordered codebook reads 8/64
+    // cells = 12.5% of this CLUSTERLESS corpus and still measures
+    // 0.54 (self-match + genuine near-neighbors concentrate in the
+    // probed cells); the old corpus-proportional codebook read 44%
+    // of the corpus for 0.76 — more recall only because it scanned
+    // 3.5× more data, which is exactly the asymptote bug. Real
+    // clustered embeddings fare far better at the same probe budget.
+    assert(recall >= 0.45, s"ivf recall $recall below floor")
   }
 
   test("fused NearestCells kernel equals the composed struct-array form") {
     import org.apache.spark.sql.functions._
     import graft.functions.Vectors
     val cb = Ann.codebookOf(spark, Sf)
+    val bc = spark.sparkContext.broadcast(cb)
     val both = graft.core.Tables(spark, Sf).embeddings
       .select(col("vec_id"),
-        element_at(Vectors.nearestCells(col("embedding"), cb, 1), 1)
+        element_at(Vectors.nearestCells(col("embedding"), bc, 1), 1)
           .as("fused_cell"),
         Ann.cellOfComposed(col("embedding"), cb).as("composed_cell"),
-        Vectors.nearestCells(col("embedding"), cb, 8).as("fused_probes"),
+        Vectors.nearestCells(col("embedding"), bc, 8).as("fused_probes"),
         Ann.nearestCellsComposed(col("embedding"), cb, 8).as("composed_probes"))
     val bad = both.filter(col("fused_cell") =!= col("composed_cell") ||
       col("fused_probes") =!= col("composed_probes"))
     assert(bad.isEmpty, s"kernels diverge: ${bad.take(3).mkString(";")}")
+  }
+
+  test("codebook is bounded by IvfK at EVERY scale factor (never ∝ corpus)") {
+    // the 100×-scale contract: the coarse codebook is a declared
+    // constant number of cells — the driver collect, the broadcast,
+    // and the per-row argmax cost are all corpus-size-independent
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val n = graft.core.Tables(spark, sf).embeddings.count()
+      val cb = Ann.codebookOf(spark, sf)
+      assert(cb.length == math.min(Ann.IvfK.toLong, n),
+        s"$sf: codebook ${cb.length} cells, corpus $n, IvfK ${Ann.IvfK}")
+      // deterministic: same rule, same cells, every derivation
+      assert(cb.map(_._1).toSeq == Ann.codebookOf(spark, sf).map(_._1).toSeq)
+    }
   }
 
   test("ann_eval: metrics equal the spec's own recall/rank readout; summary row sums the pers") {

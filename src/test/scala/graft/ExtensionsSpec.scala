@@ -96,7 +96,8 @@ class ExtensionsSpec extends SparkSpecBase {
         .collect().toSeq
     }
     for (name <- Seq("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "ann_bruteforce", "text_tfidf", "q_sessionize", "events_retention")) {
+        "ann_bruteforce", "text_tfidf", "q_sessionize", "events_retention",
+        "graph_degree_dist", "profile_psi")) {
       val base = SparkEntry.queries(name)(spark, Sf)
       val twin = SparkEntry.queries(name + "_sql")(spark, Sf)
       assert(twin.columns.sorted.toSeq == base.columns.sorted.toSeq,

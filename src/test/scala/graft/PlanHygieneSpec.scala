@@ -72,16 +72,21 @@ class PlanHygieneSpec extends SparkSpecBase {
       case a: Aggregate if a.groupingExpressions.isEmpty => a
       case g: GlobalLimit => g
     }.nonEmpty
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val analyzed = fn(spark, Sf).queryExecution.analyzed
-        spark.catalog.clearCache()
-        val bad = analyzed.collect {
-          case h: ResolvedHint
-              if leavesScale(h.child) && !boundedByConstruction(h.child) => h
-        }
-        if (bad.nonEmpty) Some(name) else None
-    }
+    // drainedLazy appended: the three Drain.bounded public entries
+    // analyze to a LocalRelation, so only the lazy builders expose
+    // their real plan to this rule (r12 ADVICE — without them the
+    // rule passed vacuously on those three)
+    val offenders = (SparkEntry.queries.toSeq.sortBy(_._1).iterator.map {
+      case (name, fn) => name -> fn(spark, Sf)
+    } ++ drainedLazy.iterator).flatMap { case (name, df) =>
+      val analyzed = df.queryExecution.analyzed
+      spark.catalog.clearCache()
+      val bad = analyzed.collect {
+        case h: ResolvedHint
+            if leavesScale(h.child) && !boundedByConstruction(h.child) => h
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }.toList
     assert(offenders.isEmpty,
       s"broadcast() on customer/part/supplier-derived frames in: ${offenders.mkString(", ")}")
   }

@@ -73,16 +73,28 @@ for fam in "${FAMILIES[@]}"; do
 done
 rm -f /tmp/stitch/try_*.json
 
-python3 - "$OUT" <<'EOF'
-import glob, json, sys
+# merge ONLY the tags of the current FAMILIES split — stale /tmp/stitch
+# captures from an earlier run (different code revision or a different
+# STITCH_FAMILIES) must not merge silently into this stitched output
+TAGS=()
+for fam in "${FAMILIES[@]}"; do TAGS+=("$(echo "$fam" | tr ',' '+')"); done
+
+python3 - "$OUT" "${TAGS[@]}" <<'EOF'
+import json, os, sys
 out = sys.argv[1]
+tags = sys.argv[2:]
 merged = {"metric": "bench_stitched", "unit": "sec", "sf": None,
           "cpus": 32, "reps": None, "families": {}, "queries": {},
           "queries_min": {}, "queries_suite": {}, "n_ok": 0,
           "n_failed": 0, "failed": []}
-for p in sorted(glob.glob("/tmp/stitch/*.json")):
+missing = [t for t in tags if not os.path.exists(f"/tmp/stitch/{t}.json")]
+if missing:
+    print(f"[stitch] WARNING: no capture for families: {missing}")
+for fam in sorted(tags):
+    p = f"/tmp/stitch/{fam}.json"
+    if not os.path.exists(p):
+        continue
     d = json.load(open(p))
-    fam = p.split("/")[-1][:-5]
     merged["sf"] = d.get("sf"); merged["reps"] = d.get("reps")
     merged["families"][fam] = {
         "steal_sec": d.get("steal_sec"), "n_ok": d.get("n_ok"),
@@ -99,8 +111,11 @@ for p in sorted(glob.glob("/tmp/stitch/*.json")):
 merged["value"] = round(sum(merged["queries"].values()), 3)
 merged["total_min"] = round(sum(merged["queries_min"].values()), 3)
 merged["n_queries"] = len(merged["queries"])
+# a capture missing steal_sec (older Bench revision) reads as
+# un-gated evidence, not a TypeError: default it high and visible
 merged["max_family_steal"] = max(
-    f["steal_sec"] for f in merged["families"].values())
+    (f["steal_sec"] if f.get("steal_sec") is not None else 999999)
+    for f in merged["families"].values()) if merged["families"] else None
 json.dump(merged, open(out, "w"), indent=1)
 print(f"[stitch] wrote {out}: {merged['n_queries']} queries, "
       f"total {merged['value']}s, max family steal "
