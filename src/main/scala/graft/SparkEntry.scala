@@ -246,10 +246,15 @@ object SparkEntry {
     "ann_knn_join" -> ((s: SparkSession, d: String) => Ann.knnJoin(s, d)),
     "ann_range" -> ((s: SparkSession, d: String) => Ann.rangeSearch(s, d)),
     // G. multimodal plumbing
-    "mm_meta_stats" -> (Multimodal.metaStats _),
-    "mm_frame_sample" -> (Multimodal.frameSampleStats _),
-    "mm_resize" -> (Multimodal.resizeSpecs _),
-    "mm_features" -> (Multimodal.byteFeatures _),
+    // r13: the former stub tier, re-pointed at REAL decode — per-
+    // format metadata over the BMP/PNG-mixed corpus, a real container
+    // walk + per-frame decode, an EXECUTED checksummed resample,
+    // exact pixel moments, and histogram-signature near-dup over
+    // decoded pixels
+    "mm_meta_stats" -> (Multimodal.metaStatsMixed _),
+    "mm_frame_sample" -> (Multimodal.frameSampleReal _),
+    "mm_resize" -> (Multimodal.resizeReal _),
+    "mm_features" -> (Multimodal.pixelMomentsReal _),
     "mm_dedup" -> (Multimodal.nearDupMedia _),
     "mm_decode_meta" -> (Multimodal.decodeMetaReal _),
     "mm_decode_hist" -> (Multimodal.pixelHistReal _),
@@ -2964,98 +2969,16 @@ object SparkEntry {
     "dedup_simhash_sql" -> simhashSql,
     // one loosest-threshold candidate pass serves the whole radius bank
     "dedup_sweep_hamming" -> sweepHammingSql,
-    // Mirrors Multimodal.decodeBatch's deterministic stub: payload is
-    // the utf-8 BYTES of text (encode(col, 'UTF-8')), so the mirror is
-    // byte-true — strlen for the byte length, hex-decoded byte probes
-    // for the first-byte field — and stays exact on non-ASCII corpora
-    // where byte length != char length (the unicode gate's find).
-    "mm_meta_stats" ->
-      """WITH m AS (
-           SELECT doc_id,
-                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                       WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
-                  strlen(text) AS plen,
-                  CASE WHEN strlen(text) = 0 THEN 0
-                       ELSE (('0x' || substring(to_hex(encode(substring(text, 1, 1))), 1, 2))::INT
-                             % 128) % 64 END AS first7
-           FROM documents)
-         SELECT fmt, count(*) AS n,
-                round(avg(64 + plen % 512), 6) AS avg_w,
-                round(avg(64 + first7), 6) AS avg_h,
-                max(CASE WHEN fmt = 'video' THEN 1 + plen % 100 ELSE 1 END) AS max_frames,
-                CAST(sum(plen) AS BIGINT) AS total_bytes
-         FROM m GROUP BY fmt ORDER BY fmt""",
-    // Mirrors Multimodal.sampleFramesBatch's deterministic stub:
-    // videos are doc_id % 3 = 2, frame count 1 + len % 100, uniform
-    // stride ceil(n/8), per-frame brightness = payload BYTE at
-    // (frame * 997) mod len, hex-decoded from the utf-8 encoding so
-    // the mirror is byte-exact on any corpus.
-    "mm_frame_sample" ->
-      """WITH v AS (
-           SELECT doc_id, to_hex(encode(text)) AS hx, strlen(text) AS len,
-                  1 + strlen(text) % 100 AS n_frames
-           FROM documents
-           WHERE CAST(doc_id % 3 AS INT) = 2 AND strlen(text) > 0),
-         f AS (
-           SELECT doc_id, hx, len,
-                  unnest(range(0, n_frames,
-                    CAST(ceil(n_frames / 8.0) AS BIGINT))) AS fi
-           FROM v)
-         SELECT doc_id, count(*) AS n_sampled, max(fi) AS last_frame,
-                round(avg(('0x' || substring(hx, CAST(2 * ((fi * 997) % len) + 1 AS INT), 2))::INT % 128),
-                      6) AS avg_brightness
-         FROM f GROUP BY doc_id ORDER BY doc_id""",
-    // fit-224 aspect-preserving resize plan, integer div on the stub
-    // metadata (width = 64 + plen % 512, height = 64 + first-byte
-    // % 128 % 64 — byte-true like mm_meta_stats)
-    "mm_resize" ->
-      """WITH m AS (
-           SELECT doc_id,
-                  64 + strlen(text) % 512 AS width,
-                  64 + CASE WHEN strlen(text) = 0 THEN 0
-                            ELSE (('0x' || substring(to_hex(encode(substring(text, 1, 1))), 1, 2))::INT
-                                  % 128) % 64 END AS height
-           FROM documents WHERE CAST(doc_id % 3 AS INT) = 0)
-         SELECT doc_id, width, height,
-                CASE WHEN width >= height THEN 224
-                     ELSE (width * 224) // height END AS new_w,
-                CASE WHEN width >= height THEN (height * 224) // width
-                     ELSE 224 END AS new_h
-         FROM m ORDER BY doc_id""",
-    // byte histogram per image over the utf-8 payload BYTES (hex
-    // probe — byte-exact on any corpus); identical integer signature
-    // arithmetic: per-mille share // 25, absent bins skipped,
-    // '-'-joined in bin order
-    "mm_dedup" ->
-      """WITH i AS (SELECT doc_id, to_hex(encode(text)) AS hx,
-                           strlen(text) AS len
-                    FROM documents
-                    WHERE CAST(doc_id % 3 AS INT) = 0 AND strlen(text) > 0),
-         b AS (SELECT doc_id,
-                      (('0x' || substring(hx, CAST(2 * p - 1 AS INT), 2))::INT % 128) // 16 AS bin
-               FROM i, unnest(range(1, len + 1)) AS t(p)),
-         h AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
-         tot AS (SELECT doc_id, sum(cnt) AS n FROM h GROUP BY 1),
-         sg AS (SELECT h.doc_id,
-                       string_agg(CAST((cnt * 1000 // n) // 25 AS VARCHAR),
-                                  '-' ORDER BY bin) AS sig
-                FROM h JOIN tot ON h.doc_id = tot.doc_id
-                GROUP BY h.doc_id)
-         SELECT sig, count(*) AS n_docs, min(doc_id) AS keep_id
-         FROM sg GROUP BY sig HAVING count(*) > 1 ORDER BY sig""",
-    "mm_features" ->
-      """WITH i AS (SELECT doc_id, to_hex(encode(text)) AS hx,
-                           strlen(text) AS len
-                    FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),
-         b AS (SELECT doc_id,
-                      (('0x' || substring(hx, CAST(2 * p - 1 AS INT), 2))::INT % 128) // 16 AS bin
-               FROM i, unnest(range(1, len + 1)) AS t(p)),
-         g AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2)
-         SELECT d.doc_id, bn.bin, coalesce(g.cnt, 0) AS cnt
-         FROM (SELECT DISTINCT doc_id FROM i) d
-         CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) bn
-         LEFT JOIN g ON g.doc_id = d.doc_id AND g.bin = bn.bin
-         ORDER BY 1, 2""",
+    // r13 REAL-decode oracles for the promoted tier: each
+    // recomputes what the codec MUST yield from the planted
+    // geometry/pixels (generated from Multimodal's single source of
+    // truth), so a header-parse, container-walk, resample, or moment
+    // bug on either side fails the hash.
+    "mm_meta_stats" -> Multimodal.metaStatsMixedOracleSql,
+    "mm_frame_sample" -> Multimodal.frameSampleRealOracleSql,
+    "mm_resize" -> Multimodal.resizeRealOracleSql,
+    "mm_features" -> Multimodal.pixelMomentsRealOracleSql,
+    "mm_dedup" -> Multimodal.nearDupMediaOracleSql,
     // REAL-decode pair: the Spark side renders genuine BMP bytes and
     // decodes them with javax.imageio; these oracles recompute what
     // the decode MUST yield from the planted geometry (generated from

@@ -284,11 +284,12 @@ object Ann {
     * ships ≤ IvfK rows regardless of corpus size — at 100 TB with
     * IvfK = 2¹⁴ that is KBs–MBs, never ∝ N. Sorted by cent_id so the
     * generated plan is deterministic. */
-  private def codebook(spark: SparkSession, dir: String): Array[(Long, Array[Float])] =
+  private def codebook(spark: SparkSession, dir: String,
+      k: Int = IvfK): Array[(Long, Array[Float])] =
     emb(spark, dir)
       .select(col("vec_id"), col("embedding"),
         graft.functions.PortableHash.h60(col("vec_id").cast("string")).as("h"))
-      .orderBy(col("h"), col("vec_id")).limit(IvfK)
+      .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -365,8 +366,9 @@ object Ann {
     * plan shape (broadcast codebook, cell-key join) is identical.
     * Recall asserted in AnnSpec; oracle-checked (the codebook, argmax
     * and probe rules are pure SQL — see SparkEntry). */
-  def ivf(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
-    val bc = bcast(spark, codebook(spark, dir))
+  def ivf(spark: SparkSession, dir: String, nprobe: Int = NProbe,
+      k: Int = IvfK): DataFrame = {
+    val bc = bcast(spark, codebook(spark, dir, k))
     val cells = emb(spark, dir)
       .withColumn("cell", cellOf(col("embedding"), bc))
     val probes = queriesDf(spark, dir)
@@ -907,8 +909,9 @@ object Ann {
     * id retries as a no-op, a half-written shard has no marker and is
     * invisible until rewritten), and [[loadIvfIndex]] filters to
     * committed shards — a partition-pruning filter, not a scan. */
-  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    val cb = codebook(spark, dir)
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = IvfK): Unit = {
+    val cb = codebook(spark, dir, k)
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hfs.exists(root)) hfs.delete(root, true)
@@ -975,8 +978,9 @@ object Ann {
   /** Probe a pre-built IVF index: identical results to the inline
     * [[ivf]] (same codebook), but the corpus side is a
     * partition-pruned read instead of a full scan + assignment. */
-  def ivfIndexed(spark: SparkSession, dir: String, indexPath: String): DataFrame =
-    probeIvfFrame(loadIvfIndex(spark, indexPath), codebook(spark, dir),
+  def ivfIndexed(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = IvfK): DataFrame =
+    probeIvfFrame(loadIvfIndex(spark, indexPath), codebook(spark, dir, k),
       queriesDf(spark, dir))
 
   /** The index probe over ANY (qid, qe) query frame — the serving

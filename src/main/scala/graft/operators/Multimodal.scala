@@ -7,11 +7,16 @@ import graft.core.Tables
 
 /** Multimodal column plumbing (SURVEY.md §2 G): media as opaque
   * `binary` payloads + typed metadata, decoded partition-wise in
-  * fixed-size batches (the shape a vectorized image/audio decoder
-  * needs). The decode itself is a STUB — see [[Multimodal.decodeBatch]]
-  * — because no media codec ships in this environment; everything
-  * around it (schema, encoders, partitioning, batch loop, downstream
-  * relational ops) is real and oracle-checked.
+  * fixed-size batches (the shape a vectorized image decoder needs).
+  * Every gated query in this file runs a REAL codec — javax.imageio
+  * parsing genuine BMP/PNG/JPEG bytes (headers, strides, bottom-up
+  * row order, zlib streams) — over a corpus whose pixels are planted
+  * deterministic functions of the row, so each decode is provable:
+  * the generated DuckDB oracle recomputes what the decoder MUST
+  * yield. (The r1–r12 stub tier — deterministic fakes over utf-8
+  * payload bytes — is retired: the three stub queries are re-pointed
+  * at real pixels below, and video "frames" now exercise a real
+  * container walk + per-frame decode instead of a byte probe.)
   */
 object Multimodal {
 
@@ -27,145 +32,8 @@ object Multimodal {
     * amortizes codec setup over a batch (GPU transfer, JNI call). */
   private val DecodeBatchSize = 32
 
-  // ==================================================================
-  // STUB DECODE — deterministic fake. A real deployment replaces this
-  // one function with an image/audio codec call; the batch signature
-  // (Seq[MediaBlob] => Seq[MediaMeta]) is the integration point.
-  // Deterministic so the driver oracle can mirror it in SQL.
-  // ==================================================================
-  private[graft] def decodeBatch(batch: Seq[MediaBlob]): Seq[MediaMeta] =
-    batch.map { b =>
-      val first = if (b.payload.nonEmpty) b.payload(0) & 0x7f else 0
-      MediaMeta(
-        doc_id = b.doc_id,
-        fmt = b.fmt,
-        width = 64 + (b.payload.length % 512),
-        height = 64 + (first % 64),
-        n_frames = if (b.fmt == "video") 1 + (b.payload.length % 100) else 1,
-        size_bytes = b.payload.length.toLong)
-    }
-
-  /** Synthesize the blob table from documents (the corpus here has no
-    * real media; payload = utf-8 bytes, fmt round-robins the three
-    * modalities). Columnar ops only — the bytes never reach the
-    * driver. */
-  def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
-    import spark.implicits._
-    Tables(spark, dir).documents
-      .select(col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaBlob]
-  }
-
-  /** Partition-wise batched decode: the distributed plumbing around
-    * the stub. No shuffle — metadata extraction is map-side; the
-    * Dataset encoder keeps rows off the driver. */
-  def decodeMeta(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
-    import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeBatch))
-  }
-
-  /** One sampled video frame's extracted feature (brightness stands in
-    * for whatever a real decoder would emit per frame). */
-  final case class FrameSample(doc_id: Long, frame_idx: Int, brightness: Int)
-
-  /** STUB frame decode, one batch (same integration contract as
-    * [[decodeBatch]]): uniform-stride sampling of ≤ k frames per video
-    * — the standard way a training pipeline thins video to frames —
-    * with a deterministic per-frame byte probe standing in for the
-    * pixel decode. Deterministic ⇒ oracle-mirrorable in SQL. */
-  private[graft] def sampleFramesBatch(batch: Seq[MediaBlob],
-      k: Int): Seq[FrameSample] =
-    batch.filter(b => b.fmt == "video" && b.payload.nonEmpty).flatMap { b =>
-      val len = b.payload.length
-      val n = 1 + len % 100                       // stub frame count (see decodeBatch)
-      val stride = math.ceil(n / k.toDouble).toInt
-      (0 until n by stride).map { fi =>
-        FrameSample(b.doc_id, fi,
-          b.payload(((fi.toLong * 997L) % len).toInt) & 0x7f)
-      }
-    }
-
-  /** Partition-wise batched frame sampling: map-side only, no shuffle;
-    * one blob fans out to ≤ k frame rows. At 100 TB this is the step
-    * that turns a video corpus into a frame-level training table. */
-  def sampleFrames(blobs: Dataset[MediaBlob], k: Int = 8): Dataset[FrameSample] = {
-    import blobs.sparkSession.implicits._
-    blobs.mapPartitions(
-      _.grouped(DecodeBatchSize).flatMap(b => sampleFramesBatch(b, k)))
-  }
-
-  /** Per-video stats over the sampled frames — frame extraction
-    * feeding straight back into declarative aggregation.
-    * Oracle-checked (deterministic stub). */
-  def frameSampleStats(spark: SparkSession, dir: String): DataFrame =
-    sampleFrames(blobs(spark, dir))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sampled"),
-        max("frame_idx").as("last_frame"),
-        round(avg("brightness"), 6).as("avg_brightness"))
-      .sortWithinPartitions("doc_id")
-
-  /** Per-format metadata stats — the downstream relational op that
-    * proves decoded metadata joins back into the declarative world.
-    * Oracle-checked: the stub is deterministic, so DuckDB mirrors it
-    * straight from `documents`. */
-  def metaStats(spark: SparkSession, dir: String): DataFrame =
-    decodeMeta(blobs(spark, dir))
-      .groupBy(col("fmt"))
-      .agg(count(lit(1)).as("n"),
-        round(avg("width"), 6).as("avg_w"),
-        round(avg("height"), 6).as("avg_h"),
-        max("n_frames").as("max_frames"),
-        sum("size_bytes").as("total_bytes"))
-      .orderBy("fmt")
-
-  /** Resize planning for the image corpus: target dimensions that fit
-    * each image into 224×224 (the standard vision-model input)
-    * preserving aspect ratio — pure INTEGER arithmetic (`div`), so
-    * the plan is engine-exact and oracle-checked. The column-only
-    * pass runs map-side over the decoded metadata; the pixel
-    * resample itself belongs in the batched decode (stubbed here),
-    * which would consume these (new_w, new_h) pairs per batch. */
-  def resizeSpecs(spark: SparkSession, dir: String): DataFrame =
-    decodeMeta(blobs(spark, dir)).toDF()
-      .filter(col("fmt") === "image")
-      .select(col("doc_id"), col("width"), col("height"),
-        when(col("width") >= col("height"), lit(224))
-          .otherwise(expr("(width * 224) div height")).as("new_w"),
-        when(col("width") >= col("height"), expr("(height * 224) div width"))
-          .otherwise(lit(224)).as("new_h"))
-      .sortWithinPartitions("doc_id")
-
-  /** One image's byte histogram — the feature-extraction stand-in
-    * (a real deployment swaps this for an embedding model call; the
-    * batch signature is the same integration point as
-    * [[decodeBatch]]). 8 bins over the 7-bit byte values. */
+  /** One image's pixel histogram (8 gray bins). */
   final case class ByteHist(doc_id: Long, bins: Array[Long])
-
-  private[graft] def featureBatch(batch: Seq[MediaBlob]): Seq[ByteHist] =
-    batch.filter(_.fmt == "image").map { b =>
-      val bins = new Array[Long](8)
-      b.payload.foreach(p => bins((p & 0x7f) / 16) += 1L)
-      ByteHist(b.doc_id, bins)
-    }
-
-  /** Feature extraction over the image corpus: partition-wise batched
-    * byte histograms (map-side, no shuffle — one fixed-size vector
-    * per image regardless of payload size), exploded to a relational
-    * (doc_id, bin, cnt) feature table. Deterministic ⇒ oracle-checked
-    * (DuckDB rebuilds the histogram from the character codes). */
-  def byteFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    blobs(spark, dir)
-      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(featureBatch))
-      .select(col("doc_id"), posexplode(col("bins")))
-      .select(col("doc_id"), col("pos").cast("int").as("bin"),
-        col("col").as("cnt"))
-      .sortWithinPartitions("doc_id", "bin")
-  }
 
   // ==================================================================
   // REAL DECODE — a genuine pure-JVM image codec path (javax.imageio,
@@ -380,6 +248,259 @@ object Multimodal {
       .agg(sum("cnt").as("n_px"))
       .orderBy("bin")
   }
+
+  // ==================================================================
+  // r13 PROMOTIONS — the former stub queries re-pointed at the real
+  // codec path: per-format metadata over the mixed corpus, a real
+  // container walk + per-frame decode, an executed resample, pixel
+  // moments, and histogram-signature near-dup over decoded pixels.
+  // ==================================================================
+
+  /** Planted frame count for the video-strip corpus (1..7 — small so
+    * the uniform-stride sampler exercises every stride). */
+  private[graft] def plantedFrames(docId: Long): Int = (1 + docId % 7).toInt
+
+  /** Frames sampled per video. */
+  private[graft] val FrameSampleK = 4
+
+  /** The planted VIDEO corpus: each document renders as a strip of
+    * [[plantedFrames]] concatenated single-frame BMPs — a minimal
+    * real container (production video arrives as a codec stream; the
+    * container-walk + per-frame-decode SHAPE is identical, and the
+    * BMP file-size field makes the walk a genuine header parse, not
+    * a fixed-stride split). Frame f's pixels ride
+    * `plantedGray(doc_id + f, x, y)`, so the oracle regenerates every
+    * sampled frame. Map-side render, bytes never reach the driver. */
+  def videoBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id"), length(col("text")).cast("int").as("tlen"))
+      .as[(Long, Int)]
+      .map { case (id, tlen) =>
+        val (w, h) = (plantedW(id), plantedH(tlen))
+        MediaBlob(id, "video",
+          (0 until plantedFrames(id))
+            .map(f => bmpBytes(w, h, plantedGray(id + f, _, _)))
+            .reduce(_ ++ _))
+      }
+  }
+
+  /** Walk a BMP-strip container: each frame starts 'B''M' and carries
+    * its own little-endian file size at offset 2 — the walk reads the
+    * REAL header field, so a stride bug in the encoder (or a
+    * truncated frame) fails loudly instead of desynchronizing. */
+  private[graft] def splitFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 0
+    while (off < payload.length) {
+      require(off + 6 <= payload.length &&
+        payload(off) == 'B' && payload(off + 1) == 'M',
+        s"mm_frames: no BMP header at container offset $off")
+      val sz = (payload(off + 2) & 0xff) | ((payload(off + 3) & 0xff) << 8) |
+        ((payload(off + 4) & 0xff) << 16) | ((payload(off + 5) & 0xff) << 24)
+      require(sz > 0 && off + sz <= payload.length,
+        s"mm_frames: frame size $sz overruns container at offset $off")
+      out += java.util.Arrays.copyOfRange(payload, off, off + sz)
+      off += sz
+    }
+    out.result()
+  }
+
+  /** REAL frame sampling, one batch: walk the container, uniform-
+    * stride sample ≤ k frames (stride = ceil(n/k) — the standard way
+    * a training pipeline thins video), ImageIO-decode each SAMPLED
+    * frame only (never the skipped ones — at 100 TB the decode is
+    * the cost), and emit its exact mean gray in integer milli-units
+    * (`Σ·1000 div n_px`, truncating — both engines floor on
+    * non-negative operands). */
+  private[graft] def frameMeanBatch(batch: Seq[MediaBlob],
+      k: Int): Seq[(Long, Int, Long)] =
+    batch.flatMap { b =>
+      val frames = splitFrames(b.payload)
+      val n = frames.length
+      val stride = (n + k - 1) / k
+      (0 until n by stride).map { fi =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(frames(fi)))
+        require(img != null, s"mm_frames: undecodable frame $fi, doc ${b.doc_id}")
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { s += img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        (b.doc_id, fi, s * 1000L / (img.getWidth.toLong * img.getHeight))
+      }
+    }
+
+  /** Per-sampled-frame table over the really-decoded video strips —
+    * map-side batched container walk + decode, no shuffle; one strip
+    * fans out to ≤ [[FrameSampleK]] frame rows. Oracle regenerates
+    * each sampled frame's planted pixels and the stride rule. */
+  def frameSampleReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoBlobs(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize)
+        .flatMap(frameMeanBatch(_, FrameSampleK)))
+      .toDF("doc_id", "frame_idx", "mean_milli")
+      .sortWithinPartitions("doc_id", "frame_idx")
+  }
+
+  /** Generated DuckDB oracle for [[frameSampleReal]]: planted frame
+    * count, the ceil-stride sampling rule, and every sampled frame's
+    * mean gray regenerated from the planted gradient. */
+  def frameSampleRealOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+              8 + length(text) % 16 AS h,
+              1 + doc_id % 7 AS n FROM documents),
+       f AS (SELECT doc_id, w, h, fi FROM d, generate_series(0, 6) g(fi)
+             WHERE fi < n AND fi % ((n + ${FrameSampleK - 1}) // $FrameSampleK) = 0),
+       px AS (SELECT doc_id, fi,
+                CAST(sum((x * 7 + y * 13 + (doc_id + fi) * 31) % 256) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS np
+              FROM f, generate_series(0, 30) gx(x), generate_series(0, 22) gy(y)
+              WHERE x < w AND y < h GROUP BY 1, 2)
+       SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+              s * 1000 // np AS mean_milli
+       FROM px ORDER BY doc_id, frame_idx"""
+
+  /** REAL resize, one batch: decode, derive the fit-into-224×224
+    * aspect-preserving plan (integer div), then EXECUTE the resample
+    * — nearest-neighbor `src = dst·dim div new_dim`, the same integer
+    * mapping the perceptual-hash thumbnails use — and emit the
+    * resized image's exact gray checksum, so the oracle proves the
+    * resample ran over real decoded pixels (a planning-only pass
+    * can't produce it). One bounded row per image, map-side. */
+  private[graft] def resizeBatch(
+      batch: Seq[MediaBlob]): Seq[(Long, Int, Int, Int, Int, Long)] =
+    batch.map { b =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b.payload))
+      require(img != null, s"mm_resize: undecodable image, doc ${b.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (nw, nh) =
+        if (w >= h) (224, h * 224 / w) else (w * 224 / h, 224)
+      var sum = 0L
+      var ty = 0
+      while (ty < nh) {
+        var tx = 0
+        while (tx < nw) {
+          sum += img.getRGB(tx * w / nw, ty * h / nh) & 0xff
+          tx += 1
+        }
+        ty += 1
+      }
+      (b.doc_id, w, h, nw, nh, sum)
+    }
+
+  /** The executed-resize table over the really-decoded corpus. */
+  def resizeReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageBlobs(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(resizeBatch))
+      .toDF("doc_id", "width", "height", "new_w", "new_h", "checksum")
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[resizeReal]]: planted geometry,
+    * the integer fit plan, and the checksum regenerated through the
+    * identical nearest-neighbor source mapping. */
+  def resizeRealOracleSql: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+              8 + length(text) % 16 AS h FROM documents),
+       r AS (SELECT doc_id, w, h,
+               CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS nw,
+               CASE WHEN w >= h THEN (h * 224) // w ELSE 224 END AS nh
+             FROM d),
+       s AS (SELECT doc_id, w, h, nw, nh,
+               CAST(sum(((tx * w // nw) * 7 + (ty * h // nh) * 13
+                         + doc_id * 31) % 256) AS BIGINT) AS checksum
+             FROM r, generate_series(0, 223) gx(tx), generate_series(0, 223) gy(ty)
+             WHERE tx < nw AND ty < nh GROUP BY 1, 2, 3, 4, 5)
+       SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+              CAST(nw AS INT) AS new_w, CAST(nh AS INT) AS new_h, checksum
+       FROM s ORDER BY doc_id"""
+
+  /** REAL pixel moments, one batch: count, sum, and sum-of-squares of
+    * the decoded gray values — the exact-integer feature vector a
+    * quality gate reads (mean/variance derive from them without any
+    * cross-engine float), plus the floor mean in milli-units. */
+  private[graft] def momentsBatch(
+      batch: Seq[MediaBlob]): Seq[(Long, Long, Long, Long, Long)] =
+    batch.map { b =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b.payload))
+      require(img != null, s"mm_features: undecodable image, doc ${b.doc_id}")
+      var (n, s, s2) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val g = img.getRGB(x, y) & 0xff
+          n += 1; s += g; s2 += g.toLong * g
+          x += 1
+        }
+        y += 1
+      }
+      (b.doc_id, n, s, s2, s * 1000L / n)
+    }
+
+  /** Per-image moment features over the really-decoded corpus —
+    * map-side batched decode, one fixed-size row per image. */
+  def pixelMomentsReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageBlobs(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(momentsBatch))
+      .toDF("doc_id", "n_px", "sum_gray", "sum_sq", "mean_milli")
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** Generated DuckDB oracle for [[pixelMomentsReal]]. */
+  def pixelMomentsRealOracleSql: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+              8 + length(text) % 16 AS h FROM documents),
+       p AS (SELECT doc_id, (x * 7 + y * 13 + doc_id * 31) % 256 AS g
+             FROM d, generate_series(0, 30) gx(x), generate_series(0, 22) gy(y)
+             WHERE x < w AND y < h)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+              CAST(sum(g) AS BIGINT) AS sum_gray,
+              CAST(sum(g * g) AS BIGINT) AS sum_sq,
+              CAST(sum(g) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+                AS mean_milli
+       FROM p GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Per-FORMAT metadata stats over the really-decoded MIXED corpus
+    * (even doc_ids BMP, odd PNG) — the per-format routing profile an
+    * ingest pipeline reads first. Geometry comes out of real headers
+    * (ImageIO sniffs each payload); total_px instead of total_bytes
+    * because a PNG's encoded length is codec-dependent (not
+    * plantable), while its pixel grid is — the oracle stays
+    * generated. */
+  def metaStatsMixed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{avg, count, round, sum}
+    val blobs = imageBlobsMixedLossless(spark, dir)
+    import blobs.sparkSession.implicits._
+    blobs
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeImageBatch))
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n"),
+        round(avg("width"), 6).as("avg_w"),
+        round(avg("height"), 6).as("avg_h"),
+        sum(col("width").cast("long") * col("height")).as("total_px"))
+      .orderBy("fmt")
+  }
+
+  /** Generated DuckDB oracle for [[metaStatsMixed]]. */
+  def metaStatsMixedOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+              8 + doc_id % 24 AS w, 8 + length(text) % 16 AS h
+            FROM documents)
+       SELECT fmt, count(*) AS n,
+              round(avg(w), 6) AS avg_w, round(avg(h), 6) AS avg_h,
+              CAST(sum(w * h) AS BIGINT) AS total_px
+       FROM d GROUP BY fmt ORDER BY fmt"""
 
   /** REAL perceptual hash — the decode → resample → fingerprint chain
     * every image-dedup pipeline runs, on genuine pixels: each decoded
@@ -795,20 +916,21 @@ object Multimodal {
   }
 
   /** Near-duplicate media detection — the multimodal twin of
-    * [[Dedup]]'s text operators: partition-wise batched feature
-    * extraction (the byte histogram standing in for a perceptual
-    * hash / embedding call), a per-image signature computed MAP-SIDE
-    * (fixed-size state per image regardless of payload bytes), and
-    * one groupBy on the short signature string. No pairwise compare
-    * anywhere: like SimHash bucketing, duplicate sets fall out of an
-    * exact group-by on the quantized signature, so the shuffle
-    * carries |images| signature rows, not payloads, and never N².
-    * Empty payloads are excluded (no distribution to compare). */
+    * [[Dedup]]'s text operators, over REAL decoded pixels: partition-
+    * wise batched decode → 8-bin gray histogram per image
+    * ([[pixelHistBatch]]) → a per-image quantized signature computed
+    * MAP-SIDE (fixed-size state per image regardless of payload
+    * bytes) → one groupBy on the short signature string. No pairwise
+    * compare anywhere: like SimHash bucketing, duplicate sets fall
+    * out of an exact group-by on the quantized signature, so the
+    * shuffle carries |images| signature rows, not payloads, and
+    * never N². Distribution-level (coarser than the bit-level
+    * d/a/pHash trio — a brightness-profile blocking key, the first
+    * cheap pass a media-dedup pipeline runs). */
   def nearDupMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    blobs(spark, dir)
-      .filter(_.payload.nonEmpty)
-      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(featureBatch))
+    imageBlobs(spark, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(pixelHistBatch))
       .map(h => (h.doc_id, histSig(h.bins, 25)))
       .toDF("doc_id", "sig")
       .groupBy(col("sig"))
@@ -816,4 +938,25 @@ object Multimodal {
       .filter(col("n_docs") > 1)
       .sortWithinPartitions("sig")
   }
+
+  /** Generated DuckDB oracle for [[nearDupMedia]]: per-image 8-bin
+    * histogram regenerated from the planted pixels, the identical
+    * integer signature arithmetic (per-mille share // 25, absent bins
+    * skipped, '-'-joined in bin order), grouped. */
+  def nearDupMediaOracleSql: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+              8 + length(text) % 16 AS h FROM documents),
+       p AS (SELECT doc_id,
+               ((x * 7 + y * 13 + doc_id * 31) % 256) // 32 AS bin
+             FROM d, generate_series(0, 30) gx(x), generate_series(0, 22) gy(y)
+             WHERE x < w AND y < h),
+       hb AS (SELECT doc_id, bin, count(*) AS cnt FROM p GROUP BY 1, 2),
+       tot AS (SELECT doc_id, sum(cnt) AS n FROM hb GROUP BY 1),
+       sg AS (SELECT hb.doc_id,
+                     string_agg(CAST((cnt * 1000 // n) // 25 AS VARCHAR),
+                                '-' ORDER BY bin) AS sig
+              FROM hb JOIN tot ON hb.doc_id = tot.doc_id
+              GROUP BY hb.doc_id)
+       SELECT sig, count(*) AS n_docs, min(doc_id) AS keep_id
+       FROM sg GROUP BY sig HAVING count(*) > 1 ORDER BY sig"""
 }

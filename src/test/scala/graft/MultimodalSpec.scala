@@ -2,85 +2,108 @@ package graft
 
 import graft.operators.Multimodal
 
-/** The multimodal plumbing: schema, batch decode loop, and the
-  * deterministic stub contract. */
+/** The multimodal plumbing: real codecs over planted corpora —
+  * container walk, batched decode, executed resample, fingerprints. */
 class MultimodalSpec extends SparkSpecBase {
 
-  test("blob synthesis keeps payloads distributed and typed") {
-    val b = Multimodal.blobs(spark, Sf)
-    assert(b.schema.fieldNames.toSeq == Seq("doc_id", "fmt", "payload"))
-    assert(b.schema("payload").dataType.typeName == "binary")
-    assert(b.count() == graft.core.Tables(spark, Sf).documents.count())
-  }
-
-  test("decodeMeta emits one metadata row per blob with stub fields") {
-    val metas = Multimodal.decodeMeta(Multimodal.blobs(spark, Sf))
-    val rows = metas.collect()
-    assert(rows.length == 500)
-    rows.foreach { m =>
-      assert(Set("image", "audio", "video")(m.fmt))
-      assert(m.width >= 64 && m.width < 64 + 512)
-      assert(m.height >= 64 && m.height < 128)
-      assert(if (m.fmt == "video") m.n_frames >= 1 else m.n_frames == 1)
-      assert(m.size_bytes > 0)
+  test("video strips: container walk splits on REAL BMP size fields; corruption fails loudly") {
+    // a hand-built 2-frame strip round-trips through splitFrames
+    val f0 = Multimodal.bmpBytes(3, 2, (x, y) => 10 * x + y)
+    val f1 = Multimodal.bmpBytes(3, 2, (x, y) => 20 * x + y)
+    val frames = Multimodal.splitFrames(f0 ++ f1)
+    assert(frames.length == 2)
+    assert(frames(0).toSeq == f0.toSeq && frames(1).toSeq == f1.toSeq)
+    // a desynchronized container (header magic broken) is rejected
+    val corrupt = (f0 ++ f1).clone()
+    corrupt(f0.length) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.splitFrames(corrupt))
+    // a truncated final frame is rejected (size field overruns)
+    intercept[IllegalArgumentException](
+      Multimodal.splitFrames((f0 ++ f1).dropRight(4)))
+    // the planted corpus is real strips: every doc splits into its
+    // planted frame count
+    Multimodal.videoBlobs(spark, Sf).collect().take(20).foreach { b =>
+      assert(Multimodal.splitFrames(b.payload).length ==
+        Multimodal.plantedFrames(b.doc_id), s"doc ${b.doc_id}")
     }
   }
 
-  test("frame sampling thins videos to <= k uniform-stride frames") {
-    val frames = Multimodal.sampleFrames(Multimodal.blobs(spark, Sf), k = 8)
-      .collect()
-    assert(frames.nonEmpty)
-    // only videos produce frames; every probe is a 7-bit value
-    frames.foreach { f =>
-      assert(f.doc_id % 3 == 2, s"non-video doc ${f.doc_id} sampled")
-      assert(f.brightness >= 0 && f.brightness < 128)
-    }
-    val perDoc = frames.groupBy(_.doc_id)
+  test("frame sampling: <= k uniform-stride frames, means off really-decoded pixels") {
+    val rows = Multimodal.frameSampleReal(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val perDoc = rows.groupBy(_._1)
+    assert(perDoc.size ==
+      graft.core.Tables(spark, Sf).documents.count())
     perDoc.foreach { case (id, fs) =>
-      assert(fs.length <= 8, s"doc $id sampled ${fs.length} frames")
-      // uniform stride: consecutive sampled indices are equally spaced
-      val idx = fs.map(_.frame_idx).sorted
-      if (idx.length > 2) {
-        val deltas = idx.sliding(2).map(p => p(1) - p(0)).toSet
-        assert(deltas.size == 1, s"doc $id non-uniform stride $idx")
-      }
+      assert(fs.length <= Multimodal.FrameSampleK,
+        s"doc $id sampled ${fs.length} frames")
+      val n = Multimodal.plantedFrames(id)
+      val stride = (n + Multimodal.FrameSampleK - 1) / Multimodal.FrameSampleK
+      assert(fs.map(_._2).sorted.toSeq == (0 until n by stride).toSeq,
+        s"doc $id stride rule")
     }
-    // deterministic: a second run yields the identical frame set
-    val again = Multimodal.sampleFrames(Multimodal.blobs(spark, Sf), k = 8)
-      .collect()
-    assert(frames.toSet == again.toSet)
+    // spot-check one doc end to end against a direct decode
+    val b = Multimodal.videoBlobs(spark, Sf).collect().head
+    val direct = Multimodal.frameMeanBatch(Seq(b), Multimodal.FrameSampleK)
+    assert(rows.filter(_._1 == b.doc_id).sortBy(_._2).toSeq ==
+      direct.sortBy(_._2).toSeq)
   }
 
-  test("decodeBatch is deterministic (stub contract for the oracle)") {
-    val blob = Multimodal.MediaBlob(7L, "video", "hello world".getBytes("UTF-8"))
-    val a = Multimodal.decodeBatch(Seq(blob))
-    val b = Multimodal.decodeBatch(Seq(blob))
-    assert(a == b)
-    assert(a.head.width == 64 + 11 && a.head.size_bytes == 11L)
-  }
-
-  test("resize plan fits 224 and preserves aspect within integer rounding") {
-    Multimodal.resizeSpecs(spark, Sf).collect().foreach { r =>
+  test("resize: plan fits 224 with integer aspect; checksum proves the resample EXECUTED") {
+    val rows = Multimodal.resizeReal(spark, Sf).collect()
+    assert(rows.length == graft.core.Tables(spark, Sf).documents.count())
+    rows.foreach { r =>
       val (w, h) = (r.getInt(1).toLong, r.getInt(2).toLong)
-      val (nw, nh) = (r.getLong(3), r.getLong(4))
+      val (nw, nh) = (r.getInt(3).toLong, r.getInt(4).toLong)
       assert(math.max(nw, nh) == 224, s"$w x $h -> $nw x $nh")
-      assert(nw <= 224 && nh <= 224 && nw > 0 && nh > 0)
-      // integer-div aspect: the scaled short side is exactly
-      // (short * 224) div long
+      assert(nw > 0 && nh > 0)
       if (w >= h) assert(nh == h * 224 / w) else assert(nw == w * 224 / h)
     }
+    // checksum equals a direct nearest-neighbor resample of the
+    // planted gradient (thumbnail source map src = dst*dim div new)
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))).toMap
+    Multimodal.imageBlobs(spark, Sf).collect().take(10).foreach { b =>
+      val (w, h, nw, nh, ck) = byId(b.doc_id)
+      var want = 0L
+      for (ty <- 0 until nh; tx <- 0 until nw)
+        want += Multimodal.plantedGray(b.doc_id, tx * w / nw, ty * h / nh)
+      assert(ck == want, s"doc ${b.doc_id} checksum")
+    }
   }
 
-  test("byte-histogram features: bins sum to payload length, 8 per image") {
-    val hist = Multimodal.featureBatch(
-      Seq(Multimodal.MediaBlob(1L, "image", "abc abc".getBytes("UTF-8")),
-        Multimodal.MediaBlob(2L, "video", "skip me".getBytes("UTF-8"))))
-    assert(hist.map(_.doc_id) == Seq(1L)) // non-images are not decoded
-    assert(hist.head.bins.sum == 7L)
-    // 'a'..'c' land in bin 6 (97-99 / 16), space in bin 2 (32 / 16)
-    assert(hist.head.bins(6) == 6L && hist.head.bins(2) == 1L)
-    val rows = Multimodal.byteFeatures(spark, Sf).collect()
-    assert(rows.nonEmpty && rows.length % 8 == 0)
+  test("pixel moments: exact integer count/sum/sumsq over decoded pixels") {
+    val rows = Multimodal.pixelMomentsReal(spark, Sf).collect()
+    assert(rows.length == graft.core.Tables(spark, Sf).documents.count())
+    rows.foreach { r =>
+      val (n, s, s2, mm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n > 0 && s >= 0 && s2 >= s, s"doc ${r.getLong(0)}")
+      assert(mm == s * 1000L / n, "floor milli mean")
+      // variance numerator is non-negative (Cauchy-Schwarz on ints)
+      assert(n * s2 - s * s >= 0)
+    }
+  }
+
+  test("mixed-format meta stats: real headers per format, pixel totals match geometry") {
+    val rows = Multimodal.metaStatsMixed(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("bmp", "png"))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.core.Tables(spark, Sf).documents.count())
+    // per-format pixel totals recompute from the planted geometry
+    val docs = graft.core.Tables(spark, Sf).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).as("tlen"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val wantPx = docs.groupBy { case (id, _) =>
+      if (id % 2 == 0) "bmp" else "png" }
+      .view.mapValues(_.map { case (id, tl) =>
+        Multimodal.plantedW(id).toLong * Multimodal.plantedH(tl) }.sum).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) == wantPx(r.getString(0)), s"${r.getString(0)} px")
+    }
   }
 
   test("histSig: quantized per-mille shares, absent bins skipped; near-dup collides") {
@@ -153,12 +176,21 @@ class MultimodalSpec extends SparkSpecBase {
     assert(hashOf(8, 8, (_, _) => 128) == 0L)
   }
 
-  test("mm_dedup groups only multi-member signatures; keep_id is the min member") {
+  test("mm_dedup groups only multi-member signatures over real pixel histograms") {
     val got = Multimodal.nearDupMedia(spark, Sf).collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       assert(r.getLong(1) > 1, "every reported group must have >1 member")
-      assert(r.getLong(2) % 3 == 0, "keep_id must be an image doc (doc_id % 3 == 0)")
+    }
+    // the signature really derives from decoded pixels: every member
+    // of a spot-checked group shares the planted-histogram signature
+    val blobs = Multimodal.imageBlobs(spark, Sf).collect().take(30).toSeq
+    val sigs = Multimodal.pixelHistBatch(blobs)
+      .map(h => h.doc_id -> Multimodal.histSig(h.bins, 25)).toMap
+    sigs.groupBy(_._2).values.filter(_.size > 1).take(3).foreach { g =>
+      val ids = g.keys.toSeq
+      assert(got.exists(r => r.getLong(2) <= ids.min),
+        s"collision group $ids must be reported")
     }
   }
 

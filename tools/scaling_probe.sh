@@ -64,6 +64,17 @@ elif [ "$MODE" = "graph4" ]; then
   KS="1 2 4"
   OPS=${SCALING_OPS:-graph_components,graph_pagerank,graph_coreness,dedup_components}
   REPS=${SCALING_REPS:-1}
+elif [ "$MODE" = "dedup16" ]; then
+  # FOURTH RUNG (r13): 1x/4x/16x. The r12 dedup8 probe ran its 1x/8x
+  # rungs under steal 243/223 s, inflating the top ratios; the 16x
+  # point with 4x steps quadruples the signal-to-floor ratio again
+  # AND re-reads the components-resume adjudication pair (resume must
+  # not scale worse than the cold run — the r12 watch item). Linear-
+  # with-floor reads ~16 on the 16x/1x wall (trip 24.0), quadratic
+  # ~256.
+  KS="1 4 16"
+  OPS=${SCALING_OPS:-dedup_exact,dedup_minhash_lsh,dedup_components,dedup_components_resume}
+  REPS=${SCALING_REPS:-1}
 elif [ "$MODE" = "dedup8" ]; then
   # THIRD RUNG for the dedup family: 1x/2x/4x/8x. graph4's heaviest
   # 4x ratios were dedup_components (2.50/2.79 against a linear-4
@@ -94,13 +105,16 @@ done
 
 MODE="$MODE" python3 - <<'EOF'
 import json, os, sys
-quick = os.environ["MODE"] in ("quick", "basket", "graph", "graph4", "dedup8")
+quick = os.environ["MODE"] in ("quick", "basket", "graph", "graph4",
+                               "dedup8", "dedup16")
 ks = {"full": (1, 2, 4), "graph4": (1, 2, 4),
-      "dedup8": (1, 2, 4, 8)}.get(os.environ["MODE"], (1, 2))
+      "dedup8": (1, 2, 4, 8),
+      "dedup16": (1, 4, 16)}.get(os.environ["MODE"], (1, 2))
 # multi-rung modes trip on the topK/1x ratio: linear-with-floor reads
 # ~K, quadratic ~K^2 — each trip line keeps the same ~1.5x headroom
 # the 2-rung modes give their 3.0 line
-trip = {"graph4": 6.0, "dedup8": 12.0}.get(os.environ["MODE"], 3.0)
+trip = {"graph4": 6.0, "dedup8": 12.0,
+        "dedup16": 24.0}.get(os.environ["MODE"], 3.0)
 runs = {k: json.load(open(f"/tmp/scale_bench_{k}.json")) for k in ks}
 qs = sorted(runs[1]["queries"])
 hdr = " ".join(f"{k}x".rjust(7) for k in ks)
@@ -118,6 +132,7 @@ tot = [sum(runs[k]["queries_min"].values()) for k in ks]
 print(f"{'TOTAL (min-of-reps)':24s} " + " ".join(f"{x:7.2f}" for x in tot)
       + f" {tot[-1]/tot[0]:6.2f}")
 print("loadavg:", [(runs[k]['loadavg_start'], runs[k]['loadavg_end']) for k in ks])
+print("steal_sec per rung:", {k: runs[k].get('steal_sec') for k in ks})
 if quick:
     if bad:
         print("SCALING FAIL:", ", ".join(f"{q} ratio={r:.2f}" for q, r in bad))
