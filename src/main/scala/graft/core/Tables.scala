@@ -98,13 +98,131 @@ object Tables {
       // I/O, and holding the single lock across them would serialize
       // every session's first resolution process-wide. A racing
       // duplicate resolution is idempotent; first insert wins.
-      val resolved = spark.read.parquet(key._2)
+      val resolved =
+        maybeSpread(spark, spark.read.parquet(key._2), key._2, name)
       cache.synchronized {
         val raced = cache.get(key)
         if (raced != null) raced
         else { cache.put(key, resolved); resolved }
       }
     }
+  }
+
+  /** Tables spread UNCONDITIONALLY at the relation level, keyed by
+    * their dominant key: ONLY the two corpora whose per-row map work
+    * is heavy for every consumer (shingling/tokenization/decode over
+    * documents, vector math over embeddings), where serializing that
+    * work into a 1-row-group scan stage dominates the query. The
+    * relational fact tables are deliberately ABSENT: an r13 A/B over
+    * the 66-query relational family measured a global lineitem/orders
+    * spread at +18.6 s (23.2 → 41.9 s, steal-gated captures) — their
+    * scan-fused work is cheap and multi-reference TPC-H plans pay the
+    * extra exchange per branch. Map-heavy fact consumers (the graph
+    * pair builders) opt in via [[spread]] instead. Hash-by-key (not
+    * round-robin) avoids sort-before-repartition and stays
+    * deterministic under task retry (SPARK-38388 class). */
+  private val SpreadKey = Map(
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Opt-in spread for a map-heavy consumer of an otherwise unspread
+    * table: `keyCols`-hash-repartition `df` to defaultParallelism
+    * when (and only when) `dir/name.parquet` cannot plan at least
+    * that many splits — same condition as the relation-level spread,
+    * so this is a no-op at production scale. The caller picks the key
+    * its own downstream groupBy/join needs, making the spread
+    * exchange the one that operation required anyway. */
+  def spread(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, keyCols: String*): DataFrame =
+    if (underParallelized(spark, s"$dir/$name.parquet"))
+      df.repartition(math.max(spark.sparkContext.defaultParallelism, 1),
+        keyCols.map(col): _*)
+    else df
+
+  /** Input-skew fix for unsplittable-in-practice inputs (the
+    * optimization guide's §2.5 prescription: "one huge unsplittable
+    * file ... repartition immediately after the read"): the driver's
+    * testdata is ONE parquet file per table with ONE row group, so a
+    * scan stage — and every map-side operation fused into it (filter,
+    * projection, partial aggregation, shingling) — runs effectively
+    * single-threaded at any session core count. When the file layout
+    * cannot yield at least `defaultParallelism` splits under the
+    * session's own split-planning constants, append a hash
+    * repartition on the table's dominant key ([[SpreadKey]];
+    * round-robin fallback) so downstream map work runs at full width;
+    * the serial part shrinks to scan + shuffle-write, and consumers
+    * keyed the same way (per-order groupBys, the orderkey join)
+    * reuse the spread exchange instead of adding their own.
+    *
+    * Scale-adaptive by construction, not a local[32] constant: the
+    * condition reads the actual file bytes and the session's
+    * maxPartitionBytes/openCostInBytes/defaultParallelism, so a
+    * production table (row groups ≈ 128 MB, bytes ≫ cores ×
+    * maxPartitionBytes) plans ≥ cores splits and is returned
+    * UNCHANGED — the exchange exists only where the input could not
+    * be parallelized anyway, and its cost there is bounded by the
+    * (small) table itself. Catalyst pushes filters and column pruning
+    * THROUGH Repartition, so PushedFilters/ReadSchema still reach the
+    * scan (ExplainSpec pins this), and the exchange carries only the
+    * pruned columns. Values are unaffected: every gated query's
+    * output is partition-order-insensitive by repo discipline (exact
+    * integer/decimal aggregates, one final double), and the
+    * driver's hash compare is row-order-insensitive.
+    *
+    * Non-local paths (scheme-qualified URIs) skip the probe: sizing
+    * via java.nio is only valid for the local testdata layout, and
+    * a conservative skip preserves pre-r13 behavior exactly. */
+  private def maybeSpread(spark: SparkSession, df: DataFrame,
+      path: String, name: String): DataFrame =
+    SpreadKey.get(name) match {
+      case Some(k) if df.columns.contains(k) &&
+          underParallelized(spark, path) =>
+        df.repartition(
+          math.max(spark.sparkContext.defaultParallelism, 1), col(k))
+      case _ => df
+    }
+
+  /** True when the parquet path's file layout cannot plan at least
+    * `defaultParallelism` splits under the session's own
+    * maxPartitionBytes / openCostInBytes — i.e. the scan stage (and
+    * all map work fused into it) cannot use the session's cores. At
+    * production sizes (bytes ≫ cores × maxPartitionBytes) this is
+    * false and every spread is a no-op. Non-local (scheme-qualified)
+    * paths conservatively report false: the java.nio probe only
+    * understands the local testdata layout. */
+  private def underParallelized(spark: SparkSession, path: String): Boolean = {
+    try {
+      if (path.contains("://")) return false
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) return false
+      val files = if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(f =>
+            java.nio.file.Files.isRegularFile(f) &&
+              !f.getFileName.toString.startsWith("_") &&
+              !f.getFileName.toString.startsWith(".")).toVector
+        } finally s.close()
+      } else Vector(p)
+      val sizes = files.map(java.nio.file.Files.size(_)).filter(_ > 0)
+      if (sizes.isEmpty) return false
+      // tiny tables (the region/nation class): a serial scan is
+      // already ~ms — never worth an exchange
+      if (sizes.sum < 256 * 1024) return false
+      val conf = spark.sessionState.conf
+      val maxPart = conf.filesMaxPartitionBytes
+      val openCost = conf.filesOpenCostInBytes
+      val cores = math.max(spark.sparkContext.defaultParallelism, 1)
+      val total = sizes.sum + openCost * sizes.length
+      // Spark's own split planning: bytes-per-split bounded below by
+      // openCost and above by maxPartitionBytes, targeting `cores`
+      // splits when the data allows
+      val splitBytes =
+        math.min(maxPart, math.max(openCost, total / cores))
+      val estSplits = sizes.map(s =>
+        ((s + openCost) + splitBytes - 1) / splitBytes).sum
+      estSplits < cores
+    } catch { case _: Throwable => false }
   }
 
   /** Drop every cached relation (all sessions, all paths), plus all

@@ -435,6 +435,16 @@ object Graph {
   /** The HITS loop over ANY directed (c, s) edge frame (spec
     * surface; [[hits]] derives the trade edges inline). */
   private[graft] def hitsOf(edges: DataFrame, iters: Int = 5): DataFrame = {
+    // r13 optimization note: two variants were implemented and
+    // A/B-measured against this implementation at sf0.1/local[32]
+    // (steal-gated filtered bench, 5 reps): (a) pre-partitioned cached
+    // edge layouts (by c and by s) + lazy checkpoints, (b) same caches
+    // + per-round max as a driver scalar instead of the broadcast
+    // crossJoin. Both measured neutral-to-slower (8.2 s baseline vs
+    // 8.7-9.2 s) — the per-round edge exchange reads a ~6.5 MB cached
+    // pair aggregate and is NOT the bottleneck; the two extra cache
+    // materializations cost more than 2·iters vector-sized exchanges
+    // save. Kept as-is; see OPTIMIZATION_r13.md.
     var h = edges.select(col("c").as("node")).distinct()
       .withColumn("h", lit(HitsScale))
     var a: DataFrame = null
@@ -578,8 +588,15 @@ object Graph {
         // NOT by line volume), pairs exploded map-side after it, one
         // shuffle to pair counts: 2 exchanges where distinct +
         // self-join + groupBy spent 4, and the wide pair set never
-        // crosses the wire unkeyed
-        val byOrder = Tables(spark, dir).lineitem
+        // crosses the wire unkeyed.
+        // Tables.spread (r13): when the file layout serializes the
+        // scan (1-row-group testdata), pre-exchange by the SAME key
+        // the groupBy needs so the set aggregation runs at full
+        // width instead of inside the single scan task; a no-op at
+        // production scale, where map-side partials stay the win.
+        val byOrder = graft.core.Tables.spread(spark, dir, "lineitem",
+            Tables(spark, dir).lineitem
+              .select(col("l_orderkey"), col("l_suppkey")), "l_orderkey")
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
         byOrder.select(arrayPairs(col("ss")).as("p"))
@@ -704,7 +721,10 @@ object Graph {
   private[graft] def coPurchaseEdgesW(spark: SparkSession, dir: String,
       minOrders: Int = 2): DataFrame =
     shared.getOrBuild(spark, s"$dir#copurchase$minOrders") {
-      val byOrder = Tables(spark, dir).lineitem
+      // same scan-width fix as coSupplyEdgesW (see there)
+      val byOrder = graft.core.Tables.spread(spark, dir, "lineitem",
+          Tables(spark, dir).lineitem
+            .select(col("l_orderkey"), col("l_partkey")), "l_orderkey")
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       byOrder.select(arrayPairs(col("ps")).as("p"))
@@ -984,15 +1004,26 @@ object Graph {
       .unionAll(e3.select(col("v").as("node"))).distinct()
     // eval-graph nodes outside the partition become singletons; their
     // own id cannot collide with a real label (labels are min ids of
-    // partition-graph members, singletons are by definition not such)
+    // partition-graph members, singletons are by definition not such).
+    // Cached: el's two endpoint joins each read the full label vector,
+    // and an uncached frame would re-run the node distinct + left join
+    // per reference (node-bounded, so the cache is small by contract).
     val labels = nodes.join(lab5, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
+      .cache()
+    // Cached: THREE consumers scan the labeled edge set (degC's two
+    // union branches and inC's same-community filter) — without the
+    // cache each one re-executes both endpoint joins and the whole
+    // labels subtree, tripling the query (measured: the uncached plan
+    // carried ~65 copies of the e3 derivation; ~9 s of the query's
+    // 10.5 s median at sf0.1 was this re-execution). Edge-bounded.
     val el = e3
       .join(labels.select(col("node").as("u"), col("component").as("cu")),
         Seq("u"))
       .join(labels.select(col("node").as("v"), col("component").as("cv")),
         Seq("v"))
+      .cache()
     val tot = e3.agg(sum(col("w")).as("tw"))
     val degC = el.select(col("cu").as("component"), col("w"))
       .unionAll(el.select(col("cv").as("component"), col("w")))

@@ -381,12 +381,30 @@ object Multimodal {
       val (w, h) = (img.getWidth, img.getHeight)
       val (nw, nh) =
         if (w >= h) (224, h * 224 / w) else (w * 224 / h, 224)
+      // read each SOURCE pixel once into a flat array (≤ w·h getRGB
+      // calls — each one pays a ColorModel conversion), then let the
+      // upscaling resample loop (nw·nh ≈ 224² reads, a ~70× read
+      // amplification on these small sources) hit the array instead
+      // of re-decoding the same pixel through getRGB per target cell.
+      // Same pixels, same integer mapping — the checksum is
+      // bit-identical (hash-gated); measured ~3× on mm_resize.
+      val src = new Array[Int](w * h)
+      var sy = 0
+      while (sy < h) {
+        var sx = 0
+        while (sx < w) {
+          src(sy * w + sx) = img.getRGB(sx, sy) & 0xff
+          sx += 1
+        }
+        sy += 1
+      }
       var sum = 0L
       var ty = 0
       while (ty < nh) {
+        val row = (ty * h / nh) * w
         var tx = 0
         while (tx < nw) {
-          sum += img.getRGB(tx * w / nw, ty * h / nh) & 0xff
+          sum += src(row + tx * w / nw)
           tx += 1
         }
         ty += 1
