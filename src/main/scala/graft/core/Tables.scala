@@ -147,8 +147,12 @@ object Tables {
     * single-threaded at any session core count. When the file layout
     * cannot yield at least `defaultParallelism` splits under the
     * session's own split-planning constants, append a hash
-    * repartition on the table's dominant key ([[SpreadKey]];
-    * round-robin fallback) so downstream map work runs at full width;
+    * repartition on the table's dominant key ([[SpreadKey]]; a table
+    * MISSING its declared key column skips the spread entirely —
+    * deliberate, not a fallback: the spread is an optimization, never
+    * a requirement, and a keyless round-robin would pay
+    * sort-before-repartition) so downstream map work runs at full
+    * width;
     * the serial part shrinks to scan + shuffle-write, and consumers
     * keyed the same way (per-order groupBys, the orderkey join)
     * reuse the spread exchange instead of adding their own.
@@ -188,7 +192,16 @@ object Tables {
     * production sizes (bytes ≫ cores × maxPartitionBytes) this is
     * false and every spread is a no-op. Non-local (scheme-qualified)
     * paths conservatively report false: the java.nio probe only
-    * understands the local testdata layout. */
+    * understands the local testdata layout.
+    *
+    * Known limitation (r13 ADVICE, kept deliberate): the estimate is
+    * byte-based only. A single file big enough to plan ≥ cores
+    * byte-splits but holding ONE row group still scans effectively
+    * single-threaded and reports false here — reading the parquet
+    * footer per probe would fix that case but puts file I/O on every
+    * relation resolve; the driver's testdata never hits it (every
+    * under-parallelized table is also byte-small). Perf-only either
+    * way. */
   private def underParallelized(spark: SparkSession, path: String): Boolean = {
     try {
       if (path.contains("://")) return false

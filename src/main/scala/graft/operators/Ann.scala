@@ -530,19 +530,46 @@ object Ann {
       Cluster.quantized(emb(spark, dir)) }
     val subCents = pqCodebooks(qcorp, rounds)
     val coded = pqEncode(qcorp, subCents)
-    val cbLits: Array[Column] = subCents.map(cb =>
-      array(cb.map(c => array(c.map(lit(_)): _*)): _*))
-    val recon = coded
-      .withColumn("recon", flatten(array((0 until PqM).map(s =>
-        element_at(cbLits(s), col(s"c$s") + 1)): _*)))
-      .select(col("vec_id"), col("recon"))
-    val qq = Cluster.quantized(queriesDf(spark, dir)
+    // ADC via per-query distance TABLES (the classic PQ serving
+    // layout): the reconstruction distance decomposes exactly per
+    // subspace — Σ_d (q_d − recon_d)² = Σ_s Σ_{d∈s} (q_d − cb_s[c][d])²
+    // — so precompute, per (query, subspace, centroid), the partial
+    // integer distance: NumQueries × PqM × PqK longs, a bounded
+    // driver round-trip of the codebook-collect class. The
+    // per-(query, vector) score then collapses from a dim-wide
+    // interpreted zip_with/aggregate lambda over the materialized
+    // reconstruction into PqM codegen'd element_at lookups (guide §4:
+    // prefer codegen expressions over per-row lambda evaluation in
+    // the hot path — measured 83-147 CPU-seconds per bench rep before
+    // this change at sf0.1). Long addition is associative and the
+    // partials are the same products in the same precision, so pqdist
+    // is bit-identical and the generated oracle is untouched.
+    val qRows = Cluster.quantized(queriesDf(spark, dir)
         .select(col("qid").as("vec_id"), col("qe").as("embedding")))
-      .select(col("vec_id").as("qid"), col("q").as("qq"))
-    val cand = recon.crossJoin(broadcast(qq))
-      .select(col("qid"), col("vec_id"),
-        expr("aggregate(zip_with(qq, recon, (a, b) -> (a - b) * (a - b)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("pqdist"))
+      .select(col("vec_id"), col("q")).collect()
+    val qTabs: Seq[(Long, Seq[Seq[Long]])] = qRows.toSeq.map { r =>
+      val qv = r.getSeq[Long](1).toArray
+      val tabs: Seq[Seq[Long]] = (0 until PqM).map { s =>
+        subCents(s).toSeq.map { c =>
+          var acc = 0L
+          var j = 0
+          while (j < PqDsub) {
+            val d = qv(s * PqDsub + j) - c(j); acc += d * d; j += 1
+          }
+          acc
+        }
+      }
+      (r.getLong(0), tabs)
+    }
+    import spark.implicits._
+    val qtab = qTabs.toDF("qid", "tabs")
+    val pqdist = (0 until PqM).map(s =>
+        element_at(element_at(col("tabs"), s + 1), col(s"c$s") + 1))
+      .reduce(_ + _)
+    val cand = coded
+      .select(col("vec_id") +: (0 until PqM).map(s => col(s"c$s")): _*)
+      .crossJoin(broadcast(qtab))
+      .select(col("qid"), col("vec_id"), pqdist.as("pqdist"))
       .groupBy(col("qid"))
       .agg(TopKScoreAgg.topk(-col("pqdist").cast("double"), col("vec_id"),
         PqMargin).as("top"))
@@ -657,7 +684,7 @@ object Ann {
   def ivfPq(spark: SparkSession, dir: String,
       nprobe: Int = NProbe): DataFrame = {
     val (codes, subCents) = ivfPqCoded(spark, dir)
-    ivfPqSearch(spark, dir, reconOf(codes, subCents), nprobe)
+    ivfPqSearch(spark, dir, codes, subCents, nprobe)
   }
 
   /** Build products of the IVF-PQ index: the per-vector
@@ -710,38 +737,55 @@ object Ann {
       (0 until PqM).map(s => col(s"c$s")): _*), subCents)
   }
 
-  /** Reconstructions from a code table + subspace codebooks (the
-    * serve-time decode — codebooks are PqK×dim literals). */
-  private def reconOf(codes: DataFrame,
-      subCents: Array[Array[Array[Long]]]): DataFrame = {
-    val cbLits: Array[Column] = subCents.map(sc =>
-      array(sc.map(c2 => array(c2.map(lit(_)): _*)): _*))
-    codes
-      .withColumn("recon", flatten(array((0 until PqM).map(s =>
-        element_at(cbLits(s), col(s"c$s") + 1)): _*)))
-      .select(col("vec_id"), col("cell"), col("recon"))
-  }
-
-  /** The probe path over any (vec_id, cell, recon) frame — shared by
-    * the inline query and the pre-built index. */
+  /** The probe path over a (vec_id, cell, c0..c{M−1}) code table —
+    * shared by the inline query and the pre-built index. ADC runs
+    * through per-(query, probed-cell) distance TABLES exactly like
+    * [[pqSearch]]: the residual reconstruction distance decomposes
+    * per subspace, the (qid, cell, rq) probe set is NumQueries ×
+    * nprobe rows (a bounded driver round-trip of the codebook-collect
+    * class), and the per-(probe, vector) score is PqM codegen'd
+    * element_at lookups instead of an interpreted dim-wide
+    * zip_with/aggregate fold over a materialized reconstruction
+    * column. Same Long products in the same precision ⇒ d2 is
+    * bit-identical and the generated oracle is untouched. */
   private def ivfPqSearch(spark: SparkSession, dir: String,
-      recon: DataFrame, nprobe: Int): DataFrame = {
+      codes: DataFrame, subCents: Array[Array[Array[Long]]],
+      nprobe: Int): DataFrame = {
     val cb = codebook(spark, dir)
     val qcDf = qcFrame(spark, cb)
     val qq = Cluster.quantized(queriesDf(spark, dir)
         .select(col("qid").as("vec_id"), col("qe").as("embedding")))
       .select(col("vec_id").as("qid"), col("q").as("qq"))
-    val probes = queriesDf(spark, dir)
+    val probeRows = queriesDf(spark, dir)
       .select(col("qid"),
         explode(nearestCells(col("qe"), bcast(spark, cb), nprobe)).as("cell"))
       .join(qq, "qid")
       .join(broadcast(qcDf), "cell")
       .select(col("qid"), col("cell"),
         expr("zip_with(qq, qc, (a, b) -> a - b)").as("rq"))
-    val cand = recon.join(broadcast(probes), Seq("cell"))
-      .select(col("qid"), col("vec_id"),
-        expr("aggregate(zip_with(rq, recon, (a, b) -> (a - b) * (a - b)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("d2"))
+      .collect()
+    val probeTabs: Seq[(Long, Long, Seq[Seq[Long]])] =
+      probeRows.toSeq.map { r =>
+        val rq = r.getSeq[Long](2).toArray
+        val tabs: Seq[Seq[Long]] = (0 until PqM).map { s =>
+          subCents(s).toSeq.map { c =>
+            var acc = 0L
+            var j = 0
+            while (j < PqDsub) {
+              val d = rq(s * PqDsub + j) - c(j); acc += d * d; j += 1
+            }
+            acc
+          }
+        }
+        (r.getLong(0), r.getLong(1), tabs)
+      }
+    import spark.implicits._
+    val ptab = probeTabs.toDF("qid", "cell", "tabs")
+    val d2 = (0 until PqM).map(s =>
+        element_at(element_at(col("tabs"), s + 1), col(s"c$s") + 1))
+      .reduce(_ + _)
+    val cand = codes.join(broadcast(ptab), Seq("cell"))
+      .select(col("qid"), col("vec_id"), d2.as("d2"))
       .groupBy(col("qid"))
       .agg(TopKScoreAgg.topk(-col("d2").cast("double"), col("vec_id"),
         PqMargin).as("top"))
@@ -798,7 +842,7 @@ object Ann {
       subCents(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray
     }
     val codes = spark.read.parquet(s"$indexPath/codes")
-    ivfPqSearch(spark, dir, reconOf(codes, subCents), nprobe)
+    ivfPqSearch(spark, dir, codes, subCents, nprobe)
   }
 
   /** Generated DuckDB oracle for [[ivfPq]] — the identical coarse

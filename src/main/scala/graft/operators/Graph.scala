@@ -84,8 +84,16 @@ object Graph {
     shared.getOrBuild(spark, s"$dir#tradepairs") {
       val t = Tables(spark, dir)
       // aggregation on the NUMERIC pair (16-byte shuffle rows); string
-      // node ids are minted after, in the explode
-      t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      // node ids are minted after, in the explode.
+      // Tables.spread (r14, the coSupplyEdgesW discipline): when the
+      // file layout serializes the scan (1-row-group testdata), the
+      // broadcast-orders join + pair partial-agg otherwise run inside
+      // the 3-task scan stage (~0.9 s single-threaded per graph query,
+      // r14 JobProbe); pre-exchange by the JOIN key so they run at
+      // full width. A no-op at production scale by construction.
+      graft.core.Tables.spread(spark, dir, "lineitem",
+          t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          "l_orderkey")
         .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"), col("l_suppkey"))
@@ -1008,22 +1016,32 @@ object Graph {
     // Cached: el's two endpoint joins each read the full label vector,
     // and an uncached frame would re-run the node distinct + left join
     // per reference (node-bounded, so the cache is small by contract).
-    val labels = nodes.join(lab5, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("component"), col("node")).as("component"))
-      .cache()
-    // Cached: THREE consumers scan the labeled edge set (degC's two
+    // Memoized through the family PlanCache (not a bare .cache()):
+    // the LRU evicts-and-unpersists, so a long-lived session calling
+    // modularity() repeatedly holds at most one registration per
+    // (dir, thresholds) instead of leaking one InMemoryRelation pair
+    // per invocation (r13 ADVICE). Key carries both thresholds — any
+    // other parameterization is a different frame.
+    val labels = shared.getOrBuild(spark,
+      s"$dir#mod-labels-$partThreshold-$evalThreshold") {
+      nodes.join(lab5, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("component"), col("node")).as("component"))
+    }
+    // Memoized: THREE consumers scan the labeled edge set (degC's two
     // union branches and inC's same-community filter) — without the
     // cache each one re-executes both endpoint joins and the whole
     // labels subtree, tripling the query (measured: the uncached plan
     // carried ~65 copies of the e3 derivation; ~9 s of the query's
     // 10.5 s median at sf0.1 was this re-execution). Edge-bounded.
-    val el = e3
-      .join(labels.select(col("node").as("u"), col("component").as("cu")),
-        Seq("u"))
-      .join(labels.select(col("node").as("v"), col("component").as("cv")),
-        Seq("v"))
-      .cache()
+    val el = shared.getOrBuild(spark,
+      s"$dir#mod-el-$partThreshold-$evalThreshold") {
+      e3
+        .join(labels.select(col("node").as("u"), col("component").as("cu")),
+          Seq("u"))
+        .join(labels.select(col("node").as("v"), col("component").as("cv")),
+          Seq("v"))
+    }
     val tot = e3.agg(sum(col("w")).as("tw"))
     val degC = el.select(col("cu").as("component"), col("w"))
       .unionAll(el.select(col("cv").as("component"), col("w")))

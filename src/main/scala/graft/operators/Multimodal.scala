@@ -20,6 +20,24 @@ import graft.core.Tables
   */
 object Multimodal {
 
+  // javax.imageio defaults to DISK-backed stream caches: every
+  // convenience read/write (`ImageIO.read(InputStream)` /
+  // `ImageIO.write(..., OutputStream)`) creates — and deletes — a
+  // temp FILE per image when `ImageIO.getUseCache()` is true (the
+  // JDK default). Our payloads are in-memory byte arrays of a few
+  // KB, so the cache file is pure overhead: measured ~10 ms per
+  // tiny image on this ext4 sandbox (r14 JobProbe: mm_decode_meta
+  // burned ~50 CPU-seconds over 5000 8-31 px images, dominated by
+  // file create/delete, the same pathology as the shuffle-file fix
+  // in [[graft.core.ShuffleIo]]). Memory-cached streams are the
+  // right mode for byte-array payloads at ANY scale — a production
+  // executor decoding blobs from a columnar scan has them in memory
+  // already. Set once per JVM before any codec call; every ImageIO
+  // call in this file (and the streaming twins, which call through
+  // these batch functions) is inside this object, so the object
+  // initializer is the single choke point.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** An opaque media blob: what a 100 TB corpus actually stores —
     * bytes plus routing metadata, never decoded until needed. */
   final case class MediaBlob(doc_id: Long, fmt: String, payload: Array[Byte])
@@ -381,33 +399,52 @@ object Multimodal {
       val (w, h) = (img.getWidth, img.getHeight)
       val (nw, nh) =
         if (w >= h) (224, h * 224 / w) else (w * 224 / h, 224)
-      // read each SOURCE pixel once into a flat array (≤ w·h getRGB
-      // calls — each one pays a ColorModel conversion), then let the
-      // upscaling resample loop (nw·nh ≈ 224² reads, a ~70× read
-      // amplification on these small sources) hit the array instead
-      // of re-decoding the same pixel through getRGB per target cell.
+      // UPSCALING (the planted corpus: sources ≤ 31×23 → ≥ 224 on the
+      // long side): read each SOURCE pixel once into a flat array
+      // (≤ w·h getRGB calls — each pays a ColorModel conversion), then
+      // let the resample loop (nw·nh ≈ 224² reads, a ~70× read
+      // amplification on these small sources) hit the array instead of
+      // re-decoding the same pixel through getRGB per target cell.
       // Same pixels, same integer mapping — the checksum is
       // bit-identical (hash-gated); measured ~3× on mm_resize.
-      val src = new Array[Int](w * h)
-      var sy = 0
-      while (sy < h) {
-        var sx = 0
-        while (sx < w) {
-          src(sy * w + sx) = img.getRGB(sx, sy) & 0xff
-          sx += 1
-        }
-        sy += 1
-      }
+      // DOWNSCALING or pathological dimensions (r13 ADVICE: a large
+      // source pays w·h prefetch reads for ≤ nw·nh ≤ 224² uses, and
+      // w·h can overflow Int): only prefetch when the source is small
+      // enough that every pixel is plausibly read; otherwise getRGB
+      // per TARGET cell — fewer reads by construction, no w·h alloc.
       var sum = 0L
-      var ty = 0
-      while (ty < nh) {
-        val row = (ty * h / nh) * w
-        var tx = 0
-        while (tx < nw) {
-          sum += src(row + tx * w / nw)
-          tx += 1
+      if (w.toLong * h <= nw.toLong * nh) {
+        val src = new Array[Int](w * h)
+        var sy = 0
+        while (sy < h) {
+          var sx = 0
+          while (sx < w) {
+            src(sy * w + sx) = img.getRGB(sx, sy) & 0xff
+            sx += 1
+          }
+          sy += 1
         }
-        ty += 1
+        var ty = 0
+        while (ty < nh) {
+          val row = (ty * h / nh) * w
+          var tx = 0
+          while (tx < nw) {
+            sum += src(row + tx * w / nw)
+            tx += 1
+          }
+          ty += 1
+        }
+      } else {
+        var ty = 0
+        while (ty < nh) {
+          val sy = ty * h / nh
+          var tx = 0
+          while (tx < nw) {
+            sum += img.getRGB(tx * w / nw, sy) & 0xff
+            tx += 1
+          }
+          ty += 1
+        }
       }
       (b.doc_id, w, h, nw, nh, sum)
     }
