@@ -1250,8 +1250,20 @@ object Ann {
     * (corpus smaller than the requested top-k) scores against the
     * rows it actually has. */
   def evalOf(approxRanking: DataFrame, truthRanking: DataFrame): DataFrame = {
-    val truth = truthRanking.select(col("qid"), col("rank"), col("vec_id"))
-    val approx = approxRanking.select(col("qid"), col("rank"), col("vec_id"))
+    // Drain both rankings to local relations FIRST (bounded by
+    // contract: k × |queries| rows — the same class as the codebook
+    // collect). Spark plans are trees, and this eval consumes `truth`
+    // three times (kq / overlap / nn2) and `approx` twice (overlap /
+    // nnRank), all of it under a 2-branch union — without the drain
+    // the full brute-force scoring subtree re-executed up to 6× and
+    // the approximate ranking up to 4× per eval (measured r14:
+    // ann_eval ≈ 2.4 s against ~1.1 s for its two rankings run once).
+    // Values are untouched: the drain is a collect + local relation
+    // of the identical rows, per invocation, from the parquet inputs.
+    val truth = graft.core.Drain.bounded(
+      truthRanking.select(col("qid"), col("rank"), col("vec_id")))
+    val approx = graft.core.Drain.bounded(
+      approxRanking.select(col("qid"), col("rank"), col("vec_id")))
     // every truth qid, with its own k — the spine every metric hangs off
     val kq = truth.groupBy(col("qid")).agg(count(lit(1)).as("k_truth"))
     val overlap = truth.select("qid", "vec_id")

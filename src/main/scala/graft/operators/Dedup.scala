@@ -1124,20 +1124,27 @@ object Dedup {
       .select(col("x.bands").as("bands"), col("x.doc_id").as("d1"),
         col("y.doc_id").as("d2"))
       .distinct()
-    val nCand = cands.groupBy(col("bands"))
-      .agg(count(lit(1)).as("n_candidates"))
-    val nVer = cands
+    // ONE pass computes both counts: plans are trees, so separate
+    // n_candidates / n_verified aggregates each re-executed the LSH
+    // self-join + distinct above (r14). Counting candidates and
+    // summing a verified FLAG off the same verify join is the
+    // identical arithmetic (every candidate row appears exactly once
+    // post-distinct, and the grams joins are key-preserving: d1/d2
+    // each match exactly one dictionary row), halving the heavy scans.
+    val nBoth = cands
       .join(g.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
       .join(g.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
-      .filter(round(jaccard(col("g1"), col("g2")), 6) >= tau)
-      .groupBy(col("bands")).agg(count(lit(1)).as("n_verified"))
+      .select(col("bands"),
+        (round(jaccard(col("g1"), col("g2")), 6) >= tau)
+          .cast("long").as("ok"))
+      .groupBy(col("bands")).agg(count(lit(1)).as("n_candidates"),
+        sum(col("ok")).as("n_verified"))
     val nTruth = sharedJaccardPairs(spark, dir, tau)
       .agg(count(lit(1)).as("n_truth"))
     val bank = spark.range(1)
       .select(explode(array(LshBandSweep.map(b => lit(b.toLong)): _*))
         .as("bands"))
-    bank.join(nCand, Seq("bands"), "left")
-      .join(nVer, Seq("bands"), "left")
+    bank.join(nBoth, Seq("bands"), "left")
       .crossJoin(broadcast(nTruth))
       .select(col("bands"), (lit(k.toLong) / col("bands")).cast("long")
           .as("rows_per_band"),

@@ -287,6 +287,12 @@ object Linkage {
         PortableHash.h60(col("name_b")).as("d2"))
     val labels = graft.operators.Dedup.components(pairs)
       .select(col("doc_id").as("id"), col("component"))
+    // NOTE (r14): an eager localCheckpoint on `labeled` (3 consumers)
+    // was MEASURED NEUTRAL (min-of-3 3.17 s → 3.17 s, jobs 36 → 38,
+    // back-to-back JobProbe) — the components loop already truncates
+    // its lineage per round, so the re-executed nm⋈labels join is
+    // cheap and the query's driver-gap cost is per-round planning,
+    // not this join. Left unmaterialized.
     val labeled = nm.join(labels, Seq("id"), "left")
       .select(col("name"), col("cnt"),
         coalesce(col("component"), col("id")).as("component"))

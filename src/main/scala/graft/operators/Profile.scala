@@ -27,7 +27,13 @@ object Profile {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val stackExpr = s"stack(${cols.length}, " +
       cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, value)"
-    Tables(spark, dir).lineitem
+    // Opt-in scan spread (Tables.spread: a no-op whenever the file
+    // layout already plans ≥ cores splits): the 4-way melt + the
+    // count-distinct partial aggregate otherwise run fused into the
+    // 1-row-group testdata's single-task scan (r14 JobProbe: ~1.5 s
+    // wall at cpu/wall ≈ 1.4 on 32 cores).
+    Tables.spread(spark, dir, "lineitem",
+        Tables(spark, dir).lineitem, "l_orderkey")
       .selectExpr(stackExpr)
       .groupBy(col("col_name"))
       .agg(
@@ -66,7 +72,12 @@ object Profile {
         cols.combinations(2).map { case Seq(a, b) =>
           sum(cents(a) * cents(b)).as(s"sp_${a}_$b")
         }.toSeq
-    val agg = Tables(spark, dir).lineitem.agg(sums.head, sums.tail: _*)
+    // Opt-in scan spread: the 14 DECIMAL(38,0) product sums are the
+    // heaviest per-row partial aggregate in the profile family, and
+    // fused into a single-task scan they run serial (r14 JobProbe:
+    // 1.5 s wall, cpu/wall ≈ 1.1 at 32 cores). No-op at real scale.
+    val agg = Tables.spread(spark, dir, "lineitem",
+      Tables(spark, dir).lineitem, "l_orderkey").agg(sums.head, sums.tail: _*)
     def corrD(a: String, b: String) = {
       val num = (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
         .cast("double")
@@ -221,7 +232,11 @@ object Profile {
         cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, value)"
       val h = PortableHash.h60(concat_ws("|",
         col("l_orderkey").cast("string"), col("l_linenumber").cast("string")))
-      Tables(spark, dir).lineitem
+      // Opt-in scan spread: the per-row md5 portable hash + 4-way melt
+      // + bottom-k partial otherwise run inside the single-task scan
+      // (r14 JobProbe: both consumers ~1.4 s wall at 32 cores).
+      Tables.spread(spark, dir, "lineitem",
+          Tables(spark, dir).lineitem, "l_orderkey")
         .withColumn("rid_h", h)
         .select(col("rid_h"), expr(stackExpr))
         .groupBy(col("col_name"))
@@ -350,6 +365,11 @@ object Profile {
     // Catalyst expressions over the literal cells, NOT driver-side
     // scala.math — the micro-nat quantization must evaluate through
     // the same engine expression path the oracle mirrors.
+    // NOTE (r14): an opt-in scan spread was MEASURED SLOWER here
+    // (min-of-3 2.56 s → 3.68 s, back-to-back JobProbe) — the census
+    // collect is a limit+collect over a tiny aggregate, and the extra
+    // exchange under the limit costs more than the parallelized
+    // partials save. Left unspread deliberately.
     val cells = MiPairs.groupBy(_._1).map { case (tbl, ps) =>
       val exprs = ps.flatMap(p => Seq(p._2, p._3)).distinct
       val idx = exprs.zipWithIndex.toMap
