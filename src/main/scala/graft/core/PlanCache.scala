@@ -47,8 +47,22 @@ final class PlanCache(maxEntries: Int = 16) {
       // storage but not the memo. Re-register so the next consumer
       // re-materializes once and sharing resumes — a duplicate
       // cache() race is benign (no-op + log line).
-      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      //
+      // Materialize EAGERLY (count() populates every partition of the
+      // InMemoryRelation, no row deserialization): a lazily
+      // re-registered frame under a multi-branch consumer plan lets
+      // every concurrent task that misses a block recompute the
+      // frame's lineage for itself — observed r14 as sporadic
+      // 10-60× CPU blowups on single reps of the dedup family
+      // mid-suite ("Block rdd_N already exists" warnings = the racing
+      // duplicate adds), e.g. dedup_prefix_filter reps of 60/17/603
+      // CPU-s for identical input. One sequential pass here is
+      // exactly what the first consumer pays anyway, runs inside the
+      // caller's timed region, and removes the race.
+      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
         hit.cache()
+        hit.count()
+      }
       hit
     } else {
       val built = build.cache()
@@ -71,8 +85,11 @@ final class PlanCache(maxEntries: Int = 16) {
     val hit = m.synchronized(m.get((spark, key)))
     if (hit == null) None
     else {
-      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      // same eager re-materialization as getOrBuild (see there)
+      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
         hit.cache()
+        hit.count()
+      }
       Some(hit)
     }
   }
